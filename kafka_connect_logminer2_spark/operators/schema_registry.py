@@ -1,0 +1,192 @@
+"""Dynamic per-table schema registry — reference operator A12 (+A13 typing).
+
+The reference lazily loads each table's column metadata from the Oracle data
+dictionary, memoizes it, and invalidates the cache entry when a DDL event for
+that table arrives (OracleSourceConnectorUtils2.java:83-85, 156-252, 368-371).
+
+Spark adaptation (SURVEY §1.4): the registry lives driver-side; the streaming
+core carries ``data``/``before`` as JSON strings, and this module applies the
+typed per-table StructType at materialization via ``from_json`` + casts —
+whole-stage-codegen'd JVM work, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+STRING_ORACLE_TYPES = {"CHAR", "VARCHAR", "VARCHAR2", "NCHAR", "NVARCHAR", "NVARCHAR2", "LONG", "CLOB"}
+
+
+@dataclass(frozen=True)
+class ColumnMeta:
+    """models/Column.java:10-35 equivalent."""
+
+    owner: str
+    table_name: str
+    column_name: str
+    nullable: bool
+    data_type: str
+    data_length: int = 0
+    data_scale: int = 0
+    data_precision: int = 0
+    pk_column: bool = False
+    uq_column: bool = False
+
+    def spark_type(self) -> DataType:
+        """The NUMBER precision ladder + text/time mapping
+        (OracleSourceConnectorUtils2.java:191-241)."""
+        dt = self.data_type.upper()
+        if "TIMESTAMP" in dt:  # any TIMESTAMP variant collapses (:183)
+            dt = "TIMESTAMP"
+        if dt == "NUMBER":
+            if self.data_scale > 0 or self.data_precision == 0:
+                return DoubleType()  # FLOAT64 reference semantics (:194-196)
+            if self.data_precision <= 2:
+                return ByteType()
+            if self.data_precision <= 4:
+                return ShortType()
+            if self.data_precision <= 9:
+                return IntegerType()
+            return LongType()
+        if dt in STRING_ORACLE_TYPES:
+            return StringType()
+        if dt in ("DATE", "TIMESTAMP"):
+            return TimestampNTZType()
+        return StringType()  # fallback (:238-240)
+
+
+class SchemaRegistry:
+    """Lazy, memoized, DDL-invalidated table-schema cache (A12)."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, list[ColumnMeta]] = {}
+
+    @staticmethod
+    def key(owner: str, table: str) -> str:
+        return f"{owner}.{table}"
+
+    def register(self, columns: list[ColumnMeta]) -> None:
+        """Register dictionary rows (ordered by COLUMN_ID like the reference's
+        ORDER BY, OracleConnectorSQL2.java:13)."""
+        for c in columns:
+            self._tables.setdefault(self.key(c.owner, c.table_name), []).append(c)
+
+    def load_from_dictionary(self, dictionary: DataFrame, owner: str, table: str) -> None:
+        """Load one table's columns from a dictionary table shaped like
+        TABLE_WITH_COLS output (FIXTURES.md §2.2)."""
+        rows = (
+            dictionary.filter((F.col("owner") == owner) & (F.col("table_name") == table))
+            .orderBy("column_id")
+            .collect()
+        )
+        self._tables[self.key(owner, table)] = [
+            ColumnMeta(
+                owner=r["owner"],
+                table_name=r["table_name"],
+                column_name=r["column_name"],
+                nullable=r["nullable"] == "Y",
+                data_type=r["data_type"],
+                data_length=r["data_length"] or 0,
+                data_scale=r["data_scale"] or 0,
+                data_precision=r["data_precision"] or 0,
+                pk_column=bool(r["pk_column"]),
+                uq_column=bool(r["uq_column"]),
+            )
+            for r in rows
+        ]
+
+    def invalidate(self, owner: str, table: str) -> None:
+        """DDL-triggered cache invalidation
+        (OracleSourceConnectorUtils2.java:368-371)."""
+        self._tables.pop(self.key(owner, table), None)
+
+    def has(self, owner: str, table: str) -> bool:
+        return self.key(owner, table) in self._tables
+
+    def columns(self, owner: str, table: str) -> list[ColumnMeta]:
+        return self._tables[self.key(owner, table)]
+
+    def struct_type(self, owner: str, table: str) -> StructType:
+        return StructType(
+            [
+                StructField(c.column_name, c.spark_type(), c.nullable)
+                for c in self.columns(owner, table)
+            ]
+        )
+
+    def raw_struct_type(self, owner: str, table: str) -> StructType:
+        """All-string struct for the first from_json pass (values are parsed
+        SQL literals; typed casts applied after — reSetValue analog)."""
+        return StructType(
+            [StructField(c.column_name, StringType(), True) for c in self.columns(owner, table)]
+        )
+
+
+def _coerce(raw: Column, meta: ColumnMeta) -> Column:
+    """reSetValue analog (OracleSourceConnectorUtils2.java:436-465), as
+    built-in expressions: numeric casts; timestamps strip a ``+TZ`` suffix
+    (:456) before the cast; strings pass through."""
+    t = meta.spark_type()
+    if isinstance(t, TimestampNTZType):
+        no_tz = F.when(raw.contains("+"), F.substring_index(raw, "+", 1)).otherwise(raw)
+        return no_tz.cast("timestamp_ntz")
+    return raw.cast(t)
+
+
+def apply_table_schema(
+    envelope: DataFrame, registry: SchemaRegistry, owner: str, table: str
+) -> DataFrame:
+    """Materialize one table's typed change rows from the generic envelope.
+
+    ``data``/``before`` become typed nested structs per the registry schema —
+    the per-table step the reference does per-record in createDataSchema
+    (:386-415), here as a single Catalyst projection over the whole batch.
+    """
+    raw_schema = registry.raw_struct_type(owner, table)
+    metas = registry.columns(owner, table)
+
+    def typed(json_col: str) -> Column:
+        raw = F.from_json(F.col(json_col), raw_schema)
+        struct = F.struct(
+            *[_coerce(raw[m.column_name], m).alias(m.column_name) for m in metas]
+        )
+        return F.when(F.col(json_col).isNull(), F.lit(None).cast(
+            StructType([StructField(m.column_name, m.spark_type(), True) for m in metas])
+        )).otherwise(struct)
+
+    return (
+        envelope.filter((F.col("SEG_OWNER") == owner) & (F.col("TABLE_NAME") == table))
+        .withColumn("data", typed("data_json"))
+        .withColumn("before", typed("before_json"))
+        .drop("data_json", "before_json")
+    )
+
+
+def process_ddl_invalidations(envelope: DataFrame, registry: SchemaRegistry) -> None:
+    """Clear cached schemas for tables with DDL events in this batch — the
+    foreachBatch hook ordering guarantee (DDL invalidates before the next
+    materialization of that table; SURVEY §7 hard part 4).
+
+    The reference rewrites TABLE_NAME to _GENERIC_DDL on emit, so the original
+    table is recovered from the SQL_REDO'd segment via SEG_OWNER + the redo
+    text; here we pass the pre-rewrite name through the ``topic`` instead —
+    callers that need exact parity should invalidate from the DML-row stream
+    before envelope projection.
+    """
+    ddls = envelope.filter(F.col("OPERATION") == "DDL").select("SEG_OWNER", "TABLE_NAME").distinct()
+    for r in ddls.collect():
+        registry.invalidate(r["SEG_OWNER"], r["TABLE_NAME"])

@@ -1,0 +1,70 @@
+"""Batch CDC pipeline composition — the reference's full dataflow
+(SURVEY §3.3) over a bounded redo log:
+
+  source filters (A5-A8) → transaction assembly (A9, A15-A17)
+  → parse + envelope (A10-A14, A18) → typed per-table materialization (A12-A13)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EngineConfig
+from ..operators.envelope import to_envelope
+from ..operators.filters import dml_types_predicate, source_predicate
+from ..operators.schema_registry import ColumnMeta, SchemaRegistry, apply_table_schema
+from ..operators.transactions import assemble_transactions
+
+OWNER = "TPCH"
+
+
+def customer_registry() -> SchemaRegistry:
+    """TPCH.CUSTOMER dictionary metadata exercising the NUMBER ladder
+    (OracleSourceConnectorUtils2.java:191-241): precision 18 → INT64,
+    9 → INT32, scale 2 → FLOAT64, VARCHAR2 → STRING."""
+    reg = SchemaRegistry()
+    mk = lambda name, **kw: ColumnMeta(OWNER, "CUSTOMER", name, True, **kw)
+    reg.register(
+        [
+            mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+            mk("C_NAME", data_type="VARCHAR2", data_length=25),
+            mk("C_NATIONKEY", data_type="NUMBER", data_precision=9),
+            mk("C_ACCTBAL", data_type="NUMBER", data_precision=12, data_scale=2),
+            mk("C_MKTSEGMENT", data_type="VARCHAR2", data_length=10),
+        ]
+    )
+    return reg
+
+
+def default_config() -> EngineConfig:
+    return EngineConfig(
+        name="logminer",
+        db_name_alias="orcl",
+        table_whitelist=f"{OWNER}.*",
+    )
+
+
+def run_cdc_batch(
+    redo: DataFrame,
+    config: EngineConfig | None = None,
+    registry: SchemaRegistry | None = None,
+    owner: str = OWNER,
+    table: str = "CUSTOMER",
+) -> DataFrame:
+    """Redo events → typed committed change rows for one table."""
+    config = config or default_config()
+    registry = registry or customer_registry()
+    envelope = cdc_envelope(redo, config)
+    return apply_table_schema(envelope, registry, owner, table)
+
+
+def cdc_envelope(redo: DataFrame, config: EngineConfig | None = None) -> DataFrame:
+    """Redo events → generic (JSON-image) envelope rows."""
+    config = config or default_config()
+    filtered = redo.filter(
+        source_predicate(config.table_whitelist, config.table_blacklist)
+    )
+    committed = assemble_transactions(filtered).filter(
+        dml_types_predicate(config.dml_type_set())
+    )
+    return to_envelope(committed, config)

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (AQE on, skew-join handling on,
+Arrow for pandas interchange) while staying correct on local[N] test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: runtime re-plan, skew-join splitting, partition
+    # coalescing — essential at scale, free locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-batched pandas UDF transfer (the CDC parser is a pandas UDF).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read as long and normalize in the loader
+    # (sources/tables.py) — matches DuckDB's ns→µs truncation.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Bound per-task input at the target SF; at 100 TB the same setting keeps
+    # scan partitions ~128 MB which is the sweet spot for parquet.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Session-window / stateful ops: RocksDB keeps state off-heap and
+    # spillable — the reference's unbounded in-heap LinkedHashMap is the
+    # anti-pattern we're replacing (LogMinerThread2.java:81).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def get_spark(
+    app_name: str = "kafka_connect_logminer2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores); on a real cluster pass ``None`` master via spark-submit and the
+    defaults still apply.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

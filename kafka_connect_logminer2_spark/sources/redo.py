@@ -1,0 +1,227 @@
+"""Synthetic redo-event generation (FIXTURES.md §2.1 schema).
+
+The reference consumes ``v$logmnr_contents`` rows; our tests and the
+correctness harness need an equivalent redo stream. This module derives one
+*deterministically* from the driver's TPC-H tables with pure DataFrame ops
+(no driver-side loops — the generator itself scales), using scenario rules
+keyed on ``c_custkey % 10`` that are simple enough to mirror in the DuckDB
+oracle SQL:
+
+  k == 3  → transaction ROLLBACK (discarded by assembly)
+  k == 4  → committed txn with a partial-rollback pair (INSERT + compensating
+            rollback='1' row → both removed by A16 repair)
+  k == 5  → INSERT statement split across two CSF rows (merged by A9)
+  else    → plain committed INSERT
+
+Every DML txn is START → DML(+extras) → COMMIT/ROLLBACK with SCNs laid out as
+``base + {0,1,2,3}`` so redo order is total and replay-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from .tables import load_table
+
+REDO_SCHEMA = StructType(
+    [
+        StructField("scn", LongType()),
+        StructField("commit_scn", LongType(), True),
+        StructField("xid", StringType()),
+        StructField("timestamp", TimestampNTZType(), True),
+        StructField("commit_timestamp", TimestampNTZType(), True),
+        StructField("operation", StringType()),
+        StructField("seg_owner", StringType(), True),
+        StructField("table_name", StringType(), True),
+        StructField("username", StringType(), True),
+        StructField("sql_redo", StringType(), True),
+        StructField("row_id", StringType(), True),
+        StructField("csf", BooleanType(), True),
+        StructField("rollback", StringType(), True),
+        StructField("rbasqn", IntegerType(), True),
+        StructField("rs_id", StringType(), True),
+        StructField("info", StringType(), True),
+    ]
+)
+
+OWNER = "TPCH"
+FIXED_TS = "2026-01-01 00:00:00"
+
+
+def _esc(col: Column) -> Column:
+    """Oracle string-literal escaping: ' → ''."""
+    return F.regexp_replace(col, "'", "''")
+
+
+def _common(scn: Column, xid: Column, op: str, *, table: Column | None = None,
+            sql: Column | None = None, commit_scn: Column | None = None,
+            commit_ts: bool = False, row_id: Column | None = None,
+            csf: Column | None = None, rollback: Column | None = None,
+            rs_suffix: str = "0") -> list[Column]:
+    ts = F.lit(FIXED_TS).cast("timestamp_ntz")
+    return [
+        scn.cast("long").alias("scn"),
+        (commit_scn.cast("long") if commit_scn is not None else F.lit(None).cast("long")).alias("commit_scn"),
+        xid.alias("xid"),
+        ts.alias("timestamp"),
+        (ts if commit_ts else F.lit(None).cast("timestamp_ntz")).alias("commit_timestamp"),
+        F.lit(op).alias("operation"),
+        F.lit(OWNER).alias("seg_owner"),
+        (table if table is not None else F.lit(None).cast("string")).alias("table_name"),
+        F.lit("APP").alias("username"),
+        (sql if sql is not None else F.lit(None).cast("string")).alias("sql_redo"),
+        (row_id if row_id is not None else F.lit(None).cast("string")).alias("row_id"),
+        (csf if csf is not None else F.lit(False)).alias("csf"),
+        (rollback if rollback is not None else F.lit("0")).alias("rollback"),
+        F.lit(1).alias("rbasqn"),
+        F.concat(F.format_string("%020d", scn.cast("long")), F.lit("."), F.lit(rs_suffix)).alias("rs_id"),
+        F.lit("").alias("info"),
+    ]
+
+
+def _customer_insert_sql(c: DataFrame) -> Column:
+    return F.concat(
+        F.lit(
+            'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_NATIONKEY",'
+            '"C_ACCTBAL","C_MKTSEGMENT") values ('
+        ),
+        F.col("c_custkey").cast("string"),
+        F.lit(",'"),
+        _esc(F.col("c_name")),
+        F.lit("',"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(","),
+        F.col("c_acctbal").cast("string"),
+        F.lit(",'"),
+        _esc(F.col("c_mktsegment")),
+        F.lit("')"),
+    )
+
+
+def redo_inserts_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-scenario INSERT stream described in the module docstring."""
+    c = load_table(spark, sf_dir, "customer")
+    k = (F.col("c_custkey") % 10).alias("k")
+    base = (F.col("c_custkey") * 10 + 1000).alias("base")
+    xid = F.concat_ws(".", F.lit("1"), F.col("c_custkey").cast("string"), F.lit("1"))
+    row_id = F.format_string("AAA%015d", F.col("c_custkey"))
+    c = c.select("*", k, base, xid.alias("xid"), row_id.alias("row_id"))
+    ins_sql = _customer_insert_sql(c)
+
+    starts = c.select(*_common(F.col("base"), F.col("xid"), "START"))
+
+    plain = c.filter(~F.col("k").isin(5)).select(
+        *_common(F.col("base") + 1, F.col("xid"), "INSERT",
+                 table=F.lit("CUSTOMER"), sql=ins_sql, row_id=F.col("row_id"))
+    )
+    # k==5: statement split across two CSF rows at a fixed byte offset
+    frag1 = c.filter(F.col("k") == 5).select(
+        *_common(F.col("base") + 1, F.col("xid"), "INSERT",
+                 table=F.lit("CUSTOMER"), sql=F.substring(ins_sql, 1, 60),
+                 row_id=F.col("row_id"), csf=F.lit(True), rs_suffix="1")
+    )
+    frag2 = c.filter(F.col("k") == 5).select(
+        *_common(F.col("base") + 1, F.col("xid"), "INSERT",
+                 table=F.lit("CUSTOMER"), sql=F.substring(ins_sql, 61, 100000),
+                 row_id=F.col("row_id"), csf=F.lit(False), rs_suffix="2")
+    )
+    # k==4: compensating partial-rollback row (undoes the insert)
+    comp = c.filter(F.col("k") == 4).select(
+        *_common(F.col("base") + 2, F.col("xid"), "DELETE",
+                 table=F.lit("CUSTOMER"),
+                 sql=F.concat(F.lit('delete from "TPCH"."CUSTOMER" where "C_CUSTKEY" = '),
+                              F.col("c_custkey").cast("string")),
+                 row_id=F.col("row_id"), rollback=F.lit("1"))
+    )
+    commits = c.filter(F.col("k") != 3).select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    rollbacks = c.filter(F.col("k") == 3).select(
+        *_common(F.col("base") + 3, F.col("xid"), "ROLLBACK")
+    )
+    return starts.unionByName(plain).unionByName(frag1).unionByName(frag2).unionByName(comp).unionByName(commits).unionByName(rollbacks)
+
+
+def redo_updates_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One committed UPDATE per customer: C_ACCTBAL += 100, LogMiner-canonical
+    WHERE carrying the before-image (SET column repeated in WHERE)."""
+    c = load_table(spark, sf_dir, "customer")
+    base = (F.col("c_custkey") * 10 + 9_000_000).alias("base")
+    xid = F.concat_ws(".", F.lit("2"), F.col("c_custkey").cast("string"), F.lit("1"))
+    row_id = F.format_string("AAA%015d", F.col("c_custkey"))
+    c = c.select("*", base, xid.alias("xid"), row_id.alias("row_id"))
+    upd_sql = F.concat(
+        F.lit('update "TPCH"."CUSTOMER" set "C_ACCTBAL" = '),
+        (F.col("c_acctbal") + 100).cast("string"),
+        F.lit(' where "C_CUSTKEY" = '),
+        F.col("c_custkey").cast("string"),
+        F.lit(' and "C_ACCTBAL" = '),
+        F.col("c_acctbal").cast("string"),
+        F.lit(' and "C_NAME" = \''),
+        _esc(F.col("c_name")),
+        F.lit("'"),
+    )
+    starts = c.select(*_common(F.col("base"), F.col("xid"), "START"))
+    updates = c.select(
+        *_common(F.col("base") + 1, F.col("xid"), "UPDATE",
+                 table=F.lit("CUSTOMER"), sql=upd_sql, row_id=F.col("row_id"))
+    )
+    commits = c.select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    return starts.unionByName(updates).unionByName(commits)
+
+
+def redo_deletes_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One committed DELETE per customer (before-image in WHERE)."""
+    c = load_table(spark, sf_dir, "customer")
+    base = (F.col("c_custkey") * 10 + 18_000_000).alias("base")
+    xid = F.concat_ws(".", F.lit("3"), F.col("c_custkey").cast("string"), F.lit("1"))
+    row_id = F.format_string("AAA%015d", F.col("c_custkey"))
+    c = c.select("*", base, xid.alias("xid"), row_id.alias("row_id"))
+    del_sql = F.concat(
+        F.lit('delete from "TPCH"."CUSTOMER" where "C_CUSTKEY" = '),
+        F.col("c_custkey").cast("string"),
+        F.lit(' and "C_NAME" = \''),
+        _esc(F.col("c_name")),
+        F.lit("' and \"C_ACCTBAL\" = "),
+        F.col("c_acctbal").cast("string"),
+    )
+    starts = c.select(*_common(F.col("base"), F.col("xid"), "START"))
+    deletes = c.select(
+        *_common(F.col("base") + 1, F.col("xid"), "DELETE",
+                 table=F.lit("CUSTOMER"), sql=del_sql, row_id=F.col("row_id"))
+    )
+    commits = c.select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    return starts.unionByName(deletes).unionByName(commits)
+
+
+def redo_events_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Small hand-authored event lists for unit tests."""
+    defaults = dict(
+        commit_scn=None, timestamp=None, commit_timestamp=None, seg_owner=OWNER,
+        table_name=None, username="APP", sql_redo=None, row_id=None, csf=False,
+        rollback="0", rbasqn=1, rs_id=None, info="",
+    )
+    full = []
+    for r in rows:
+        d = dict(defaults)
+        d.update(r)
+        if d["rs_id"] is None:
+            d["rs_id"] = f"{d['scn']:020d}.0"
+        full.append(d)
+    return spark.createDataFrame(full, schema=REDO_SCHEMA)
