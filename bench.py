@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is executed to completion (count() of the result — full plan runs,
+nothing collected to the driver beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_star_join",
+    "q04_left_join",
+    "q08_row_number",
+    "q13_cte_subquery",
+    "q14_window_tumbling",
+    "q15_sessionize",
+    "q16_exact_dedup",
+    "q19_jaccard_pairs",
+    "q22_cosine_topk",
+    "cdc01_insert_roundtrip",
+    "cdc02_update_images",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from kafka_connect_logminer2_spark.plans import queries as Q
+    from kafka_connect_logminer2_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure the
+    # plan, not first-call overheads
+    registry["q01_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

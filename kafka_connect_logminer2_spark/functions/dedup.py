@@ -1,0 +1,198 @@
+"""Deduplication operators (SURVEY §2C): exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the large-corpus near-dup toolkit.
+
+Scale design notes (the part that matters at 100 TB):
+* exact dedup is a hash aggregate on a fingerprint — one shuffle on a 8-byte
+  key, never on the full text;
+* Jaccard is exact but quadratic-ish — it joins on *shared shingles* so cost
+  is bounded by shingle collision counts, not |docs|²; frequent-shingle
+  skew is the real risk → ``max_shingle_freq`` drops stop-shingles (the
+  standard big-corpus trick) before the self-join;
+* MinHash LSH replaces the pairwise join with banded bucket joins —
+  candidates only, linear in collisions (pyspark.ml MinHashLSH);
+* SimHash packs a document into one 64-bit signature; hamming-ball lookup
+  via 4×16-bit band indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text; count copies.
+    Groups on the 64-bit fingerprint (cheap shuffle), verifies on text to be
+    hash-collision-safe."""
+    return (
+        docs.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.01,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact k-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    shingle-explode → self-join on shingle → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|. ``max_shingle_freq`` drops shingles occurring in
+    more than N docs (stop-shingle skew guard for big corpora).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id1").alias("doc_id1"),
+            F.col("id2").alias("doc_id2"),
+            F.col("inter").cast("long").alias("n_shared"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    max_jaccard_distance: float = 0.95,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (pyspark.ml), the sub-quadratic scale path.
+
+    Shingle sets → sparse hashed features → MinHashLSH.approxSimilarityJoin.
+    Returns (doc_id1, doc_id2, jaccard_distance_est).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("doc_id1"),
+            F.col("datasetB.id").alias("doc_id2"),
+            F.round(F.col("dist"), 6).alias("jaccard_distance_est"),
+        )
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash signature per document, fully with built-in functions:
+    token → xxhash64 → per-bit ±1 votes → sign-packed 64-bit signature.
+
+    The bit loop is a fold over 64 positions expressed as array ops — no UDF;
+    one explode + one groupBy (single shuffle keyed by doc id).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # votes[i] = sum over tokens of (bit i set ? +1 : -1); 64 partial-agg sums
+    # (map-side combined — one shuffle keyed by doc id, no collect_list)
+    bits = F.expr(
+        "transform(sequence(0,63), i -> case when (shiftright(h, i) & 1) = 1 then 1 else -1 end)"
+    )
+    votes = (
+        tok.withColumn("bits", bits)
+        .groupBy("id")
+        .agg(*[F.sum(F.element_at("bits", i + 1)).alias(f"v{i}") for i in range(64)])
+        .select("id", F.array(*[F.col(f"v{i}") for i in range(64)]).alias("votes"))
+    )
+    sig = F.expr(
+        "aggregate(sequence(0,63), 0L, (acc, i) -> acc + "
+        "case when votes[i] > 0 then shiftleft(1L, i) else 0L end)"
+    )
+    return votes.select(F.col("id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Banding: 4×16-bit bands — two signatures within hamming 3 share at least
+    one exact band (pigeonhole), so the join is on band equality (linear in
+    band collisions), then exact hamming verify via bit_count(xor).
+    """
+    sigs = simhash64(docs, text_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash")
+    )
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_id1"),
+            F.col("b.id").alias("doc_id2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id1", "doc_id2", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Vector similarity search (SURVEY §2C): brute-force cosine top-k baseline
+and an LSH-bucketed scale path over an ``array<float>`` embedding column.
+
+Scale design: brute force is a broadcast-join (queries are small) + per-row
+JVM arithmetic + a top-k window — no Python, one shuffle for the window.
+At 100 TB the random-hyperplane LSH variant prunes candidates to matching
+buckets first; the final exact re-rank is the same operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays (element-wise cast →
+    the oracle's unnest-and-sum in double matches bit-for-bit up to fp
+    associativity; results are rounded at the query surface)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self-matches excluded). Queries are broadcast — the corpus is
+    never shuffled until the per-query top-k window."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    scored = embeddings.join(F.broadcast(q), F.col(id_col) != F.col("_qid")).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing.
+
+    Sign-pattern of ``num_planes`` fixed random hyperplanes → bucket id;
+    candidates = corpus rows whose bucket matches the query's; exact cosine
+    re-rank inside the bucket. Recall < 1 by design; the 100 TB path (the
+    bucket join replaces the full scan per query). Planes are derived
+    deterministically from ``seed`` via a splitmix-style integer hash — no
+    driver-side RNG state.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim)).astype(float).tolist()
+    planes_col = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+
+    def bucket(vec: Column) -> Column:
+        signs = F.transform(
+            planes_col, lambda p: F.when(_dot(p, vec) >= 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        return F.aggregate(
+            signs, F.lit(0).cast("long"), lambda acc, s: acc * 2 + s.cast("long")
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        bucket(F.col(vec_col)).alias("_qbucket"),
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != F.col("_qid")),
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (exact; the LSH variant above is the
+    scale path). Self-join keeps the upper triangle only."""
+    a = embeddings.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = embeddings.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id1").alias("vec_id1"), F.col("id2").alias("vec_id2"), "cos_sim")
+    )

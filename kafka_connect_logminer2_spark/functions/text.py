@@ -1,0 +1,86 @@
+"""Text-analysis operators (SURVEY §2C): tokenization, quality scoring,
+language ID, fingerprinting — all as built-in column expressions (JVM-side,
+whole-stage-codegen; no Python in the hot path) so they hold up at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword marker lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " is "],
+    "de": [" der ", " und ", " ist "],
+    "fr": [" le ", " et ", " est "],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space split, like the oracle's
+    string_split — empty fragments preserved by both engines)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via the replace-length identity —
+    chosen because ``replace`` has identical semantics in Spark and DuckDB,
+    so the oracle can mirror it textually."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-marker score per language over ' '-padded lowercased text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum((occurrences(padded, m) for m in markers), F.lit(0).cast("long"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language with deterministic tie-break (en > de > fr order),
+    'und' when no marker hits at all."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] + s["de"] + s["fr"]) == 0, F.lit("und"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap quality heuristic: mean of three [0,1] signals — length band,
+    alpha ratio, mean-word-length band. Deterministic, engine-portable."""
+    n_chars = F.length(text).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1.0))
+    )
+    n_toks = token_count(text).cast("double")
+    mean_word = n_chars / F.greatest(n_toks, F.lit(1.0))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    word_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.0)
+    return F.round((len_ok + alpha_ratio + word_ok) / F.lit(3.0), 6)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (token n-grams) of lowercased text."""
+    toks = F.split(F.lower(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized token stream.
+    (Content-defined; stable across partitionings — usable as a dedup key.)"""
+    return F.xxhash64(F.concat_ws(" ", F.split(F.lower(F.trim(text)), "\\s+")))

@@ -1,0 +1,702 @@
+"""The engine's named query suite — one entry per operator from SURVEY §2
+(relational surface §2B, training-data-pipeline extensions §2C, and the CDC
+dataflow §2A driven end-to-end), each paired with the ANSI-SQL oracle the
+driver runs on DuckDB over the same parquet tables.
+
+Contract: QUERY_REGISTRY maps name → (spark_fn, oracle_sql_or_None).
+spark_fn(spark, sf_dir) returns a DataFrame whose column names match the
+oracle's aliases exactly (the driver sorts columns by name and hashes values).
+Entries with oracle=None are genuinely non-SQL-expressible (LSH candidates,
+hash signatures) and take the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as T
+from ..sources.tables import load_table
+from ..sources.redo import (
+    redo_deletes_from_customer,
+    redo_inserts_from_customer,
+    redo_updates_from_customer,
+)
+from .cdc import cdc_envelope, run_cdc_batch
+
+# --------------------------------------------------------------------------
+# §2B relational surface
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """B1/B2/B9/B10/B18: scan-filter-aggregate (TPC-H Q1 shape)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """B2-B6: comparison, IN, BETWEEN, boolean DNF, string equality."""
+    l = load_table(spark, sf, "lineitem")
+    pred = (
+        F.col("l_quantity").between(5, 15)
+        & F.col("l_returnflag").isin("A", "R")
+        & ~((F.col("l_linestatus") == "F") & (F.col("l_discount") > 0.05))
+        & (F.col("l_extendedprice") >= 1000.0)
+    )
+    return l.filter(pred).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+Q02_SQL = """
+SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_quantity BETWEEN 5 AND 15
+  AND l_returnflag IN ('A','R')
+  AND NOT (l_linestatus = 'F' AND l_discount > 0.05)
+  AND l_extendedprice >= 1000.0
+GROUP BY l_returnflag
+"""
+
+
+def q03_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B7: multi-key inner joins across the star schema; dims broadcast."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT r_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q04_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B8: left outer join preserving customers with zero orders."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q05_global_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B9: global (ungrouped) MIN/MAX aggregation."""
+    orders = load_table(spark, sf, "orders")
+    return orders.agg(
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+    )
+
+
+Q05_SQL = """
+SELECT min(o_orderdate) AS min_orderdate,
+       min(o_totalprice) AS min_totalprice,
+       max(o_totalprice) AS max_totalprice
+FROM orders
+"""
+
+
+def q06_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """B10: distinct-producing hash aggregate."""
+    customer = load_table(spark, sf, "customer")
+    return customer.select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+Q06_SQL = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def q07_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """B11: ordered string aggregation (LISTAGG WITHIN GROUP parity needs
+    sort_array before concat — collect_list alone is nondeterministic)."""
+    nation = load_table(spark, sf, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+Q07_SQL = """
+SELECT n_regionkey, string_agg(n_name, ' ' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q08_row_number(spark: SparkSession, sf: str) -> DataFrame:
+    """B12: ROW_NUMBER window — top-3 orders per customer."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+FROM orders QUALIFY rn <= 3
+"""
+
+
+def q09_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """B13+B23: UNION ALL of branches with literal synthetic columns."""
+    orders = load_table(spark, sf, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.lit("HIGH").alias("bucket"), F.col("o_totalprice")
+    )
+    lo = orders.filter(F.col("o_totalprice") <= 300000).select(
+        F.lit("LOW").alias("bucket"), F.col("o_totalprice")
+    )
+    return hi.unionByName(lo).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+    )
+
+
+Q09_SQL = """
+SELECT bucket, count(*) AS n, sum(o_totalprice) AS total FROM (
+  SELECT 'HIGH' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT 'LOW' AS bucket, o_totalprice FROM orders WHERE o_totalprice <= 300000
+) GROUP BY bucket
+"""
+
+
+def q10_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """B14: UNION with distinct semantics."""
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+Q10_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q11_except(spark: SparkSession, sf: str) -> DataFrame:
+    """B15: MINUS/EXCEPT — customers that never ordered."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        customer.select(F.col("c_custkey").alias("custkey"))
+        .exceptAll(orders.select(F.col("o_custkey").alias("custkey")))
+        .distinct()
+    )
+
+
+Q11_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def q12_expressions(spark: SparkSession, sf: str) -> DataFrame:
+    """B19-B22: coalesce/NVL, CASE/DECODE, || concat, regexp_replace+cast."""
+    orders = load_table(spark, sf, "orders")
+    derived = orders.select(
+        F.when(F.col("o_totalprice") > 300000, "BIG")
+        .when(F.col("o_totalprice") > 100000, "MID")
+        .otherwise("SMALL")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_nvl"),
+        F.concat_ws(".", F.col("o_orderkey").cast("string"), F.col("o_custkey").cast("string")).alias("okey"),
+        F.regexp_replace(F.col("o_orderpriority"), "[^0-9]", "").cast("long").alias("prio_num"),
+    )
+    return derived.groupBy("size_class", "status_nvl").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("prio_num").cast("long").alias("sum_prio"),
+        F.max("okey").alias("max_okey"),
+    )
+
+
+Q12_SQL = """
+SELECT size_class, status_nvl, count(*) AS n,
+       CAST(sum(prio_num) AS BIGINT) AS sum_prio, max(okey) AS max_okey
+FROM (
+  SELECT CASE WHEN o_totalprice > 300000 THEN 'BIG'
+              WHEN o_totalprice > 100000 THEN 'MID'
+              ELSE 'SMALL' END AS size_class,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_nvl,
+         CAST(o_orderkey AS VARCHAR) || '.' || CAST(o_custkey AS VARCHAR) AS okey,
+         CAST(regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS BIGINT) AS prio_num
+  FROM orders
+) GROUP BY size_class, status_nvl
+"""
+
+
+def q13_cte_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """B16+B17: CTE + derived table + scalar subquery (via spark.sql)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH supp_rev AS (
+          SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(revenue, 2) AS revenue
+        FROM supplier JOIN supp_rev ON s_suppkey = l_suppkey
+        WHERE revenue > (SELECT avg(revenue) FROM supp_rev)
+        """
+    )
+
+
+Q13_SQL = """
+WITH supp_rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(revenue, 2) AS revenue
+FROM supplier JOIN supp_rev ON s_suppkey = l_suppkey
+WHERE revenue > (SELECT avg(revenue) FROM supp_rev)
+"""
+
+
+def q14_window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """§2C streaming-analytics shape: tumbling 1 h event-time window
+    (F.window — the same operator a readStream plan uses)."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+Q14_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q15_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30 min gap) per user via lag + cumulative sum."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ntz can't cast straight to double; the ntz→ltz hop adds a constant
+    # session-tz offset that cancels in the gap difference
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0)
+    sessions = events.withColumn("new_s", F.coalesce(gap, F.lit(0))).withColumn(
+        "session_id", F.sum("new_s").over(w)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
+Q15_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2C training-data-pipeline extensions
+# --------------------------------------------------------------------------
+
+
+def q16_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.exact_dedup(docs)
+
+
+Q16_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q17_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(T.token_count(F.col("text"))), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        F.round(F.avg(T.quality_score(F.col("text"))), 6).alias("avg_quality"),
+    )
+
+
+Q17_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       round(avg(length(text)), 6) AS avg_chars,
+       round(avg(round((
+           (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0
+            / greatest(length(text), 1))
+         + (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text,' ')),1)
+                 BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, 6)), 6) AS avg_quality
+FROM documents GROUP BY lang
+"""
+
+
+def q18_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.withColumn("lang_pred", T.lang_id(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _occ_sql(needle: str) -> str:
+    pad = "(' ' || lower(text) || ' ')"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+_EN = " + ".join(_occ_sql(m) for m in T.LANG_MARKERS["en"])
+_DE = " + ".join(_occ_sql(m) for m in T.LANG_MARKERS["de"])
+_FR = " + ".join(_occ_sql(m) for m in T.LANG_MARKERS["fr"])
+
+Q18_SQL = f"""
+SELECT lang, lang_pred, count(*) AS n FROM (
+  SELECT lang,
+         CASE WHEN (en + de + fr) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr THEN 'en'
+              WHEN de >= fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM (SELECT lang, {_EN} AS en, {_DE} AS de, {_FR} AS fr FROM documents)
+) GROUP BY lang, lang_pred
+"""
+
+
+def q19_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return D.jaccard_pairs(docs, k=3, threshold=0.01)
+
+
+Q19_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+      i -> string_split(lower(text),' ')[i] || ' ' ||
+           string_split(lower(text),' ')[i+1] || ' ' ||
+           string_split(lower(text),' ')[i+2])
+  )) AS shingle FROM documents
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id1 AS doc_id1, id2 AS doc_id2,
+       CAST(inter AS BIGINT) AS n_shared,
+       round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.id = id1
+JOIN sizes s2 ON s2.id = id2
+WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.01
+"""
+
+
+def q20_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates — approximate by construction, so no
+    SQL oracle (rows-only check)."""
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_neardup_pairs(docs, k=3, num_hashes=16, max_jaccard_distance=0.95)
+
+
+def q21_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash signatures — engine-specific hash, rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    return D.simhash64(docs)
+
+
+def q22_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.cosine_topk(emb, queries, k=5)
+
+
+Q22_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+dots AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum') /
+         (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')) *
+          sqrt(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')))
+         AS cos
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INT) AS rank
+FROM dots QUALIFY rank <= 5
+"""
+
+
+def q23_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+Q23_SQL = """
+SELECT * FROM (
+  SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+         round(
+           list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+           (sqrt(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')) *
+            sqrt(list_aggregate(list_transform(generate_series(1, len(b.embedding)),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))
+         , 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.4
+"""
+
+
+def q24_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile ↔ quantile_cont parity)."""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+    )
+
+
+Q24_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q25_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q25_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q26_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL-sketch approximate distinct — engine-specific estimate, rows-only."""
+    events = load_table(spark, sf, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2A CDC dataflow driven end-to-end (redo generated from the customer table
+# by deterministic rules the oracle mirrors — see sources/redo.py docstring)
+# --------------------------------------------------------------------------
+
+
+def cdc01_insert_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    out = run_cdc_batch(redo_inserts_from_customer(spark, sf))
+    return out.select(
+        F.col("data.C_CUSTKEY").alias("c_custkey"),
+        F.col("data.C_NAME").alias("c_name"),
+        F.col("data.C_NATIONKEY").alias("c_nationkey"),
+        F.col("data.C_ACCTBAL").alias("c_acctbal"),
+        F.col("data.C_MKTSEGMENT").alias("c_mktsegment"),
+    )
+
+
+CDC01_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+"""
+
+
+def cdc02_update_images(spark: SparkSession, sf: str) -> DataFrame:
+    out = run_cdc_batch(redo_updates_from_customer(spark, sf))
+    return out.select(
+        F.col("data.C_CUSTKEY").alias("c_custkey"),
+        F.round(F.col("data.C_ACCTBAL"), 2).alias("new_acctbal"),
+        F.round(F.col("before.C_ACCTBAL"), 2).alias("old_acctbal"),
+        F.col("data.C_NAME").alias("c_name"),
+    )
+
+
+CDC02_SQL = """
+SELECT c_custkey, round(c_acctbal + 100, 2) AS new_acctbal,
+       round(c_acctbal, 2) AS old_acctbal, c_name
+FROM customer
+"""
+
+
+def cdc03_delete_before(spark: SparkSession, sf: str) -> DataFrame:
+    out = run_cdc_batch(redo_deletes_from_customer(spark, sf))
+    return out.select(
+        F.col("OPERATION").alias("operation"),
+        F.col("before.C_CUSTKEY").alias("c_custkey"),
+        F.col("before.C_NAME").alias("c_name"),
+        F.col("before.C_ACCTBAL").alias("c_acctbal"),
+    ).filter(F.col("operation") == "DELETE")
+
+
+CDC03_SQL = """
+SELECT 'DELETE' AS operation, c_custkey, c_name, c_acctbal FROM customer
+"""
+
+
+def cdc04_envelope(spark: SparkSession, sf: str) -> DataFrame:
+    env = cdc_envelope(redo_inserts_from_customer(spark, sf))
+    return env.groupBy("OPERATION", "topic").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("SCN").cast("long").alias("min_scn"),
+        F.max("COMMIT_SCN").cast("long").alias("max_commit_scn"),
+    )
+
+
+CDC04_SQL = """
+SELECT 'INSERT' AS "OPERATION", 'ORCL.TPCH.CUSTOMER' AS topic, count(*) AS n,
+       CAST(min(c_custkey * 10 + 1000) + 1 AS BIGINT) AS min_scn,
+       CAST(max(c_custkey * 10 + 1000) + 3 AS BIGINT) AS max_commit_scn
+FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
+    "q03_star_join": (q03_star_join, Q03_SQL),
+    "q04_left_join": (q04_left_join, Q04_SQL),
+    "q05_global_agg": (q05_global_agg, Q05_SQL),
+    "q06_distinct": (q06_distinct, Q06_SQL),
+    "q07_listagg": (q07_listagg, Q07_SQL),
+    "q08_row_number": (q08_row_number, Q08_SQL),
+    "q09_union_all": (q09_union_all, Q09_SQL),
+    "q10_union_distinct": (q10_union_distinct, Q10_SQL),
+    "q11_except": (q11_except, Q11_SQL),
+    "q12_expressions": (q12_expressions, Q12_SQL),
+    "q13_cte_subquery": (q13_cte_subquery, Q13_SQL),
+    "q14_window_tumbling": (q14_window_tumbling, Q14_SQL),
+    "q15_sessionize": (q15_sessionize, Q15_SQL),
+    "q16_exact_dedup": (q16_exact_dedup, Q16_SQL),
+    "q17_text_stats": (q17_text_stats, Q17_SQL),
+    "q18_language_id": (q18_language_id, Q18_SQL),
+    "q19_jaccard_pairs": (q19_jaccard_pairs, Q19_SQL),
+    "q20_minhash_lsh": (q20_minhash_lsh, None),
+    "q21_simhash": (q21_simhash, None),
+    "q22_cosine_topk": (q22_cosine_topk, Q22_SQL),
+    "q23_embedding_neardup": (q23_embedding_neardup, Q23_SQL),
+    "q24_percentiles": (q24_percentiles, Q24_SQL),
+    "q25_count_distinct": (q25_count_distinct, Q25_SQL),
+    "q26_approx_distinct": (q26_approx_distinct, None),
+    "cdc01_insert_roundtrip": (cdc01_insert_roundtrip, CDC01_SQL),
+    "cdc02_update_images": (cdc02_update_images, CDC02_SQL),
+    "cdc03_delete_before": (cdc03_delete_before, CDC03_SQL),
+    "cdc04_envelope": (cdc04_envelope, CDC04_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in QUERY_REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERY_REGISTRY.items() if sql is not None}

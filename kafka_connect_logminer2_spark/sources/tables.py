@@ -37,8 +37,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs truncation; timestamp_micros yields TimestampType, cast to
         # NTZ to match the other tables' parquet isAdjustedToUTC=false reads.
+        # integer `div`, not floor(double/1000): ns epochs exceed double's 53-bit
+        # integer range, and the rounding error shifts some stamps by 1µs
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 
