@@ -1,0 +1,141 @@
+"""Structured Streaming CDC pipeline — the reference's full non-CM dataflow
+(SURVEY §3.3) as readStream → state op → envelope → routed sinks.
+
+  readStream (Kafka topic / parquet-file dir of redo events)
+    → source filters (A5-A8, Catalyst-pushed)
+    → groupBy(xid).applyInPandasWithState  (A9, A15-A17)
+    → parse UDF + envelope projection      (A10-A14, A18)
+    → foreachBatch fan-out: per-table typed sinks + heartbeat branch (A19)
+
+Checkpointing gives offset resume (A3) for free; the skip-replay guard (A4)
+is the source's own exactly-once offset tracking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import EngineConfig
+from ..operators.envelope import to_envelope
+from ..operators.filters import dml_types_predicate, source_predicate
+from ..operators.schema_registry import SchemaRegistry, apply_table_schema
+from ..sources.redo import REDO_SCHEMA
+from .transactions import assemble_transactions_stream
+
+
+def read_redo_stream_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based redo source (tests / replay): each parquet file under
+    ``path`` is a bounded mining session's output. ``maxFilesPerTrigger``
+    is the db.fetch.size analog (A25 pacing).
+
+    ORDERING CONTRACT: like the reference's single scn-ordered cursor
+    (LogMinerThread2.java:142), redo events must arrive in SCN order across
+    micro-batches — a COMMIT surfacing before its transaction's DML rows is
+    silently dropped (same as the reference seeing a commit for an unknown
+    xid). FileStreamSource picks files by modification time, so writers must
+    produce session files with strictly increasing mtimes (the natural case
+    for sequential mining sessions; tests use os.utime). The Kafka source
+    guarantees order per partition — put one logical redo stream per
+    partition, mirroring the reference's one-cursor-per-connector design."""
+    reader = spark.readStream.schema(REDO_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def read_redo_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka redo source (production path): JSON redo records on a topic.
+    The Kafka offset is the SCN-position analog; checkpointing resumes it
+    (A3), making the reference's offset table / skip-replay loop (A4)
+    built-in."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), REDO_SCHEMA).alias("r")
+    ).select("r.*")
+
+
+def cdc_stream(
+    redo_stream: DataFrame,
+    config: EngineConfig | None = None,
+    continuous: bool = False,
+) -> DataFrame:
+    """Streaming redo events → streaming envelope rows.
+
+    ``continuous=True`` arms the abandoned-transaction state timeout (for
+    long-running streams); leave False for availableNow/replay runs, where a
+    ProcessingTimeTimeout would keep the query alive indefinitely.
+    """
+    config = config or EngineConfig(table_whitelist="TPCH.*", db_name_alias="orcl")
+    filtered = redo_stream.filter(
+        source_predicate(config.table_whitelist, config.table_blacklist)
+    )
+    timeout = config.txn_state_timeout_ms if continuous else None
+    committed = assemble_transactions_stream(filtered, timeout).filter(
+        dml_types_predicate(config.dml_type_set())
+    )
+    return to_envelope(committed, config)
+
+
+def write_per_table(
+    envelope_stream: DataFrame,
+    registry: SchemaRegistry,
+    out_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig | None = None,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch fan-out (A18 routing + A12 typed materialization + DDL
+    invalidation ordering): every batch, DDL events invalidate their table's
+    cached schema *before* that table's DML materializes (SURVEY §7 hard
+    part 4); each (owner, table) partition is written to
+    ``out_dir/owner.table/`` as typed parquet.
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            # DDL first: invalidate before materializing this batch's DML
+            for r in (
+                batch.filter(F.col("OPERATION") == "DDL")
+                .select("SEG_OWNER", "TABLE_NAME")
+                .distinct()
+                .collect()
+            ):
+                registry.invalidate(r["SEG_OWNER"], r["TABLE_NAME"])
+            tables = (
+                batch.filter(F.col("OPERATION") != "DDL")
+                .select("SEG_OWNER", "TABLE_NAME")
+                .distinct()
+                .collect()
+            )
+            for r in tables:
+                owner, table = r["SEG_OWNER"], r["TABLE_NAME"]
+                if not registry.has(owner, table):
+                    continue  # no dictionary metadata — envelope-only table
+                typed = apply_table_schema(batch, registry, owner, table)
+                typed.write.mode("append").parquet(f"{out_dir}/{owner}.{table}")
+        finally:
+            batch.unpersist()
+
+    writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

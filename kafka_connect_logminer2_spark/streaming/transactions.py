@@ -1,0 +1,210 @@
+"""Streaming transaction assembly — reference operators A15-A17 as a true
+per-key stateful Structured Streaming operator.
+
+``LogMinerThread2.run()`` (LogMinerThread2.java:142-309) buffers DMLRows per
+XID in an in-heap LinkedHashMap and emits them at COMMIT. Here the same state
+machine runs distributed: ``groupBy(xid).applyInPandasWithState`` with the
+buffer in the Spark state store (RocksDB-backed, spillable — fixing the
+reference's unbounded-heap risk at :81) plus a processing-time timeout that
+evicts abandoned transactions (what the reference lacks; SURVEY §7 hard
+part 6).
+
+Semantics replicated exactly:
+  START    → create buffer                            (:241-245)
+  DML/DDL  → append; CSF fragments concatenated       (:247-298, :265-269)
+  COMMIT   → partial-rollback pair repair (:163-185), stamp commit
+             scn/timestamp on every row (:190-191), emit in redo order,
+             drop state (:230)
+  ROLLBACK → discard buffer                           (:234-239)
+DML for an unseen xid creates the buffer implicitly (:292-297) — a mining
+session can start mid-transaction.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+# emitted rows: DMLRow shape (models/DMLRow.java:5-34)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("xid", StringType()),
+        StructField("scn", LongType()),
+        StructField("commit_scn", LongType(), True),
+        StructField("timestamp", TimestampNTZType(), True),
+        StructField("commit_timestamp", TimestampNTZType(), True),
+        StructField("operation", StringType()),
+        StructField("seg_owner", StringType(), True),
+        StructField("table_name", StringType(), True),
+        StructField("row_id", StringType(), True),
+        StructField("sql_redo", StringType(), True),
+        StructField("rollback", StringType(), True),
+        StructField("rs_id", StringType(), True),
+    ]
+)
+
+# state: JSON-serialized buffered rows + rollback flag
+STATE_SCHEMA = StructType(
+    [
+        StructField("rows_json", StringType()),
+        StructField("contains_rollback", BooleanType()),
+    ]
+)
+
+_BUF_FIELDS = (
+    "scn", "timestamp", "operation", "seg_owner", "table_name",
+    "row_id", "sql_redo", "rollback", "rs_id", "csf",
+)
+
+
+def _ts_to_str(v: Any) -> str | None:
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+        return None
+    return pd.Timestamp(v).isoformat()
+
+
+def _repair_pairs(rows: list[dict]) -> list[dict]:
+    """A16 pair deletion: drop each rollback='1' row and its predecessor
+    (LogMinerThread2.java:163-185 semantics, see operators/transactions.py)."""
+    drop: set[int] = set()
+    for i, r in enumerate(rows):
+        if r.get("rollback") == "1":
+            drop.add(i)
+            if i - 1 >= 0:
+                drop.add(i - 1)
+    return [r for i, r in enumerate(rows) if i not in drop]
+
+
+def _merge_csf(rows: list[dict]) -> list[dict]:
+    """A9 continuation reassembly inside the buffer (redo order)."""
+    out: list[dict] = []
+    pending: dict | None = None
+    for r in rows:
+        if pending is not None:
+            pending["sql_redo"] = (pending["sql_redo"] or "") + (r.get("sql_redo") or "")
+            if not r.get("csf"):
+                pending["csf"] = False
+                out.append(pending)
+                pending = None
+            continue
+        if r.get("csf"):
+            pending = dict(r)
+        else:
+            out.append(r)
+    if pending is not None:  # trailing fragment: emit what we have
+        pending["csf"] = False
+        out.append(pending)
+    return out
+
+
+def make_assembler(timeout_ms: int | None = None):
+    """Build the applyInPandasWithState function (closure over the timeout).
+
+    ``timeout_ms=None`` → no state timeout. Use a timeout only for
+    continuous (non-availableNow) streams: with ProcessingTimeTimeout the
+    engine keeps scheduling micro-batches to evaluate timeouts, so an
+    availableNow run never terminates.
+    """
+
+    def assemble(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (xid,) = key
+        if state.hasTimedOut:
+            # abandoned transaction eviction — the guard the reference lacks
+            state.remove()
+            return
+
+        if state.exists:
+            rows_json, contains_rb = state.get
+            buf: list[dict] = json.loads(rows_json)
+            started = True
+        else:
+            buf, contains_rb, started = [], False, False
+
+        emitted: list[dict] = []
+        events = pd.concat(list(pdfs), ignore_index=True)
+        events = events.sort_values(["scn", "rs_id"], kind="mergesort")
+
+        dropped = False
+        for _, ev in events.iterrows():
+            op = ev["operation"]
+            if op == "START":
+                buf, contains_rb, started = [], False, True
+            elif op == "ROLLBACK":
+                buf, contains_rb, started = [], False, False
+                dropped = True
+            elif op == "COMMIT":
+                if started or buf:
+                    rows = _merge_csf(buf)
+                    if contains_rb:
+                        rows = _repair_pairs(rows)
+                    for r in rows:
+                        r["commit_scn"] = int(ev["scn"]) if pd.isna(ev["commit_scn"]) else int(ev["commit_scn"])
+                        r["commit_timestamp"] = _ts_to_str(ev["commit_timestamp"])
+                        emitted.append(r)
+                buf, contains_rb, started = [], False, False
+                dropped = True
+            else:  # INSERT/UPDATE/DELETE/DDL
+                r = {f: ev[f] for f in _BUF_FIELDS}
+                r["scn"] = int(ev["scn"])
+                r["timestamp"] = _ts_to_str(ev["timestamp"])
+                r["csf"] = bool(ev["csf"]) if not pd.isna(ev["csf"]) else False
+                r["sql_redo"] = None if pd.isna(ev["sql_redo"]) else ev["sql_redo"]
+                if r.get("rollback") == "1":
+                    contains_rb = True
+                buf.append(r)
+                started = True
+
+        if buf or (started and not dropped):
+            state.update((json.dumps(buf, default=str), bool(contains_rb)))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+
+        if emitted:
+            out = pd.DataFrame(emitted)
+            out["xid"] = xid
+            out["timestamp"] = pd.to_datetime(out["timestamp"])
+            out["commit_timestamp"] = pd.to_datetime(out["commit_timestamp"])
+            yield out[[f.name for f in OUTPUT_SCHEMA.fields]]
+
+    return assemble
+
+
+def assemble_transactions_stream(
+    redo_stream: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming equivalent of operators.transactions.assemble_transactions.
+
+    Input: a *streaming* DataFrame of redo events (FIXTURES.md §2.1 schema).
+    Output: committed DMLRow-shaped rows, emitted in the micro-batch where
+    their COMMIT arrives. Pass ``timeout_ms`` for continuous streams only
+    (abandoned-txn eviction); leave None for availableNow/replay runs.
+    """
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return redo_stream.groupBy("xid").applyInPandasWithState(
+        make_assembler(timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
