@@ -166,12 +166,9 @@ def simhash_neardup_pairs(
         "id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                ),
+            F.expr(
+                "transform(sequence(0,3), b -> "
+                "struct(b as band, shiftright(simhash, b * 16) & 65535 as key))"
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -1,0 +1,138 @@
+"""Multimodal column operators (SURVEY §2C): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The container has no image/audio codecs, so the *decode kernels* are stubbed
+(clearly marked, deterministic fakes for tests) while everything Spark-side —
+schemas, batch shapes, ``mapInPandas`` plumbing, partition sizing — is real
+and tested. Swapping the stub for Pillow/librosa/PyAV is a one-function
+change per modality.
+
+Scale notes: media rows are huge and skewed — the iterator-of-batches
+``mapInPandas`` shape lets Arrow stream records without materializing a whole
+partition; ``repartition`` by size-bucket before decode keeps task runtimes
+even; metadata-only transforms never touch the payload column (column
+pruning drops the bytes at the scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_json", StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("phash", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB — deterministic fake decode. Real implementation:
+    ``PIL.Image.open(io.BytesIO(payload)).size`` (Pillow not in container).
+    The fake derives a stable (width, height) from the payload hash so tests
+    are reproducible."""
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def _feature_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """STUB — deterministic fake embedding (sha256-derived). Real
+    implementation: a vision encoder over the decoded tensor."""
+    h = hashlib.sha256(payload).digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas decode + feature extraction for image rows.
+
+    The UDF signature, Arrow batch shape, and output schema are the real
+    production plumbing; only the two kernel stubs above are fake.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                w, h = _decode_image_stub(payload)
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(payload),
+                        "phash": hashlib.sha256(payload).hexdigest()[:16],
+                        "features": _feature_stub(payload),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n_seconds: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into (media_id,
+    frame_ts) rows from metadata only — the payload column is pruned out of
+    the scan entirely (check .explain: ReadSchema excludes ``payload``).
+    The per-frame decode would be a second mapInPandas over a payload join."""
+    dur = F.get_json_object(F.col("meta_json"), "$.duration_s").cast("double")
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.floor(dur / every_n_seconds).cast("int"), F.lit(0)),
+                )
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_ts_s", F.col("frame_idx") * every_n_seconds)
+    )
+
+
+def media_fixture(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (no external files)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = (f"media-{i}".encode() * 7)[: 50 + i]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "payload": payload,
+                "meta_json": '{"duration_s": %d}' % (i * 5 % 60),
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

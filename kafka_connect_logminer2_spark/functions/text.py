@@ -72,12 +72,16 @@ def quality_score(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (token n-grams) of lowercased text."""
+    """Distinct k-word shingles (token n-grams) of lowercased text.
+    Docs shorter than k tokens yield an empty array (note: Spark's
+    sequence(1, 0) counts *down*, so the short case needs an explicit guard)."""
     toks = F.split(F.lower(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text: Column) -> Column:

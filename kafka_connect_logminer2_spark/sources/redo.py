@@ -217,11 +217,16 @@ def redo_events_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
         table_name=None, username="APP", sql_redo=None, row_id=None, csf=False,
         rollback="0", rbasqn=1, rs_id=None, info="",
     )
+    from datetime import datetime
+
     full = []
     for r in rows:
         d = dict(defaults)
         d.update(r)
         if d["rs_id"] is None:
             d["rs_id"] = f"{d['scn']:020d}.0"
+        for tf in ("timestamp", "commit_timestamp"):
+            if isinstance(d[tf], str):
+                d[tf] = datetime.fromisoformat(d[tf])
         full.append(d)
     return spark.createDataFrame(full, schema=REDO_SCHEMA)

@@ -1,0 +1,126 @@
+"""Function-library tests: text analysis, dedup, similarity, multimodal
+plumbing, heartbeat split."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.config import EngineConfig
+from kafka_connect_logminer2_spark.functions import dedup as D
+from kafka_connect_logminer2_spark.functions import multimodal as M
+from kafka_connect_logminer2_spark.functions import similarity as S
+from kafka_connect_logminer2_spark.functions import text as T
+from kafka_connect_logminer2_spark.operators.heartbeat import (
+    heartbeat_lag_metrics,
+    split_heartbeat,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the cat and the dog is here", "en"),
+        (1, "der hund und die katze ist da", "de"),
+        (2, "le chat et le chien est la", "fr"),
+        (3, "the cat and the dog is here", "en"),  # exact dup of 0
+        (4, "the cat and the dog is there today", "en"),  # near dup of 0
+        (5, "xyzzy plugh", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+
+def test_lang_id(spark):
+    got = {r["doc_id"]: r["p"] for r in _docs(spark).select("doc_id", T.lang_id(F.col("text")).alias("p")).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[5] == "und"
+
+
+def test_token_count(spark):
+    r = _docs(spark).select(T.token_count(F.col("text")).alias("n")).first()
+    assert r["n"] == 7
+
+
+def test_exact_dedup(spark):
+    out = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2  # doc 3 deduped into 0
+    assert 3 not in out
+    assert sum(out.values()) == 6
+
+
+def test_jaccard_pairs(spark):
+    pairs = D.jaccard_pairs(_docs(spark), k=3, threshold=0.3).collect()
+    found = {(r["doc_id1"], r["doc_id2"]) for r in pairs}
+    assert (0, 3) in found  # identical docs
+    j = {(r["doc_id1"], r["doc_id2"]): r["jaccard"] for r in pairs}
+    assert j[(0, 3)] == 1.0
+
+
+def test_simhash_identical_docs_equal(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash64(_docs(spark)).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[5]
+
+
+def test_simhash_neardup(spark):
+    pairs = {(r["doc_id1"], r["doc_id2"]) for r in D.simhash_neardup_pairs(_docs(spark), max_hamming=3).collect()}
+    assert (0, 3) in pairs
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.01])],
+        "vec_id: long, embedding: array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = S.cosine_topk(emb, q, k=2).collect()
+    assert [r["neighbor_id"] for r in got] == [3, 1]
+    assert got[0]["rank"] == 1
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = S.lsh_bucketed_topk(emb, q, k=3, num_planes=6)
+    # LSH returns valid (query, neighbor) pairs with correct ranks, possibly fewer
+    rows = approx.collect()
+    assert all(r["rank"] <= 3 for r in rows)
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+def test_multimodal_image_features(spark):
+    media = M.media_fixture(spark, 30)
+    feats = M.extract_image_features(media).collect()
+    assert len(feats) == len([i for i in range(30) if i % 3 == 0])
+    f0 = feats[0]
+    assert 64 <= f0["width"] < 256 and len(f0["features"]) == 8
+    # deterministic stub: same payload → same phash
+    again = M.extract_image_features(media).collect()
+    assert {f["phash"] for f in feats} == {f["phash"] for f in again}
+
+
+def test_frame_sample_prunes_payload(spark):
+    media = M.media_fixture(spark, 30)
+    plan = M.frame_sample_plan(media, every_n_seconds=10)
+    rows = plan.collect()
+    assert all(r["frame_ts_s"] % 10 == 0 for r in rows)
+    # payload must be pruned from the scan
+    assert "payload" not in plan.schema.fieldNames()
+
+
+def test_heartbeat_split_and_lag(spark):
+    cfg = EngineConfig(name="conn", heartbeat_table="HEARTBEAT_TABLE")
+    env = spark.createDataFrame(
+        [
+            ("conn", 10, "HEARTBEAT_TABLE", '{"HEARTBEAT_TIME": "2026-01-01 00:00:00"}', "T.HB"),
+            ("conn", 11, "CUSTOMER", '{"C_CUSTKEY": "1"}', "T.CUST"),
+        ],
+        "CONNECTOR: string, SCN: long, TABLE_NAME: string, data_json: string, topic: string",
+    )
+    data, hb = split_heartbeat(env, cfg)
+    assert data.count() == 1 and hb.count() == 1
+    assert hb.first()["topic"] == "T.HB.CONN"  # re-topic (LogMinerThread2.java:207)
+    lag = heartbeat_lag_metrics(hb).first()
+    assert lag["scn"] == 10
+    assert lag["lag_seconds"] > 0

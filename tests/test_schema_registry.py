@@ -1,0 +1,68 @@
+"""Schema registry tests: NUMBER precision ladder, nullability, DDL
+invalidation, dictionary-DataFrame loading, typed materialization coercions."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ByteType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+)
+
+from kafka_connect_logminer2_spark.operators.schema_registry import (
+    ColumnMeta,
+    SchemaRegistry,
+)
+
+
+def meta(dt, precision=0, scale=0):
+    return ColumnMeta("O", "T", "C", True, dt, 0, scale, precision)
+
+
+def test_number_ladder():
+    # OracleSourceConnectorUtils2.java:191-217
+    assert isinstance(meta("NUMBER", 2).spark_type(), ByteType)
+    assert isinstance(meta("NUMBER", 4).spark_type(), ShortType)
+    assert isinstance(meta("NUMBER", 9).spark_type(), IntegerType)
+    assert isinstance(meta("NUMBER", 18).spark_type(), LongType)
+    assert isinstance(meta("NUMBER", 10, 2).spark_type(), DoubleType)  # scale>0
+    assert isinstance(meta("NUMBER", 0).spark_type(), DoubleType)  # p unspecified
+
+
+def test_text_and_time_types():
+    for t in ("CHAR", "VARCHAR2", "NVARCHAR2", "LONG", "CLOB"):
+        assert isinstance(meta(t).spark_type(), StringType)
+    assert isinstance(meta("DATE").spark_type(), TimestampNTZType)
+    assert isinstance(meta("TIMESTAMP(6)").spark_type(), TimestampNTZType)  # collapses (:183)
+    assert isinstance(meta("BLOB").spark_type(), StringType)  # fallback (:238-240)
+
+
+def test_ddl_invalidation():
+    reg = SchemaRegistry()
+    reg.register([ColumnMeta("O", "T", "A", True, "NUMBER", data_precision=9)])
+    assert reg.has("O", "T")
+    reg.invalidate("O", "T")
+    assert not reg.has("O", "T")
+
+
+def test_load_from_dictionary_df(spark):
+    rows = [
+        dict(owner="O", table_name="T", column_name="B", column_id=2, nullable="Y",
+             data_type="VARCHAR2", data_length=10, data_scale=0, data_precision=0,
+             pk_column=0, uq_column=1),
+        dict(owner="O", table_name="T", column_name="A", column_id=1, nullable="N",
+             data_type="NUMBER", data_length=22, data_scale=0, data_precision=18,
+             pk_column=1, uq_column=0),
+    ]
+    reg = SchemaRegistry()
+    reg.load_from_dictionary(spark.createDataFrame(rows), "O", "T")
+    st = reg.struct_type("O", "T")
+    # ordered by COLUMN_ID like the dictionary query's ORDER BY
+    assert [f.name for f in st.fields] == ["A", "B"]
+    assert isinstance(st.fields[0].dataType, LongType)
+    assert st.fields[0].nullable is False
+    assert reg.columns("O", "T")[0].pk_column is True
