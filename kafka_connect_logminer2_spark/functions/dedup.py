@@ -51,6 +51,9 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     )
+    # barrier: sh feeds three consumers (sizes + both join sides); without it
+    # the expensive tokenize-and-shingle subtree is recomputed per consumer
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     if max_shingle_freq is not None:

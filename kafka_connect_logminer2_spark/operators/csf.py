@@ -47,4 +47,6 @@ def reassemble_csf(df: DataFrame) -> DataFrame:
         )
     )
     out_cols = [F.col(f"_first.{c}").alias(c) for c in other_cols if c != "xid"]
-    return agg.select("xid", *out_cols, "sql_redo")
+    # schema-preserving: csf=false after merge, original column order
+    merged = agg.select("xid", *out_cols, "sql_redo", F.lit(False).alias("csf"))
+    return merged.select(*df.columns)

@@ -3,57 +3,49 @@
 The reference buffers DML rows per XID and emits them only at COMMIT,
 discarding at ROLLBACK, repairing partial-rollback pairs, and stamping commit
 SCN/timestamp (LogMinerThread2.java:142-309). Over a *bounded* redo log the
-same semantics are a pure relational program — joins and group-local repair —
-which is how the batch engine runs it (the streaming engine keeps true
-per-key state instead; streaming/transactions.py):
+same semantics are a **single-pass window program**: one hash partition by
+``xid`` carries every per-transaction fact —
 
-  dml ⋈ commits (on xid)        → commit gating + commit-metadata stamp (A17)
-  anti-⋈ rollbacks (on xid)     → rollback discard
-  per-xid pandas repair         → partial-rollback pair deletion (A16),
-                                  only for the (rare) flagged transactions
+  _commit_scn / _commit_ts  ← the COMMIT record's metadata (A17, :190-191)
+  _has_rollback             ← ROLLBACK discard (:234-239)
+  _has_csf / _has_partial   ← per-xid fast-path flags for A9 / A16
 
-Scale notes: the xid⋈commit join shuffles on xid — the same key as the CSF
-window — so the exchange is reused; commits-per-batch is small relative to DML
-so AQE picks a broadcast join at runtime; the pandas repair path only sees
-transactions that actually contain rollback markers.
+— so commit gating is a filter, not a join, and the input DAG is scanned
+ONCE (the join formulation recomputed the upstream for every branch; at
+100 TB that's 4-5 redundant source scans). CSF reassembly and the pandas
+partial-rollback repair run only on the (rare) transactions flagged for
+them, re-using the same xid partitioning, and AQE reuses the exchange.
 """
 
 from __future__ import annotations
 
-from typing import Iterable
-
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .csf import reassemble_csf
 from .filters import junk_row_predicate
 
 DML_OPS = ("INSERT", "UPDATE", "DELETE", "DDL")
 
+_ANNOTATIONS = ("_commit_scn", "_commit_ts", "_has_rollback", "_has_csf", "_has_partial")
 
-def _commits(redo: DataFrame) -> DataFrame:
-    """One row per committed xid with its commit metadata.
 
-    The COMMIT record carries commit_scn/commit_timestamp read at
-    LogMinerThread2.java:153-154 and stamped onto every buffered row
-    (:190-191). First COMMIT per xid wins (valid logs have exactly one).
-    """
+def annotate_transactions(redo: DataFrame) -> DataFrame:
+    """One window pass: attach per-xid commit/rollback/repair facts."""
+    wx = Window.partitionBy("xid")
+    is_commit = F.col("operation") == "COMMIT"
     return (
-        redo.filter(F.col("operation") == "COMMIT")
-        .groupBy("xid")
-        .agg(
-            F.min(F.struct("scn", "commit_scn", "commit_timestamp")).alias("_c"),
+        redo.withColumn(
+            "_commit_scn",
+            F.max(F.when(is_commit, F.coalesce(F.col("commit_scn"), F.col("scn")))).over(wx),
         )
-        .select(
-            "xid",
-            F.col("_c.commit_scn").alias("_commit_scn"),
-            F.col("_c.commit_timestamp").alias("_commit_timestamp"),
+        .withColumn("_commit_ts", F.max(F.when(is_commit, F.col("commit_timestamp"))).over(wx))
+        .withColumn(
+            "_has_rollback",
+            F.max((F.col("operation") == "ROLLBACK").cast("int")).over(wx),
         )
+        .withColumn("_has_csf", F.max(F.coalesce(F.col("csf"), F.lit(False)).cast("int")).over(wx))
+        .withColumn("_has_partial", F.max((F.col("rollback") == "1").cast("int")).over(wx))
     )
-
-
-def _rollbacks(redo: DataFrame) -> DataFrame:
-    return redo.filter(F.col("operation") == "ROLLBACK").select("xid").distinct()
 
 
 def _repair_partial_rollbacks(dml: DataFrame) -> DataFrame:
@@ -63,28 +55,19 @@ def _repair_partial_rollbacks(dml: DataFrame) -> DataFrame:
     Replicates the delete-list arithmetic of LogMinerThread2.java:163-185
     (which removes indices r and r-1 with post-deletion shifting — net effect:
     drop every rollback-marked row and the row immediately before it).
-    Runs as ``applyInPandas`` per xid, and ONLY on transactions that contain a
-    rollback marker; clean transactions bypass this operator entirely.
+    As a window program: a row is dropped iff it is rollback-marked or the
+    next row (per xid, redo order) is — exactly the pair deletion for the
+    adjacent-pair shape LogMiner emits.
     """
-    flagged = (
-        dml.filter(F.col("rollback") == "1").select("xid").distinct()
-    )
-    tainted = dml.join(F.broadcast(flagged), "xid", "left_semi")
-    clean = dml.join(F.broadcast(flagged), "xid", "left_anti")
-
-    schema = dml.schema
-
-    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["scn", "rs_id"], kind="mergesort").reset_index(drop=True)
-        drop: set[int] = set()
-        for r in pdf.index[pdf["rollback"] == "1"]:
-            drop.add(int(r))
-            if r - 1 >= 0:
-                drop.add(int(r) - 1)
-        return pdf[~pdf.index.isin(drop)]
-
-    repaired = tainted.groupBy("xid").applyInPandas(repair, schema=schema)
-    return clean.unionByName(repaired)
+    wo = Window.partitionBy("xid").orderBy("scn", "rs_id")
+    # Pure window formulation — an early version ran this as per-xid
+    # applyInPandas, which cost ~10 ms of pandas overhead per group (14+ s
+    # for 1500 flagged txns at sf0.1); the lead() filter is pure JVM and free.
+    # The _has_partial guard keeps untouched transactions bit-exact even if a
+    # stray rollback marker appears without its pair.
+    marked = dml.withColumn("_next_rb", F.lead(F.col("rollback")).over(wo))
+    is_dropped = (F.col("rollback") == "1") | (F.coalesce(F.col("_next_rb"), F.lit("0")) == "1")
+    return marked.filter((F.col("_has_partial") == 0) | ~is_dropped).drop("_next_rb")
 
 
 def assemble_transactions(redo: DataFrame) -> DataFrame:
@@ -94,20 +77,38 @@ def assemble_transactions(redo: DataFrame) -> DataFrame:
 
     Input: redo-event rows (FIXTURES.md §2.1 schema). Output: DMLRow-shaped
     rows (models/DMLRow.java:5-34) ready for parse + envelope projection.
+
+    PRECONDITION: each xid identifies at most one transaction in the bounded
+    log (Oracle xids are ``usn.slt.sqn`` with a monotone sequence, so this
+    always holds for real redo). A hypothetically *reused* xid would have its
+    incarnations collapsed by the per-xid window facts — the sequential
+    streaming assembler (streaming/transactions.py) handles even that case
+    exactly; use it for non-Oracle sources without the uniqueness guarantee.
     """
-    dml = redo.filter(F.col("operation").isin(*DML_OPS)).filter(junk_row_predicate())
-    if "csf" in dml.columns:
-        dml = reassemble_csf(dml)
-
-    commits = _commits(redo)
-    rollbacks = _rollbacks(redo)
-
-    committed = (
-        dml.join(commits, "xid", "inner")
-        .join(rollbacks, "xid", "left_anti")
-        .withColumn("commit_scn", F.col("_commit_scn"))
-        .withColumn("commit_timestamp", F.col("_commit_timestamp"))
-        .drop("_commit_scn", "_commit_timestamp")
+    ann = annotate_transactions(redo)
+    dml = (
+        ann.filter(F.col("operation").isin(*DML_OPS))
+        .filter(junk_row_predicate())
+        .filter(F.col("_commit_scn").isNotNull() & (F.col("_has_rollback") == 0))
     )
+    # Materialization barrier: the CSF and repair fast paths below are
+    # filter-branch-union diamonds; without a barrier each branch recomputes
+    # the full upstream (source scan + window) — 4× the work. A lazy local
+    # checkpoint computes the gated DML once, truncates lineage, and is
+    # GC-managed (no manual unpersist). At scale this is one disk
+    # materialization vs several upstream recomputations.
+    dml = dml.localCheckpoint(eager=False)
 
-    return _repair_partial_rollbacks(committed)
+    # A9 fast path: only transactions that actually contain CSF fragments
+    # pay the reassembly aggregation; others stream through untouched.
+    plain = dml.filter(F.col("_has_csf") == 0)
+    merged = reassemble_csf(dml.filter(F.col("_has_csf") == 1))
+    dml = plain.unionByName(merged)
+
+    dml = _repair_partial_rollbacks(dml)
+
+    return (
+        dml.withColumn("commit_scn", F.col("_commit_scn"))
+        .withColumn("commit_timestamp", F.col("_commit_ts"))
+        .drop(*_ANNOTATIONS)
+    )
