@@ -582,6 +582,86 @@ def q26_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q27_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi + left-anti joins — the whitelist/blacklist predicate shape
+    (A5) as joins: customers WITH orders minus customers WITH high-value
+    orders."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .join(big, F.col("c_custkey") == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+Q27_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000)
+"""
+
+
+def q28_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (multi-level grand totals)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+Q28_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q29_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming windowed-count plan executed over the bounded events
+    table via availableNow + memory sink — proves the watermarked streaming
+    operator computes exactly what the batch oracle (q14's SQL shape) says."""
+    import tempfile
+
+    from ..streaming.analytics import windowed_counts
+
+    events = load_table(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="q29_")
+    events.write.mode("overwrite").parquet(f"{tmp}/events")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/events")
+    out = windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    name = "q29_result"
+    # complete mode: append would withhold windows the final watermark hasn't
+    # closed yet (the last ~90 min of a bounded run), breaking oracle parity
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+Q29_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # §2A CDC dataflow driven end-to-end (redo generated from the customer table
 # by deterministic rules the oracle mirrors — see sources/redo.py docstring)
@@ -687,6 +767,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q24_percentiles": (q24_percentiles, Q24_SQL),
     "q25_count_distinct": (q25_count_distinct, Q25_SQL),
     "q26_approx_distinct": (q26_approx_distinct, None),
+    "q27_semi_anti_join": (q27_semi_anti_join, Q27_SQL),
+    "q28_rollup": (q28_rollup, Q28_SQL),
+    "q29_streaming_window": (q29_streaming_window, Q29_SQL),
     "cdc01_insert_roundtrip": (cdc01_insert_roundtrip, CDC01_SQL),
     "cdc02_update_images": (cdc02_update_images, CDC02_SQL),
     "cdc03_delete_before": (cdc03_delete_before, CDC03_SQL),

@@ -11,6 +11,9 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # Deterministic timezone: ntz↔ltz casts are identity under UTC, which
+    # keeps watermarked streaming plans consistent with the ntz batch tables.
+    "spark.sql.session.timeZone": "UTC",
     # Adaptive execution: runtime re-plan, skew-join splitting, partition
     # coalescing — essential at scale, free locally.
     "spark.sql.adaptive.enabled": "true",
