@@ -48,9 +48,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = Q.queries()
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure the
-    # plan, not first-call overheads
+    # JVM/codegen/pandas-worker warmup on the smallest SF so per-query
+    # numbers measure the plan, not first-call overheads
     registry["q01_pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    registry["cdc01_insert_roundtrip"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

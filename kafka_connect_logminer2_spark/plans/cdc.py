@@ -68,3 +68,31 @@ def cdc_envelope(redo: DataFrame, config: EngineConfig | None = None) -> DataFra
         dml_types_predicate(config.dml_type_set())
     )
     return to_envelope(committed, config)
+
+
+def cdc_envelope_cm(redo: DataFrame, config: EngineConfig | None = None) -> DataFrame:
+    """Legacy CM path (Oracle <19c, A1/A6): COMMITTED_DATA_ONLY mining already
+    resolved transactions upstream, so there is NO assembly step — rows
+    arrive committed and the pipeline is filters → parse → envelope
+    (OracleSourceTask2.java:244-313; option at OracleConnectorSQL2.java:8),
+    with ``nvl(commit_scn, scn)`` per the CM select (OracleConnectorSQL2.java:5).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.csf import reassemble_csf
+    from ..operators.filters import compile_table_predicate, junk_row_predicate
+
+    config = config or default_config()
+    dml = (
+        redo.filter(F.col("operation").isin("INSERT", "UPDATE", "DELETE", "DDL"))
+        .filter(compile_table_predicate(config.table_whitelist, config.table_blacklist))
+        .filter(junk_row_predicate())
+        .withColumn("commit_scn", F.coalesce(F.col("commit_scn"), F.col("scn")))
+        .withColumn(
+            "commit_timestamp", F.coalesce(F.col("commit_timestamp"), F.col("timestamp"))
+        )
+        .filter(dml_types_predicate(config.dml_type_set()))
+    )
+    if "csf" in dml.columns:  # CSF reassembly happens in the CM poll loop too (:277-281)
+        dml = reassemble_csf(dml)
+    return to_envelope(dml, config)

@@ -734,6 +734,59 @@ FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
 """
 
 
+def cdc05_cm_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Legacy CM path (A1/A6): committed-only cursor, no assembly step."""
+    from ..plans.cdc import cdc_envelope_cm, customer_registry
+    from ..operators.schema_registry import apply_table_schema
+    from ..sources.redo import redo_cm_inserts_from_customer
+
+    env = cdc_envelope_cm(redo_cm_inserts_from_customer(spark, sf))
+    out = apply_table_schema(env, customer_registry(), "TPCH", "CUSTOMER")
+    return out.select(
+        F.col("data.C_CUSTKEY").alias("c_custkey"),
+        F.col("data.C_NAME").alias("c_name"),
+        F.col("data.C_ACCTBAL").alias("c_acctbal"),
+        F.col("COMMIT_SCN").alias("commit_scn"),
+    )
+
+
+CDC05_SQL = """
+SELECT c_custkey, c_name, c_acctbal,
+       CAST(c_custkey * 10 + 1003 AS BIGINT) AS commit_scn
+FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+"""
+
+
+def q30_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting with an engine-portable position-weighted
+    checksum (oracle-matchable); the production 64-bit fingerprint/simhash
+    (xxhash64-based) is q21's rows-only path."""
+    docs = load_table(spark, sf, "documents")
+    fp = F.expr(
+        "aggregate(sequence(1, length(text)), 0L,"
+        " (acc, i) -> acc + ascii(substring(text, i, 1)) * (1 + i % 97))"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+Q30_SQL = """
+SELECT doc_id,
+       CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+            i -> ord(substr(text, i, 1)) * (1 + i % 97)), 'sum') AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+def q31_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB ANN path) — recall < 1 by
+    construction, so rows-only check."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.lsh_bucketed_topk(emb, queries_df, k=5, num_planes=8)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -774,6 +827,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc02_update_images": (cdc02_update_images, CDC02_SQL),
     "cdc03_delete_before": (cdc03_delete_before, CDC03_SQL),
     "cdc04_envelope": (cdc04_envelope, CDC04_SQL),
+    "cdc05_cm_path": (cdc05_cm_path, CDC05_SQL),
+    "q30_doc_fingerprint": (q30_doc_fingerprint, Q30_SQL),
+    "q31_ann_lsh": (q31_ann_lsh, None),
 }
 
 

@@ -210,6 +210,21 @@ def redo_deletes_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return starts.unionByName(deletes).unionByName(commits)
 
 
+def redo_cm_inserts_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM-path (COMMITTED_DATA_ONLY) view of the insert stream: only DML rows
+    of transactions that committed and survived rollback resolution — Oracle
+    does the gating upstream, so no START/COMMIT/ROLLBACK rows appear and
+    ``commit_scn`` is already stamped (OracleConnectorSQL2.java:5,8)."""
+    full = redo_inserts_from_customer(spark, sf_dir)
+    custkey = F.split(F.col("xid"), "\\.").getItem(1).cast("long")
+    return (
+        full.filter(F.col("operation") == "INSERT")
+        .filter(~(custkey % 10).isin(3, 4))
+        .withColumn("commit_scn", F.col("scn") + 2)
+        .withColumn("commit_timestamp", F.col("timestamp"))
+    )
+
+
 def redo_events_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Small hand-authored event lists for unit tests."""
     defaults = dict(
