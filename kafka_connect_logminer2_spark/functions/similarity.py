@@ -120,6 +120,81 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cell partitioning — the
+    second 100 TB ANN path next to :func:`lsh_bucketed_topk`.
+
+    Centroids are a deterministic corpus sample (every ``centroid_stride``-th
+    id) standing in for trained k-means centers; like a trained model's
+    centers they are small and live on the driver, broadcast as a literal
+    array. Each corpus row is assigned to its nearest centroid cell with a
+    pure-JVM argmin (no shuffle, no Python); each query probes its ``nprobe``
+    nearest cells and exact-cosine re-ranks only those candidates. At scale
+    the cell assignment is computed once and persisted alongside the vectors,
+    making every query a partition-pruned scan of ~nprobe/C of the corpus.
+    """
+    cents = [
+        (r[0], r[1])
+        for r in embeddings.filter((F.col(id_col) % centroid_stride) == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    n_cells = len(cents)
+    cents_col = F.array(*[F.array(*[F.lit(float(v)) for v in vec]) for _, vec in cents])
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        # negative cosine as distance; array_sort on (dist, idx) structs gives
+        # a deterministic ascending order, slice(n) -> probe list
+        dists = F.transform(cents_col, lambda c: -cosine(c, vec))
+        ranked = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                lambda i: F.struct(
+                    F.element_at(dists, i + 1).alias("d"), i.alias("i")
+                ),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["i"])
+
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        nearest_cells(F.col(vec_col), nprobe).alias("_probes"),
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        F.array_contains(F.col("_probes"), F.col("_cell"))
+        & (F.col(id_col) != F.col("_qid")),
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -25,6 +25,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+# the GPT-2-style split shape, restricted to constructs whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB oracle)
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens of lowercased text (regexp_extract_all — runs
+    JVM-side inside whole-stage codegen)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
 def occurrences(text: Column, needle: str) -> Column:
     """Count non-overlapping occurrences via the replace-length identity —
     chosen because ``replace`` has identical semantics in Spark and DuckDB,

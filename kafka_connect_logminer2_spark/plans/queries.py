@@ -787,6 +787,177 @@ def q31_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, queries_df, k=5, num_planes=8)
 
 
+def q32_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data quality filtering: keep docs above a quality threshold,
+    report retention per source (the corpus-curation gate at 100 TB —
+    filter is a pure column expression, fully pushed into the scan stage)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.withColumn("q", T.quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.avg(T.token_count(F.col("text"))), 6).alias("avg_tokens"),
+        )
+    )
+
+
+_QUALITY_SQL = """round((
+    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+  + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0
+     / greatest(length(text), 1))
+  + (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text,' ')),1)
+          BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+) / 3.0, 6)"""
+
+Q32_SQL = f"""
+SELECT source, count(*) AS n_kept,
+       round(avg(q), 6) AS avg_quality,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+FROM (SELECT source, text, {_QUALITY_SQL} AS q FROM documents)
+WHERE q >= 0.5
+GROUP BY source
+"""
+
+
+def q33_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter/digit/punct
+    runs) — the corpus-sizing primitive for training-data budgeting."""
+    docs = load_table(spark, sf, "documents")
+    n = T.bpe_token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.sum(n).alias("total_bpe_tokens"),
+        F.round(F.avg(n), 6).alias("avg_bpe_tokens"),
+        F.max(n).alias("max_bpe_tokens"),
+    )
+
+
+Q33_SQL = rf"""
+SELECT lang,
+       sum(n) AS total_bpe_tokens,
+       round(avg(n), 6) AS avg_bpe_tokens,
+       max(n) AS max_bpe_tokens
+FROM (SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '{T.BPE_PATTERN}')) AS BIGINT) AS n
+      FROM documents)
+GROUP BY lang
+"""
+
+
+def q34_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode/feature plumbing (mapInPandas over binary payloads;
+    decode kernel is a deterministic stub — see functions/multimodal.py):
+    per-dimension feature means over the extracted image embeddings.
+    Rows-only: the binary fixture + stub kernel have no SQL equivalent."""
+    from ..functions import multimodal as M
+
+    media = M.media_fixture(spark, n=192)
+    feats = M.extract_image_features(media)
+    return feats.select(
+        F.floor(F.col("media_id") / 48).alias("bucket"),
+        F.col("n_bytes"),
+        F.element_at(F.col("features"), 1).alias("f0"),
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("f0"), 6).alias("avg_f0"),
+    )
+
+
+def q35_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-cell approximate nearest neighbors (the trained-quantizer ANN
+    shape; deterministic sampled centroids stand in for k-means). Recall < 1
+    by construction — rows-only check."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return S.ivf_topk(emb, queries_df, k=5, nprobe=3)
+
+
+def q36_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations) over lineitem."""
+    lineitem = load_table(spark, sf, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+Q36_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q37_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent click by the same
+    user at-or-before it. Implemented as union + running last_value (ignore
+    nulls) — ONE shuffle on user_id and a linear scan per partition, the
+    canonical scalable as-of shape (vs. an O(n^2) range self-join)."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            "last_click_id",
+        )
+    )
+
+
+Q37_SQL = """
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       last_click_ts, last_click_id
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click_id
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+           CASE WHEN event_type = 'click' THEN event_id END AS click_id
+    FROM events WHERE event_type IN ('click', 'purchase')
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+WHERE event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -830,6 +1001,12 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc05_cm_path": (cdc05_cm_path, CDC05_SQL),
     "q30_doc_fingerprint": (q30_doc_fingerprint, Q30_SQL),
     "q31_ann_lsh": (q31_ann_lsh, None),
+    "q32_quality_filter": (q32_quality_filter, Q32_SQL),
+    "q33_bpe_tokens": (q33_bpe_tokens, Q33_SQL),
+    "q34_multimodal_features": (q34_multimodal_features, None),
+    "q35_ann_ivf": (q35_ann_ivf, None),
+    "q36_cube": (q36_cube, Q36_SQL),
+    "q37_asof_join": (q37_asof_join, Q37_SQL),
 }
 
 
