@@ -28,6 +28,9 @@ HEADLINE = [
     "q16_exact_dedup",
     "q19_jaccard_pairs",
     "q22_cosine_topk",
+    "q33_bpe_tokens",
+    "q35_ann_ivf",
+    "q37_asof_join",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
 ]

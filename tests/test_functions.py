@@ -89,6 +89,32 @@ def test_lsh_topk_subset_of_exact(spark):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, q, k=5).collect()
+    }
+    approx_rows = S.ivf_topk(emb, q, k=5, nprobe=3).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert all(r["rank"] <= 5 for r in approx_rows)
+    assert all(r["neighbor_id"] != r["query_id"] for r in approx_rows)
+    # with nprobe=3 of ~17 cells on 500 vectors, recall should be substantial
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame(
+        [("Hello, world! v2.0",), ("  spaced   out  ",), ("",)], "text: string"
+    )
+    got = [r[0] for r in df.select(T.bpe_tokens(F.col("text"))).collect()]
+    assert got[0] == ["hello", ",", "world", "!", "v", "2", ".", "0"]
+    assert got[1] == ["spaced", "out"]
+    assert got[2] == []
+
+
 def test_multimodal_image_features(spark):
     media = M.media_fixture(spark, 30)
     feats = M.extract_image_features(media).collect()
