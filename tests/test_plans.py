@@ -1,0 +1,71 @@
+"""Physical-plan audits — the 100 TB scale guards.
+
+Correctness tests prove the queries right at small SF; these prove the
+*plans* stay right: dimension joins broadcast, filters reach the parquet
+scan, the as-of join shuffles exactly once, and no query ever falls back to
+row-at-a-time Python (BatchEvalPython) — only Arrow-batched UDFs are allowed.
+A regression here is invisible at sf0.001 and fatal at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_logminer2_spark.plans.queries import QUERY_REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    """q03 joins lineitem to orders/customer/nation/region — every dim side
+    must broadcast; a sort-merge join here means a full lineitem shuffle."""
+    plan = plan_of(QUERY_REGISTRY["q03_star_join"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark, sf_dir):
+    """q01's shipdate predicate must reach the parquet reader (PushedFilters),
+    not run post-scan — at 100 TB that's the difference between reading one
+    partition range and reading everything."""
+    plan = plan_of(QUERY_REGISTRY["q01_pricing_summary"][0](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """Map-side combine: the agg must run partial_ before the key shuffle."""
+    plan = plan_of(QUERY_REGISTRY["q01_pricing_summary"][0](spark, sf_dir))
+    assert "partial_" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union + running-last as-of formulation costs exactly one exchange
+    (by user_id); more means an accidental join/regrouping crept in."""
+    plan = plan_of(QUERY_REGISTRY["q37_asof_join"][0](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """ANN brute force must broadcast the (small) query set, never shuffle
+    the corpus for the join."""
+    plan = plan_of(QUERY_REGISTRY["q22_cosine_topk"][0](spark, sf_dir))
+    assert "Broadcast" in plan
+
+
+def test_column_pruning_documents(spark, sf_dir):
+    """q33 touches only lang+text; the scan must not read doc_id/source."""
+    plan = plan_of(QUERY_REGISTRY["q33_bpe_tokens"][0](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" in scan_line and "text" in scan_line
+    assert "source" not in scan_line and "n_chars" not in scan_line
+
+
+@pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
+def test_no_row_python_udfs(spark, sf_dir, name):
+    """No query may use row-at-a-time Python (BatchEvalPython); Python is
+    allowed only Arrow-batched (ArrowEvalPython / mapInPandas / FlatMapsInPandas)."""
+    plan = plan_of(QUERY_REGISTRY[name][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
