@@ -39,6 +39,30 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys`` with state bounded by the
+    watermark — the streaming face of functions.dedup.exact_dedup.
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark: duplicates
+    are only guaranteed dropped if they arrive within the watermark delay of
+    the first occurrence, and state for a key is evicted once the watermark
+    passes it — bounded state, the only viable contract on an unbounded
+    100 TB/day stream. ``False`` falls back to dropDuplicates (exact forever,
+    state grows without bound — test/backfill use only).
+    """
+    keys = keys or ["event_id"]
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return deduped.dropDuplicatesWithinWatermark(keys)
+    return deduped.dropDuplicates(keys)
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
