@@ -836,7 +836,7 @@ def q33_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 Q33_SQL = rf"""
 SELECT lang,
-       sum(n) AS total_bpe_tokens,
+       CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
        round(avg(n), 6) AS avg_bpe_tokens,
        max(n) AS max_bpe_tokens
 FROM (SELECT lang,
