@@ -60,6 +60,21 @@ def heartbeat_lag_metrics(hb: DataFrame) -> DataFrame:
     )
 
 
+def observe_rows(df, observation, scn_col: str = "scn"):
+    """A27 analog (logRawMinerData, OracleSourceTask2.java:422-432): the
+    reference logs every raw cursor column at DEBUG; the Spark-native shape
+    is an ``observe`` metric set — per-(micro)batch row count and SCN range
+    collected by the engine for free, no per-row logging in the hot path.
+    Pass a ``pyspark.sql.Observation`` for batch or a string name for
+    streaming (read via StreamingQueryProgress.observedMetrics)."""
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(scn_col).alias("min_scn"),
+        F.max(scn_col).alias("max_scn"),
+    )
+
+
 def write_run_manifest(
     spark: SparkSession, config: EngineConfig, meta_dir: str, start_scn: int | None = None
 ) -> None:

@@ -150,3 +150,62 @@ def test_heartbeat_split_and_lag(spark):
     lag = heartbeat_lag_metrics(hb).first()
     assert lag["scn"] == 10
     assert lag["lag_seconds"] > 0
+
+
+def test_run_manifest_and_status_listener(spark, tmp_path):
+    import json
+    import time as _time
+
+    from kafka_connect_logminer2_spark.operators.heartbeat import (
+        StatusListener,
+        write_run_manifest,
+    )
+
+    meta = str(tmp_path / "meta")
+    cfg = EngineConfig(name="conn1", table_whitelist="TPCH.*")
+    write_run_manifest(spark, cfg, meta, start_scn=42)
+    run = spark.read.parquet(f"{meta}/runs").first()
+    assert run["connector"] == "conn1"
+    assert run["status"] == "RUNNING"
+    assert run["start_scn"] == 42
+    assert "TPCH.*" in run["config_json"]
+
+    listener = StatusListener(spark, cfg, meta)
+    listener.register()
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .writeStream.format("noop")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        # listener callbacks arrive async on the py4j thread
+        events = []
+        for _ in range(50):
+            with open(listener.status_path) as f:
+                events = [json.loads(l)["event"] for l in f]
+            if "STOPPED" in events:
+                break
+            _time.sleep(0.2)
+        assert "STARTED" in events
+        assert "STOPPED" in events
+    finally:
+        spark.streams.removeListener(listener.listener)
+
+
+def test_observe_rows_metrics(spark):
+    from pyspark.sql import Observation
+
+    from kafka_connect_logminer2_spark.operators.heartbeat import observe_rows
+
+    df = spark.createDataFrame([(100,), (200,), (150,)], "scn: long")
+    obs = Observation("redo_debug")
+    observe_rows(df, obs).count()
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["min_scn"] == 100
+    assert got["max_scn"] == 200
