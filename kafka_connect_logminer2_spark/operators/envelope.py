@@ -79,6 +79,13 @@ def to_envelope(
         F.col("row_id").alias("ROW_ID"),
         F.col("seg_owner").alias("SEG_OWNER"),
         F.when(is_ddl, F.lit(DDL_TOPIC_POSTFIX)).otherwise(F.col("table_name")).alias("TABLE_NAME"),
+        # engine-internal (not in the reference's 11-field value schema): the
+        # un-rewritten table name, so the sink can invalidate the DDL'd
+        # table's schema — the reference invalidates by real owner.table
+        # (OracleSourceConnectorUtils2.java:368-371) BEFORE the record-level
+        # _GENERIC_DDL rewrite; with only TABLE_NAME the sink would pop the
+        # wrong key and DDL would never trigger a reload
+        F.col("table_name").alias("SRC_TABLE"),
         F.col("timestamp").alias("TIMESTAMP"),
         F.col("sql_redo").alias("SQL_REDO"),
         F.col("operation").alias("OPERATION"),

@@ -70,10 +70,18 @@ class ColumnMeta:
 
 
 class SchemaRegistry:
-    """Lazy, memoized, DDL-invalidated table-schema cache (A12)."""
+    """Lazy, memoized, DDL-invalidated table-schema cache (A12).
 
-    def __init__(self) -> None:
+    ``loader`` is the dictionary-query analog (loadTable,
+    OracleSourceConnectorUtils2.java:156-252): a callable
+    ``(owner, table) -> list[ColumnMeta] | None`` consulted on cache miss by
+    :meth:`ensure` — so a DDL invalidation is followed by a fresh dictionary
+    load on the table's next DML, exactly the reference's reload-on-miss
+    behavior (:249, :368-371), enabling mid-stream schema evolution."""
+
+    def __init__(self, loader=None) -> None:
         self._tables: dict[str, list[ColumnMeta]] = {}
+        self._loader = loader
 
     @staticmethod
     def key(owner: str, table: str) -> str:
@@ -116,6 +124,18 @@ class SchemaRegistry:
 
     def has(self, owner: str, table: str) -> bool:
         return self.key(owner, table) in self._tables
+
+    def ensure(self, owner: str, table: str) -> bool:
+        """Cache hit, or lazy (re)load through ``loader`` on miss — the next
+        DML after a DDL invalidation picks up fresh columns."""
+        if self.has(owner, table):
+            return True
+        if self._loader is not None:
+            cols = self._loader(owner, table)
+            if cols:
+                self._tables[self.key(owner, table)] = list(cols)
+                return True
+        return False
 
     def columns(self, owner: str, table: str) -> list[ColumnMeta]:
         return self._tables[self.key(owner, table)]

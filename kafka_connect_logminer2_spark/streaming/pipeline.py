@@ -110,14 +110,16 @@ def write_per_table(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
-            # DDL first: invalidate before materializing this batch's DML
+            # DDL first: invalidate before materializing this batch's DML —
+            # keyed on SRC_TABLE (the pre-_GENERIC_DDL-rewrite name)
             for r in (
                 batch.filter(F.col("OPERATION") == "DDL")
-                .select("SEG_OWNER", "TABLE_NAME")
+                .select("SEG_OWNER", "SRC_TABLE")
                 .distinct()
                 .collect()
             ):
-                registry.invalidate(r["SEG_OWNER"], r["TABLE_NAME"])
+                if r["SRC_TABLE"]:
+                    registry.invalidate(r["SEG_OWNER"], r["SRC_TABLE"])
             tables = (
                 batch.filter(F.col("OPERATION") != "DDL")
                 .select("SEG_OWNER", "TABLE_NAME")
@@ -126,7 +128,7 @@ def write_per_table(
             )
             for r in tables:
                 owner, table = r["SEG_OWNER"], r["TABLE_NAME"]
-                if not registry.has(owner, table):
+                if not registry.ensure(owner, table):
                     continue  # no dictionary metadata — envelope-only table
                 typed = apply_table_schema(batch, registry, owner, table)
                 typed.write.mode("append").parquet(f"{out_dir}/{owner}.{table}")

@@ -101,3 +101,70 @@ def test_rollback_across_batches_and_resume(spark, tmp_path):
     rows = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER").collect()
     assert [r["data"]["C_CUSTKEY"] for r in rows] == [1]
     assert rows[0]["COMMIT_SCN"] == 5
+
+
+def test_ddl_schema_evolution_mid_stream(spark, tmp_path):
+    """SURVEY §7 hard part 4: a DDL event invalidates the cached schema and
+    the table's NEXT DML lazily reloads fresh columns from the dictionary
+    loader (reload-on-miss, OracleSourceConnectorUtils2.java:249,368-371)."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/redo")
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v2_cols = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+        mk("C_NATIONKEY", data_type="NUMBER", data_precision=9),
+        mk("C_ACCTBAL", data_type="NUMBER", data_precision=12, data_scale=2),
+        mk("C_MKTSEGMENT", data_type="VARCHAR2", data_length=10),
+        mk("C_TIER", data_type="NUMBER", data_precision=4),  # ALTER TABLE ADD
+    ]
+    from kafka_connect_logminer2_spark.plans.cdc import customer_registry
+
+    reg = customer_registry()
+    reg._loader = lambda owner, table: (
+        v2_cols if (owner, table) == ("TPCH", "CUSTOMER") else None
+    )
+
+    INS6 = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_NATIONKEY",'
+        "\"C_ACCTBAL\",\"C_MKTSEGMENT\",\"C_TIER\") values ({k},'n',1,1.5,'s',7)"
+    )
+    events = redo_events_from_rows(
+        spark,
+        [
+            dict(scn=1, operation="START", xid="A"),
+            dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+                 sql_redo=INS.format(k=1), row_id="r1"),
+            dict(scn=3, operation="COMMIT", xid="A", commit_scn=3),
+            # Oracle auto-commits DDL: it rides its own transaction
+            dict(scn=4, operation="START", xid="D"),
+            dict(scn=5, operation="DDL", xid="D", table_name="CUSTOMER",
+                 sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)"),
+            dict(scn=6, operation="COMMIT", xid="D", commit_scn=6),
+            dict(scn=7, operation="START", xid="B"),
+            dict(scn=8, operation="INSERT", xid="B", table_name="CUSTOMER",
+                 sql_redo=INS6.format(k=2), row_id="r2"),
+            dict(scn=9, operation="COMMIT", xid="B", commit_scn=9),
+        ],
+    )
+    _write_ordered(events, f"{tmp}/stage", 0)
+    shutil.copy(sorted(glob.glob(f"{tmp}/stage/part*"))[0], f"{tmp}/redo/a.parquet")
+
+    q = write_per_table(
+        cdc_stream(read_redo_stream_files(spark, f"{tmp}/redo"), default_config()),
+        reg, f"{tmp}/out", f"{tmp}/ckpt",
+    )
+    q.awaitTermination(300)
+    got = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    rows = {r["data"]["C_CUSTKEY"]: r for r in got.collect()}
+    assert set(rows) == {1, 2}
+    # post-DDL row got the v2 schema with the added, typed column
+    r2 = rows[2]["data"].asDict()
+    assert r2.get("C_TIER") == 7
+    # the registry now caches v2 (reloaded on miss after invalidation)
+    assert len(reg.columns("TPCH", "CUSTOMER")) == 6
