@@ -105,6 +105,59 @@ def jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id1_col: str = "doc_id1",
+    id2_col: str = "doc_id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, cluster_id)
+    with cluster_id = the component's minimum doc id.
+
+    Iterative min-label propagation (the alternating small-star idea in its
+    simplest form): each round every node adopts the min label among itself
+    and its neighbors; converges in O(component diameter) rounds. Each round
+    is one shuffle (join + groupBy on id); ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't recompute rounds 1..N-1 — without it
+    the plan is exponential. Near-dup components are shallow in practice
+    (dup clusters are cliques-ish), so rounds ≪ ``max_iter``. The remaining
+    driver-side work per round is a single scalar convergence check.
+    """
+    e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def minhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",

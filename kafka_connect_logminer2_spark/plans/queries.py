@@ -958,6 +958,49 @@ WHERE event_type = 'purchase'
 """
 
 
+def q38_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the Jaccard
+    near-dup pair graph (iterative min-label propagation — the step after
+    pair detection in a dedup pipeline: keep one doc per cluster)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.05)
+    return D.dup_clusters(pairs)
+
+
+# same pair generation as Q19 (threshold 0.05), then transitive closure via
+# recursive CTE: min reachable node == component minimum on an undirected graph
+Q38_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+      i -> string_split(lower(text),' ')[i] || ' ' ||
+           string_split(lower(text),' ')[i+1] || ' ' ||
+           string_split(lower(text),' ')[i+2])
+  )) AS shingle FROM documents
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes s1 ON s1.id = id1
+  JOIN sizes s2 ON s2.id = id2
+  WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.05
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1007,6 +1050,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q35_ann_ivf": (q35_ann_ivf, None),
     "q36_cube": (q36_cube, Q36_SQL),
     "q37_asof_join": (q37_asof_join, Q37_SQL),
+    "q38_dup_clusters": (q38_dup_clusters, Q38_SQL),
 }
 
 

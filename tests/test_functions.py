@@ -209,3 +209,12 @@ def test_observe_rows_metrics(spark):
     assert got["n_rows"] == 3
     assert got["min_scn"] == 100
     assert got["max_scn"] == 200
+
+
+def test_dup_clusters_components(spark):
+    # two components: {1,2,3} via chain 1-2, 2-3 (diameter 2) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id1: long, doc_id2: long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
