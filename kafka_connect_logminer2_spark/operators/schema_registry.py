@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ByteType,
     DataType,
+    DecimalType,
     DoubleType,
     IntegerType,
     LongType,
@@ -46,14 +47,20 @@ class ColumnMeta:
     pk_column: bool = False
     uq_column: bool = False
 
-    def spark_type(self) -> DataType:
+    def spark_type(self, float64_numbers: bool = True) -> DataType:
         """The NUMBER precision ladder + text/time mapping
-        (OracleSourceConnectorUtils2.java:191-241)."""
+        (OracleSourceConnectorUtils2.java:191-241).
+
+        ``float64_numbers=False`` is the engine's precision-preserving
+        opt-in (SURVEY §1.3): fractional/unspecified NUMBER becomes
+        DecimalType(p, s) instead of the reference's lossy FLOAT64."""
         dt = self.data_type.upper()
         if "TIMESTAMP" in dt:  # any TIMESTAMP variant collapses (:183)
             dt = "TIMESTAMP"
         if dt == "NUMBER":
             if self.data_scale > 0 or self.data_precision == 0:
+                if not float64_numbers:
+                    return DecimalType(self.data_precision or 38, max(self.data_scale, 0))
                 return DoubleType()  # FLOAT64 reference semantics (:194-196)
             if self.data_precision <= 2:
                 return ByteType()
@@ -140,10 +147,12 @@ class SchemaRegistry:
     def columns(self, owner: str, table: str) -> list[ColumnMeta]:
         return self._tables[self.key(owner, table)]
 
-    def struct_type(self, owner: str, table: str) -> StructType:
+    def struct_type(
+        self, owner: str, table: str, float64_numbers: bool = True
+    ) -> StructType:
         return StructType(
             [
-                StructField(c.column_name, c.spark_type(), c.nullable)
+                StructField(c.column_name, c.spark_type(float64_numbers), c.nullable)
                 for c in self.columns(owner, table)
             ]
         )
@@ -156,11 +165,11 @@ class SchemaRegistry:
         )
 
 
-def _coerce(raw: Column, meta: ColumnMeta) -> Column:
+def _coerce(raw: Column, meta: ColumnMeta, float64_numbers: bool = True) -> Column:
     """reSetValue analog (OracleSourceConnectorUtils2.java:436-465), as
     built-in expressions: numeric casts; timestamps strip a ``+TZ`` suffix
     (:456) before the cast; strings pass through."""
-    t = meta.spark_type()
+    t = meta.spark_type(float64_numbers)
     if isinstance(t, TimestampNTZType):
         no_tz = F.when(raw.contains("+"), F.substring_index(raw, "+", 1)).otherwise(raw)
         return no_tz.cast("timestamp_ntz")
@@ -168,7 +177,11 @@ def _coerce(raw: Column, meta: ColumnMeta) -> Column:
 
 
 def apply_table_schema(
-    envelope: DataFrame, registry: SchemaRegistry, owner: str, table: str
+    envelope: DataFrame,
+    registry: SchemaRegistry,
+    owner: str,
+    table: str,
+    float64_numbers: bool = True,
 ) -> DataFrame:
     """Materialize one table's typed change rows from the generic envelope.
 
@@ -182,10 +195,18 @@ def apply_table_schema(
     def typed(json_col: str) -> Column:
         raw = F.from_json(F.col(json_col), raw_schema)
         struct = F.struct(
-            *[_coerce(raw[m.column_name], m).alias(m.column_name) for m in metas]
+            *[
+                _coerce(raw[m.column_name], m, float64_numbers).alias(m.column_name)
+                for m in metas
+            ]
         )
         return F.when(F.col(json_col).isNull(), F.lit(None).cast(
-            StructType([StructField(m.column_name, m.spark_type(), True) for m in metas])
+            StructType(
+                [
+                    StructField(m.column_name, m.spark_type(float64_numbers), True)
+                    for m in metas
+                ]
+            )
         )).otherwise(struct)
 
     return (

@@ -130,7 +130,13 @@ def write_per_table(
                 owner, table = r["SEG_OWNER"], r["TABLE_NAME"]
                 if not registry.ensure(owner, table):
                     continue  # no dictionary metadata — envelope-only table
-                typed = apply_table_schema(batch, registry, owner, table)
+                typed = apply_table_schema(
+                    batch,
+                    registry,
+                    owner,
+                    table,
+                    float64_numbers=(config or EngineConfig()).float64_numbers,
+                )
                 typed.write.mode("append").parquet(f"{out_dir}/{owner}.{table}")
         finally:
             batch.unpersist()

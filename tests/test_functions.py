@@ -218,3 +218,35 @@ def test_dup_clusters_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """Property check: min-label propagation == union-find ground truth on
+    seeded random graphs (chains force multi-round convergence)."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        # chain to force diameter > 1
+        edges += [(i, i + 1) for i in range(50, 55)]
+
+        parent = list(range(60))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edges for n in e}
+        expected = {n: find(n) for n in nodes}
+
+        pairs = spark.createDataFrame(edges, "doc_id1: long, doc_id2: long")
+        got = {r["doc_id"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()}
+        assert got == expected, f"seed {seed}"

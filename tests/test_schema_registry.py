@@ -66,3 +66,32 @@ def test_load_from_dictionary_df(spark):
     assert isinstance(st.fields[0].dataType, LongType)
     assert st.fields[0].nullable is False
     assert reg.columns("O", "T")[0].pk_column is True
+
+
+def test_decimal_opt_in_mode(spark):
+    """SURVEY §1.3: FLOAT64 reference semantics by default (hash-matching),
+    DecimalType(p,s) precision-preserving opt-in."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        apply_table_schema,
+    )
+    from kafka_connect_logminer2_spark.plans.cdc import customer_registry
+
+    reg = customer_registry()
+    assert isinstance(
+        reg.struct_type("TPCH", "CUSTOMER")["C_ACCTBAL"].dataType, DoubleType
+    )
+    dec = reg.struct_type("TPCH", "CUSTOMER", float64_numbers=False)["C_ACCTBAL"]
+    assert dec.dataType == DecimalType(12, 2)
+
+    env = spark.createDataFrame(
+        [("TPCH", "CUSTOMER", '{"C_CUSTKEY": "1", "C_ACCTBAL": "1234.56"}', None)],
+        "SEG_OWNER: string, TABLE_NAME: string, data_json: string, before_json: string",
+    )
+    row = apply_table_schema(env, reg, "TPCH", "CUSTOMER", float64_numbers=False).first()
+    assert row["data"]["C_ACCTBAL"] == Decimal("1234.56")
+    row64 = apply_table_schema(env, reg, "TPCH", "CUSTOMER").first()
+    assert abs(row64["data"]["C_ACCTBAL"] - 1234.56) < 1e-9
