@@ -1,0 +1,127 @@
+"""Scale probe: does runtime stay ~linear when the data grows 4× and 10×?
+
+Synthesizes larger inputs in-memory (base table unioned M times with
+key-offset copies — no files written) and times representative operators at
+each multiplier. A super-linear ratio flags a plan that would fall over at
+cluster scale (quadratic join blowup, collected driver state, skew).
+
+Usage: python tools/scale_probe.py [sf_dir]   # default /root/testdata/sf0.1
+Prints one JSON line per operator: {"op": ..., "x1": s, "x4": s, "x10": s,
+"r10_vs_linear": ratio} where r10_vs_linear = t(10x) / (10 * t(1x)) — ~1.0
+or below means the operator scales linearly or better locally.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from kafka_connect_logminer2_spark.functions import dedup as D  # noqa: E402
+from kafka_connect_logminer2_spark.functions import similarity as S  # noqa: E402
+from kafka_connect_logminer2_spark.session import get_spark  # noqa: E402
+from kafka_connect_logminer2_spark.sources.tables import load_table  # noqa: E402
+
+MULTIPLIERS = (1, 4, 10)
+
+
+def replicate(df: DataFrame, m: int, key_cols: list[str], span: int) -> DataFrame:
+    """m key-offset copies (distinct keys per copy, same distributions)."""
+    out = df
+    for i in range(1, m):
+        c = df
+        for k in key_cols:
+            c = c.withColumn(k, F.col(k) + i * span)
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(
+        app_name="scale_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lineitem = load_table(spark, sf_dir, "lineitem").localCheckpoint()
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    events = load_table(spark, sf_dir, "events").localCheckpoint()
+    span_li = 10_000_000
+    span = 1_000_000
+
+    def agg_op(m):
+        df = replicate(lineitem, m, ["l_orderkey"], span_li)
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        )
+
+    def dedup_op(m):
+        return D.exact_dedup(replicate(docs, m, ["doc_id"], span))
+
+    def window_op(m):
+        from pyspark.sql import Window
+
+        df = replicate(lineitem, m, ["l_orderkey"], span_li)
+        w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc())
+        return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+
+    def topk_op(m):
+        corpus = replicate(emb, m, ["vec_id"], span)
+        q = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return S.cosine_topk(corpus, q, k=5)
+
+    def asof_op(m):
+        df = replicate(events, m, ["event_id", "user_id"], span)
+        from kafka_connect_logminer2_spark.plans.queries import q37_asof_join  # noqa: F401
+        # inline the as-of shape over the replicated frame
+        ev = df.filter(F.col("event_type").isin("click", "purchase"))
+        tagged = ev.select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+            "event_type",
+        )
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            tagged.withColumn("lc", F.last("click_ts", ignorenulls=True).over(w))
+            .filter(F.col("event_type") == "purchase")
+        )
+
+    ops = {
+        "hash_agg": agg_op,
+        "exact_dedup": dedup_op,
+        "topk_window": window_op,
+        "cosine_topk": topk_op,
+        "asof_join": asof_op,
+    }
+
+    for name, op in ops.items():
+        op(1).count()  # warm
+        times = {}
+        for m in MULTIPLIERS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                op(m).count()
+                best = min(best, time.time() - t0)
+            times[f"x{m}"] = round(best, 3)
+        ratio = round(times["x10"] / (10 * times["x1"]), 3) if times["x1"] else None
+        print(json.dumps({"op": name, **times, "r10_vs_linear": ratio}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
