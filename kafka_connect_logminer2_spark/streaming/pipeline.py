@@ -104,7 +104,13 @@ def write_per_table(
     invalidation ordering): every batch, DDL events invalidate their table's
     cached schema *before* that table's DML materializes (SURVEY §7 hard
     part 4); each (owner, table) partition is written to
-    ``out_dir/owner.table/`` as typed parquet.
+    ``out_dir/owner.table/batch=<id>/`` as typed parquet.
+
+    foreachBatch is at-least-once: a failed-then-retried batch re-runs with
+    the SAME batch_id, so the write targets a batch-keyed partition dir with
+    overwrite — the retry replaces its own output instead of appending a
+    duplicate copy. Combined with the checkpointed source offsets this gives
+    end-to-end exactly-once to the parquet sink (the A3/A4 resume contract).
     """
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -137,7 +143,9 @@ def write_per_table(
                     table,
                     float64_numbers=(config or EngineConfig()).float64_numbers,
                 )
-                typed.write.mode("append").parquet(f"{out_dir}/{owner}.{table}")
+                typed.write.mode("overwrite").parquet(
+                    f"{out_dir}/{owner}.{table}/batch={batch_id}"
+                )
         finally:
             batch.unpersist()
 
