@@ -46,6 +46,33 @@ def topic_column(config: EngineConfig) -> Column:
     return F.upper(F.concat_ws(".", F.lit(config.db_name_alias), F.col("seg_owner"), table))
 
 
+def kafka_records(envelope: DataFrame, config: EngineConfig) -> DataFrame:
+    """Project envelope rows into the Kafka sink's native contract — the
+    SourceRecord analog (OracleSourceTask2.java:300): ``key`` (change
+    identity: owner/table/row_id, so per-row compaction works), ``value``
+    (the full JSON envelope), ``topic`` (dynamic per-table routing A18 —
+    Spark's Kafka sink honors a ``topic`` column natively). Usage:
+    ``kafka_records(env, cfg).write.format("kafka").option(...)``; no broker
+    needed to test the projection itself."""
+    return envelope.select(
+        F.to_json(
+            F.struct(
+                F.col("SEG_OWNER").alias("owner"),
+                F.col("TABLE_NAME").alias("table"),
+                F.col("ROW_ID").alias("row_id"),
+            )
+        ).alias("key"),
+        F.to_json(
+            F.struct(
+                "CONNECTOR", "SCN", "COMMIT_SCN", "ROW_ID", "SEG_OWNER",
+                "TABLE_NAME", "TIMESTAMP", "SQL_REDO", "OPERATION",
+                "data_json", "before_json",
+            )
+        ).alias("value"),
+        F.col("topic"),
+    )
+
+
 def to_envelope(
     dml_rows: DataFrame, config: EngineConfig, drop_unparseable: bool = True
 ) -> DataFrame:

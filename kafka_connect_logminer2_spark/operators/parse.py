@@ -45,7 +45,10 @@ def clean_string(s: str) -> str:
     """Replicates cleanString (OracleSourceConnectorUtils2.java:467-472)."""
     if s.startswith("TIMESTAMP"):
         s = s.replace("TIMESTAMP ", "")
-    if s.startswith("'") and s.endswith("'"):
+    # len guard: a lone quote (e.g. the unescape of '''') must survive —
+    # the reference's substring(1, len-1) would throw here and the record
+    # would be skipped by its error tolerance; we keep the value instead
+    if s.startswith("'") and s.endswith("'") and len(s) > 1:
         s = s[1:-1]
     if s.startswith('"') and s.endswith('"') and len(s) > 1:
         s = s[1:-1]

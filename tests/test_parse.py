@@ -114,3 +114,76 @@ def test_malformed_returns_other():
 
 def test_ddl_images_null():
     assert build_images("DDL", "create table foo (x int)") == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# property: random values survive the generate → parse roundtrip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[A-Z][A-Z0-9_]{0,10}", fullmatch=True)
+_value = st.one_of(
+    st.integers(-10**12, 10**12).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda f: repr(float(f))),
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=20,
+    ),
+    st.none(),
+)
+
+
+def _fmt(v):
+    if v is None:
+        return "NULL"
+    try:
+        float(v)
+        return v
+    except (TypeError, ValueError):
+        return "'" + v.replace("'", "''") + "'"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(_ident, _value, min_size=1, max_size=8))
+def test_insert_roundtrip_property(cols):
+    names = list(cols)
+    sql = (
+        'insert into "O"."T"('
+        + ",".join(f'"{n}"' for n in names)
+        + ") values ("
+        + ",".join(_fmt(cols[n]) for n in names)
+        + ")"
+    )
+    kind, data, before = parse_dml(sql)
+    assert kind == "insert"
+    assert before == {}
+    for n in names:
+        expected = cols[n]
+        got = data[n]
+        if expected is None:
+            assert got == "NULL"  # literal NULL string; nulled at coercion
+        else:
+            # cleanString trims outer whitespace (reference :472) and the
+            # parser un-escapes '' → ' (map.unescaped.strings default)
+            assert got == str(expected).strip()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(_ident, _value, min_size=1, max_size=5),
+       st.dictionaries(_ident, _value, min_size=1, max_size=5))
+def test_update_roundtrip_property(set_cols, where_cols):
+    sql = (
+        'update "O"."T" set '
+        + ", ".join(f'"{n}" = {_fmt(v)}' for n, v in set_cols.items())
+        + " where "
+        + " and ".join(
+            f'"{n}" IS NULL' if v is None else f'"{n}" = {_fmt(v)}'
+            for n, v in where_cols.items()
+        )
+    )
+    kind, data, before = parse_dml(sql)
+    assert kind == "update"
+    assert set(data) == set(set_cols)
+    assert set(before) == set(where_cols)

@@ -110,3 +110,22 @@ def test_commit_stamps_metadata(spark):
     row = assemble_transactions(redo).first()
     assert row["commit_scn"] == 99
     assert str(row["commit_timestamp"]) == "2026-01-02 03:04:05"
+
+
+def test_kafka_records_projection(spark, sf_dir):
+    """SourceRecord analog: key = change identity JSON, value = envelope
+    JSON, topic = dynamic route — the Kafka sink's native contract."""
+    import json
+
+    from kafka_connect_logminer2_spark.operators.envelope import kafka_records
+    from kafka_connect_logminer2_spark.plans.cdc import cdc_envelope, default_config
+    from kafka_connect_logminer2_spark.sources.redo import redo_inserts_from_customer
+
+    env = cdc_envelope(redo_inserts_from_customer(spark, sf_dir))
+    rec = kafka_records(env, default_config()).first()
+    key = json.loads(rec["key"])
+    assert key == {"owner": "TPCH", "table": "CUSTOMER", "row_id": key["row_id"]}
+    val = json.loads(rec["value"])
+    assert val["OPERATION"] == "INSERT"
+    assert json.loads(val["data_json"])["C_CUSTKEY"]
+    assert rec["topic"] == "ORCL.TPCH.CUSTOMER"
