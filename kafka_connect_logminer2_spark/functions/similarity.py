@@ -91,25 +91,24 @@ def lsh_bucketed_topk(
     (table, bucket)); each query probes L buckets and re-ranks only
     collisions, never scanning the corpus.
     """
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.default_rng(seed)
-    # planes[t] = num_planes × dim for table t, one flat literal array column
-    tables = []
-    for _ in range(num_tables):
-        planes = rng.standard_normal((num_planes, dim)).astype(float).tolist()
-        tables.append(F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes]))
+    # all tables' planes stacked: (num_tables*num_planes) × dim. Bucket
+    # assignment is ONE NumPy matmul per Arrow batch — L×p×dim interpreted
+    # HOF dot products per row were the measured 300× slow path (BASELINE).
+    pmat = rng.standard_normal((num_tables * num_planes, dim))
+    weights = (1 << np.arange(num_planes - 1, -1, -1)).astype(np.int64)
 
-    def bucket(planes_col: Column, vec: Column) -> Column:
-        signs = F.transform(
-            planes_col, lambda p: F.when(_dot(p, vec) >= 0, F.lit(1)).otherwise(F.lit(0))
-        )
-        return F.aggregate(
-            signs, F.lit(0).cast("long"), lambda acc, s: acc * 2 + s.cast("long")
-        )
+    @pandas_udf("array<long>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (v @ pmat.T >= 0).astype(np.int64)  # n × (L*p)
+        per_table = signs.reshape(len(v), num_tables, num_planes) @ weights
+        return pd.Series(list(per_table))
 
     def buckets(vec: Column) -> Column:
-        return F.array(*[bucket(t, vec) for t in tables])
+        return buckets_udf(vec)
 
     # corpus → (id, vec, table, bucket) postings; queries likewise (broadcast)
     corpus = embeddings.select(

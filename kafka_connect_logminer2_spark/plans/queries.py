@@ -1002,34 +1002,45 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q39_range_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Range (interval) join: events a customer produced within 7 days after
-    placing an order. The equi key (user_id = o_custkey) carries the join —
-    Catalyst hash-joins on it and applies the range as a post-join filter, so
-    no O(n*m) interval explosion; at cluster scale both sides shuffle once on
-    the same key."""
+    """Range (interval) join — the attribution-window shape: for each
+    purchase, the clicks by the same user in the preceding hour. The user_id
+    equi key carries the join (hash/sort-merge, one shuffle shared by both
+    sides); the interval is a post-join filter — never a nested-loop. At
+    cluster scale both sides bucket on user_id and the join is co-located."""
     ev = load_table(spark, sf, "events")
-    orders = load_table(spark, sf, "orders")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
     return (
-        orders.join(
-            ev,
-            (ev["user_id"] == orders["o_custkey"])
-            & (ev["ts"] >= orders["o_orderdate"])
-            & (ev["ts"] < orders["o_orderdate"] + F.expr("INTERVAL 7 DAYS")),
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
         )
-        .groupBy("o_orderkey")
+        .groupBy("purchase_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_clicks_1h"),
+            F.round(F.sum("c_value"), 2).alias("click_value_1h"),
         )
     )
 
 
 Q39_SQL = """
-SELECT o_orderkey, count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM orders JOIN events
-  ON user_id = o_custkey
- AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
-GROUP BY o_orderkey
+SELECT purchase_id, count(*) AS n_clicks_1h,
+       round(sum(c_value), 2) AS click_value_1h
+FROM (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts AS c_ts, value AS c_value
+      FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.p_user
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
+GROUP BY purchase_id
 """
 
 
@@ -1248,6 +1259,113 @@ WHERE rank <= 5
 """
 
 
+def q46_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage chunking for training data: fixed 200-char windows with 50
+    overlap (stride 150). The window expansion is JVM-side — transform over
+    a sequence, one explode — so chunking 100 TB of text never leaves
+    codegen; chunks inherit the parent's partitioning (no shuffle at all)."""
+    docs = load_table(spark, sf, "documents").filter(
+        (F.col("doc_id") < 500) & (F.length("text") > 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(floor(greatest(length(text) - 1, 0)"
+                " / 150) as int)), i -> substring(text, i * 150 + 1, 200))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length("chunk").alias("chunk_len"),
+        "chunk",
+    )
+
+
+Q46_SQL = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx,
+       CAST(length(substr(text, (i - 1) * 150 + 1, 200)) AS INTEGER) AS chunk_len,
+       substr(text, (i - 1) * 150 + 1, 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1,
+           CAST(floor(greatest(length(text) - 1, 0) / 150) AS INTEGER) + 1)) AS i
+  FROM documents WHERE doc_id < 500 AND length(text) > 0
+)
+"""
+
+
+def q47_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus cleaning/normalization: lowercase, strip URLs and emails,
+    collapse whitespace — pure JVM regexp_replace chain (codegen; both Java
+    regex and DuckDB RE2 interpret these patterns identically). md5 of the
+    cleaned text makes the oracle compare value-exact without shipping the
+    text back."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"https?://\S+", " "),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_before"),
+        F.length(cleaned).alias("n_after"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+Q47_SQL = """
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_before,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         'https?://\\S+', ' ', 'g'),
+         '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+         '\\s+', ' ', 'g'))) AS INTEGER) AS n_after,
+       md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         'https?://\\S+', ' ', 'g'),
+         '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+         '\\s+', ' ', 'g'))) AS clean_md5
+FROM documents WHERE doc_id < 500
+"""
+
+
+def q48_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: ~20% of each source via a Knuth
+    multiplicative hash on doc_id — pure bigint arithmetic, so the sample is
+    reproducible bit-for-bit on any engine (no RNG, no seed files). The
+    pattern for carving eval/train splits out of a 100 TB corpus: the hash
+    is a pushed-down scan predicate, and the split never changes when the
+    corpus is re-partitioned."""
+    docs = load_table(spark, sf, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    return (
+        docs.withColumn("_b", bucket)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_b") < 20, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(F.col("_b") < 20, F.col("n_chars"))).alias("sampled_chars"),
+        )
+    )
+
+
+Q48_SQL = """
+SELECT source, count(*) AS n_total,
+       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+                THEN n_chars END) AS BIGINT) AS sampled_chars
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1305,6 +1423,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q43_lag_gaps": (q43_lag_gaps, Q43_SQL),
     "q44_grouping_sets": (q44_grouping_sets, Q44_SQL),
     "q45_ngram_profile": (q45_ngram_profile, Q45_SQL),
+    "q46_doc_chunks": (q46_doc_chunks, Q46_SQL),
+    "q47_text_clean": (q47_text_clean, Q47_SQL),
+    "q48_stratified_sample": (q48_stratified_sample, Q48_SQL),
 }
 
 

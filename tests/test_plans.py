@@ -63,6 +63,43 @@ def test_column_pruning_documents(spark, sf_dir):
     assert "source" not in scan_line and "n_chars" not in scan_line
 
 
+def test_range_join_rides_equi_key(spark, sf_dir):
+    """q39's interval predicate must NOT degrade the join to a nested-loop /
+    cartesian product — the user_id=o_custkey equi key carries it (hash or
+    sort-merge), with the range as a post-join filter. A BNLJ here is O(n·m)
+    at scale."""
+    plan = plan_of(QUERY_REGISTRY["q39_range_join"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_correlated_subquery_decorrelated(spark, sf_dir):
+    """q40 must run as one aggregate + one equi join — no per-row subquery
+    (no nested-loop), bounded exchanges."""
+    plan = plan_of(QUERY_REGISTRY["q40_correlated_subquery"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """q44's three grouping sets must evaluate in ONE scan via an Expand
+    node (rows replicated per set), not three separate aggregations."""
+    plan = plan_of(QUERY_REGISTRY["q44_grouping_sets"][0](spark, sf_dir))
+    assert "Expand" in plan
+    assert "partial_" in plan
+
+
+def test_ngram_profile_prunes_columns(spark, sf_dir):
+    """q45 reads only lang+text; doc_id/source/n_chars must be pruned at the
+    parquet scan."""
+    plan = plan_of(QUERY_REGISTRY["q45_ngram_profile"][0](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" in scan_line and "text" in scan_line
+    assert "source" not in scan_line and "n_chars" not in scan_line
+
+
 @pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
 def test_no_row_python_udfs(spark, sf_dir, name):
     """No query may use row-at-a-time Python (BatchEvalPython); Python is
