@@ -1366,6 +1366,157 @@ FROM documents GROUP BY source
 """
 
 
+def q49_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs sharing any word 4-gram
+    with the held-out eval slice (doc_id % 97 == 0). Grams are built JVM-side
+    (transform + slice over the split words, one explode), deduped per doc
+    BEFORE the join so the shuffle carries distinct grams only, and the eval
+    side — tiny by construction — is broadcast, so a 100 TB train corpus is
+    screened in one pass with no shuffle of the corpus at all."""
+    docs = load_table(spark, sf, "documents")
+    grams = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 3),"
+                    " i -> concat_ws(' ', slice(w, i, 4)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        # eval + train both branch off grams — barrier the expansion so the
+        # diamond doesn't recompute the explode+distinct per branch
+        .localCheckpoint(eager=False)
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("gram").alias("n_grams_hit"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+Q49_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+        FROM words WHERE len(w) >= 4)
+),
+ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, count(*) AS n_hits, count(DISTINCT t.gram) AS n_grams_hit,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM train t JOIN ev e USING (gram)
+GROUP BY t.doc_id
+"""
+
+
+def q50_repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: total vs distinct word
+    trigrams, the top trigram's share, and the duplicated-trigram fraction.
+    Trigram expansion is JVM-side; the two aggregations share one shuffle key
+    (doc_id) so AQE coalesces them — per-doc stats over a 100 TB corpus cost
+    one wide exchange of (doc_id, gram) partial counts."""
+    docs = load_table(spark, sf, "documents")
+    tri = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            ).alias("g"),
+        )
+    )
+    per = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_frac"),
+    )
+
+
+Q50_SQL = """
+WITH tri AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 3
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_trigrams,
+       count(*) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_count,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac,
+       round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+FROM per GROUP BY doc_id
+"""
+
+
+def q51_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training: concatenate each source's docs in
+    doc_id order and cut 2048-token context windows — bin id is the exclusive
+    running token sum div the budget, a single window cumsum (one shuffle on
+    source, sort within partitions). Deterministic: the packing never changes
+    under re-partitioning, so shard manifests are reproducible."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048)),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+Q51_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT source, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+           AS BIGINT) AS bin
+  FROM toks
+)
+SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM b GROUP BY source, bin
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1426,6 +1577,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q46_doc_chunks": (q46_doc_chunks, Q46_SQL),
     "q47_text_clean": (q47_text_clean, Q47_SQL),
     "q48_stratified_sample": (q48_stratified_sample, Q48_SQL),
+    "q49_decontamination": (q49_decontamination, Q49_SQL),
+    "q50_repetition_quality": (q50_repetition_quality, Q50_SQL),
+    "q51_sequence_packing": (q51_sequence_packing, Q51_SQL),
 }
 
 
