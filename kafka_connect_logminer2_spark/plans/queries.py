@@ -1517,6 +1517,49 @@ FROM b GROUP BY source, bin
 """
 
 
+def q52_window_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1 h width, 30 min slide — each
+    event lands in exactly two overlapping windows. Same F.window operator a
+    readStream plan uses; the ×2 row expansion happens before the partial
+    aggregate, so the shuffle still carries only (window, type) partials."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+Q52_SQL = """
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+           AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+GROUP BY 1, 2
+"""
+
+
+def q53_skew_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase (salted) count-distinct as a query: distinct users per
+    event_type via operators/skew.py::two_phase_distinct_count. Exact — each
+    distinct value lands in one salt bucket — but the hot group's state is
+    split 32 ways, so one viral event_type can't straggler a 100 TB rollup.
+    Oracle is the plain COUNT(DISTINCT) the salted plan must equal."""
+    from kafka_connect_logminer2_spark.operators.skew import two_phase_distinct_count
+
+    events = load_table(spark, sf, "events")
+    return two_phase_distinct_count(events, ["event_type"], "user_id")
+
+
+Q53_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1580,6 +1623,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q49_decontamination": (q49_decontamination, Q49_SQL),
     "q50_repetition_quality": (q50_repetition_quality, Q50_SQL),
     "q51_sequence_packing": (q51_sequence_packing, Q51_SQL),
+    "q52_window_hopping": (q52_window_hopping, Q52_SQL),
+    "q53_skew_distinct": (q53_skew_distinct, Q53_SQL),
 }
 
 
