@@ -106,3 +106,34 @@ def test_no_row_python_udfs(spark, sf_dir, name):
     allowed only Arrow-batched (ArrowEvalPython / mapInPandas / FlatMapsInPandas)."""
     plan = plan_of(QUERY_REGISTRY[name][0](spark, sf_dir))
     assert "BatchEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """q49's eval slice is tiny by construction; the contamination join must
+    broadcast it — shuffling the train-side gram relation on gram would be
+    the 100 TB bottleneck."""
+    plan = plan_of(QUERY_REGISTRY["q49_decontamination"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_chunks_no_shuffle(spark, sf_dir):
+    """q46 chunking is a pure per-row expansion — zero exchanges; chunks
+    inherit the scan's partitioning."""
+    plan = plan_of(QUERY_REGISTRY["q46_doc_chunks"][0](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """q51 = one window cumsum on source + an aggregation that reuses the
+    same key: at most 2 exchanges (AQE may coalesce the second into the
+    window's partitioning)."""
+    plan = plan_of(QUERY_REGISTRY["q51_sequence_packing"][0](spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+
+
+def test_hopping_window_partial_aggregation(spark, sf_dir):
+    """q52's x2 window expansion must still combine map-side before the
+    (window, type) shuffle."""
+    plan = plan_of(QUERY_REGISTRY["q52_window_hopping"][0](spark, sf_dir))
+    assert "partial_" in plan
