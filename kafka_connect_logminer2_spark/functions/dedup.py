@@ -51,19 +51,22 @@ def jaccard_pairs(
     more than N docs (stop-shingle skew guard for big corpora) — here a free
     size filter on the posting list instead of a df-count semi-join.
     """
-    sh = docs.select(
+    arr = docs.select(
         F.col(id_col).alias("id"),
-        # join on the shingle's 64-bit hash, not the string: an 8-byte fixed
-        # shuffle key instead of ~25-byte varchars (collision odds at even
-        # 10^9 distinct shingles: ~3e-2 per corpus pair-count, ~1e-8 here)
-        F.explode(
-            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+        # hash each shingle to 64 bits up front: an 8-byte fixed shuffle key
+        # instead of ~25-byte varchars (collision odds at even 10^9 distinct
+        # shingles: ~3e-2 per corpus pair-count, ~1e-8 here)
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
+            "arr"
+        ),
     )
-    # barrier: sh feeds two consumers (sizes + posting lists); without it the
-    # expensive tokenize-and-shingle subtree is recomputed per consumer
-    sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # barrier: arr feeds two consumers (sizes + posting lists); without it
+    # the expensive tokenize-and-shingle subtree is recomputed per consumer
+    arr = arr.localCheckpoint(eager=False)
+    # |doc's shingle set| is just the array length — shingles() emits
+    # distinct shingles per doc, so no groupBy over the exploded relation
+    sizes = arr.select("id", F.size("arr").cast("long").alias("sz"))
+    sh = arr.select("id", F.explode("arr").alias("shingle"))
 
     postings = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_shingle_freq is not None:
