@@ -90,14 +90,47 @@ def quality_score(text: Column) -> Column:
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (token n-grams) of lowercased text.
     Docs shorter than k tokens yield an empty array (note: Spark's
-    sequence(1, 0) counts *down*, so the short case needs an explicit guard)."""
+    sequence(1, 0) counts *down*, so the short case needs an explicit guard).
+
+    Built by zip_with-ing k shifted slices of the token array rather than
+    element_at(split(...), i+j) inside a transform lambda: HOF lambdas are
+    interpreted, so an outer expression referenced in the lambda body is
+    re-evaluated PER ELEMENT — the split() was being recomputed k times per
+    gram, O(tokens^2) per doc (measured 7.1s -> 0.62s for 5k docs at sf0.1).
+    zip_with pads the shorter side with null (concat_ws drops it), producing
+    short grams at the tail — the final slice to n-k+1 elements removes them.
+    """
     toks = F.split(F.lower(text), " ")
     n = F.size(toks)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    g = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda x, y: F.concat_ws(" ", x, y))
     return F.when(
         n >= k,
-        F.array_distinct(F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)),
+        F.array_distinct(F.slice(g, 1, n - (k - 1))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """All character n-grams of lowercased text, in positional order (NOT
+    deduped — profile queries want occurrence counts).
+
+    Same construction as ``shingles``: zip_with over n shifted slices of the
+    char array, because ``substring(lower(text), i, n)`` inside a transform
+    lambda re-evaluates ``lower(text)`` per element (interpreted HOFs),
+    turning the expansion O(len^2) per document. Texts shorter than n chars
+    yield an empty array.
+    """
+    cs = F.split(F.lower(text), "")
+    sz = F.size(cs)
+    g = cs
+    for j in range(1, n):
+        shifted = F.slice(cs, j + 1, F.greatest(sz - j, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda x, y: F.concat(x, y))
+    return F.when(sz >= n, F.slice(g, 1, sz - (n - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -1224,19 +1224,14 @@ def q45_ngram_profile(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     grams = docs.select(
         "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(lower(text)) - 2, 0)),"
-                " i -> substring(lower(text), i, 3))"
-            )
-        ).alias("ngram"),
+        F.explode(T.char_ngrams(F.col("text"), 3)).alias("ngram"),
     )
     counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("lang", "ngram", "n", "rank")
+        .select("lang", "ngram", "n", F.col("rank").cast("long").alias("rank"))
     )
 
 
