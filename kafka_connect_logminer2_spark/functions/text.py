@@ -87,29 +87,34 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + alpha_ratio + word_ok) / F.lit(3.0), 6)
 
 
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, positional order, NOT
+    deduped (occurrence-counting ops — PMI, repetition stats — need counts).
+
+    Built by zip_with-ing n shifted slices of the token array rather than
+    element_at(tokens, i+j) inside a transform lambda: HOF lambdas are
+    interpreted, so an outer expression referenced in the lambda body is
+    re-evaluated PER ELEMENT — with tokens = split(text) that recomputed the
+    split k times per gram, O(tokens^2) per doc (measured 7.1s -> 0.62s for
+    5k docs at sf0.1). zip_with pads the shorter side with null (concat_ws
+    drops it), producing short grams at the tail — the final slice to
+    len-n+1 elements removes them. Arrays shorter than n yield empty
+    (note: Spark's sequence(1, 0) counts *down*, hence the explicit guard).
+    """
+    sz = F.size(tokens)
+    g = tokens
+    for j in range(1, n):
+        shifted = F.slice(tokens, j + 1, F.greatest(sz - j, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(sz >= n, F.slice(g, 1, sz - (n - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (token n-grams) of lowercased text.
-    Docs shorter than k tokens yield an empty array (note: Spark's
-    sequence(1, 0) counts *down*, so the short case needs an explicit guard).
-
-    Built by zip_with-ing k shifted slices of the token array rather than
-    element_at(split(...), i+j) inside a transform lambda: HOF lambdas are
-    interpreted, so an outer expression referenced in the lambda body is
-    re-evaluated PER ELEMENT — the split() was being recomputed k times per
-    gram, O(tokens^2) per doc (measured 7.1s -> 0.62s for 5k docs at sf0.1).
-    zip_with pads the shorter side with null (concat_ws drops it), producing
-    short grams at the tail — the final slice to n-k+1 elements removes them.
-    """
-    toks = F.split(F.lower(text), " ")
-    n = F.size(toks)
-    g = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
-        g = F.zip_with(g, shifted, lambda x, y: F.concat_ws(" ", x, y))
-    return F.when(
-        n >= k,
-        F.array_distinct(F.slice(g, 1, n - (k - 1))),
-    ).otherwise(F.array().cast("array<string>"))
+    Docs shorter than k tokens yield an empty array."""
+    return F.array_distinct(word_ngrams(F.split(F.lower(text), " "), k))
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

@@ -1555,6 +1555,255 @@ FROM events GROUP BY event_type
 """
 
 
+def q54_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill: dense hourly grid per event_type
+    (sequence + explode, JVM-side) left-joined with the hourly rollup;
+    missing hours get n=0 and the last observed hourly average carried
+    forward (F.last ignorenulls window). The grid is tiny (hours x types) so
+    the join broadcasts; the only shuffle of the big side is the rollup's
+    partial-aggregated exchange — gap-filling 100 TB of events costs one
+    pass over the data plus a broadcast of the calendar."""
+    events = load_table(spark, sf, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("av"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("is_gap", (F.col("n") == 0).cast("int"))
+        .withColumn(
+            "avg_value_ffill",
+            F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)),
+        )
+        .select("hour", "event_type", "n", "avg_value_ffill", "is_gap")
+    )
+
+
+Q54_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 hour)) AS hour FROM b
+),
+g AS (SELECT hour, event_type FROM grid, (SELECT DISTINCT event_type FROM events)),
+h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, round(avg(value), 6) AS av
+  FROM events GROUP BY 1, 2
+)
+SELECT g.hour, g.event_type, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+       coalesce(last_value(h.av IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS avg_value_ffill,
+       CAST(h.n IS NULL AS INT) AS is_gap
+FROM g LEFT JOIN h ON g.hour = h.hour AND g.event_type = h.event_type
+"""
+
+
+def q55_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (doc_id < 300), document frequency
+    over the FULL corpus. tf and df are one explode + two hash aggregates
+    (both partial-aggregated); N rides along as a broadcast scalar. Rank
+    ties break on the term string so the top-3 is deterministic across
+    engines and partitionings."""
+    docs = load_table(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.filter(F.col("doc_id") < 300)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+Q55_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, rn FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC,
+                                          tf.term ASC) AS BIGINT) AS rn
+  FROM tf JOIN dfreq USING (term), n
+  WHERE tf.doc_id < 300
+)
+WHERE rn <= 3
+"""
+
+
+def q56_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-funnel analysis over the event stream: per user, the
+    furthest stage reached in strict timestamp order (view -> click ->
+    purchase), then users per stage. One shuffle on user_id with the three
+    min-timestamps computed as conditional partial aggregates — the
+    classic 'funnel without self-joins' formulation (a 3-way stream
+    self-join would shuffle the table three times)."""
+    events = load_table(spark, sf, "events")
+    mins = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            3,
+        )
+        .when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        mins.withColumn("funnel_stage", stage)
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+Q56_SQL = """
+WITH mins AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT funnel_stage, count(*) AS n_users FROM (
+  SELECT CASE
+    WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 3
+    WHEN t_view IS NOT NULL AND t_click > t_view THEN 2
+    WHEN t_view IS NOT NULL THEN 1
+    ELSE 0 END AS funnel_stage
+  FROM mins
+)
+GROUP BY funnel_stage
+"""
+
+
+def q57_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    pmi(x,y) = ln( p(xy) / (p(x)p(y)) ) over word bigrams, keeping pairs
+    seen >= 5 times. Bigrams come from the zip_with shifted-slice expansion
+    (word_ngrams) — no per-element recompute — and both totals ride along
+    as broadcast scalars; two hash aggregates + one join on the unigram
+    key, all partial-aggregated."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("x"))
+        .filter(F.col("x") != "")
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    bi = (
+        toks.select(F.explode(T.word_ngrams(F.col("w"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    n_uni = uni.agg(F.sum("cx").alias("n_uni"))
+    n_bi = bi.agg(F.sum("cxy").alias("n_bi"))
+    ux = uni.select(F.col("x"), F.col("cx"))
+    uy = uni.select(F.col("x").alias("y"), F.col("cx").alias("cy"))
+    return (
+        bi.filter(F.col("cxy") >= 5)
+        .withColumn("x", F.split_part("bigram", F.lit(" "), F.lit(1)))
+        .withColumn("y", F.split_part("bigram", F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("cxy") * 1.0 / F.col("n_bi"))
+                    / (
+                        (F.col("cx") * 1.0 / F.col("n_uni"))
+                        * (F.col("cy") * 1.0 / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ),
+        )
+        .select("x", "y", "cxy", "pmi")
+    )
+
+
+Q57_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+uni AS (
+  SELECT x, count(*) AS cx FROM (SELECT unnest(w) AS x FROM toks)
+  WHERE x <> '' GROUP BY x
+),
+bi AS (
+  SELECT bigram, count(*) AS cxy FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                  i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM toks
+  ) GROUP BY bigram
+),
+nu AS (SELECT sum(cx) AS n_uni FROM uni),
+nb AS (SELECT sum(cxy) AS n_bi FROM bi)
+SELECT ux.x, uy.x AS y, bi.cxy,
+       round(ln((bi.cxy * 1.0 / nb.n_bi) /
+                ((ux.cx * 1.0 / nu.n_uni) * (uy.cx * 1.0 / nu.n_uni))), 6) AS pmi
+FROM bi
+JOIN uni ux ON ux.x = string_split(bi.bigram, ' ')[1]
+JOIN uni uy ON uy.x = string_split(bi.bigram, ' ')[2]
+CROSS JOIN nu CROSS JOIN nb
+WHERE bi.cxy >= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1620,6 +1869,10 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q51_sequence_packing": (q51_sequence_packing, Q51_SQL),
     "q52_window_hopping": (q52_window_hopping, Q52_SQL),
     "q53_skew_distinct": (q53_skew_distinct, Q53_SQL),
+    "q54_gapfill": (q54_gapfill, Q54_SQL),
+    "q55_tfidf": (q55_tfidf, Q55_SQL),
+    "q56_funnel": (q56_funnel, Q56_SQL),
+    "q57_pmi_collocations": (q57_pmi_collocations, Q57_SQL),
 }
 
 
