@@ -137,3 +137,36 @@ def test_hopping_window_partial_aggregation(spark, sf_dir):
     (window, type) shuffle."""
     plan = plan_of(QUERY_REGISTRY["q52_window_hopping"][0](spark, sf_dir))
     assert "partial_" in plan
+
+
+def test_gapfill_grid_broadcasts(spark, sf_dir):
+    """q54's dense calendar grid is tiny (hours x types); the gap-fill join
+    must broadcast it against the rolled-up fact side — a sort-merge join
+    here shuffles the rollup a second time for no reason."""
+    plan = plan_of(QUERY_REGISTRY["q54_gapfill"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_joins_broadcast(spark, sf_dir):
+    """q55 joins per-doc tf with the df vocabulary and the scalar N — both
+    small relative to the exploded term relation; neither may sort-merge."""
+    plan = plan_of(QUERY_REGISTRY["q55_tfidf"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_funnel_two_exchanges(spark, sf_dir):
+    """q56 is the no-self-join funnel: exactly one shuffle on user_id plus
+    the final stage rollup — a third exchange means a join crept in."""
+    plan = plan_of(QUERY_REGISTRY["q56_funnel"][0](spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_pmi_broadcasts_unigram_sides(spark, sf_dir):
+    """q57's unigram/total sides are vocabulary-sized, tiny next to the
+    bigram relation — every join must broadcast."""
+    plan = plan_of(QUERY_REGISTRY["q57_pmi_collocations"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
