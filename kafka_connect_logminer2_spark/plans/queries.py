@@ -1804,6 +1804,86 @@ WHERE bi.cxy >= 5
 """
 
 
+def q58_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding outlier detection: per-label centroid (posexplode + one
+    (label, dim) partial-aggregated shuffle — the reduce is O(labels x dim),
+    independent of corpus size), then each vector's cosine to its own
+    centroid, keeping the 3 least-central vectors per label — the
+    mislabeled-data screen of a training pipeline. Centroid components are
+    rounded before the cosine so both engines rank identical doubles."""
+    emb = load_table(spark, sf, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = dims.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return (
+        emb.join(F.broadcast(cent_arr), "label")
+        .withColumn(
+            "cos_centroid", F.round(S.cosine(F.col("embedding"), F.col("centroid")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "cos_centroid", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+Q58_SQL = """
+WITH dims AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS c
+  FROM dims GROUP BY label, pos
+),
+carr AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+cos AS (
+  SELECT e.label, e.vec_id,
+         round(
+           list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * centroid[i]), 'sum') /
+           (sqrt(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')) *
+            sqrt(list_aggregate(list_transform(generate_series(1, len(centroid)),
+              i -> centroid[i] * centroid[i]), 'sum'))), 6) AS cos_centroid
+  FROM embeddings e JOIN carr USING (label)
+)
+SELECT label, vec_id, cos_centroid,
+       CAST(row_number() OVER (PARTITION BY label
+                               ORDER BY cos_centroid ASC, vec_id ASC) AS BIGINT) AS rn
+FROM cos QUALIFY rn <= 3
+"""
+
+
+def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (8 clusters,
+    deterministic lowest-id init): cluster sizes + mean distance to center.
+    Iterative driver-resident-model pattern (functions/clustering.py) — the
+    per-iteration shuffle is O(k x dim x partitions) partial sums, never the
+    vectors. Non-SQL-expressible (iterative fixpoint): rows-only check here;
+    tests/test_clustering.py verifies against a NumPy reference run."""
+    from kafka_connect_logminer2_spark.functions.clustering import kmeans
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned, _, _ = kmeans(emb, k=8, max_iter=10)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 6).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1873,6 +1953,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q55_tfidf": (q55_tfidf, Q55_SQL),
     "q56_funnel": (q56_funnel, Q56_SQL),
     "q57_pmi_collocations": (q57_pmi_collocations, Q57_SQL),
+    "q58_centroid_outliers": (q58_centroid_outliers, Q58_SQL),
+    "q59_kmeans": (q59_kmeans, None),
 }
 
 
