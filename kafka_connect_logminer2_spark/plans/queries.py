@@ -1863,6 +1863,54 @@ FROM cos QUALIFY rn <= 3
 """
 
 
+def q60_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Click→purchase attribution: each purchase joined to the same user's
+    clicks within the preceding hour. Batch twin of the watermarked
+    stream-stream join (streaming/analytics.py::stream_stream_attribution —
+    identical condition, so this oracle validates the streaming logic too).
+    A self-join on the SAME equi key (user_id): both sides hash-partition
+    identically, so no extra exchange beyond the two side shuffles."""
+    events = load_table(spark, sf, "events")
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_timestamp(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("click_ts").cast("timestamp"))
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+Q60_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 hour
+"""
+
+
 def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (8 clusters,
     deterministic lowest-id init): cluster sizes + mean distance to center.
@@ -1955,6 +2003,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q57_pmi_collocations": (q57_pmi_collocations, Q57_SQL),
     "q58_centroid_outliers": (q58_centroid_outliers, Q58_SQL),
     "q59_kmeans": (q59_kmeans, None),
+    "q60_attribution": (q60_attribution, Q60_SQL),
 }
 
 

@@ -63,6 +63,58 @@ def stream_dedup(
     return deduped.dropDuplicates(keys)
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to the
+    same user's clicks in the preceding ``attribution_window``.
+
+    Both sides carry a watermark and the join condition bounds purchase time
+    to (click_ts, click_ts + window], so Spark can derive state-cleanup
+    thresholds for BOTH sides — without the time bound the join state grows
+    forever. This is the canonical funnel-attribution join; batch twin with
+    a DuckDB oracle: q60_attribution."""
+    c = (
+        clicks.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts > click_ts "
+            f"AND purchase_ts <= click_ts + interval {attribution_window}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_seconds"),
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -83,3 +83,44 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(300)
     got = spark.sql("select event_id from dedup_out").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream join must emit exactly the rows the
+    batch formulation (q60's oracle-checked condition) produces on the same
+    events — late-data bounds only evict state, never change the join."""
+    from kafka_connect_logminer2_spark.streaming.analytics import (
+        stream_stream_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    expected = _sorted_rows(
+        stream_stream_attribution(
+            batch.filter(F.col("event_type") == "click"),
+            batch.filter(F.col("event_type") == "purchase"),
+        ).select("user_id", "click_id", "purchase_id", "lag_seconds")
+    )
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = _sorted_rows(
+        spark.sql("select user_id, click_id, purchase_id, lag_seconds from attr_out")
+    )
+    assert len(expected) > 0
+    assert got == expected
