@@ -1911,6 +1911,38 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q61_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: pull the numeric field out of the JSON
+    ``props`` column (the same from_json/get_json_object machinery the CDC
+    core uses for data/before images), bucket it, and aggregate. JSON path
+    evaluation runs JVM-side in codegen — no Python touches the 100 TB
+    column."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+Q61_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 6) AS sum_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (8 clusters,
     deterministic lowest-id init): cluster sizes + mean distance to center.
@@ -2004,6 +2036,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q58_centroid_outliers": (q58_centroid_outliers, Q58_SQL),
     "q59_kmeans": (q59_kmeans, None),
     "q60_attribution": (q60_attribution, Q60_SQL),
+    "q61_json_extract": (q61_json_extract, Q61_SQL),
 }
 
 
