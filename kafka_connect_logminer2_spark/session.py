@@ -34,6 +34,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # local[N] runs driver==executor in ONE JVM whose default heap is 1 GiB —
+    # 32 concurrent tasks sharing that starves shuffles and pins localCheckpoint
+    # blocks into eviction storms (the 10x scale probe OOMed). On a real
+    # cluster spark-submit's --driver-memory/--executor-memory override this;
+    # setting it here only takes effect at JVM launch (getOrCreate of an
+    # existing session ignores it, like any spark.driver.* key).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

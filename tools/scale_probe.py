@@ -100,12 +100,39 @@ def main() -> None:
             .filter(F.col("event_type") == "purchase")
         )
 
+    def jaccard_op(m):
+        # plain key-offset replication keeps the TEXT identical, making every
+        # copy a true near-dup of every other — O(m^2) real pairs, which OOMs
+        # at 10x and is the operator working as designed, not a scaling flaw.
+        # Rotate the frequent-letter alphabet per copy so copies are textually
+        # disjoint and the probe measures linear-work growth instead.
+        alpha = "etaoinshr"
+        out = docs
+        for i in range(1, m):
+            rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+            out = out.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + i * span).withColumn(
+                    "text", F.translate("text", alpha, rot)
+                )
+            )
+        return D.jaccard_pairs(out, k=3, threshold=0.3)
+
+    def kmeans_assign_op(m):
+        # one Lloyd's assignment pass (the per-iteration heavy step)
+        from kafka_connect_logminer2_spark.functions.clustering import kmeans
+
+        corpus = replicate(emb, m, ["vec_id"], span)
+        out, _, _ = kmeans(corpus, k=8, max_iter=1)
+        return out
+
     ops = {
         "hash_agg": agg_op,
         "exact_dedup": dedup_op,
         "topk_window": window_op,
         "cosine_topk": topk_op,
         "asof_join": asof_op,
+        "jaccard_pairs": jaccard_op,
+        "kmeans_assign": kmeans_assign_op,
     }
 
     for name, op in ops.items():
