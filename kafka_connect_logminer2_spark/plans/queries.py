@@ -1050,27 +1050,37 @@ def q40_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
     correlation key + an equi join (single shuffle on o_custkey, reused by
     both sides under AQE)."""
     orders = load_table(spark, sf, "orders")
+    # canonical average: round(sum, 2) recovers the exact 2-decimal total
+    # (fp error << .005), so BOTH engines divide identical doubles by the
+    # same count — a plain avg() lands exactly on .005 rounding boundaries
+    # (mean of 2-decimal money) and summation order flips round(.,2) across
+    # engines (measured: 55/7540 rows off by .01 at sf0.01)
     cust_avg = orders.groupBy("o_custkey").agg(
-        F.avg("o_totalprice").alias("cust_avg")
+        (F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1))).alias("cust_avg_raw")
     ).withColumnRenamed("o_custkey", "ca_custkey")
     return (
         orders.join(cust_avg, orders["o_custkey"] == cust_avg["ca_custkey"])
-        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .filter(F.col("o_totalprice") > F.col("cust_avg_raw"))
         .select(
             "o_orderkey",
             "o_custkey",
             F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("cust_avg", 2).alias("cust_avg"),
+            # round via an explicit x*100 so both engines round the SAME
+            # double: duckdb's round(x, 2) multiplies internally and the
+            # product can land exactly on .5 while the unscaled value sits
+            # below the boundary — round(x*100)/100 makes the path identical
+            (F.round(F.col("cust_avg_raw") * 100, 0) / 100).alias("cust_avg"),
         )
     )
 
 
 Q40_SQL = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
-       round(avg_price, 2) AS cust_avg
+       round(avg_price * 100) / 100 AS cust_avg
 FROM (
   SELECT o_orderkey, o_custkey, o_totalprice,
-         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS avg_price
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+           / count(*) OVER (PARTITION BY o_custkey) AS avg_price
   FROM orders
 )
 WHERE o_totalprice > avg_price
@@ -1180,7 +1190,7 @@ def q43_lag_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 Q43_SQL = """
 SELECT user_id, count(*) AS n_events, count(prev_ts) AS n_gaps,
-       sum(gap_s) AS sum_gap_s, max(gap_s) AS max_gap_s
+       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s, max(gap_s) AS max_gap_s
 FROM (
   SELECT user_id,
          lag(ts) OVER w AS prev_ts,
