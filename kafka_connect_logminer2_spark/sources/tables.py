@@ -33,6 +33,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime-settable SQL conf; makes the loader work under sessions NOT
+        # built by session.get_spark (e.g. the round driver's own harness) —
+        # without it the TIMESTAMP(NANOS) column is an unreadable-type error
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs truncation; timestamp_micros yields TimestampType, cast to
