@@ -31,6 +31,10 @@ HEADLINE = [
     "q33_bpe_tokens",
     "q35_ann_ivf",
     "q37_asof_join",
+    "q54_gapfill",
+    "q57_pmi_collocations",
+    "q58_centroid_outliers",
+    "q60_attribution",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
 ]
