@@ -133,7 +133,9 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     for j in range(1, n):
         shifted = F.slice(cs, j + 1, F.greatest(sz - j, F.lit(0)))
         g = F.zip_with(g, shifted, lambda x, y: F.concat(x, y))
-    return F.when(sz >= n, F.slice(g, 1, sz - (n - 1))).otherwise(
+    # split('', '') is [''] (size 1!), so the sz guard alone lets an empty
+    # text through at n=1 — hence the explicit length gate
+    return F.when((F.length(text) > 0) & (sz >= n), F.slice(g, 1, sz - (n - 1))).otherwise(
         F.array().cast("array<string>")
     )
 
