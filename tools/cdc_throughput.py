@@ -1,0 +1,96 @@
+"""CDC throughput measurement: batch and streaming paths over the synthetic
+redo stream at a given SF. Prints one JSON line per path —
+
+    {"path": "batch",  "events": N, "out_rows": M, "sec": s, "events_per_s": r}
+    {"path": "stream", ...}
+
+Batch = run_cdc_batch (single-pass window assembly + Arrow parse).
+Stream = read_redo_stream_files → applyInPandasWithState assembler →
+foreachBatch per-table typed sink, availableNow over 8 files — the full
+production plan including stream startup and sink writes.
+
+Usage: python tools/cdc_throughput.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from kafka_connect_logminer2_spark.plans.cdc import (  # noqa: E402
+    customer_registry,
+    default_config,
+    run_cdc_batch,
+)
+from kafka_connect_logminer2_spark.session import get_spark  # noqa: E402
+from kafka_connect_logminer2_spark.sources.redo import (  # noqa: E402
+    redo_inserts_from_customer,
+)
+from kafka_connect_logminer2_spark.streaming.pipeline import (  # noqa: E402
+    cdc_stream,
+    read_redo_stream_files,
+    write_per_table,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(
+        app_name="cdc_throughput",
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    redo = redo_inserts_from_customer(spark, sf_dir).localCheckpoint()
+    n_events = redo.count()
+
+    # batch: warm once, then best-of-2
+    run_cdc_batch(redo).count()
+    best, out_rows = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        out_rows = run_cdc_batch(redo).count()
+        best = min(best, time.time() - t0)
+    print(json.dumps({
+        "path": "batch", "events": n_events, "out_rows": out_rows,
+        "sec": round(best, 2), "events_per_s": int(n_events / best),
+    }))
+
+    # streaming: 8 files, availableNow, per-table typed parquet sink
+    tmp = tempfile.mkdtemp(prefix="cdc_tp_")
+    try:
+        redo.orderBy("scn").repartitionByRange(8, "scn").write.parquet(f"{tmp}/stage")
+        os.makedirs(f"{tmp}/redo")
+        now = time.time()
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+            dst = f"{tmp}/redo/f{i}.parquet"
+            shutil.copy(p, dst)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        t0 = time.time()
+        q = write_per_table(
+            cdc_stream(read_redo_stream_files(spark, f"{tmp}/redo"), default_config()),
+            customer_registry(),
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+        )
+        q.awaitTermination(600)
+        sec = time.time() - t0
+        got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER").count()
+        print(json.dumps({
+            "path": "stream", "events": n_events, "out_rows": got,
+            "sec": round(sec, 2), "events_per_s": int(n_events / sec),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
