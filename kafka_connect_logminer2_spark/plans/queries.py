@@ -1966,6 +1966,40 @@ GROUP BY 1
 """
 
 
+def q62_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-frame variants the rest of the suite doesn't touch: a bounded
+    moving average (ROWS 6 PRECEDING), ntile quartiles, and first_value per
+    user ordered by event time. One shuffle on user_id feeds all three
+    functions (same window spec partitioning), staying inside a single
+    Window physical operator."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-6, 0)
+    return (
+        events.filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(wf), 6).alias("moving_avg7"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.first("event_type").over(w).alias("first_type"),
+        )
+    )
+
+
+Q62_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg7,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS quartile,
+       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS first_type
+FROM events WHERE user_id < 50
+"""
+
+
 def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (8 clusters,
     deterministic lowest-id init): cluster sizes + mean distance to center.
@@ -2060,6 +2094,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q59_kmeans": (q59_kmeans, None),
     "q60_attribution": (q60_attribution, Q60_SQL),
     "q61_json_extract": (q61_json_extract, Q61_SQL),
+    "q62_window_frames": (q62_window_frames, Q62_SQL),
 }
 
 
