@@ -2021,6 +2021,111 @@ def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q63_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct) — the set-op family member q09/q10/q11 don't
+    cover: customers who placed orders in BOTH 1994 and 1995. Spark plans
+    this as a left-semi join over pre-aggregated (distinct) sides; both
+    branches scan the same orders file with the year predicate pushed to
+    the parquet reader."""
+    o = load_table(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    a = o.filter(yr == 1994).select("o_custkey")
+    b = o.filter(yr == 1995).select("o_custkey")
+    return a.intersect(b)
+
+
+Q63_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+"""
+
+
+def q64_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket semantics) over order totals:
+    20 buckets on [0, 500000), overflow clamped to bucket 21. Pure
+    arithmetic + one hash agg — stays entirely inside whole-stage codegen;
+    the bucket expression is identical floor() math on both engines so the
+    compare is exact."""
+    o = load_table(spark, sf, "orders")
+    bucket = F.when(F.col("o_totalprice") >= 500000, F.lit(21)).otherwise(
+        (F.floor(F.col("o_totalprice") / 25000) + 1).cast("int")
+    )
+    return (
+        o.select(bucket.cast("long").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+Q64_SQL = """
+SELECT CAST(CASE WHEN o_totalprice >= 500000 THEN 21
+            ELSE floor(o_totalprice / 25000) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+def q65_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group anomaly screen: events whose value is >2 sample standard
+    deviations from their event_type mean. The per-type stats are a tiny
+    aggregate (|event_type| rows) broadcast back onto the fact — at 100 TB
+    this is one map-side hash join, not a window sort over every row."""
+    ev = load_table(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").filter(
+        F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("value") - F.col("mu")) / F.col("sigma")), 6).alias(
+            "max_z"
+        ),
+    )
+
+
+Q65_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_outliers,
+       round(max(abs(e.value - s.mu) / s.sigma), 6) AS max_z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(e.value - s.mu) > 2 * s.sigma
+GROUP BY e.event_type
+"""
+
+
+def q66_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Argmax without a window sort: max_by picks each customer's priciest
+    order in the same hash aggregate that computes the max — one shuffle on
+    o_custkey, no per-partition ordering. (o_totalprice is duplicate-free
+    per customer in this corpus, so max_by is deterministic; a tie-sensitive
+    deployment would key it by struct(price, orderkey).)"""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q66_SQL = """
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+       max(o_totalprice) AS top_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2095,6 +2200,10 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q60_attribution": (q60_attribution, Q60_SQL),
     "q61_json_extract": (q61_json_extract, Q61_SQL),
     "q62_window_frames": (q62_window_frames, Q62_SQL),
+    "q63_intersect": (q63_intersect, Q63_SQL),
+    "q64_histogram": (q64_histogram, Q64_SQL),
+    "q65_zscore_outliers": (q65_zscore_outliers, Q65_SQL),
+    "q66_argmax": (q66_argmax, Q66_SQL),
 }
 
 
