@@ -227,14 +227,71 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (exact; the LSH variant above is the
-    scale path). Self-join keeps the upper triangle only."""
-    a = embeddings.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = embeddings.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    sublinear scale path). Blocked matmul formulation: each vector is hashed
+    into one of ``n_blocks`` blocks, every (bi <= bj) block pair becomes one
+    ``applyInPandas`` group, and the group computes its similarity tile as a
+    single float64 NumPy matmul. Replaces the row-at-a-time self-join — an
+    interpreted 64-element fold per PAIR (and it re-derived both norms per
+    pair: 2000 vecs = 6M folds, 78 s at sf0.1; the tile version is <1 s).
+    Work is inherently O(n²·d) but every flop is BLAS and each vector is
+    shipped only ``n_blocks`` times; raising n_blocks bounds tile memory on
+    a big cluster (tile = (n/B)² doubles)."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = e.join(F.broadcast(block_pairs), e.blk == F.col("bi")).select(
+        "bi", "bj", F.lit("L").alias("side"), "id", "v"
+    )
+    right = e.join(F.broadcast(block_pairs), e.blk == F.col("bj")).select(
+        "bi", "bj", F.lit("R").alias("side"), "id", "v"
+    )
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ls = pdf[pdf["side"] == "L"]
+        rs = pdf[pdf["side"] == "R"]
+        if ls.empty or rs.empty:
+            return pd.DataFrame({"vec_id1": [], "vec_id2": [], "cos_sim": []}).astype(
+                {"vec_id1": "int64", "vec_id2": "int64", "cos_sim": "float64"}
+            )
+        li = ls["id"].to_numpy()
+        ri = rs["id"].to_numpy()
+        lm = np.stack(ls["v"].to_numpy()).astype(np.float64)
+        rm = np.stack(rs["v"].to_numpy()).astype(np.float64)
+        sims = lm @ rm.T
+        # single divide by the norm product — same fp operation order as the
+        # oracle's dot / (norm_a * norm_b)
+        sims /= np.linalg.norm(lm, axis=1)[:, None] * np.linalg.norm(rm, axis=1)[None, :]
+        np.round(sims, 6, out=sims)
+        # diagonal tile holds the same block on both sides: keep the upper
+        # triangle. Off-diagonal tiles see each unordered cross-block pair
+        # exactly once, but hash order != id order — orient ids afterwards.
+        if key[0] == key[1]:
+            pair_mask = li[:, None] < ri[None, :]
+        else:
+            pair_mask = True
+        ii, jj = np.nonzero((sims >= threshold) & pair_mask)
+        a, b = li[ii], ri[jj]
+        return pd.DataFrame(
+            {
+                "vec_id1": np.minimum(a, b),
+                "vec_id2": np.maximum(a, b),
+                "cos_sim": sims[ii, jj],
+            }
+        )
+
+    out_schema = "vec_id1 long, vec_id2 long, cos_sim double"
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
-        .filter(F.col("cos_sim") >= threshold)
-        .select(F.col("id1").alias("vec_id1"), F.col("id2").alias("vec_id2"), "cos_sim")
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(tile, out_schema)
     )

@@ -2126,6 +2126,74 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q67_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    """Datetime-function battery the rest of the suite doesn't isolate:
+    date_trunc, ISO day-of-week, hour extraction, last_day, datediff vs an
+    epoch anchor — all codegen'd scalar expressions feeding one hash agg.
+    Cross-engine notes: Spark weekday() is Monday=0 (so +1 == DuckDB
+    isodow); date-valued results are cast to timestamp on both sides so the
+    compare sees one dtype."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select(
+            F.date_trunc("month", "ts").alias("month"),
+            (F.weekday("ts") + 1).cast("long").alias("isodow"),
+            F.hour("ts").cast("long").alias("hr"),
+            F.last_day(F.col("ts").cast("date")).cast("timestamp").alias("month_end"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .groupBy("month", "isodow", "hr", "month_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("day_idx").alias("sum_day_idx"),
+        )
+    )
+
+
+Q67_SQL = """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+       CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end,
+       count(*) AS n_events,
+       CAST(sum(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT)
+         AS sum_day_idx
+FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+def q68_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution shape: distinct names → blocking key (last word) →
+    within-block pair join → Levenshtein <= 2 filter. The blocking join is
+    the whole point at scale — it turns an O(n^2) cross product into
+    per-block products, and the distinct-projection first means the join
+    runs on unique entities, not raw rows."""
+    p = load_table(spark, sf, "part")
+    names = p.select(
+        "p_name", F.substring_index("p_name", " ", -1).alias("blk")
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .withColumn("lev", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("long"))
+        .filter(F.col("lev") <= 2)
+        .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"), "lev")
+    )
+
+
+Q68_SQL = """
+WITH names AS (
+  SELECT DISTINCT p_name, (string_split(p_name, ' '))[-1] AS blk FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2204,6 +2272,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q64_histogram": (q64_histogram, Q64_SQL),
     "q65_zscore_outliers": (q65_zscore_outliers, Q65_SQL),
     "q66_argmax": (q66_argmax, Q66_SQL),
+    "q67_datetime": (q67_datetime, Q67_SQL),
+    "q68_fuzzy_match": (q68_fuzzy_match, Q68_SQL),
 }
 
 
