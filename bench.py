@@ -37,6 +37,7 @@ HEADLINE = [
     "q60_attribution",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
+    "cdc06_apply_changes",
 ]
 
 

@@ -1,0 +1,90 @@
+"""CDC snapshot materialization (apply-changes / SCD-1 MERGE).
+
+The reference emits a typed change stream and leaves materialization to
+downstream Kafka consumers; a user of the engine ultimately wants the
+*table state* those changes imply. ``apply_changes`` folds a table's
+committed change rows (the typed envelope produced by
+``apply_table_schema``) into the final row per primary key:
+
+- events are applied per key in ``(COMMIT_SCN, SCN)`` order — the exact
+  emission order the reference guarantees at commit time
+  (LogMinerThread2.java:186-222 stamps commit metadata then emits rows
+  in buffered order);
+- an UPDATE patches only the columns its after-image carries (the
+  reference's after-image holds SET columns plus WHERE-carried values,
+  OracleSourceConnectorUtils2.java:386-407) — untouched columns survive
+  from the preceding version via ``last(..., ignorenulls=True)``;
+- a key whose latest event is a DELETE leaves the snapshot.
+
+Scale: one hash exchange on the key columns; the cumulative merge window
+and the latest-row ranking share that partitioning, so Catalyst plans a
+single Exchange with two in-partition sorts — no second shuffle. At
+100 TB this is the minimal cost of any per-key fold, and it streams
+per-partition (no driver-side state). For incremental use, run it inside
+``foreachBatch`` against the sink table (union snapshot + new changes,
+re-fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def apply_changes(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Fold a typed change stream for ONE table into its final snapshot.
+
+    ``typed``: output of ``apply_table_schema`` — envelope columns plus
+    typed ``data``/``before`` structs. Returns one row per surviving key
+    with the merged value columns (names as in the table schema).
+    """
+    value_cols = [f.name for f in typed.schema["data"].dataType.fields]
+    non_pk = [c for c in value_cols if c not in pk_cols]
+
+    # Key extraction: DELETE rows carry the key only in the before-image
+    # (data is null, OracleSourceConnectorUtils2.java:413-415).
+    key_exprs = [
+        F.coalesce(F.col(f"data.{c}"), F.col(f"before.{c}")).alias(c) for c in pk_cols
+    ]
+    ev = typed.select(
+        *key_exprs,
+        F.col("OPERATION").alias("_op"),
+        F.col("COMMIT_SCN").alias("_cscn"),
+        F.col("SCN").alias("_scn"),
+        *[F.col(f"data.{c}").alias(c) for c in non_pk],
+    )
+
+    # A DELETE is a tombstone: values must NOT carry across it into a later
+    # re-INSERT of the same key (a re-inserted row with an explicit NULL
+    # column would otherwise resurrect the pre-delete value). Generation =
+    # number of DELETEs seen so far; the merge window is scoped to the
+    # current generation. Partitioning by (pk..., _gen) is satisfied by the
+    # existing hash distribution on pk (subset rule), so this adds an
+    # in-partition sort, not a second exchange.
+    w_cum = (
+        Window.partitionBy(*pk_cols)
+        .orderBy("_cscn", "_scn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn(
+        "_gen", F.sum((F.col("_op") == "DELETE").cast("int")).over(w_cum)
+    )
+    w_merge = (
+        Window.partitionBy(*pk_cols, "_gen")
+        .orderBy("_cscn", "_scn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_latest = Window.partitionBy(*pk_cols).orderBy(F.desc("_cscn"), F.desc("_scn"))
+
+    merged = ev.select(
+        *pk_cols,
+        "_op",
+        "_cscn",
+        "_scn",
+        *[F.last(F.col(c), ignorenulls=True).over(w_merge).alias(c) for c in non_pk],
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_op") != "DELETE")
+        .select(*pk_cols, *non_pk)
+    )

@@ -2194,6 +2194,177 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def q69_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders having at least one
+    returned line, counted by priority. Plan: LEFT SEMI join on the order
+    key — the probe side never duplicates orders however many matching
+    lines exist, so the agg input stays |orders|-bounded at any scale."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q69_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q70_having_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING-filtered aggregate subquery driving a join (TPC-H Q18 shape):
+    large-quantity orders with their customer. The HAVING filter runs
+    map-side-combined BEFORE the joins, so only the (rare) qualifying
+    orderkeys ever reach the orders/customer tables — at 100 TB the big
+    lineitem relation is reduced to a sliver before any wide row is built."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q70_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, t.total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) t ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q71_cust_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level aggregation over a left outer join (TPC-H Q13 shape):
+    order-count-per-customer, then the distribution of those counts —
+    customers with zero qualifying orders must appear in the 0 bucket,
+    which is exactly what count(col) (null-skipping) over the outer join
+    yields. Second groupBy keys on the tiny count domain (~tens of values)
+    so the final exchange is negligible."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q71_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q72_scalar_subquery_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery + NOT EXISTS (TPC-H Q22 shape):
+    above-average-balance customers with no urgent orders, rolled up by
+    nation. The scalar average is a 1-row broadcast (cross join), the NOT
+    EXISTS a LEFT ANTI join on custkey — both shapes Catalyst executes
+    without materializing anything driver-side."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q72_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def cdc06_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot materialization: fold a mixed committed
+    INSERT/UPDATE/DELETE change stream into final table state
+    (operators/merge.py::apply_changes — SCD-1 MERGE semantics).
+
+    Scenario (key k = c_custkey % 10, SCN ranges force insert < update <
+    delete order per key):
+      - inserts: every customer except k∈{3,4} (rollback / partial-rollback
+        discard them during assembly);
+      - updates (k∈{0,1,2}): C_ACCTBAL += 100 — after-image carries only
+        SET+WHERE columns, so nationkey/mktsegment must survive the merge
+        from the INSERT version;
+      - deletes (k∈{6,7}): key leaves the snapshot."""
+    from ..operators.merge import apply_changes
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+    typed = run_cdc_batch(ins.unionByName(upd).unionByName(dele))
+    snap = apply_changes(typed, ["C_CUSTKEY"])
+    return snap.select(
+        F.col("C_CUSTKEY").alias("c_custkey"),
+        F.col("C_NAME").alias("c_name"),
+        F.col("C_NATIONKEY").alias("c_nationkey"),
+        F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+        F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+    )
+
+
+CDC06_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       round(CASE WHEN c_custkey % 10 IN (0, 1, 2)
+                  THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_custkey % 10 NOT IN (3, 4, 6, 7)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2274,6 +2445,11 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q66_argmax": (q66_argmax, Q66_SQL),
     "q67_datetime": (q67_datetime, Q67_SQL),
     "q68_fuzzy_match": (q68_fuzzy_match, Q68_SQL),
+    "q69_exists_subquery": (q69_exists_subquery, Q69_SQL),
+    "q70_having_subquery": (q70_having_subquery, Q70_SQL),
+    "q71_cust_distribution": (q71_cust_distribution, Q71_SQL),
+    "q72_scalar_subquery_anti": (q72_scalar_subquery_anti, Q72_SQL),
+    "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
 }
 
 
