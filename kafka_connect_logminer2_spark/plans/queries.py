@@ -2452,6 +2452,10 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
 }
 
+from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
+
+QUERY_REGISTRY.update(TPCH_REGISTRY)
+
 
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERY_REGISTRY.items()}
