@@ -170,3 +170,56 @@ def test_pmi_broadcasts_unigram_sides(spark, sf_dir):
     plan = plan_of(QUERY_REGISTRY["q57_pmi_collocations"][0](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q74_pure_scan_aggregate(spark, sf_dir):
+    """q74 (TPC-H Q6) is the canonical scan-filter-agg: all four predicates
+    must reach the parquet reader, the sum must combine map-side, and no
+    join may appear anywhere."""
+    plan = plan_of(QUERY_REGISTRY["q74_forecast_revenue"][0](spark, sf_dir))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q73_supplier_dim_broadcast(spark, sf_dir):
+    """q73 (Q5): the supplier x nation x region slice is dimension-sized and
+    must broadcast into lineitem; only the orderkey fact-fact join may
+    shuffle."""
+    plan = plan_of(QUERY_REGISTRY["q73_local_supplier_volume"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q78_aggregates_before_dimensions(spark, sf_dir):
+    """q78 (Q10): revenue is aggregated per-customer BEFORE the customer /
+    nation joins (partial_ appears) and the top-20 is a TakeOrderedAndProject,
+    not a global sort of the joined relation."""
+    plan = plan_of(QUERY_REGISTRY["q78_returned_items"][0](spark, sf_dir))
+    assert "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q82_or_predicate_broadcast(spark, sf_dir):
+    """q82 (Q19): the OR-of-conjunctions join condition must not force a
+    sort-merge — part stays broadcast with the disjunction evaluated in the
+    hash join's residual filter."""
+    plan = plan_of(QUERY_REGISTRY["q82_discount_revenue"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q81_decorrelated_broadcasts(spark, sf_dir):
+    """q81 (Q17): both the brand part-list and the per-part qty-limit
+    aggregate are bounded by the filtered part count — each joins broadcast;
+    lineitem is never shuffled."""
+    plan = plan_of(QUERY_REGISTRY["q81_small_qty_revenue"][0](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q86_dims_broadcast_ties_window(spark, sf_dir):
+    """q86 (Q2): every dimension side broadcasts; the only exchanges are the
+    bridge DISTINCT and the per-part window."""
+    plan = plan_of(QUERY_REGISTRY["q86_min_acct_supplier"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
