@@ -35,6 +35,8 @@ HEADLINE = [
     "q57_pmi_collocations",
     "q58_centroid_outliers",
     "q60_attribution",
+    "q73_local_supplier_volume",
+    "q78_returned_items",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
     "cdc06_apply_changes",
