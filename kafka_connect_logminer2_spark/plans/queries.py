@@ -2371,6 +2371,70 @@ WHERE c_custkey % 10 NOT IN (3, 4, 6, 7)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# --------------------------------------------------------------------------
+# Bucketed (co-located) fact-fact join — shuffle paid once at layout time
+# --------------------------------------------------------------------------
+
+_BUCKETED_DONE: set[tuple[str, str]] = set()
+
+
+def _bucketed_pair(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """lineitem + orders materialized as catalog tables bucketed by orderkey
+    (operators/bucketing.py) — built once per (session, sf); every later
+    join on orderkey is exchange-free."""
+    from ..operators.bucketing import write_bucketed
+
+    tok = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    lt, ot = f"lineitem_bkt_{tok}", f"orders_bkt_{tok}"
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _BUCKETED_DONE:
+        write_bucketed(
+            load_table(spark, sf, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            ["l_orderkey"],
+            8,
+        )
+        write_bucketed(
+            load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+            ot,
+            ["o_orderkey"],
+            8,
+        )
+        _BUCKETED_DONE.add(key)
+    return spark.table(lt), spark.table(ot)
+
+
+def q87_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-fact join over co-bucketed tables: both sides are stored hash-
+    bucketed (and bucket-sorted) on orderkey, so the sort-merge join reads
+    co-located buckets with ZERO exchanges — the only shuffle left is the
+    5-row priority rollup. The merge hint keeps the demo honest at small SF
+    (where AQE would otherwise just broadcast orders). Plan-audited in
+    tests/test_plans.py."""
+    l, o = _bucketed_pair(spark, sf)
+    return (
+        l.hint("merge")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+Q87_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2450,6 +2514,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q71_cust_distribution": (q71_cust_distribution, Q71_SQL),
     "q72_scalar_subquery_anti": (q72_scalar_subquery_anti, Q72_SQL),
     "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
+    "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -223,3 +223,13 @@ def test_tpch_q86_dims_broadcast_ties_window(spark, sf_dir):
     plan = plan_of(QUERY_REGISTRY["q86_min_acct_supplier"][0](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_join_zero_join_exchanges(spark, sf_dir):
+    """q87: both facts are stored bucketed on orderkey, so the sort-merge
+    join itself needs no exchange — the only shuffle in the whole plan is
+    the final 5-row priority rollup."""
+    plan = plan_of(QUERY_REGISTRY["q87_bucketed_join"][0](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SelectedBucketsCount" in plan
