@@ -2435,6 +2435,77 @@ GROUP BY o_orderpriority
 """
 
 
+def q88_stats_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family per return-flag: correlation, population
+    covariance/variance/stddev, and the least-squares regression of price on
+    quantity (slope/intercept/r2). All are single-pass streaming-moment
+    aggregates — one partial_ + one shuffle on the 3-value key; population
+    (not sample) variants chosen because their definitions are engine-exact.
+    Pre-rounded to 4dp: the moment recurrences accumulate float drift in the
+    7th digit at 600k rows."""
+    l = load_table(spark, sf, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+            F.round(F.covar_pop(q, p), 4).alias("covar_qty_price"),
+            F.round(F.stddev_pop(d), 4).alias("stddev_disc"),
+            F.round(F.var_pop(d), 4).alias("var_disc"),
+            F.round(F.regr_slope(p, q), 4).alias("slope_price_qty"),
+            F.round(F.regr_intercept(p, q), 4).alias("icept_price_qty"),
+            F.round(F.regr_r2(p, q), 4).alias("r2_price_qty"),
+        )
+    )
+
+
+Q88_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_pop(l_discount), 4) AS stddev_disc,
+       round(var_pop(l_discount), 4) AS var_disc,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q89_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt): per-brand averages of three part
+    metrics become (brand, metric, avg) rows. The unpivot is a zero-shuffle
+    Expand ×3 on already-aggregated rows — aggregate FIRST, reshape after;
+    melting the raw fact before the agg would triple the shuffle volume."""
+    p = load_table(spark, sf, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.avg("p_size").alias("avg_size"),
+        F.avg("p_retailprice").alias("avg_price"),
+        F.avg(F.length("p_name")).alias("avg_name_len"),
+    )
+    return (
+        wide.unpivot(
+            ["p_brand"], ["avg_size", "avg_price", "avg_name_len"], "metric", "value"
+        )
+        .withColumn("value", F.round("value", 4))
+    )
+
+
+Q89_SQL = """
+WITH wide AS (
+  SELECT p_brand, avg(p_size) AS avg_size, avg(p_retailprice) AS avg_price,
+         avg(length(p_name)) AS avg_name_len
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, 'avg_size' AS metric, round(avg_size, 4) AS value FROM wide
+UNION ALL
+SELECT p_brand, 'avg_price', round(avg_price, 4) FROM wide
+UNION ALL
+SELECT p_brand, 'avg_name_len', round(avg_name_len, 4) FROM wide
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2515,6 +2586,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q72_scalar_subquery_anti": (q72_scalar_subquery_anti, Q72_SQL),
     "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
+    "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
+    "q89_unpivot": (q89_unpivot, Q89_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
