@@ -1,4 +1,4 @@
-"""TPC-H-adapted query family (q73-q86) — the classic benchmark shapes the
+"""TPC-H-adapted query family (q73-q86, q90-q91) — the classic benchmark shapes the
 reference's relational surface (SURVEY §2B) does not yet exercise, adapted to
 the driver's fixture schema (TESTDATA.md has no ``partsupp`` table and no
 ``l_commitdate``/``l_receiptdate``/``l_shipmode`` columns, so Q2/Q9/Q16/Q20/Q21
@@ -595,6 +595,84 @@ WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
 """
 
 
+def q90_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 adapted (fixtures lack o_shippriority → o_orderpriority):
+    top-10 unshipped orders of one market segment by revenue. Both date
+    predicates push to their scans; the BUILDING customer slice broadcasts
+    into orders before the single orderkey shuffle; top-10 fuses into
+    TakeOrderedAndProject (no global sort)."""
+    cutoff = _ts("1996-03-15")
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(
+            o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q90_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-03-15' AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q91_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp → shipped value per part from the
+    lineitem bridge; one supplier nation's stock). The HAVING-vs-scalar-
+    subquery decorrelates to a 1-row broadcast cross join; both the per-part
+    aggregate and the grand total derive from ONE shuffle of the filtered
+    fact (the total reuses the per-part rollup, not a second scan)."""
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    l = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    nat_sup = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    per_part = (
+        l.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+    )
+    total = per_part.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+Q91_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM per_part
+WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+"""
+
+
 TPCH_REGISTRY = {
     "q73_local_supplier_volume": (q73_local_supplier_volume, Q73_SQL),
     "q74_forecast_revenue": (q74_forecast_revenue, Q74_SQL),
@@ -610,4 +688,6 @@ TPCH_REGISTRY = {
     "q84_potential_promo": (q84_potential_promo, Q84_SQL),
     "q85_waiting_suppliers": (q85_waiting_suppliers, Q85_SQL),
     "q86_min_acct_supplier": (q86_min_acct_supplier, Q86_SQL),
+    "q90_shipping_priority": (q90_shipping_priority, Q90_SQL),
+    "q91_important_stock": (q91_important_stock, Q91_SQL),
 }
