@@ -99,6 +99,92 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
     return images.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", FloatType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """STUB — deterministic fake resize. Real implementation:
+    ``PIL.Image.open(...).thumbnail((max_side, max_side))`` + re-encode.
+    The fake scales the stub-decoded dims to fit ``max_side`` (aspect
+    preserved) and derives a stable fake payload from the original hash, so
+    the contract — output dims ≤ max_side, payload replaced — is testable."""
+    w, h = _decode_image_stub(payload)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    fake = hashlib.sha256(payload + b"|resized").digest() * (1 + nw * nh // 32)
+    return nw, nh, fake[: nw * nh // 16 + 16]
+
+
+def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """mapInPandas image resize: payload in, (smaller) payload out. Unlike
+    the metadata-only ops this both reads AND writes the binary column, so
+    batches stream through Arrow without materializing a partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                w, h, resized = _resize_stub(payload, max_side)
+                out.append(
+                    {"media_id": r["media_id"], "width": w, "height": h, "payload": resized}
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, float]:
+    """STUB — deterministic fake audio decode. Real implementation:
+    ``soundfile.read(io.BytesIO(payload))`` → (sample_rate, n_samples/rate).
+    Fake derives a stable (rate, duration) from the payload hash."""
+    h = hashlib.sha256(payload).digest()
+    rate = (8000, 16000, 22050, 44100)[h[2] % 4]
+    return rate, round(0.5 + h[3] / 16.0, 3)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode + feature extraction for audio rows — same
+    plumbing contract as extract_image_features (real schema/batching,
+    stub kernel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                rate, dur = _decode_audio_stub(payload)
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "sample_rate": rate,
+                        "duration_s": dur,
+                        "n_bytes": len(payload),
+                        "features": _feature_stub(payload),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into (media_id,
     frame_ts) rows from metadata only — the payload column is pruned out of

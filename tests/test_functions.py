@@ -126,6 +126,24 @@ def test_multimodal_image_features(spark):
     assert {f["phash"] for f in feats} == {f["phash"] for f in again}
 
 
+def test_multimodal_resize_and_audio(spark):
+    media = M.media_fixture(spark, 30)
+    resized = M.resize_images(media, max_side=100).collect()
+    assert len(resized) == len([i for i in range(30) if i % 3 == 0])
+    assert all(max(r["width"], r["height"]) <= 100 for r in resized)
+    # resize must replace the payload, deterministically
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.filter("kind='image'").collect()}
+    for r in resized:
+        assert bytes(r["payload"]) != orig[r["media_id"]]
+    again = {r["media_id"]: bytes(r["payload"]) for r in M.resize_images(media, 100).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == again
+
+    audio = M.extract_audio_features(media).collect()
+    assert len(audio) == len([i for i in range(30) if i % 3 == 1])
+    assert all(a["sample_rate"] in (8000, 16000, 22050, 44100) for a in audio)
+    assert all(a["duration_s"] > 0 and len(a["features"]) == 8 for a in audio)
+
+
 def test_frame_sample_prunes_payload(spark):
     media = M.media_fixture(spark, 30)
     plan = M.frame_sample_plan(media, every_n_seconds=10)
