@@ -2506,6 +2506,35 @@ SELECT p_brand, 'avg_name_len', round(avg_name_len, 4) FROM wide
 """
 
 
+def q92_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-proof fact-dim join through operators/skew.py::salted_join: the
+    events fact gets a deterministic 8-way salt, the customer dim is
+    replicated per salt, and the join key becomes (user_id, salt) — a hot
+    user's rows spread over 8 tasks instead of one straggler. Semantically
+    identical to the plain join (oracle is the unsalted SQL)."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "value")
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, ["user_id"], num_salts=8)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q92_SQL = """
+SELECT c_mktsegment, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2588,6 +2617,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),
+    "q92_salted_join": (q92_salted_join, Q92_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -1,0 +1,49 @@
+"""Compaction: many small files in, few size-targeted files out, content
+identical, sorted variant gives tight per-file min/max envelopes."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from kafka_connect_logminer2_spark.operators.compaction import (
+    compact_parquet,
+    parquet_files_and_bytes,
+)
+from kafka_connect_logminer2_spark.sources.tables import load_table
+
+
+def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(src)
+
+    stats = compact_parquet(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 5
+
+    a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
+    b = sorted(r.o_orderkey for r in spark.read.parquet(dest).collect())
+    assert a == b
+
+
+def test_compact_sorted_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "sorted")
+    load_table(spark, sf_dir, "orders").repartition(16).write.parquet(src)
+    compact_parquet(
+        spark, src, dest, target_file_bytes=64 * 1024, sort_cols=["o_orderkey"]
+    )
+    df = spark.read.parquet(dest)
+    n_files, _ = parquet_files_and_bytes(df)
+    assert n_files > 1  # tiny target forces a multi-file layout
+
+    ranges = []
+    for f in df.inputFiles():
+        path = f[len("file:") :] if f.startswith("file:") else f
+        t = pq.read_table(path, columns=["o_orderkey"])
+        keys = t.column("o_orderkey").to_pylist()
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    # range-partitioned + sorted ⇒ files cover disjoint key intervals, so a
+    # point/range predicate prunes every other file via min/max stats
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
