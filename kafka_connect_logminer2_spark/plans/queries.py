@@ -2535,6 +2535,149 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+def q93_temperature_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted source mixing (the alpha=0.5 resampling used to
+    rebalance web-scale corpora): each source keeps ~c*sqrt(N_s) docs, i.e.
+    keep-rate proportional to N_s^-0.5, so giant crawls are downweighted and
+    small curated sources survive. Selection is the same engine-portable
+    Knuth multiplicative hash as q48 — the sample is a deterministic scan
+    predicate, reproducible across engines and repartitioning, and the only
+    cross-source state is the tiny per-source count aggregate (broadcast
+    back), so a 100 TB corpus is resampled in two cheap passes with no
+    full-data shuffle. The per-source rate uses only sqrt and one divide
+    (both IEEE correctly-rounded) — bit-identical on any engine, unlike a
+    pow()-based temperature which can differ in the last ulp."""
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rates = counts.withColumn(
+        "thr",
+        F.floor(
+            F.lit(10000.0)
+            * F.least(F.lit(1.0), F.lit(5.0) / F.sqrt(F.col("n_total").cast("double")))
+        ),
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10000)
+    return (
+        docs.withColumn("_b", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("_b") < F.col("thr"))
+        .groupBy("source", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+Q93_SQL = """
+WITH counts AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n_total,
+         floor(10000.0 * least(1.0, 5.0 / sqrt(CAST(n_total AS DOUBLE)))) AS thr
+  FROM counts)
+SELECT d.source, r.n_total, count(*) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < r.thr
+GROUP BY d.source, r.n_total
+"""
+
+
+def q94_quantile_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quantile-cut filtering (keep each language's top half by
+    quality): exact interpolated median per lang — a tiny aggregate —
+    broadcast back onto the corpus as a scan predicate. The corpus itself is
+    never shuffled: one partial-agg pass computes the thresholds, one
+    filtered pass applies them, which is the shape that survives 100 TB
+    (contrast a per-row percent_rank window, which would sort every
+    partition of the corpus)."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "q", T.quality_score(F.col("text"))
+    )
+    med = docs.groupBy("lang").agg(F.expr("percentile(q, 0.5)").alias("med"))
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .filter(F.col("q") >= F.col("med"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_kept_quality"),
+            F.round(F.min("med"), 6).alias("median_quality"),
+        )
+    )
+
+
+Q94_SQL = f"""
+WITH scored AS (SELECT lang, {_QUALITY_SQL} AS q FROM documents),
+med AS (
+  SELECT lang, quantile_cont(q, 0.5) AS med FROM scored GROUP BY lang)
+SELECT s.lang, count(*) AS n_kept,
+       round(avg(s.q), 6) AS avg_kept_quality,
+       round(min(m.med), 6) AS median_quality
+FROM scored s JOIN med m ON s.lang = m.lang
+WHERE s.q >= m.med
+GROUP BY s.lang
+"""
+
+
+def q95_pipeline_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data pipeline composed end-to-end: normalize (q47's
+    clean chain) -> quality gate (q32's scorer) -> exact near-dup collapse
+    (canonical = min doc_id per cleaned-text md5, via min_by so no join-back
+    of the corpus) -> per-source yield accounting. One wide shuffle on the
+    content hash, one tiny one on source; cleaning/scoring/hashing are all
+    codegen'd scan-side expressions, so at 100 TB this is scan + one
+    exchange of (hash, 3 small columns) — the corpus text itself never
+    shuffles."""
+    docs = load_table(spark, sf, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"https?://\S+", " "),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    scored = (
+        docs.withColumn("h", F.md5(cleaned))
+        .withColumn("q", T.quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.4)
+    )
+    canon = scored.groupBy("h").agg(
+        F.min_by("source", "doc_id").alias("source"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("n_chars", "doc_id").alias("keep_chars"),
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_copies") - 1).alias("n_dup_copies"),
+        F.sum("keep_chars").alias("kept_chars"),
+    )
+
+
+Q95_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           'https?://\\S+', ' ', 'g'),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+', ' ', 'g'),
+           '\\s+', ' ', 'g'))) AS h,
+         {_QUALITY_SQL} AS q
+  FROM documents),
+canon AS (
+  SELECT h, arg_min(source, doc_id) AS source, count(*) AS n_copies,
+         arg_min(n_chars, doc_id) AS keep_chars
+  FROM scored WHERE q >= 0.4 GROUP BY h)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_copies,
+       CAST(sum(keep_chars) AS BIGINT) AS kept_chars
+FROM canon GROUP BY source
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2618,6 +2761,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),
     "q92_salted_join": (q92_salted_join, Q92_SQL),
+    "q93_temperature_sampling": (q93_temperature_sampling, Q93_SQL),
+    "q94_quantile_cut": (q94_quantile_cut, Q94_SQL),
+    "q95_pipeline_dedup": (q95_pipeline_dedup, Q95_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
