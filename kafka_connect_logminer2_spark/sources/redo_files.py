@@ -1,4 +1,4 @@
-"""File-format breadth for the redo source: JSON-lines and CSV.
+"""File-format breadth for the redo source: JSON-lines, CSV, and ORC.
 
 The reference's only input is the ``v$logmnr_contents`` cursor; our engine's
 redo stream is a plain DataFrame, so any Spark file source can carry it.
@@ -58,3 +58,15 @@ def write_redo_csv(df: DataFrame, path: str) -> None:
 
 def read_redo_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(REDO_SCHEMA).options(**_CSV_OPTS).csv(path)
+
+
+def write_redo_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_redo_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC twin of the parquet path — the other columnar format Spark ships
+    natively (predicate pushdown + column pruning work the same way). The
+    explicit schema keeps the contract identical to the other readers even
+    though ORC carries its own."""
+    return spark.read.schema(REDO_SCHEMA).orc(path)

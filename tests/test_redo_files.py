@@ -10,8 +10,10 @@ from kafka_connect_logminer2_spark.sources.redo import redo_inserts_from_custome
 from kafka_connect_logminer2_spark.sources.redo_files import (
     read_redo_csv,
     read_redo_json,
+    read_redo_orc,
     write_redo_csv,
     write_redo_json,
+    write_redo_orc,
 )
 
 
@@ -47,5 +49,13 @@ def test_csv_roundtrip_matches_parquet(spark, redo, parquet_result, tmp_path_fac
     path = str(tmp_path_factory.mktemp("redo_csv"))
     write_redo_csv(redo, path)
     back = read_redo_csv(spark, path)
+    assert _shape(back) == _shape(redo)
+    assert _envelopes(run_cdc_batch(back)) == parquet_result
+
+
+def test_orc_roundtrip_matches_parquet(spark, redo, parquet_result, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("redo_orc"))
+    write_redo_orc(redo, path)
+    back = read_redo_orc(spark, path)
     assert _shape(back) == _shape(redo)
     assert _envelopes(run_cdc_batch(back)) == parquet_result
