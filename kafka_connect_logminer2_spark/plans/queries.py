@@ -2678,6 +2678,44 @@ FROM canon GROUP BY source
 """
 
 
+def q96_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix (the product-analytics staple): users grouped
+    by first-active week, counted per weeks-since-cohort offset. ONE shuffle
+    of (user_id, distinct-week set): collect_set partial-aggregates map-side
+    so the exchange carries each user once, the cohort week is just element
+    0 of the sorted set (no second groupBy over the fact), and the final
+    (cohort, offset) rollup aggregates a few hundred rows. The naive
+    formulation — distinct + self-join on a per-user min — shuffles the
+    events table twice; this shuffles it once and never joins."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    per_user = ev.groupBy("user_id").agg(F.array_sort(F.collect_set("wk")).alias("wks"))
+    return (
+        per_user.select(
+            F.element_at("wks", 1).alias("cohort_week"), F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+Q96_SQL = """
+WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id)
+SELECT f.cohort_week,
+       date_diff('day', f.cohort_week, w.wk) // 7 AS week_offset,
+       count(*) AS n_active
+FROM wk w JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2764,6 +2802,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q93_temperature_sampling": (q93_temperature_sampling, Q93_SQL),
     "q94_quantile_cut": (q94_quantile_cut, Q94_SQL),
     "q95_pipeline_dedup": (q95_pipeline_dedup, Q95_SQL),
+    "q96_retention_cohorts": (q96_retention_cohorts, Q96_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
