@@ -35,6 +35,9 @@ HEADLINE = [
     "q57_pmi_collocations",
     "q58_centroid_outliers",
     "q60_attribution",
+    "q93_temperature_sampling",
+    "q95_pipeline_dedup",
+    "q96_retention_cohorts",
     "q73_local_supplier_volume",
     "q78_returned_items",
     "cdc01_insert_roundtrip",
