@@ -90,3 +90,29 @@ def test_zorder_files_bound_both_dimensions(spark, sf_dir, tmp_path):
     a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
     b = sorted(r.o_orderkey for r in spark.read.parquet(zdest).collect())
     assert a == b
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """zorder_key's shift/mask expression tree must equal a reference Morton
+    encoder: scale each value to an 8-bit cell, interleave bits LSB-first."""
+    rows = [(i, (i * 37) % 101) for i in range(101)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    from kafka_connect_logminer2_spark.operators.compaction import zorder_key
+
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_key(df, ["a", "b"], bits=8)).collect()
+    }
+
+    def morton(a, b, lo_a, hi_a, lo_b, hi_b, bits=8):
+        n = (1 << bits) - 1
+        ca = int((a - lo_a) / (hi_a - lo_a) * n)
+        cb = int((b - lo_b) / (hi_b - lo_b) * n)
+        z = 0
+        for i in range(bits):
+            z |= ((ca >> i) & 1) << (2 * i)
+            z |= ((cb >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b, 0, 100, 0, 100), (a, b)
