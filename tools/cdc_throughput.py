@@ -9,7 +9,12 @@ Stream = read_redo_stream_files → applyInPandasWithState assembler →
 foreachBatch per-table typed sink, availableNow over 8 files — the full
 production plan including stream startup and sink writes.
 
-Usage: python tools/cdc_throughput.py [sf_dir]
+Usage: python tools/cdc_throughput.py [sf_dir] [mult]
+
+``mult`` > 1 replicates the redo stream that many times with disjoint
+SCN/xid ranges (copy i shifts scn/commit_scn by i*10^9 and suffixes the
+xid), so transaction count and assembler state grow linearly — a real
+scale probe of the assembly+parse path, not a re-read of cached rows.
 """
 
 from __future__ import annotations
@@ -42,13 +47,28 @@ from kafka_connect_logminer2_spark.streaming.pipeline import (  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark(
         app_name="cdc_throughput",
         extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    redo = redo_inserts_from_customer(spark, sf_dir).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    base = redo_inserts_from_customer(spark, sf_dir)
+    if mult > 1:
+        copies = [
+            base.withColumn("scn", F.col("scn") + F.lit(i * 1_000_000_000))
+            .withColumn("commit_scn", F.col("commit_scn") + F.lit(i * 1_000_000_000))
+            .withColumn("xid", F.concat_ws(".", "xid", F.lit(str(i))))
+            for i in range(mult)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        base = out
+    redo = base.localCheckpoint()
     n_events = redo.count()
 
     # batch: warm once, then best-of-2
