@@ -2716,6 +2716,52 @@ GROUP BY 1, 2
 """
 
 
+def q97_rolling_actives(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day, via contribution
+    expansion: each distinct (user, day) pair emits its 7 report days, and
+    the rolling-distinct count becomes a plain hash aggregate. That turns
+    "COUNT(DISTINCT) over a sliding window" — which has no partial-agg form
+    and would otherwise re-scan 7 days of the fact per output day or sort
+    every user's history in a window — into two bounded shuffles of the
+    DISTINCT (user, day) pairs (bounded by users x days, thousands of times
+    smaller than the event fact at 100 TB). DAU comes from the same distinct
+    set; both day-level aggregates are tiny and broadcast-joined."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct().localCheckpoint(eager=False)  # dau + rolling both branch
+    mx = ud.agg(F.max("day").alias("mx"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("report_day"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("report_day") <= F.col("mx"))
+        .select("user_id", "report_day")
+        .distinct()
+    )
+    roll = contrib.groupBy("report_day").agg(F.count(F.lit(1)).alias("active_7d"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(
+        F.broadcast(roll), dau.day == roll.report_day
+    ).select("day", "dau", "active_7d")
+
+
+Q97_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+mx AS (SELECT max(day) AS mx FROM ud),
+contrib AS (
+  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS report_day
+  FROM ud, range(0, 7) t(i), mx
+  WHERE day + CAST(i AS INTEGER) <= mx.mx),
+roll AS (SELECT report_day, count(*) AS active_7d FROM contrib GROUP BY 1),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+SELECT d.day, d.dau, r.active_7d
+FROM dau d JOIN roll r ON r.report_day = d.day
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2803,6 +2849,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q94_quantile_cut": (q94_quantile_cut, Q94_SQL),
     "q95_pipeline_dedup": (q95_pipeline_dedup, Q95_SQL),
     "q96_retention_cohorts": (q96_retention_cohorts, Q96_SQL),
+    "q97_rolling_actives": (q97_rolling_actives, Q97_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
