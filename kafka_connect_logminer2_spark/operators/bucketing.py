@@ -17,7 +17,23 @@ rounded to a power of two shared by every table that joins on the key.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_stale_location(spark: SparkSession, table: str) -> None:
+    """A managed table's directory can outlive its catalog entry (the
+    default in-memory catalog dies with the session; spark-warehouse/ does
+    not). saveAsTable then fails LOCATION_ALREADY_EXISTS. The directory is
+    a derived cache here, so an orphaned one — location present, catalog
+    entry absent — is safe to clear."""
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = f"{warehouse}/{table.lower()}"
+    path = path[len("file:") :] if path.startswith("file:") else path
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def write_bucketed(
@@ -31,6 +47,7 @@ def write_bucketed(
     """Materialize ``df`` as a catalog table bucketed (and bucket-sorted)
     on ``bucket_cols`` — one shuffle now, none on any later join/agg
     keyed by a prefix of ``bucket_cols``."""
+    _drop_stale_location(df.sparkSession, table)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.format("parquet").saveAsTable(table)
