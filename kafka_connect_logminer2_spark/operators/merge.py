@@ -30,12 +30,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def apply_changes(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
-    """Fold a typed change stream for ONE table into its final snapshot.
+def net_changes(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Fold a typed change stream for ONE table into one NET row per key,
+    keeping the tombstone information ``apply_changes`` discards:
 
-    ``typed``: output of ``apply_table_schema`` — envelope columns plus
-    typed ``data``/``before`` structs. Returns one row per surviving key
-    with the merged value columns (names as in the table schema).
+    - ``_deleted``: the key's latest event is a DELETE (the key must leave
+      any snapshot this net change is merged into);
+    - ``_reborn``: a DELETE occurred before the latest event (the key was
+      dropped and re-inserted within this change set — its values must NOT
+      be column-merged with older snapshot state, the tombstone reset them).
+
+    This is the incremental-merge building block: a downstream snapshot
+    maintainer (streaming/snapshot.py) combines these net rows with the
+    previous snapshot without ever re-reading the change history.
     """
     value_cols = [f.name for f in typed.schema["data"].dataType.fields]
     non_pk = [c for c in value_cols if c not in pk_cols]
@@ -78,6 +85,7 @@ def apply_changes(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
     merged = ev.select(
         *pk_cols,
         "_op",
+        "_gen",
         "_cscn",
         "_scn",
         *[F.last(F.col(c), ignorenulls=True).over(w_merge).alias(c) for c in non_pk],
@@ -85,6 +93,24 @@ def apply_changes(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
     return (
         merged.withColumn("_rn", F.row_number().over(w_latest))
         .filter(F.col("_rn") == 1)
-        .filter(F.col("_op") != "DELETE")
-        .select(*pk_cols, *non_pk)
+        .select(
+            *pk_cols,
+            *non_pk,
+            (F.col("_op") == "DELETE").alias("_deleted"),
+            ((F.col("_op") != "DELETE") & (F.col("_gen") > 0)).alias("_reborn"),
+        )
+    )
+
+
+def apply_changes(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Fold a typed change stream for ONE table into its final snapshot.
+
+    ``typed``: output of ``apply_table_schema`` — envelope columns plus
+    typed ``data``/``before`` structs. Returns one row per surviving key
+    with the merged value columns (names as in the table schema).
+    """
+    return (
+        net_changes(typed, pk_cols)
+        .filter(~F.col("_deleted"))
+        .drop("_deleted", "_reborn")
     )

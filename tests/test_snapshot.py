@@ -1,0 +1,107 @@
+"""Incrementally-maintained snapshot (streaming/snapshot.py): streaming the
+change log file-by-file through write_snapshot must land on EXACTLY the
+state the one-shot batch fold (operators/merge.py::apply_changes) computes —
+including patch semantics (UPDATE carries untouched columns), tombstones
+(DELETE removes the key) and cross-batch column carry-forward."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.operators.merge import apply_changes
+from kafka_connect_logminer2_spark.plans.cdc import (
+    customer_registry,
+    default_config,
+    run_cdc_batch,
+)
+from kafka_connect_logminer2_spark.sources.redo import (
+    redo_deletes_from_customer,
+    redo_inserts_from_customer,
+    redo_updates_from_customer,
+)
+from kafka_connect_logminer2_spark.streaming.pipeline import (
+    cdc_stream,
+    read_redo_stream_files,
+)
+from kafka_connect_logminer2_spark.streaming.snapshot import (
+    latest_version,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return sorted(
+        (r.C_CUSTKEY, r.C_NAME, r.C_NATIONKEY, round(r.C_ACCTBAL, 2), r.C_MKTSEGMENT)
+        for r in df.collect()
+    )
+
+
+def test_incremental_snapshot_equals_batch_fold(spark, sf_dir, tmp_path):
+    tmp = str(tmp_path)
+    keysel = F.split(F.col("xid"), r"\.").getItem(1).cast("long") % 10
+    ins = redo_inserts_from_customer(spark, sf_dir)
+    upd = redo_updates_from_customer(spark, sf_dir).filter(keysel.isin(0, 1, 2))
+    dele = redo_deletes_from_customer(spark, sf_dir).filter(keysel.isin(6, 7))
+    redo = ins.unionByName(upd).unionByName(dele)
+
+    expected = _rows(apply_changes(run_cdc_batch(redo), ["C_CUSTKEY"]))
+
+    # stage as 6 SCN-ordered files picked up one per micro-batch, so the
+    # insert → update → delete history spans several incremental merges
+    redo.orderBy("scn").repartitionByRange(6, "scn").write.parquet(f"{tmp}/stage")
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    q = write_snapshot(
+        cdc_stream(stream, default_config()),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    q.awaitTermination(300)
+
+    assert latest_version(f"{tmp}/snap") is not None
+    versions = [d for d in os.listdir(f"{tmp}/snap") if d.startswith("v=")]
+    assert len(versions) > 1  # state evolved across micro-batches
+
+    got = read_snapshot(spark, f"{tmp}/snap")
+    assert _rows(got) == expected
+
+
+def test_snapshot_merge_step_patch_tombstone_reborn(spark):
+    """merge_step unit semantics: patch coalesces with prev, delete removes,
+    reborn does NOT inherit pre-tombstone columns."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import merge_step
+
+    prev = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "bal"]
+    )
+    net = spark.createDataFrame(
+        [
+            # patch: name untouched (null) -> carries "a"
+            (1, None, 11.0, False, False),
+            # tombstone: key 2 leaves
+            (2, None, None, True, False),
+            # reborn: key 3 re-inserted with NULL name -> must NOT resurrect "c"
+            (3, None, 33.0, False, True),
+        ],
+        "k long, name string, bal double, _deleted boolean, _reborn boolean",
+    )
+    got = sorted(
+        (r.k, r.name, r.bal) for r in merge_step(prev, net, ["k"]).collect()
+    )
+    assert got == [(1, "a", 11.0), (3, None, 33.0)]
