@@ -2762,6 +2762,94 @@ FROM dau d JOIN roll r ON r.report_day = d.day
 """
 
 
+def q98_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query,
+    top-10 docs. The shape that matters at scale: terms are filtered to the
+    query's terms BEFORE any aggregation (the explode feeding tf/df carries
+    ~|Q| rows per doc, not the whole posting list), doc length is a
+    scan-side expression (no shuffle), and the corpus-wide constants (N,
+    avgdl) ride along as broadcast scalars. Only candidate docs — those
+    containing a query term — are ever scored. ln() parity with DuckDB is
+    proven by q55; scores round to 6dp with doc_id tiebreak so the top-10
+    is deterministic across engines."""
+    Q = ["join", "spark", "window"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    dl = toks.select("doc_id", F.size("w").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(Q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+Q98_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+  WHERE term IN ('join', 'spark', 'window')
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -2850,6 +2938,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q95_pipeline_dedup": (q95_pipeline_dedup, Q95_SQL),
     "q96_retention_cohorts": (q96_retention_cohorts, Q96_SQL),
     "q97_rolling_actives": (q97_rolling_actives, Q97_SQL),
+    "q98_bm25": (q98_bm25, Q98_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
