@@ -2782,16 +2782,19 @@ def q98_bm25(spark: SparkSession, sf: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # dl rides through the explode (constant per doc, min() reclaims it in
+    # the same hash agg as tf) — no join-back of the corpus-wide dl table
     tf = (
-        toks.select("doc_id", F.explode("w").alias("term"))
+        toks.select(
+            "doc_id", F.size("w").cast("double").alias("dl"), F.explode("w").alias("term")
+        )
         .filter(F.col("term").isin(Q))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",

@@ -233,3 +233,51 @@ def test_bucketed_join_zero_join_exchanges(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SelectedBucketsCount" in plan
+
+
+def test_temperature_sampling_corpus_never_shuffled(spark, sf_dir):
+    """q93: per-source rates broadcast back onto the corpus scan; the only
+    wide exchanges are the tiny per-source aggregates. The corpus text
+    column never leaves the scan (doc_id/source/n_chars only)."""
+    plan = plan_of(QUERY_REGISTRY["q93_temperature_sampling"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("text" not in l for l in scan_lines)
+
+
+def test_quantile_cut_threshold_broadcast(spark, sf_dir):
+    """q94: the per-lang median joins broadcast; the corpus is filtered at
+    scan+join time, never window-sorted."""
+    plan = plan_of(QUERY_REGISTRY["q94_quantile_cut"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_pipeline_dedup_single_wide_exchange_of_hash(spark, sf_dir):
+    """q95: the only corpus-sized exchange carries (h, source, doc_id,
+    n_chars) after partial aggregation — the text column is consumed
+    scan-side by the md5/quality expressions and never shuffles."""
+    plan = plan_of(QUERY_REGISTRY["q95_pipeline_dedup"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2  # hash fold + tiny source rollup
+    assert all("text" not in l for l in ex)
+
+
+def test_rolling_actives_no_window_sort(spark, sf_dir):
+    """q97: rolling COUNT DISTINCT via contribution expansion — a hash-agg
+    pipeline with broadcast day-level joins, NO window operator (the naive
+    sliding-window formulation would sort every partition)."""
+    plan = plan_of(QUERY_REGISTRY["q97_rolling_actives"][0](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_no_corpus_join(spark, sf_dir):
+    """q98: doc length rides through the explode, df/stats broadcast — the
+    posting-list agg is the only corpus-sized exchange; no sort-merge join
+    anywhere."""
+    plan = plan_of(QUERY_REGISTRY["q98_bm25"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
