@@ -105,3 +105,50 @@ def test_snapshot_merge_step_patch_tombstone_reborn(spark):
         (r.k, r.name, r.bal) for r in merge_step(prev, net, ["k"]).collect()
     )
     assert got == [(1, "a", 11.0), (3, None, 33.0)]
+
+
+def test_snapshot_resumes_across_runs(spark, sf_dir, tmp_path):
+    """Two separate availableNow runs over a growing redo directory with the
+    same checkpoint: the second run resumes past the first run's batches and
+    folds only the NEW files into the existing snapshot — landing on the
+    same state as a one-shot batch fold over everything."""
+    tmp = str(tmp_path)
+    keysel = F.split(F.col("xid"), r"\.").getItem(1).cast("long") % 10
+    ins = redo_inserts_from_customer(spark, sf_dir)
+    upd = redo_updates_from_customer(spark, sf_dir).filter(keysel.isin(0, 1, 2))
+    dele = redo_deletes_from_customer(spark, sf_dir).filter(keysel.isin(6, 7))
+    redo = ins.unionByName(upd).unionByName(dele)
+    expected = _rows(apply_changes(run_cdc_batch(redo), ["C_CUSTKEY"]))
+
+    redo.orderBy("scn").repartitionByRange(6, "scn").write.parquet(f"{tmp}/stage")
+    parts = sorted(glob.glob(f"{tmp}/stage/part*"))
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+
+    def run():
+        stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+        q = write_snapshot(
+            cdc_stream(stream, default_config()),
+            customer_registry(),
+            "TPCH",
+            "CUSTOMER",
+            ["C_CUSTKEY"],
+            f"{tmp}/snap",
+            f"{tmp}/ckpt",
+        )
+        q.awaitTermination(300)
+
+    for i, p in enumerate(parts[:3]):
+        shutil.copy(p, f"{tmp}/redo/f{i}.parquet")
+        os.utime(f"{tmp}/redo/f{i}.parquet", (now + i * 10,) * 2)
+    run()
+    v_first = latest_version(f"{tmp}/snap")
+    assert v_first is not None
+
+    for i, p in enumerate(parts[3:], start=3):
+        shutil.copy(p, f"{tmp}/redo/f{i}.parquet")
+        os.utime(f"{tmp}/redo/f{i}.parquet", (now + i * 10,) * 2)
+    run()
+
+    assert latest_version(f"{tmp}/snap") > v_first  # resumed, not re-folded
+    assert _rows(read_snapshot(spark, f"{tmp}/snap")) == expected
