@@ -1,4 +1,4 @@
-"""TPC-H-adapted query family (q73-q86, q90-q91) — the classic benchmark shapes the
+"""TPC-H-adapted query family (q73-q86, q90-q91, q99) — the classic benchmark shapes the
 reference's relational surface (SURVEY §2B) does not yet exercise, adapted to
 the driver's fixture schema (TESTDATA.md has no ``partsupp`` table and no
 ``l_commitdate``/``l_receiptdate``/``l_shipmode`` columns, so Q2/Q9/Q16/Q20/Q21
@@ -673,7 +673,67 @@ WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
 """
 
 
+def q99_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts). The fixture schema
+    has no ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so the mode is
+    derived deterministically from ``l_linenumber`` and the late-receipt
+    predicate becomes "shipped ≥30 days after the order date" — same plan
+    shape as the original: one fact-fact equi join with the conditional
+    CASE-sum rollup, the 2-mode filter and the date window pushed to the
+    lineitem scan, orders reduced to (orderkey, priority) before the join.
+    With this, all 22 TPC-H query shapes are exercised on the fixture
+    schema (COVERAGE §2B)."""
+    mode = F.element_at(
+        F.array(F.lit("TRUCK"), F.lit("MAIL"), F.lit("SHIP")),
+        (F.col("l_linenumber") % 3 + 1).cast("int"),
+    )
+    l = (
+        load_table(spark, sf, "lineitem")
+        .withColumn("shipmode", mode)
+        .filter(F.col("shipmode").isin("MAIL", "SHIP"))
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .select("l_orderkey", "l_shipdate", "shipmode")
+    )
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q99_SQL = """
+SELECT shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT l_orderkey, l_shipdate,
+         ['TRUCK', 'MAIL', 'SHIP'][(l_linenumber % 3 + 1)] AS shipmode
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+) l
+JOIN orders ON l_orderkey = o_orderkey
+WHERE shipmode IN ('MAIL', 'SHIP')
+  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+GROUP BY shipmode
+"""
+
+
 TPCH_REGISTRY = {
+    "q99_shipmode_priority": (q99_shipmode_priority, Q99_SQL),
     "q73_local_supplier_volume": (q73_local_supplier_volume, Q73_SQL),
     "q74_forecast_revenue": (q74_forecast_revenue, Q74_SQL),
     "q75_volume_shipping": (q75_volume_shipping, Q75_SQL),
