@@ -2365,6 +2365,65 @@ WHERE c_custkey % 10 NOT IN (3, 4, 6, 7)
 """
 
 
+def cdc07_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """cdc06's exact scenario driven through the STREAMING path instead: the
+    mixed change log is staged as SCN-ordered files, read as a file stream
+    one file per micro-batch, assembled by the stateful streaming operator
+    (applyInPandasWithState), and folded incrementally by
+    streaming/snapshot.py::write_snapshot — so the driver's value-hash
+    compares the continuously-merged snapshot against the SAME relational
+    oracle as the one-shot batch fold. Incremental == batch is the
+    correctness claim of the whole materialized-view path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
+    from ..streaming.snapshot import read_snapshot, write_snapshot
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+    redo = ins.unionByName(upd).unionByName(dele)
+
+    tmp = tempfile.mkdtemp(prefix="cdc07_")
+    redo.orderBy("scn").repartitionByRange(4, "scn").write.parquet(f"{tmp}/stage")
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    q = write_snapshot(
+        cdc_stream(stream, default_config()),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    q.awaitTermination(600)
+    snap = read_snapshot(spark, f"{tmp}/snap")
+    return snap.select(
+        F.col("C_CUSTKEY").alias("c_custkey"),
+        F.col("C_NAME").alias("c_name"),
+        F.col("C_NATIONKEY").alias("c_nationkey"),
+        F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+        F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2932,6 +2991,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q71_cust_distribution": (q71_cust_distribution, Q71_SQL),
     "q72_scalar_subquery_anti": (q72_scalar_subquery_anti, Q72_SQL),
     "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
+    "cdc07_incremental_snapshot": (cdc07_incremental_snapshot, CDC06_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),
