@@ -2912,6 +2912,75 @@ WHERE rank <= 10
 """
 
 
+def q100_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining ranking/distribution window functions in one pass —
+    rank (gaps), dense_rank, percent_rank, cume_dist, nth_value — all five
+    share ONE window spec, so Catalyst plans a single exchange + sort and
+    evaluates them in the same Window operator (q62 covers frames/ntile/
+    first_value; this completes the family)."""
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("second_cheapest"),
+    )
+
+
+Q100_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       nth_value(o_orderkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+"""
+
+
+def q101_multiset_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the bag-semantics set operators (q11/q63
+    cover the distinct forms). Multiset semantics matter when duplicates are
+    data (e.g. reconciling two change logs where a row legitimately repeats):
+    each is a single hash-repartition of both sides with per-key count
+    arithmetic — no sort, no distinct collapse."""
+    a = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", (F.col("l_quantity") % 10).cast("long").alias("qbucket")
+    ).filter(F.col("l_orderkey") < 2000)
+    b = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", (F.col("l_quantity") % 7).cast("long").alias("qbucket")
+    ).filter(F.col("l_orderkey") < 3000)
+    ex = a.exceptAll(b).groupBy("qbucket").agg(F.count(F.lit(1)).alias("n"))
+    ix = a.intersectAll(b).groupBy("qbucket").agg(F.count(F.lit(1)).alias("n"))
+    return ex.withColumn("op", F.lit("except_all")).unionByName(
+        ix.withColumn("op", F.lit("intersect_all"))
+    )
+
+
+Q101_SQL = """
+WITH a AS (SELECT l_orderkey, CAST(l_quantity % 10 AS BIGINT) AS qbucket
+           FROM lineitem WHERE l_orderkey < 2000),
+b AS (SELECT l_orderkey, CAST(l_quantity % 7 AS BIGINT) AS qbucket
+      FROM lineitem WHERE l_orderkey < 3000)
+SELECT qbucket, n, op FROM (
+  SELECT qbucket, count(*) AS n, 'except_all' AS op
+  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY qbucket
+  UNION ALL
+  SELECT qbucket, count(*) AS n, 'intersect_all' AS op
+  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY qbucket
+)
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -3002,6 +3071,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q96_retention_cohorts": (q96_retention_cohorts, Q96_SQL),
     "q97_rolling_actives": (q97_rolling_actives, Q97_SQL),
     "q98_bm25": (q98_bm25, Q98_SQL),
+    "q100_rank_family": (q100_rank_family, Q100_SQL),
+    "q101_multiset_ops": (q101_multiset_ops, Q101_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
