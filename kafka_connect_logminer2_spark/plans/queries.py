@@ -2981,6 +2981,54 @@ SELECT qbucket, n, op FROM (
 """
 
 
+def q102_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution diversity: Shannon entropy and
+    type/token ratio — the corpus-health metrics a mixing pipeline monitors
+    (a source whose entropy collapses is repetitive boilerplate). One
+    explode + one (source, term) hash agg (partial-agg'd map-side), then a
+    tiny per-source reduce; ln() parity with the oracle proven by q55."""
+    docs = load_table(spark, sf, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            (-F.sum(F.col("c") * F.log(F.col("c")))).alias("_s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.log(F.col("n_tokens")) + F.col("_s") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        )
+    )
+
+
+Q102_SQL = """
+WITH counts AS (
+  SELECT source, term, count(*) AS c FROM (
+    SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents)
+  WHERE term <> '' GROUP BY source, term),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         -sum(c * ln(c)) AS s
+  FROM counts GROUP BY source)
+SELECT source, n_tokens, n_types,
+       round(ln(n_tokens) + s / n_tokens, 6) AS entropy,
+       round(n_types * 1.0 / n_tokens, 6) AS type_token_ratio
+FROM agg
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -3073,6 +3121,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q98_bm25": (q98_bm25, Q98_SQL),
     "q100_rank_family": (q100_rank_family, Q100_SQL),
     "q101_multiset_ops": (q101_multiset_ops, Q101_SQL),
+    "q102_token_entropy": (q102_token_entropy, Q102_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
