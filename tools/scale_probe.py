@@ -125,6 +125,51 @@ def main() -> None:
         out, _, _ = kmeans(corpus, k=8, max_iter=1)
         return out
 
+    def pipeline_fold_op(m):
+        # q95's shape: scan-side clean+md5+quality, hash fold with min_by,
+        # per-source rollup. Identical copies collapse into the same hash
+        # groups (real dups, counted not paired — linear work by design).
+        df = replicate(docs, m, ["doc_id"], span)
+        cleaned = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), r"https?://\S+", " "),
+                    r"[a-z0-9._%+-]+@[a-z0-9.-]+",
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+        from kafka_connect_logminer2_spark.functions.text import quality_score
+
+        scored = (
+            df.withColumn("h", F.md5(cleaned))
+            .withColumn("q", quality_score(F.col("text")))
+            .filter(F.col("q") >= 0.4)
+        )
+        canon = scored.groupBy("h").agg(
+            F.min_by("source", "doc_id").alias("source"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        return canon.groupBy("source").agg(F.count(F.lit(1)), F.sum("n_copies"))
+
+    def retention_op(m):
+        # q96's shape: one (user, week-set) exchange via map-side collect_set
+        df = replicate(events, m, ["event_id", "user_id"], span)
+        per_user = (
+            df.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+            .groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("wk")).alias("wks"))
+        )
+        return (
+            per_user.select(
+                F.element_at("wks", 1).alias("cw"), F.explode("wks").alias("wk")
+            )
+            .groupBy("cw", F.datediff("wk", "cw").alias("off"))
+            .agg(F.count(F.lit(1)))
+        )
+
     ops = {
         "hash_agg": agg_op,
         "exact_dedup": dedup_op,
@@ -133,6 +178,8 @@ def main() -> None:
         "asof_join": asof_op,
         "jaccard_pairs": jaccard_op,
         "kmeans_assign": kmeans_assign_op,
+        "pipeline_fold": pipeline_fold_op,
+        "retention": retention_op,
     }
 
     for name, op in ops.items():
