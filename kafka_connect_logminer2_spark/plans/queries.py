@@ -862,8 +862,11 @@ GROUP BY lang
 def q34_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal decode/feature plumbing (mapInPandas over binary payloads;
     decode kernel is a deterministic stub — see functions/multimodal.py):
-    per-dimension feature means over the extracted image embeddings.
-    Rows-only: the binary fixture + stub kernel have no SQL equivalent."""
+    per-dimension feature means over the extracted image embeddings. The
+    stub kernel is sha256-derived, so the ORACLE reproduces fixture +
+    kernel in pure SQL (repeat/substring payload, sha256, hex-cast first
+    byte) — the mapInPandas plumbing is value-hash checked end to end,
+    not just row-counted."""
     from ..functions import multimodal as M
 
     media = M.media_fixture(spark, n=192)
@@ -877,6 +880,25 @@ def q34_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("f0"), 6).alias("avg_f0"),
     )
+
+
+Q34_SQL = """
+WITH media AS (
+  SELECT CAST(range AS BIGINT) AS media_id,
+         substring(repeat('media-' || range, 7), 1, 50 + CAST(range AS INTEGER)) AS payload
+  FROM range(192)
+  WHERE range % 3 = 0),
+feats AS (
+  SELECT media_id,
+         CAST(length(payload) AS BIGINT) AS n_bytes,
+         round(CAST(('0x' || substr(sha256(payload), 1, 2)) AS INTEGER) / 255.0, 6) AS f0
+  FROM media)
+SELECT CAST(floor(media_id / 48) AS BIGINT) AS bucket,
+       count(*) AS n_images,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(f0), 6) AS avg_f0
+FROM feats GROUP BY 1
+"""
 
 
 def q35_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -3068,7 +3090,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q31_ann_lsh": (q31_ann_lsh, None),
     "q32_quality_filter": (q32_quality_filter, Q32_SQL),
     "q33_bpe_tokens": (q33_bpe_tokens, Q33_SQL),
-    "q34_multimodal_features": (q34_multimodal_features, None),
+    "q34_multimodal_features": (q34_multimodal_features, Q34_SQL),
     "q35_ann_ivf": (q35_ann_ivf, None),
     "q36_cube": (q36_cube, Q36_SQL),
     "q37_asof_join": (q37_asof_join, Q37_SQL),
