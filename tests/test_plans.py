@@ -281,3 +281,24 @@ def test_bm25_no_corpus_join(spark, sf_dir):
     anywhere."""
     plan = plan_of(QUERY_REGISTRY["q98_bm25"][0](spark, sf_dir))
     assert "SortMergeJoin" not in plan
+
+
+def test_retention_single_fact_exchange(spark, sf_dir):
+    """q96: the events fact is exchanged exactly once (on user_id, carrying
+    the collect_set partial aggregate); the final (cohort, offset) rollup is
+    a second tiny exchange. No join, no window."""
+    plan = plan_of(QUERY_REGISTRY["q96_retention_cohorts"][0](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_token_entropy_two_hash_aggs(spark, sf_dir):
+    """q102: explode → (source, term) agg → per-source agg; both exchanges
+    carry counts, never text; partial aggregation runs before each."""
+    plan = plan_of(QUERY_REGISTRY["q102_token_entropy"][0](spark, sf_dir))
+    assert "Join" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2
+    assert all("text" not in l for l in ex)
+    assert "partial" in plan.lower()
