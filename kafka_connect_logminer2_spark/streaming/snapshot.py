@@ -90,6 +90,40 @@ def merge_step(prev: DataFrame | None, net: DataFrame, pk_cols: list[str]) -> Da
     return untouched.unionByName(merged)
 
 
+def _merge_one_table(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    registry: SchemaRegistry,
+    owner: str,
+    table: str,
+    pk_cols: list[str],
+    snap_dir: str,
+    config: EngineConfig | None,
+) -> None:
+    rows = batch.filter(
+        (F.col("OPERATION") != "DDL")
+        & (F.col("SEG_OWNER") == owner)
+        & (F.col("TABLE_NAME") == table)
+    )
+    if not registry.ensure(owner, table):
+        return
+    typed = apply_table_schema(
+        rows,
+        registry,
+        owner,
+        table,
+        float64_numbers=(config or EngineConfig()).float64_numbers,
+    )
+    net = net_changes(typed, pk_cols)
+    if not net.take(1):
+        return  # nothing for this table in the batch; version unchanged
+    parent = latest_version(snap_dir, below=batch_id)
+    prev = None if parent is None else spark.read.parquet(f"{snap_dir}/v={parent}")
+    out = merge_step(prev, net, pk_cols)
+    out.write.mode("overwrite").parquet(f"{snap_dir}/v={batch_id}")
+
+
 def write_snapshot(
     envelope_stream: DataFrame,
     registry: SchemaRegistry,
@@ -106,27 +140,54 @@ def write_snapshot(
     spark = envelope_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        rows = batch.filter(
-            (F.col("OPERATION") != "DDL")
-            & (F.col("SEG_OWNER") == owner)
-            & (F.col("TABLE_NAME") == table)
+        _merge_one_table(
+            spark, batch, batch_id, registry, owner, table, pk_cols, snap_dir, config
         )
-        if not registry.ensure(owner, table):
-            return
-        typed = apply_table_schema(
-            rows,
-            registry,
-            owner,
-            table,
-            float64_numbers=(config or EngineConfig()).float64_numbers,
-        )
-        net = net_changes(typed, pk_cols)
-        if not net.take(1):
-            return  # nothing for this table in the batch; version unchanged
-        parent = latest_version(snap_dir, below=batch_id)
-        prev = None if parent is None else spark.read.parquet(f"{snap_dir}/v={parent}")
-        out = merge_step(prev, net, pk_cols)
-        out.write.mode("overwrite").parquet(f"{snap_dir}/v={batch_id}")
+
+    writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_snapshots(
+    envelope_stream: DataFrame,
+    registry: SchemaRegistry,
+    pk_map: dict[tuple[str, str], list[str]],
+    out_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig | None = None,
+    trigger_available_now: bool = True,
+):
+    """Multi-table snapshot maintenance: one stream, one checkpoint, one
+    snapshot directory per ``(owner, table)`` in ``pk_map`` (the per-table
+    analog of pipeline.py::write_per_table, but folding state instead of
+    appending changes). The batch is persisted once and each table's slice
+    is filtered from it — per-table work is a broadcast-size merge, and a
+    retried batch overwrites every table's own ``v=<batch_id>``
+    deterministically (same parent rule as write_snapshot), so multi-table
+    retries stay idempotent too."""
+    spark = envelope_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            for (owner, table), pk_cols in pk_map.items():
+                _merge_one_table(
+                    spark,
+                    batch,
+                    batch_id,
+                    registry,
+                    owner,
+                    table,
+                    pk_cols,
+                    f"{out_dir}/{owner}.{table}",
+                    config,
+                )
+        finally:
+            batch.unpersist()
 
     writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -152,3 +152,97 @@ def test_snapshot_resumes_across_runs(spark, sf_dir, tmp_path):
 
     assert latest_version(f"{tmp}/snap") > v_first  # resumed, not re-folded
     assert _rows(read_snapshot(spark, f"{tmp}/snap")) == expected
+
+
+def test_multi_table_snapshots(spark, tmp_path):
+    """write_snapshots maintains independent folded state per table from ONE
+    stream/checkpoint: customer gets insert+update+delete, nation gets an
+    insert+patch — each snapshot dir holds exactly its table's final state."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+    from kafka_connect_logminer2_spark.streaming.snapshot import write_snapshots
+
+    tmp = str(tmp_path)
+    reg = SchemaRegistry()
+    mkc = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    mkn = lambda name, **kw: ColumnMeta("TPCH", "NATION", name, True, **kw)
+    reg.register(
+        [
+            mkc("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+            mkc("C_NAME", data_type="VARCHAR2", data_length=25),
+            mkn("N_NATIONKEY", data_type="NUMBER", data_precision=18),
+            mkn("N_NAME", data_type="VARCHAR2", data_length=25),
+            mkn("N_COMMENT", data_type="VARCHAR2", data_length=80),
+        ]
+    )
+
+    CINS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'{v}\')'
+    CDEL = 'delete from "TPCH"."CUSTOMER" where "C_CUSTKEY" = {k}'
+    NINS = (
+        'insert into "TPCH"."NATION"("N_NATIONKEY","N_NAME","N_COMMENT")'
+        " values ({k},'{v}','c0')"
+    )
+    NUPD = (
+        'update "TPCH"."NATION" set "N_COMMENT" = \'patched\' '
+        "where \"N_NATIONKEY\" = {k} and \"N_COMMENT\" = 'c0'"
+    )
+    ev = []
+    scn = 0
+
+    def add(op, table, sql, xid):
+        nonlocal scn
+        scn += 1
+        ev.append(
+            dict(
+                scn=scn,
+                operation=op,
+                xid=xid,
+                table_name=table,
+                sql_redo=sql,
+                row_id=f"r{scn}",
+                timestamp="2024-01-01T00:00:00",
+            )
+        )
+
+    def txn(xid, items):
+        nonlocal scn
+        scn += 1
+        ev.append(dict(scn=scn, operation="START", xid=xid))
+        for op, table, sql in items:
+            add(op, table, sql, xid)
+        scn += 1
+        ev.append(dict(scn=scn, operation="COMMIT", xid=xid))
+
+    txn("A", [("INSERT", "CUSTOMER", CINS.format(k=1, v="a")),
+              ("INSERT", "CUSTOMER", CINS.format(k=2, v="b")),
+              ("INSERT", "NATION", NINS.format(k=10, v="FR"))])
+    txn("B", [("DELETE", "CUSTOMER", CDEL.format(k=2)),
+              ("UPDATE", "NATION", NUPD.format(k=10)),
+              ("INSERT", "NATION", NINS.format(k=11, v="DE"))])
+
+    redo_events_from_rows(spark, ev).coalesce(1).write.parquet(f"{tmp}/stage2")
+    os.makedirs(f"{tmp}/redo")
+    part = sorted(glob.glob(f"{tmp}/stage2/part*"))[0]
+    shutil.copy(part, f"{tmp}/redo/f0.parquet")
+
+    q = write_snapshots(
+        cdc_stream(
+            read_redo_stream_files(spark, f"{tmp}/redo", 1), default_config()
+        ),
+        reg,
+        {("TPCH", "CUSTOMER"): ["C_CUSTKEY"], ("TPCH", "NATION"): ["N_NATIONKEY"]},
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    q.awaitTermination(300)
+
+    cust = read_snapshot(spark, f"{tmp}/snap/TPCH.CUSTOMER")
+    nat = read_snapshot(spark, f"{tmp}/snap/TPCH.NATION")
+    assert sorted((r.C_CUSTKEY, r.C_NAME) for r in cust.collect()) == [(1, "a")]
+    assert sorted((r.N_NATIONKEY, r.N_NAME, r.N_COMMENT) for r in nat.collect()) == [
+        (10, "FR", "patched"),
+        (11, "DE", "c0"),
+    ]
