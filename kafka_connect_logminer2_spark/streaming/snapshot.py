@@ -67,12 +67,22 @@ def read_snapshot(spark: SparkSession, snap_dir: str) -> DataFrame | None:
 
 
 def merge_step(prev: DataFrame | None, net: DataFrame, pk_cols: list[str]) -> DataFrame:
-    """One incremental merge: previous snapshot + net per-key changes."""
+    """One incremental merge: previous snapshot + net per-key changes.
+
+    Schema evolution is add-only (the DDL-invalidation contract, SURVEY
+    §1.4): a column the net changes carry but the previous snapshot lacks
+    backfills as NULL for untouched rows; a column dropped from the current
+    schema disappears from the snapshot. The NET side's schema is always
+    authoritative — it came from the registry's current view."""
     value_cols = [c for c in net.columns if c not in ("_deleted", "_reborn")]
     non_pk = [c for c in value_cols if c not in pk_cols]
     live = net.filter(~F.col("_deleted"))
     if prev is None:
         return live.select(*value_cols)
+    for c in value_cols:
+        if c not in prev.columns:
+            prev = prev.withColumn(c, F.lit(None).cast(net.schema[c].dataType))
+    prev = prev.select(*value_cols)
     untouched = prev.join(F.broadcast(net.select(*pk_cols)), pk_cols, "left_anti")
     p = prev.select(*pk_cols, *[F.col(c).alias(f"_p_{c}") for c in non_pk])
     merged = (
@@ -101,6 +111,16 @@ def _merge_one_table(
     snap_dir: str,
     config: EngineConfig | None,
 ) -> None:
+    # DDL first: invalidate before this batch's DML materializes — the same
+    # ordering contract as pipeline.py::write_per_table (SURVEY §7 part 4)
+    for r in (
+        batch.filter((F.col("OPERATION") == "DDL") & (F.col("SEG_OWNER") == owner))
+        .select("SRC_TABLE")
+        .distinct()
+        .collect()
+    ):
+        if r["SRC_TABLE"] == table:
+            registry.invalidate(owner, table)
     rows = batch.filter(
         (F.col("OPERATION") != "DDL")
         & (F.col("SEG_OWNER") == owner)

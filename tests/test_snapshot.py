@@ -246,3 +246,73 @@ def test_multi_table_snapshots(spark, tmp_path):
         (10, "FR", "patched"),
         (11, "DE", "c0"),
     ]
+
+
+def test_snapshot_survives_ddl_schema_evolution(spark, tmp_path):
+    """DDL adds a column mid-stream: the snapshot maintainer invalidates the
+    registry before that batch's DML materializes (same ordering as the
+    change-stream sink) and merge_step backfills the new column as NULL for
+    rows last touched under the old schema."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+
+    tmp = str(tmp_path)
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v1 = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+    ]
+    v2 = v1 + [mk("C_TIER", data_type="NUMBER", data_precision=4)]
+    reg = SchemaRegistry()
+    reg.register(v1)
+    reg._loader = lambda o, t: v2 if (o, t) == ("TPCH", "CUSTOMER") else None
+
+    INS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'a\')'
+    INS3 = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_TIER")'
+        " values ({k},'b',7)"
+    )
+    b1 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="COMMIT", xid="A", commit_scn=3),
+    ]
+    b2 = [
+        dict(scn=4, operation="START", xid="D"),
+        dict(scn=5, operation="DDL", xid="D", table_name="CUSTOMER",
+             sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)"),
+        dict(scn=6, operation="COMMIT", xid="D", commit_scn=6),
+        dict(scn=7, operation="START", xid="B"),
+        dict(scn=8, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS3.format(k=2), row_id="r2"),
+        dict(scn=9, operation="COMMIT", xid="B", commit_scn=9),
+    ]
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+    for i, rows in enumerate((b1, b2)):
+        redo_events_from_rows(spark, rows).coalesce(1).write.parquet(f"{tmp}/s{i}")
+        part = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(part, f"{tmp}/redo/f{i}.parquet")
+        os.utime(f"{tmp}/redo/f{i}.parquet", (now + i * 10,) * 2)
+
+    q = write_snapshot(
+        cdc_stream(
+            read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+            default_config(),
+        ),
+        reg,
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    q.awaitTermination(300)
+
+    snap = read_snapshot(spark, f"{tmp}/snap")
+    got = {r.C_CUSTKEY: (r.C_NAME, r.C_TIER) for r in snap.collect()}
+    assert got == {1: ("a", None), 2: ("b", 7)}
