@@ -3051,6 +3051,37 @@ FROM agg
 """
 
 
+def q103_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery join (top-2 orders per customer) — the
+    SQL-standard per-row subquery form. Catalyst decorrelates the LATERAL
+    into a ranked window over the orders side (one shuffle on custkey),
+    not a per-customer re-scan — the plan is the same one the explicit
+    row_number formulation (q08) gets, which is exactly what you want: the
+    surface syntax is free, the execution is the scalable shape."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("customer_lat")
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 300
+    """)
+
+
+Q103_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON true
+WHERE c.c_custkey < 300
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -3144,6 +3175,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q100_rank_family": (q100_rank_family, Q100_SQL),
     "q101_multiset_ops": (q101_multiset_ops, Q101_SQL),
     "q102_token_entropy": (q102_token_entropy, Q102_SQL),
+    "q103_lateral_topn": (q103_lateral_topn, Q103_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
