@@ -302,3 +302,14 @@ def test_token_entropy_two_hash_aggs(spark, sf_dir):
     assert len(ex) == 2
     assert all("text" not in l for l in ex)
     assert "partial" in plan.lower()
+
+
+def test_lateral_decorrelates_to_group_limit(spark, sf_dir):
+    """q103: the LATERAL per-customer subquery must NOT execute per row —
+    Catalyst decorrelates it into a ranked window with WindowGroupLimit,
+    including a PARTIAL pass before the exchange (map-side top-k pruning:
+    the shuffle carries ≤k rows per customer per input partition)."""
+    plan = plan_of(QUERY_REGISTRY["q103_lateral_topn"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
