@@ -38,6 +38,9 @@ HEADLINE = [
     "q93_temperature_sampling",
     "q95_pipeline_dedup",
     "q96_retention_cohorts",
+    "q97_rolling_actives",
+    "q98_bm25",
+    "q102_token_entropy",
     "q73_local_supplier_volume",
     "q78_returned_items",
     "cdc01_insert_roundtrip",
