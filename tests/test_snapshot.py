@@ -316,3 +316,60 @@ def test_snapshot_survives_ddl_schema_evolution(spark, tmp_path):
     snap = read_snapshot(spark, f"{tmp}/snap")
     got = {r.C_CUSTKEY: (r.C_NAME, r.C_TIER) for r in snap.collect()}
     assert got == {1: ("a", None), 2: ("b", 7)}
+
+
+def test_merge_retry_same_batch_id_is_idempotent(spark, tmp_path):
+    """foreachBatch retries re-run with the SAME batch_id: _merge_one_table
+    must re-read the same parent (largest version strictly below) and
+    overwrite its own output, landing on identical state."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+    from kafka_connect_logminer2_spark.streaming.snapshot import _merge_one_table
+
+    tmp = str(tmp_path)
+    reg = SchemaRegistry()
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    reg.register(
+        [
+            mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+            mk("C_NAME", data_type="VARCHAR2", data_length=25),
+        ]
+    )
+
+    def batch(rows):
+        data = [
+            {
+                "SCN": scn, "COMMIT_SCN": scn, "OPERATION": op,
+                "SEG_OWNER": "TPCH", "TABLE_NAME": "CUSTOMER",
+                "SRC_TABLE": "CUSTOMER",
+                "data_json": dj, "before_json": bj,
+            }
+            for scn, op, dj, bj in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "SCN long, COMMIT_SCN long, OPERATION string, SEG_OWNER string,"
+            " TABLE_NAME string, SRC_TABLE string, data_json string,"
+            " before_json string",
+        )
+
+    b0 = batch([(1, "INSERT", '{"C_CUSTKEY": "1", "C_NAME": "a"}', None)])
+    b1 = batch([(2, "INSERT", '{"C_CUSTKEY": "2", "C_NAME": "b"}', None)])
+
+    args = (reg, "TPCH", "CUSTOMER", ["C_CUSTKEY"], f"{tmp}/snap", None)
+    _merge_one_table(spark, b0, 0, *args)
+    _merge_one_table(spark, b1, 1, *args)
+    first = _rows_simple(spark, f"{tmp}/snap")
+    # retry batch 1: same batch_id, same input — must not duplicate or
+    # chain off its own previous output
+    _merge_one_table(spark, b1, 1, *args)
+    assert _rows_simple(spark, f"{tmp}/snap") == first
+    assert first == [(1, "a"), (2, "b")]
+
+
+def _rows_simple(spark, snap_dir):
+    return sorted(
+        (r.C_CUSTKEY, r.C_NAME) for r in read_snapshot(spark, snap_dir).collect()
+    )
