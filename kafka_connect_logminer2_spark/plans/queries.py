@@ -543,7 +543,12 @@ SELECT * FROM (
 
 
 def q24_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated percentiles (percentile ↔ quantile_cont parity)."""
+    """Exact interpolated percentiles (percentile ↔ quantile_cont parity).
+
+    Scale note: percentile() buffers each group's values in executor memory
+    — fine for bounded groups, wrong for corpus-scale ones. The scale paths
+    are approx_percentile (q26's family) or the counting-median pattern over
+    a bounded value grid (q94)."""
     l = load_table(spark, sf, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
