@@ -172,6 +172,94 @@ def write_snapshot(
     return writer.start()
 
 
+def read_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> DataFrame | None:
+    """Current state of a bucketed snapshot: per bucket, the latest
+    committed version; union across buckets."""
+    if not os.path.isdir(snap_dir):
+        return None
+    parts = []
+    for d in sorted(os.listdir(snap_dir)):
+        if not d.startswith("b="):
+            continue
+        v = latest_version(os.path.join(snap_dir, d))
+        if v is not None:
+            parts.append(f"{snap_dir}/{d}/v={v}")
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
+
+
+def write_snapshot_bucketed(
+    envelope_stream: DataFrame,
+    registry: SchemaRegistry,
+    owner: str,
+    table: str,
+    pk_cols: list[str],
+    snap_dir: str,
+    checkpoint_dir: str,
+    num_buckets: int = 16,
+    config: EngineConfig | None = None,
+    trigger_available_now: bool = True,
+):
+    """Bucketed snapshot maintenance — the write-amplification fix for
+    LARGE tables. ``write_snapshot`` rewrites the whole table every batch
+    (fine when the table fits a few files; O(table) writes at scale). Here
+    the snapshot is hash-partitioned into ``num_buckets`` by key; a batch
+    rewrites ONLY the buckets containing changed keys, each under its own
+    ``b=<k>/v=<batch_id>`` version chain. Per-batch write cost drops from
+    O(table) to O(touched buckets); a clustered change batch (the common
+    CDC case — recent keys) touches few buckets. Retries stay idempotent
+    per bucket (same parent rule as the flat layout). The reference has no
+    analog — it never materializes state at all; this is the engine-side
+    answer to 'maintain a 100 TB table image from its change stream'."""
+    spark = envelope_stream.sparkSession
+    bucket_expr = F.pmod(F.xxhash64(*pk_cols), F.lit(num_buckets)).cast("int")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        for r in (
+            batch.filter((F.col("OPERATION") == "DDL") & (F.col("SEG_OWNER") == owner))
+            .select("SRC_TABLE")
+            .distinct()
+            .collect()
+        ):
+            if r["SRC_TABLE"] == table:
+                registry.invalidate(owner, table)
+        rows = batch.filter(
+            (F.col("OPERATION") != "DDL")
+            & (F.col("SEG_OWNER") == owner)
+            & (F.col("TABLE_NAME") == table)
+        )
+        if not registry.ensure(owner, table):
+            return
+        typed = apply_table_schema(
+            rows,
+            registry,
+            owner,
+            table,
+            float64_numbers=(config or EngineConfig()).float64_numbers,
+        )
+        net = net_changes(typed, pk_cols).withColumn("_bucket", bucket_expr).persist()
+        try:
+            touched = sorted(r["_bucket"] for r in net.select("_bucket").distinct().collect())
+            for b in touched:
+                bdir = f"{snap_dir}/b={b}"
+                parent = latest_version(bdir, below=batch_id)
+                prev = (
+                    None if parent is None else spark.read.parquet(f"{bdir}/v={parent}")
+                )
+                out = merge_step(prev, net.filter(F.col("_bucket") == b).drop("_bucket"), pk_cols)
+                out.write.mode("overwrite").parquet(f"{bdir}/v={batch_id}")
+        finally:
+            net.unpersist()
+
+    writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_snapshots(
     envelope_stream: DataFrame,
     registry: SchemaRegistry,

@@ -373,3 +373,103 @@ def _rows_simple(spark, snap_dir):
     return sorted(
         (r.C_CUSTKEY, r.C_NAME) for r in read_snapshot(spark, snap_dir).collect()
     )
+
+
+def test_bucketed_snapshot_equals_batch_fold_and_limits_writes(spark, sf_dir, tmp_path):
+    """The bucketed layout lands on the same state as the one-shot batch
+    fold AND each batch writes only its touched buckets (later batches must
+    not have rewritten every bucket)."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        read_snapshot_bucketed,
+        write_snapshot_bucketed,
+    )
+
+    tmp = str(tmp_path)
+    keysel = F.split(F.col("xid"), r"\.").getItem(1).cast("long") % 10
+    ins = redo_inserts_from_customer(spark, sf_dir)
+    upd = redo_updates_from_customer(spark, sf_dir).filter(keysel.isin(0, 1, 2))
+    dele = redo_deletes_from_customer(spark, sf_dir).filter(keysel.isin(6, 7))
+    redo = ins.unionByName(upd).unionByName(dele)
+    expected = _rows(apply_changes(run_cdc_batch(redo), ["C_CUSTKEY"]))
+
+    redo.orderBy("scn").repartitionByRange(6, "scn").write.parquet(f"{tmp}/stage")
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    q = write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+            default_config(),
+        ),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+        num_buckets=8,
+    )
+    q.awaitTermination(300)
+
+    got = read_snapshot_bucketed(spark, f"{tmp}/snap")
+    assert _rows(got) == expected
+
+    # write-amplification check: resume the stream with ONE tiny batch
+    # updating exactly two keys — it must rewrite at most two buckets
+    # (every other bucket keeps its older version chain untouched)
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+    from kafka_connect_logminer2_spark.streaming.snapshot import latest_version
+
+    UPD = (
+        'update "TPCH"."CUSTOMER" set "C_ACCTBAL" = 999.99 '
+        'where "C_CUSTKEY" = {k} and "C_ACCTBAL" = 0'
+    )
+    ev = [
+        dict(scn=10_000_001, operation="START", xid="Z"),
+        dict(scn=10_000_002, operation="UPDATE", xid="Z", table_name="CUSTOMER",
+             sql_redo=UPD.format(k=1), row_id="z1"),
+        dict(scn=10_000_003, operation="UPDATE", xid="Z", table_name="CUSTOMER",
+             sql_redo=UPD.format(k=22), row_id="z2"),
+        dict(scn=10_000_004, operation="COMMIT", xid="Z", commit_scn=10_000_004),
+    ]
+    redo_events_from_rows(spark, ev).coalesce(1).write.parquet(f"{tmp}/tiny")
+    part = sorted(glob.glob(f"{tmp}/tiny/part*"))[0]
+    shutil.copy(part, f"{tmp}/redo/f9.parquet")
+    os.utime(f"{tmp}/redo/f9.parquet", (now + 900,) * 2)
+
+    q2 = write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+            default_config(),
+        ),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+        num_buckets=8,
+    )
+    q2.awaitTermination(300)
+
+    latest_per_bucket = [
+        latest_version(f"{tmp}/snap/{d}")
+        for d in sorted(os.listdir(f"{tmp}/snap"))
+        if d.startswith("b=")
+    ]
+    assert len(latest_per_bucket) == 8
+    newest = max(latest_per_bucket)
+    assert sum(1 for v in latest_per_bucket if v == newest) <= 2
+
+    # patch semantics across the bucketed merge: balance updated, name kept
+    final = {
+        r.C_CUSTKEY: (r.C_NAME, round(r.C_ACCTBAL, 2))
+        for r in read_snapshot_bucketed(spark, f"{tmp}/snap").collect()
+        if r.C_CUSTKEY in (1, 22)
+    }
+    assert final[1][1] == 999.99 and final[22][1] == 999.99
+    assert final[1][0] is not None and final[22][0] is not None
