@@ -44,6 +44,42 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+def enable_vendored_protobuf() -> bool:
+    """Make ``google.protobuf`` importable (driver AND python workers) from
+    the vendored bridge in ``<repo>/vendor`` — no package installation.
+
+    The ``transformWithStateInPandas`` worker imports ``google.protobuf`` to
+    speak the state-server protocol; this container has no protobuf install,
+    but the google-cloud-sdk on the image ships a pure-Python runtime. The
+    ``vendor/google`` bridge package re-exports it (see its docstring).
+
+    Must run BEFORE the SparkSession/JVM is created so the PYTHONPATH and
+    implementation env vars propagate to python workers. Returns True when
+    ``google.protobuf`` is importable afterwards.
+    """
+    import importlib.util
+    import sys
+
+    vendor = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "vendor")
+    if os.path.isdir(os.path.join(vendor, "google")):
+        if vendor not in sys.path:
+            sys.path.insert(0, vendor)
+        pp = os.environ.get("PYTHONPATH", "")
+        if vendor not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = vendor + (os.pathsep + pp if pp else "")
+        # the SDK copy has no compiled upb for this interpreter — force the
+        # pure-Python wire implementation everywhere
+        os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    try:
+        if importlib.util.find_spec("google.protobuf") is None:
+            return False
+        import google.protobuf  # noqa: F401  (validates the bridge actually loads)
+
+        return True
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "kafka_connect_logminer2_spark",
     master: str | None = None,

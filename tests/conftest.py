@@ -5,8 +5,10 @@ import pytest
 
 @pytest.fixture(scope="session")
 def spark():
-    from kafka_connect_logminer2_spark.session import get_spark
+    from kafka_connect_logminer2_spark.session import enable_vendored_protobuf, get_spark
 
+    # before JVM launch so PYTHONPATH/impl env reach python workers
+    enable_vendored_protobuf()
     spark = get_spark(
         app_name="tests",
         master="local[8]",

@@ -14,14 +14,14 @@ import time
 import pytest
 
 # transformWithStateInPandas speaks protobuf over a state-server socket;
-# the API exists in pyspark 4.1 but executing it requires google.protobuf,
-# absent in this container (no installs allowed). The processor's pure
-# logic is still covered below; full-stream parity runs wherever protobuf
-# is present (any stock Spark 4 cluster).
-try:
-    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:  # no 'google' namespace package at all
-    _HAS_PROTOBUF = False
+# the API exists in pyspark 4.1 but executing it requires google.protobuf.
+# There is no protobuf install in this container, but the image's
+# google-cloud-sdk ships a pure-Python runtime which vendor/google bridges
+# in (enable_vendored_protobuf). Where neither exists the full-stream tests
+# skip; the processor's pure logic is always covered below.
+from kafka_connect_logminer2_spark.session import enable_vendored_protobuf
+
+_HAS_PROTOBUF = enable_vendored_protobuf()
 needs_protobuf = pytest.mark.skipif(
     not _HAS_PROTOBUF, reason="transformWithState runtime needs google.protobuf"
 )
