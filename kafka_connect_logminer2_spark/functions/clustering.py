@@ -27,6 +27,53 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def lloyd_refine(
+    vecs: DataFrame,
+    cmat: np.ndarray,
+    n_iter: int,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, int]:
+    """Run up to ``n_iter`` Lloyd iterations from the given k x dim centroid
+    matrix; returns ``(refined_matrix, iterations_run)``. The per-iteration
+    cost is one assignment matmul pass over the vectors plus a shuffle of
+    (cluster, dim) partial sums — independent of corpus size beyond the scan.
+    Shared by :func:`kmeans` and the IVF ANN coarse quantizer
+    (similarity.py::ivf_topk), so both train the same way."""
+    from pyspark.sql.functions import pandas_udf
+
+    it = 0
+    for it in range(1, n_iter + 1):
+        cur = cmat  # bind the iteration's matrix into the UDF closure
+
+        @pandas_udf("int")
+        def assign(col: pd.Series) -> pd.Series:
+            v = np.stack(col.to_numpy()).astype(np.float64)
+            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over c
+            d2 = (
+                (v * v).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ cur.T)
+                + (cur * cur).sum(axis=1)
+            )
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+        new_rows = (
+            vecs.select(assign(F.col(vec_col)).alias("cluster"), vec_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("c"))
+            .collect()
+        )
+        new_cmat = cmat.copy()  # empty clusters keep their old center
+        for r in new_rows:
+            new_cmat[r["cluster"], r["dim"]] = r["c"]
+        shift = float(np.abs(new_cmat - cmat).max())
+        cmat = new_cmat
+        if shift <= tol:
+            break
+    return cmat, it
+
+
 def kmeans(
     embeddings: DataFrame,
     k: int = 8,
@@ -50,42 +97,7 @@ def kmeans(
     cmat = np.asarray([r[1] for r in first], dtype=np.float64)
 
     vecs = embeddings.select(id_col, vec_col).localCheckpoint(eager=False)
-    n_iter = 0
-    for n_iter in range(1, max_iter + 1):
-        cur = cmat  # bind the iteration's matrix into the UDF closure
-
-        @pandas_udf("struct<cluster: int, dist: double>")
-        def assign(col: pd.Series) -> pd.DataFrame:
-            v = np.stack(col.to_numpy()).astype(np.float64)
-            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; argmin over c
-            d2 = (
-                (v * v).sum(axis=1, keepdims=True)
-                - 2.0 * (v @ cur.T)
-                + (cur * cur).sum(axis=1)
-            )
-            best = np.argmin(d2, axis=1)  # np.argmin is first-wins on ties
-            dist = np.sqrt(np.maximum(d2[np.arange(len(best)), best], 0.0))
-            return pd.DataFrame({"cluster": best.astype("int32"), "dist": dist})
-
-        assigned = vecs.select(
-            id_col, vec_col, assign(F.col(vec_col)).alias("a")
-        ).select(id_col, vec_col, F.col("a.cluster").alias("cluster"), F.col("a.dist").alias("dist"))
-
-        # new centroids: one shuffle of (cluster, dim) partial sums
-        new_rows = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("c"))
-            .collect()
-        )
-        new_cmat = cmat.copy()  # empty clusters keep their old center
-        for r in new_rows:
-            new_cmat[r["cluster"], r["dim"]] = r["c"]
-        shift = float(np.abs(new_cmat - cmat).max())
-        cmat = new_cmat
-        if shift <= tol:
-            break
-
+    cmat, n_iter = lloyd_refine(vecs, cmat, max_iter, tol, vec_col=vec_col)
     final = cmat
 
     @pandas_udf("struct<cluster: int, dist: double>")

@@ -152,7 +152,8 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 3,
-    centroid_stride: int = 29,
+    n_centroids: int = 64,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -160,27 +161,38 @@ def ivf_topk(
     """Approximate top-k via IVF (inverted-file) cell partitioning — the
     second 100 TB ANN path next to :func:`lsh_bucketed_topk`.
 
-    Centroids are a deterministic corpus sample (every ``centroid_stride``-th
-    id) standing in for trained k-means centers; like a trained model's
-    centers they are small, live on the driver, and ship to executors inside
-    the UDF closure. Cell assignment is one Arrow-batched pandas UDF doing a
-    single NumPy matmul per batch (centroid count × dim is far too large for
-    interpreted HOF expressions — measured 300× slower JVM-side at 1.7k
-    cells); each query probes its ``nprobe`` nearest cells and exact-cosine
-    re-ranks only those candidates. At scale the cell assignment is computed
-    once and persisted alongside the vectors, making every query a
-    partition-pruned scan of ~nprobe/C of the corpus.
+    The coarse quantizer is a FIXED-size model: ``n_centroids`` vectors
+    drawn by a deterministic, corpus-size-independent sample (the
+    ``n_centroids`` smallest ``xxhash64(id)`` — a per-partition top-k merge,
+    never a full collect), then refined with ``train_iters`` Lloyd
+    iterations (clustering.py::lloyd_refine). The driver therefore holds
+    exactly k x dim doubles no matter how large the corpus is — previously
+    the centroid set was every 29th corpus row, which grew O(N) and blew up
+    the driver/closure at billions of vectors. Cell assignment is one
+    Arrow-batched pandas UDF doing a single NumPy matmul per batch
+    (interpreted HOF expressions over big literal arrays are the measured
+    300× slow path — BASELINE.md); each query probes its ``nprobe`` nearest
+    cells and exact-cosine re-ranks only those candidates. At scale the cell
+    assignment is computed once and persisted alongside the vectors, making
+    every query a partition-pruned scan of ~nprobe/n_centroids of the
+    corpus.
     """
     from pyspark.sql.functions import pandas_udf
 
+    from .clustering import lloyd_refine
+
     cents = [
         r[1]
-        for r in embeddings.filter((F.col(id_col) % centroid_stride) == 0)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
         .collect()
     ]
     cmat = np.asarray(cents, dtype=np.float64)
+    if train_iters > 0:
+        cmat, _ = lloyd_refine(
+            embeddings.select(vec_col), cmat, train_iters, vec_col=vec_col
+        )
     cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     n_probe = nprobe
 

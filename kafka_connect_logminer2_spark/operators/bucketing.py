@@ -17,6 +17,7 @@ rounded to a power of two shared by every table that joins on the key.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,12 +28,26 @@ def _drop_stale_location(spark: SparkSession, table: str) -> None:
     default in-memory catalog dies with the session; spark-warehouse/ does
     not). saveAsTable then fails LOCATION_ALREADY_EXISTS. The directory is
     a derived cache here, so an orphaned one — location present, catalog
-    entry absent — is safe to clear."""
+    entry absent — is safe to clear.
+
+    Deletion is deliberately narrow: only with the session-scoped in-memory
+    catalog (a persistent metastore saying "absent" could be a
+    misconfiguration, not staleness), and only for the layouts this module
+    writes — unqualified names or ``db.tbl`` (mapped to the real managed
+    layout ``<warehouse>/<db>.db/<tbl>``)."""
     if spark.catalog.tableExists(table):
         return
+    if spark.conf.get("spark.sql.catalogImplementation", "in-memory") != "in-memory":
+        return
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    path = f"{warehouse}/{table.lower()}"
-    path = path[len("file:") :] if path.startswith("file:") else path
+    warehouse = warehouse[len("file:") :] if warehouse.startswith("file:") else warehouse
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        path = os.path.join(warehouse, parts[0])
+    elif len(parts) == 2:
+        path = os.path.join(warehouse, f"{parts[0]}.db", parts[1])
+    else:
+        return
     shutil.rmtree(path, ignore_errors=True)
 
 

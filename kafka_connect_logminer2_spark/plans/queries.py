@@ -2440,15 +2440,21 @@ def cdc07_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         f"{tmp}/snap",
         f"{tmp}/ckpt",
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a partially-built snapshot would surface as a baffling value-hash
+        # mismatch downstream — fail loudly at the source instead
+        q.stop()
+        raise TimeoutError("cdc07: snapshot stream did not finish within 600s")
     snap = read_snapshot(spark, f"{tmp}/snap")
-    return snap.select(
+    out = snap.select(
         F.col("C_CUSTKEY").alias("c_custkey"),
         F.col("C_NAME").alias("c_name"),
         F.col("C_NATIONKEY").alias("c_nationkey"),
         F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
         F.col("C_MKTSEGMENT").alias("c_mktsegment"),
-    )
+    ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -225,6 +225,40 @@ def redo_cm_inserts_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def redo_long_txns_from_customer(
+    spark: SparkSession, sf_dir: str, n_txns: int = 50
+) -> DataFrame:
+    """Long-transaction stress shape for the streaming assemblers: every
+    customer INSERT belongs to one of ``n_txns`` transactions
+    (``c_custkey % n_txns``), DML rows interleave across the whole SCN
+    range, and every COMMIT lands after the last DML row — so each
+    micro-batch touches every open transaction and every buffer keeps
+    growing until the final batch. This is the shape where a single-value
+    GroupState must rewrite its whole buffer every batch, while ListState
+    (transformWithState) appends only the increment — the reference's
+    unbounded-heap worry (LogMinerThread2.java:81) turned into a measurable
+    probe (tools/cdc_throughput.py longtxn)."""
+    c = load_table(spark, sf_dir, "customer")
+    t = (F.col("c_custkey") % n_txns).alias("t")
+    base = (F.col("c_custkey") * 10 + 1_000_000).alias("base")
+    xid = F.concat_ws(".", F.lit("9"), t.cast("string"), F.lit("1"))
+    row_id = F.format_string("AAA%015d", F.col("c_custkey"))
+    c = c.select("*", t, base, xid.alias("xid"), row_id.alias("row_id"))
+    ins_sql = _customer_insert_sql(c)
+
+    txns = c.select("t", "xid").distinct()
+    starts = txns.select(*_common(F.col("t") + 10, F.col("xid"), "START"))
+    dml = c.select(
+        *_common(F.col("base"), F.col("xid"), "INSERT",
+                 table=F.lit("CUSTOMER"), sql=ins_sql, row_id=F.col("row_id"))
+    )
+    commits = txns.select(
+        *_common(F.lit(1_000_000_000) + F.col("t"), F.col("xid"), "COMMIT",
+                 commit_scn=F.lit(1_000_000_000) + F.col("t"), commit_ts=True)
+    )
+    return starts.unionByName(dml).unionByName(commits)
+
+
 def redo_events_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Small hand-authored event lists for unit tests."""
     defaults = dict(

@@ -74,21 +74,34 @@ def cdc_stream(
     redo_stream: DataFrame,
     config: EngineConfig | None = None,
     continuous: bool = False,
+    assembler: str = "apply",
 ) -> DataFrame:
     """Streaming redo events → streaming envelope rows.
 
     ``continuous=True`` arms the abandoned-transaction state timeout (for
     long-running streams); leave False for availableNow/replay runs, where a
     ProcessingTimeTimeout would keep the query alive indefinitely.
+
+    ``assembler`` picks the stateful transaction operator:
+      - ``"apply"``: applyInPandasWithState (works on any Spark 3.4+)
+      - ``"tws"``: transformWithStateInPandas (Spark 4; ListState buffer is
+        O(new rows) per batch instead of rewriting the whole GroupState
+        buffer — the designed fix for per-group overhead on long txns).
+        Requires google.protobuf in the python workers
+        (session.enable_vendored_protobuf).
     """
     config = config or EngineConfig(table_whitelist="TPCH.*", db_name_alias="orcl")
     filtered = redo_stream.filter(
         source_predicate(config.table_whitelist, config.table_blacklist)
     )
     timeout = config.txn_state_timeout_ms if continuous else None
-    committed = assemble_transactions_stream(filtered, timeout).filter(
-        dml_types_predicate(config.dml_type_set())
-    )
+    if assembler == "tws":
+        from .transactions_tws import assemble_transactions_tws
+
+        assembled = assemble_transactions_tws(filtered, timeout)
+    else:
+        assembled = assemble_transactions_stream(filtered, timeout)
+    committed = assembled.filter(dml_types_predicate(config.dml_type_set()))
     return to_envelope(committed, config)
 
 

@@ -33,10 +33,13 @@ than directory listing; the versioning contract is the same.
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 from ..config import EngineConfig
 from ..operators.merge import net_changes
@@ -172,21 +175,85 @@ def write_snapshot(
     return writer.start()
 
 
+def _meta_path(snap_dir: str) -> str:
+    return os.path.join(snap_dir, "_meta.json")
+
+
+def _read_meta(snap_dir: str) -> dict | None:
+    p = _meta_path(snap_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_meta(snap_dir: str, meta: dict) -> None:
+    """Atomic replace (write-temp + rename) so readers never see a torn
+    meta file."""
+    os.makedirs(snap_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=snap_dir, prefix="_meta.", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(snap_dir))
+
+
+def _last_committed_batch(snap_dir: str) -> int | None:
+    d = os.path.join(snap_dir, "_commits")
+    if not os.path.isdir(d):
+        return None
+    return max((int(n) for n in os.listdir(d) if n.isdigit()), default=None)
+
+
+def _mark_committed(snap_dir: str, batch_id: int) -> None:
+    d = os.path.join(snap_dir, "_commits")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(batch_id)), "w"):
+        pass
+
+
 def read_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> DataFrame | None:
-    """Current state of a bucketed snapshot: per bucket, the latest
-    committed version; union across buckets."""
+    """Current state of a bucketed snapshot: per bucket, the latest version
+    belonging to a FULLY-committed batch; union across buckets.
+
+    Two consistency guards against the naive per-bucket-latest read:
+
+    - a crash mid-batch leaves some buckets at ``v=N`` before the batch-level
+      commit marker lands — reading per-bucket latest would return a torn
+      state (batch applied to some keys only). Only versions ≤ the last
+      committed batch id are visible here.
+    - after an add-only DDL, untouched buckets still carry the old file
+      schema; a bare multi-path read infers from an arbitrary file and can
+      silently drop the new column. The batch writer records the
+      authoritative schema in ``_meta.json``; the read aligns every bucket
+      to it (missing columns null-backfilled, dropped ones pruned).
+    """
     if not os.path.isdir(snap_dir):
+        return None
+    last = _last_committed_batch(snap_dir)
+    if last is None:
         return None
     parts = []
     for d in sorted(os.listdir(snap_dir)):
         if not d.startswith("b="):
             continue
-        v = latest_version(os.path.join(snap_dir, d))
+        v = latest_version(os.path.join(snap_dir, d), below=last + 1)
         if v is not None:
             parts.append(f"{snap_dir}/{d}/v={v}")
     if not parts:
         return None
-    return spark.read.parquet(*parts)
+    df = spark.read.option("mergeSchema", "true").parquet(*parts)
+    meta = _read_meta(snap_dir)
+    if meta and meta.get("schema"):
+        target = StructType.fromJson(meta["schema"])
+        df = df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in target.fields
+            ]
+        )
+    return df
 
 
 def write_snapshot_bucketed(
@@ -238,6 +305,15 @@ def write_snapshot_bucketed(
             table,
             float64_numbers=(config or EngineConfig()).float64_numbers,
         )
+        # the bucket map is pmod(xxhash64(pk), num_buckets): resuming with a
+        # different count would remap keys and strand stale copies in old
+        # buckets — refuse instead of corrupting
+        meta = _read_meta(snap_dir)
+        if meta and meta.get("num_buckets") not in (None, num_buckets):
+            raise ValueError(
+                f"snapshot at {snap_dir} was built with num_buckets="
+                f"{meta['num_buckets']}, cannot resume with {num_buckets}"
+            )
         net = net_changes(typed, pk_cols).withColumn("_bucket", bucket_expr).persist()
         try:
             touched = sorted(r["_bucket"] for r in net.select("_bucket").distinct().collect())
@@ -249,6 +325,22 @@ def write_snapshot_bucketed(
                 )
                 out = merge_step(prev, net.filter(F.col("_bucket") == b).drop("_bucket"), pk_cols)
                 out.write.mode("overwrite").parquet(f"{bdir}/v={batch_id}")
+            # authoritative value schema (the registry's current view) +
+            # bucket count, then the batch-level commit marker — reads only
+            # surface versions ≤ the last marker, so a crash between bucket
+            # writes can never be observed as a torn state
+            value_fields = [
+                f for f in net.schema.fields
+                if f.name not in ("_deleted", "_reborn", "_bucket")
+            ]
+            _write_meta(
+                snap_dir,
+                {
+                    "num_buckets": num_buckets,
+                    "schema": StructType(value_fields).jsonValue(),
+                },
+            )
+            _mark_committed(snap_dir, batch_id)
         finally:
             net.unpersist()
 

@@ -473,3 +473,183 @@ def test_bucketed_snapshot_equals_batch_fold_and_limits_writes(spark, sf_dir, tm
     }
     assert final[1][1] == 999.99 and final[22][1] == 999.99
     assert final[1][0] is not None and final[22][0] is not None
+
+
+def _stage_batches(spark, tmp, batches):
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+
+    os.makedirs(f"{tmp}/redo", exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        redo_events_from_rows(spark, rows).coalesce(1).write.parquet(f"{tmp}/s{i}")
+        part = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(part, f"{tmp}/redo/f{i}.parquet")
+        os.utime(f"{tmp}/redo/f{i}.parquet", (now + i * 10,) * 2)
+    return f"{tmp}/redo"
+
+
+def test_bucketed_snapshot_ddl_schema_evolution(spark, tmp_path):
+    """Add-only DDL mid-stream on the BUCKETED layout: only touched buckets
+    are rewritten with the new schema, yet the read must surface the new
+    column for every bucket (null-backfilled where the bucket predates the
+    DDL) — the _meta.json authoritative-schema alignment, not parquet
+    schema inference from an arbitrary bucket file."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        read_snapshot_bucketed,
+        write_snapshot_bucketed,
+    )
+
+    tmp = str(tmp_path)
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v1 = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+    ]
+    v2 = v1 + [mk("C_TIER", data_type="NUMBER", data_precision=4)]
+    reg = SchemaRegistry()
+    reg.register(v1)
+    reg._loader = lambda o, t: v2 if (o, t) == ("TPCH", "CUSTOMER") else None
+
+    INS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'a\')'
+    INS3 = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_TIER")'
+        " values ({k},'b',7)"
+    )
+    b1 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="COMMIT", xid="A", commit_scn=3),
+    ]
+    b2 = [
+        dict(scn=4, operation="START", xid="D"),
+        dict(scn=5, operation="DDL", xid="D", table_name="CUSTOMER",
+             sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)"),
+        dict(scn=6, operation="COMMIT", xid="D", commit_scn=6),
+        dict(scn=7, operation="START", xid="B"),
+        dict(scn=8, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS3.format(k=2), row_id="r2"),
+        dict(scn=9, operation="COMMIT", xid="B", commit_scn=9),
+    ]
+    path = _stage_batches(spark, tmp, [b1, b2])
+
+    q = write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, path, max_files_per_trigger=1),
+            default_config(),
+        ),
+        reg, "TPCH", "CUSTOMER", ["C_CUSTKEY"],
+        f"{tmp}/snap", f"{tmp}/ckpt", num_buckets=8,
+    )
+    assert q.awaitTermination(300)
+
+    # keys 1 and 2 must hash to different buckets for this to exercise the
+    # stale-bucket path; verify the precondition rather than assume it
+    from pyspark.sql import Row
+    bmap = spark.createDataFrame([Row(C_CUSTKEY=1), Row(C_CUSTKEY=2)]).select(
+        "C_CUSTKEY", F.pmod(F.xxhash64("C_CUSTKEY"), F.lit(8)).alias("b")
+    ).collect()
+    assert len({r.b for r in bmap}) == 2, "fixture keys collide; pick new keys"
+
+    snap = read_snapshot_bucketed(spark, f"{tmp}/snap")
+    assert "C_TIER" in snap.columns
+    got = {r.C_CUSTKEY: (r.C_NAME, r.C_TIER) for r in snap.collect()}
+    assert got == {1: ("a", None), 2: ("b", 7)}
+
+
+def test_bucketed_snapshot_rejects_num_buckets_change(spark, tmp_path):
+    """pmod(xxhash64(pk), N) remaps every key if N changes: resuming an
+    existing snapshot dir with a different bucket count must fail fast
+    instead of stranding stale row copies in old buckets."""
+    import pytest as _pytest
+
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        write_snapshot_bucketed,
+    )
+
+    tmp = str(tmp_path)
+    INS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'x\')'
+    b1 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="COMMIT", xid="A", commit_scn=3),
+    ]
+    b2 = [
+        dict(scn=4, operation="START", xid="B"),
+        dict(scn=5, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS.format(k=2), row_id="r2"),
+        dict(scn=6, operation="COMMIT", xid="B", commit_scn=6),
+    ]
+    path = _stage_batches(spark, tmp, [b1])
+    mkq = lambda n, ckpt: write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, path, max_files_per_trigger=1),
+            default_config(),
+        ),
+        customer_registry(), "TPCH", "CUSTOMER", ["C_CUSTKEY"],
+        f"{tmp}/snap", f"{tmp}/{ckpt}", num_buckets=n,
+    )
+    assert mkq(8, "ckpt1").awaitTermination(300)
+
+    # second file arrives; resume with a DIFFERENT bucket count -> the batch
+    # must error out (StreamingQueryException wrapping the ValueError)
+    now = time.time()
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+    redo_events_from_rows(spark, b2).coalesce(1).write.parquet(f"{tmp}/s9")
+    part = sorted(glob.glob(f"{tmp}/s9/part*"))[0]
+    shutil.copy(part, f"{tmp}/redo/f9.parquet")
+    os.utime(f"{tmp}/redo/f9.parquet", (now + 900,) * 2)
+
+    q = mkq(4, "ckpt2")
+    with _pytest.raises(Exception, match="num_buckets"):
+        q.awaitTermination(300)
+        raise AssertionError("resume with different num_buckets did not fail")
+
+
+def test_bucketed_snapshot_uncommitted_batch_invisible(spark, tmp_path):
+    """A crash after SOME buckets wrote v=N but before the batch commit
+    marker must not be observable: read_snapshot_bucketed only surfaces
+    versions <= the last fully-committed batch."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        read_snapshot_bucketed,
+        write_snapshot_bucketed,
+    )
+
+    tmp = str(tmp_path)
+    INS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'x\')'
+    b1 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="COMMIT", xid="A", commit_scn=3),
+    ]
+    path = _stage_batches(spark, tmp, [b1])
+    q = write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, path, max_files_per_trigger=1),
+            default_config(),
+        ),
+        customer_registry(), "TPCH", "CUSTOMER", ["C_CUSTKEY"],
+        f"{tmp}/snap", f"{tmp}/ckpt", num_buckets=4,
+    )
+    assert q.awaitTermination(300)
+    before = {r.C_CUSTKEY for r in read_snapshot_bucketed(spark, f"{tmp}/snap").collect()}
+    assert before == {1}
+
+    # simulate a torn later batch: one bucket gains v=99 with extra data but
+    # no batch-level commit marker is written
+    committed = read_snapshot_bucketed(spark, f"{tmp}/snap")
+    bdir = next(
+        f"{tmp}/snap/{d}" for d in sorted(os.listdir(f"{tmp}/snap")) if d.startswith("b=")
+    )
+    committed.limit(0).unionByName(
+        committed.withColumn("C_CUSTKEY", F.lit(777).cast("long"))
+    ).write.mode("overwrite").parquet(f"{bdir}/v=99")
+
+    after = {r.C_CUSTKEY for r in read_snapshot_bucketed(spark, f"{tmp}/snap").collect()}
+    assert after == {1}, "uncommitted bucket version leaked into the read"

@@ -9,12 +9,17 @@ Stream = read_redo_stream_files → applyInPandasWithState assembler →
 foreachBatch per-table typed sink, availableNow over 8 files — the full
 production plan including stream startup and sink writes.
 
-Usage: python tools/cdc_throughput.py [sf_dir] [mult]
+Usage: python tools/cdc_throughput.py [sf_dir] [mult] [shape]
 
 ``mult`` > 1 replicates the redo stream that many times with disjoint
 SCN/xid ranges (copy i shifts scn/commit_scn by i*10^9 and suffixes the
 xid), so transaction count and assembler state grow linearly — a real
 scale probe of the assembly+parse path, not a re-read of cached rows.
+
+``shape`` = ``mixed`` (default: the per-customer tiny-txn stream, per-group
+overhead dominates) or ``longtxn`` (50 transactions spanning every
+micro-batch with commits only at the end — buffer-growth stress where the
+GroupState whole-buffer rewrite degrades and ListState should not).
 """
 
 from __future__ import annotations
@@ -48,6 +53,10 @@ from kafka_connect_logminer2_spark.streaming.pipeline import (  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # before JVM launch so PYTHONPATH reaches python workers (tws assembler)
+    from kafka_connect_logminer2_spark.session import enable_vendored_protobuf
+
+    has_protobuf = enable_vendored_protobuf()
     spark = get_spark(
         app_name="cdc_throughput",
         extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
@@ -56,7 +65,15 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    base = redo_inserts_from_customer(spark, sf_dir)
+    shape = sys.argv[3] if len(sys.argv) > 3 else "mixed"
+    if shape == "longtxn":
+        from kafka_connect_logminer2_spark.sources.redo import (
+            redo_long_txns_from_customer,
+        )
+
+        base = redo_long_txns_from_customer(spark, sf_dir)
+    else:
+        base = redo_inserts_from_customer(spark, sf_dir)
     if mult > 1:
         copies = [
             base.withColumn("scn", F.col("scn") + F.lit(i * 1_000_000_000))
@@ -83,32 +100,39 @@ def main() -> None:
         "sec": round(best, 2), "events_per_s": int(n_events / best),
     }))
 
-    # streaming: 8 files, availableNow, per-table typed parquet sink
-    tmp = tempfile.mkdtemp(prefix="cdc_tp_")
-    try:
-        redo.orderBy("scn").repartitionByRange(8, "scn").write.parquet(f"{tmp}/stage")
-        os.makedirs(f"{tmp}/redo")
-        now = time.time()
-        for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
-            dst = f"{tmp}/redo/f{i}.parquet"
-            shutil.copy(p, dst)
-            os.utime(dst, (now + i * 10, now + i * 10))
-        t0 = time.time()
-        q = write_per_table(
-            cdc_stream(read_redo_stream_files(spark, f"{tmp}/redo"), default_config()),
-            customer_registry(),
-            f"{tmp}/out",
-            f"{tmp}/ckpt",
-        )
-        q.awaitTermination(600)
-        sec = time.time() - t0
-        got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER").count()
-        print(json.dumps({
-            "path": "stream", "events": n_events, "out_rows": got,
-            "sec": round(sec, 2), "events_per_s": int(n_events / sec),
-        }))
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # streaming: 8 files, availableNow, per-table typed parquet sink — once
+    # per stateful assembler (applyInPandasWithState vs transformWithState)
+    assemblers = ["apply"] + (["tws"] if has_protobuf else [])
+    for assembler in assemblers:
+        tmp = tempfile.mkdtemp(prefix="cdc_tp_")
+        try:
+            redo.orderBy("scn").repartitionByRange(8, "scn").write.parquet(f"{tmp}/stage")
+            os.makedirs(f"{tmp}/redo")
+            now = time.time()
+            for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+                dst = f"{tmp}/redo/f{i}.parquet"
+                shutil.copy(p, dst)
+                os.utime(dst, (now + i * 10, now + i * 10))
+            t0 = time.time()
+            q = write_per_table(
+                cdc_stream(
+                    read_redo_stream_files(spark, f"{tmp}/redo"),
+                    default_config(),
+                    assembler=assembler,
+                ),
+                customer_registry(),
+                f"{tmp}/out",
+                f"{tmp}/ckpt",
+            )
+            q.awaitTermination(600)
+            sec = time.time() - t0
+            got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER").count()
+            print(json.dumps({
+                "path": f"stream_{assembler}", "events": n_events, "out_rows": got,
+                "sec": round(sec, 2), "events_per_s": int(n_events / sec),
+            }))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 
