@@ -27,6 +27,7 @@ HEADLINE = [
     "q15_sessionize",
     "q16_exact_dedup",
     "q19_jaccard_pairs",
+    "q104_jaccard_capped",
     "q22_cosine_topk",
     "q33_bpe_tokens",
     "q35_ann_ivf",
@@ -70,15 +71,21 @@ def main() -> None:
     registry["cdc01_insert_roundtrip"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        # best-of-2: this box's background load swings single runs ~2x
-        # (BASELINE.md); the min is the plan's honest cost
+        # record BOTH the first (cold: plan compile + cache-less IO) and the
+        # best-of-2 (warm: the plan's honest cost — this box's background
+        # load swings single runs ~2x, BASELINE.md) so comparisons against
+        # the baseline stop conflating load noise with regressions
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -89,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

@@ -78,22 +78,24 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 256) -> Data
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise assembly: only the decode/encode KERNELS are per-row
+        # (inherent — they consume one blob each); everything else is Series
+        # ops. iterrows cost ~10x on wide batches (BASELINE.md).
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                w, h = _decode_image_stub(payload)
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "width": w,
-                        "height": h,
-                        "n_bytes": len(payload),
-                        "phash": hashlib.sha256(payload).hexdigest()[:16],
-                        "features": _feature_stub(payload),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            payload = pdf["payload"].map(lambda p: b"" if p is None else bytes(p))
+            dims = payload.map(_decode_image_stub)  # per-row kernel call
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "phash": payload.map(
+                        lambda p: hashlib.sha256(p).hexdigest()[:16]
+                    ),
+                    "features": payload.map(_feature_stub),  # per-row kernel
+                }
+            )
 
     images = media.filter(F.col("kind") == "image")
     return images.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
@@ -139,14 +141,16 @@ def resize_images(media: DataFrame, max_side: int = 128) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                w, h, resized = _resize_stub(payload, max_side)
-                out.append(
-                    {"media_id": r["media_id"], "width": w, "height": h, "payload": resized}
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            payload = pdf["payload"].map(lambda p: b"" if p is None else bytes(p))
+            resized = payload.map(lambda p: _resize_stub(p, max_side))  # kernel
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": resized.map(lambda r: r[0]).astype("int32"),
+                    "height": resized.map(lambda r: r[1]).astype("int32"),
+                    "payload": resized.map(lambda r: r[2]),
+                }
+            )
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
 
@@ -167,20 +171,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                rate, dur = _decode_audio_stub(payload)
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "sample_rate": rate,
-                        "duration_s": dur,
-                        "n_bytes": len(payload),
-                        "features": _feature_stub(payload),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+            payload = pdf["payload"].map(lambda p: b"" if p is None else bytes(p))
+            decoded = payload.map(_decode_audio_stub)  # per-row kernel call
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": decoded.map(lambda d: d[0]).astype("int32"),
+                    "duration_s": decoded.map(lambda d: d[1]).astype("float32"),
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "features": payload.map(_feature_stub),  # per-row kernel
+                }
+            )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 

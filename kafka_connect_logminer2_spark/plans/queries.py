@@ -480,6 +480,50 @@ WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.01
 """
 
 
+def q104_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION registration of exact n-gram Jaccard: identical to q19
+    but with ``max_shingle_freq`` set, so a shingle shared by more than N
+    documents is dropped before pair expansion. Uncapped, one boilerplate
+    shingle in m docs explodes into O(m²) pairs — the 100 TB killer (a
+    header shared by 10⁶ docs is 5·10¹¹ pairs). The cap bounds every
+    posting list's expansion at C(N,2); jaccard becomes a documented
+    underestimate for pairs whose overlap includes dropped stop-shingles
+    (set sizes stay uncapped). The oracle reproduces the cap exactly, so
+    this is value-hash-checked, not rows-only. tests/test_dedup_skew.py
+    proves the bounded-expansion claim on a skewed fixture."""
+    docs = load_table(spark, sf, "documents")
+    return D.jaccard_pairs(docs, k=3, threshold=0.01, max_shingle_freq=5)
+
+
+Q104_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+      i -> string_split(lower(text),' ')[i] || ' ' ||
+           string_split(lower(text),' ')[i+1] || ' ' ||
+           string_split(lower(text),' ')[i+2])
+  )) AS shingle FROM documents
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), capped AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+  )
+), inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id1 AS doc_id1, id2 AS doc_id2,
+       CAST(inter AS BIGINT) AS n_shared,
+       round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.id = id1
+JOIN sizes s2 ON s2.id = id2
+WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.01
+"""
+
+
 def q20_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup candidates — approximate by construction, so no
     SQL oracle (rows-only check)."""
@@ -3212,6 +3256,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q101_multiset_ops": (q101_multiset_ops, Q101_SQL),
     "q102_token_entropy": (q102_token_entropy, Q102_SQL),
     "q103_lateral_topn": (q103_lateral_topn, Q103_SQL),
+    "q104_jaccard_capped": (q104_jaccard_capped, Q104_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -45,25 +45,72 @@ def read_redo_stream_files(
     return reader.parquet(path)
 
 
+def kafka_reader_options(
+    config: EngineConfig,
+    bootstrap_servers: str,
+    topic: str | None = None,
+    stored_offset: int | None = None,
+    current_offset: int | None = None,
+    partitions: tuple[int, ...] = (0,),
+) -> dict[str, str]:
+    """The exact options map the Kafka redo reader runs with — a pure
+    function so transport parity with the reference is testable without a
+    broker (reference: OracleSourceTask2.java:286 poll loop + the A3 offset
+    resolution at :137-192).
+
+    Mapping contract:
+    - ``subscribe``: ``config.topic``, else ``<db_name_alias>.redo`` (one
+      logical redo stream per partition — the reader's ordering contract);
+    - ``startingOffsets``: from operators/offsets.py::resolve_start_scn in
+      the reference's precedence order — a stored position or ``start.scn``
+      override becomes explicit per-partition JSON offsets; ``reset.offset``
+      jumps to the head (``latest``); otherwise ``earliest``;
+    - ``maxOffsetsPerTrigger``: ``db.fetch.size`` — the reference's per-poll
+      row cap as micro-batch pacing (A25);
+    - ``failOnDataLoss`` stays true: a truncated topic is the log-gap
+      condition (A23) and must surface, not be skipped.
+    """
+    import json as _json
+
+    from ..operators.offsets import resolve_start_scn
+
+    topic = topic or config.topic or f"{config.db_name_alias}.redo"
+    resolved = resolve_start_scn(config, stored_offset, current_offset)
+    if resolved.source == "earliest":
+        starting = "earliest"
+    elif resolved.source == "reset":
+        starting = "latest"
+    else:  # stored resume or start.scn override → explicit offsets
+        starting = _json.dumps({topic: {str(p): resolved.scn for p in partitions}})
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting,
+        "maxOffsetsPerTrigger": str(config.db_fetch_size),
+        "failOnDataLoss": "true",
+    }
+
+
 def read_redo_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
-    topic: str,
-    starting_offsets: str = "earliest",
-    max_offsets_per_trigger: int | None = None,
+    topic: str | None = None,
+    config: EngineConfig | None = None,
+    stored_offset: int | None = None,
+    current_offset: int | None = None,
 ) -> DataFrame:
     """Kafka redo source (production path): JSON redo records on a topic.
     The Kafka offset is the SCN-position analog; checkpointing resumes it
     (A3), making the reference's offset table / skip-replay loop (A4)
-    built-in."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    built-in. Options come from :func:`kafka_reader_options` (contract
+    tested without a broker in tests/test_kafka_contract.py)."""
+    config = config or EngineConfig()
+    opts = kafka_reader_options(
+        config, bootstrap_servers, topic, stored_offset, current_offset
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     raw = reader.load()
     return raw.select(
         F.from_json(F.col("value").cast("string"), REDO_SCHEMA).alias("r")

@@ -1,0 +1,85 @@
+"""Stop-shingle skew guard (functions/dedup.py::jaccard_pairs
+max_shingle_freq): on a corpus where one boilerplate shingle appears in 20%
+of documents, the uncapped pair expansion is quadratic in that hot-posting
+size while the capped variant's expansion is bounded — the difference
+between an operator that survives 100 TB and one that doesn't.
+
+The expansion count is measured exactly (sum of C(|posting|, 2) over
+posting lists — the number of struct pairs the flatten/transform actually
+emits), so the assertion is deterministic rather than a flaky timing
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.functions.dedup import jaccard_pairs
+from kafka_connect_logminer2_spark.functions.text import shingles
+
+N_DOCS = 500
+HOT_FRACTION = 0.2  # one boilerplate header shared by 20% of docs
+CAP = 10
+
+
+def _skewed_docs(spark):
+    """Every doc gets 4 unique shingle-able words; docs with id % 5 == 0
+    additionally start with the same 3-word boilerplate header."""
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 5 == 0, F.lit("terms of service apply "))
+            .otherwise(F.lit("")),
+            F.format_string("alpha%d bravo%d charlie%d delta%d", "id", "id", "id", "id"),
+        ).alias("text"),
+    )
+
+
+def _expansion_count(docs, cap):
+    """Exactly how many candidate pairs the posting-list expansion emits."""
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    postings = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    if cap is not None:
+        postings = postings.filter(F.col("n") <= cap)
+    row = postings.select(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"] or 0)
+
+
+def test_capped_expansion_bounded_on_skew(spark):
+    docs = _skewed_docs(spark).localCheckpoint()
+    hot = N_DOCS * HOT_FRACTION  # 100 docs share the boilerplate shingles
+
+    uncapped = _expansion_count(docs, None)
+    capped = _expansion_count(docs, CAP)
+
+    # the hot posting alone contributes C(100,2) = 4950 pairs per boilerplate
+    # shingle — quadratic in the hot-doc count
+    assert uncapped >= hot * (hot - 1) / 2
+    # capped: every surviving posting expands to at most C(CAP,2) = 45;
+    # the skewed corpus's unique shingles collide only incidentally, so the
+    # capped expansion collapses by orders of magnitude
+    assert capped <= uncapped / 50
+    # scale-invariance of the bound itself: no surviving posting exceeds cap
+    assert capped <= CAP * (CAP - 1) / 2 * 64  # 64-bit-hash collisions only
+
+
+def test_capped_drops_only_hot_shingle_pairs(spark):
+    """Semantics of the cap: pairs connected ONLY via the boilerplate
+    disappear; pairs sharing non-hot shingles keep their (uncapped) set
+    sizes in the denominator."""
+    docs = _skewed_docs(spark).localCheckpoint()
+    capped = jaccard_pairs(docs, k=3, threshold=0.0001, max_shingle_freq=CAP)
+    # the boilerplate-only docs share no other shingles -> no pairs at all
+    assert capped.count() == 0
+
+    uncapped = jaccard_pairs(docs, k=3, threshold=0.0001)
+    # uncapped: every hot-doc pair appears (C(100,2) pairs via the header)
+    hot = int(N_DOCS * HOT_FRACTION)
+    assert uncapped.count() >= hot * (hot - 1) / 2
