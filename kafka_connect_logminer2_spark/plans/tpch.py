@@ -474,14 +474,20 @@ def q84_potential_promo(spark: SparkSession, sf: str) -> DataFrame:
     )
     p = load_table(spark, sf, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    # ONE lineitem scan, ONE exchange: repartition by part key up front —
+    # HashPartitioning(l_partkey) satisfies both the (part, supplier)
+    # aggregate's clustering AND the part-level window, so the per-part
+    # total is a window over the already-reduced rows instead of a second
+    # scan+join+agg subtree (the naive two-aggregate formulation physically
+    # duplicated the whole chain — caught by the plan audit).
     sp = (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
     )
-    tot = sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(F.sum("sq").alias("tq"))
     cand = (
-        sp.join(F.broadcast(tot), F.col("l_partkey") == F.col("t_partkey"))
+        sp.withColumn("tq", F.sum("sq").over(Window.partitionBy("l_partkey")))
         .filter(F.col("sq") > 0.1 * F.col("tq"))
         .select("l_suppkey")
         .distinct()
