@@ -117,6 +117,35 @@ def read_redo_stream_kafka(
     ).select("r.*")
 
 
+def read_archived_changes(
+    spark: SparkSession,
+    out_dir: str,
+    owner: str,
+    table: str,
+    scn_min: int | None = None,
+    scn_max: int | None = None,
+    scn_range_size: int | None = None,
+) -> DataFrame:
+    """SCN-bounded read of a table's archived change stream (the
+    `write_per_table` sink). When the archive was written with
+    ``scn_range_size``, the bound becomes a PARTITION filter on
+    ``scn_range`` — whole directories drop out at planning time
+    (PartitionFilters in the scan; audit in tests/test_scn_pruning.py) —
+    plus the exact ``COMMIT_SCN`` predicate pushed into the parquet reader
+    for the residual rows of the boundary ranges."""
+    df = spark.read.parquet(f"{out_dir}/{owner}.{table}")
+    if scn_range_size is not None and "scn_range" in df.columns:
+        if scn_min is not None:
+            df = df.filter(F.col("scn_range") >= scn_min // scn_range_size)
+        if scn_max is not None:
+            df = df.filter(F.col("scn_range") <= scn_max // scn_range_size)
+    if scn_min is not None:
+        df = df.filter(F.col("COMMIT_SCN") >= scn_min)
+    if scn_max is not None:
+        df = df.filter(F.col("COMMIT_SCN") <= scn_max)
+    return df
+
+
 def cdc_stream(
     redo_stream: DataFrame,
     config: EngineConfig | None = None,
@@ -159,6 +188,7 @@ def write_per_table(
     checkpoint_dir: str,
     config: EngineConfig | None = None,
     trigger_available_now: bool = True,
+    scn_range_size: int | None = None,
 ):
     """foreachBatch fan-out (A18 routing + A12 typed materialization + DDL
     invalidation ordering): every batch, DDL events invalidate their table's
@@ -171,6 +201,14 @@ def write_per_table(
     overwrite — the retry replaces its own output instead of appending a
     duplicate copy. Combined with the checkpointed source offsets this gives
     end-to-end exactly-once to the parquet sink (the A3/A4 resume contract).
+
+    ``scn_range_size`` (optional) additionally partitions each table's
+    archive by ``scn_range = floor(COMMIT_SCN / size)`` — the SURVEY §4
+    SCN-range layout. An SCN-bounded replay/audit query then PRUNES whole
+    partition directories at planning time (PartitionFilters) instead of
+    scanning the full change history; see :func:`read_archived_changes` and
+    the pruning audit in tests/test_scn_pruning.py. Size the ranges so one
+    range ≈ one compaction unit (at 100 TB: ~10-100 files per range).
     """
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -203,9 +241,19 @@ def write_per_table(
                     table,
                     float64_numbers=(config or EngineConfig()).float64_numbers,
                 )
-                typed.write.mode("overwrite").parquet(
-                    f"{out_dir}/{owner}.{table}/batch={batch_id}"
-                )
+                writer = typed
+                if scn_range_size is not None:
+                    writer = typed.withColumn(
+                        "scn_range",
+                        F.floor(F.col("COMMIT_SCN") / F.lit(scn_range_size)).cast("long"),
+                    )
+                    writer.write.mode("overwrite").partitionBy("scn_range").parquet(
+                        f"{out_dir}/{owner}.{table}/batch={batch_id}"
+                    )
+                else:
+                    writer.write.mode("overwrite").parquet(
+                        f"{out_dir}/{owner}.{table}/batch={batch_id}"
+                    )
         finally:
             batch.unpersist()
 
