@@ -2501,6 +2501,56 @@ def cdc07_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def cdc08_foreachbatch_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """cdc01's scenario driven through the foreachBatch carry-over assembler
+    (streaming/transactions_fb.py) — the batch-speed streaming path: redo
+    staged as SCN-ordered files, one file per micro-batch, assembly by the
+    single-pass window program with open transactions carried as versioned
+    parquet state. Same oracle as cdc01: streaming == batch == relational
+    truth, regardless of which assembler ran."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import read_redo_stream_files
+    from ..streaming.transactions_fb import write_cdc_foreachbatch
+
+    redo = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    tmp = tempfile.mkdtemp(prefix="cdc08_")
+    redo.orderBy("scn").repartitionByRange(4, "scn").write.parquet(f"{tmp}/stage")
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    q = write_cdc_foreachbatch(
+        read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+        customer_registry(),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        f"{tmp}/state",
+        default_config(),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc08: foreachBatch stream did not finish within 600s")
+    out = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    result = out.select(
+        F.col("data.C_CUSTKEY").alias("c_custkey"),
+        F.col("data.C_NAME").alias("c_name"),
+        F.col("data.C_NATIONKEY").alias("c_nationkey"),
+        F.col("data.C_ACCTBAL").alias("c_acctbal"),
+        F.col("data.C_MKTSEGMENT").alias("c_mktsegment"),
+    ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3242,6 +3292,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q72_scalar_subquery_anti": (q72_scalar_subquery_anti, Q72_SQL),
     "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
     "cdc07_incremental_snapshot": (cdc07_incremental_snapshot, CDC06_SQL),
+    "cdc08_foreachbatch_stream": (cdc08_foreachbatch_stream, CDC01_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),

@@ -102,7 +102,7 @@ def main() -> None:
 
     # streaming: 8 files, availableNow, per-table typed parquet sink — once
     # per stateful assembler (applyInPandasWithState vs transformWithState)
-    assemblers = ["apply"] + (["tws"] if has_protobuf else [])
+    assemblers = ["apply", "fb"] + (["tws"] if has_protobuf else [])
     for assembler in assemblers:
         tmp = tempfile.mkdtemp(prefix="cdc_tp_")
         try:
@@ -114,16 +114,30 @@ def main() -> None:
                 shutil.copy(p, dst)
                 os.utime(dst, (now + i * 10, now + i * 10))
             t0 = time.time()
-            q = write_per_table(
-                cdc_stream(
+            if assembler == "fb":
+                from kafka_connect_logminer2_spark.streaming.transactions_fb import (
+                    write_cdc_foreachbatch,
+                )
+
+                q = write_cdc_foreachbatch(
                     read_redo_stream_files(spark, f"{tmp}/redo"),
+                    customer_registry(),
+                    f"{tmp}/out",
+                    f"{tmp}/ckpt",
+                    f"{tmp}/state",
                     default_config(),
-                    assembler=assembler,
-                ),
-                customer_registry(),
-                f"{tmp}/out",
-                f"{tmp}/ckpt",
-            )
+                )
+            else:
+                q = write_per_table(
+                    cdc_stream(
+                        read_redo_stream_files(spark, f"{tmp}/redo"),
+                        default_config(),
+                        assembler=assembler,
+                    ),
+                    customer_registry(),
+                    f"{tmp}/out",
+                    f"{tmp}/ckpt",
+                )
             q.awaitTermination(600)
             sec = time.time() - t0
             got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER").count()
