@@ -151,7 +151,7 @@ def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nprobe: int = 3,
+    nprobe: int = 5,
     n_centroids: int = 64,
     train_iters: int = 2,
     id_col: str = "vec_id",
@@ -175,7 +175,9 @@ def ivf_topk(
     cells and exact-cosine re-ranks only those candidates. At scale the cell
     assignment is computed once and persisted alongside the vectors, making
     every query a partition-pruned scan of ~nprobe/n_centroids of the
-    corpus.
+    corpus. Defaults from the sf0.01 sweep (recall@5 vs fraction probed,
+    64 cells): iters=2/nprobe=3 -> 0.425 @ 4.7%; 2/5 -> 0.575 @ 7.8%;
+    2/8 -> 0.675 @ 12.5%; extra Lloyd iterations beyond 2 changed nothing.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -958,7 +958,7 @@ def q35_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return S.ivf_topk(emb, queries_df, k=5, nprobe=3)
+    return S.ivf_topk(emb, queries_df, k=5, nprobe=5)
 
 
 def q36_cube(spark: SparkSession, sf: str) -> DataFrame:

@@ -13,7 +13,8 @@ from ann_recall import recall_at_k  # noqa: E402
 
 def test_ann_recall_floors(spark, sf_dir):
     r = recall_at_k(spark, sf_dir, k=5, n_queries=8)
-    # floors ≈ 60% of measured sf0.001 values (lsh 0.525, ivf 0.35; sf0.01:
-    # 0.725 / 0.525) — absorbs fixture drift, still catches a dead index
+    # floors ≈ 60% of measured sf0.001 values (lsh 0.525, ivf 0.50; sf0.01:
+    # 0.725 / 0.575 with the trained fixed-64-centroid quantizer at
+    # nprobe=5) — absorbs fixture drift, still catches a dead index
     assert r["lsh"] >= 0.30, f"multi-table LSH recall collapsed: {r}"
-    assert r["ivf"] >= 0.20, f"IVF recall collapsed: {r}"
+    assert r["ivf"] >= 0.30, f"IVF recall collapsed: {r}"

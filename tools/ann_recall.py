@@ -37,7 +37,7 @@ def recall_at_k(
     exact = S.cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
     approx = {
         "lsh": S.lsh_bucketed_topk(emb, queries, k=k),
-        "ivf": S.ivf_topk(emb, queries, k=k, nprobe=3),
+        "ivf": S.ivf_topk(emb, queries, k=k, nprobe=5),
     }
     total = exact.count()  # n_queries * k (or fewer on tiny corpora)
     out: dict[str, float] = {}
