@@ -2551,6 +2551,68 @@ def cdc08_foreachbatch_stream(spark: SparkSession, sf: str) -> DataFrame:
     return result
 
 
+def cdc09_fb_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """cdc06/cdc07's exact mixed scenario (inserts + updates on k∈{0,1,2} +
+    deletes on k∈{6,7}) through the BATCH-SPEED streaming pipeline: raw redo
+    files → foreachBatch carry-over assembly → incremental snapshot fold —
+    streaming/transactions_fb.py::write_cdc_snapshots_foreachbatch. Same
+    relational oracle as cdc06: whichever engine path ran (one-shot batch
+    fold, stateful-operator stream, or foreachBatch assembly), the
+    maintained table state must value-hash-match the SQL truth."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import read_redo_stream_files
+    from ..streaming.snapshot import read_snapshot
+    from ..streaming.transactions_fb import write_cdc_snapshots_foreachbatch
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+    redo = ins.unionByName(upd).unionByName(dele)
+
+    tmp = tempfile.mkdtemp(prefix="cdc09_")
+    redo.orderBy("scn").repartitionByRange(4, "scn").write.parquet(f"{tmp}/stage")
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    q = write_cdc_snapshots_foreachbatch(
+        read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+        customer_registry(),
+        {("TPCH", "CUSTOMER"): ["C_CUSTKEY"]},
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+        f"{tmp}/state",
+        default_config(),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc09: snapshot stream did not finish within 600s")
+    snap = read_snapshot(spark, f"{tmp}/snap/TPCH.CUSTOMER")
+    out = snap.select(
+        F.col("C_CUSTKEY").alias("c_custkey"),
+        F.col("C_NAME").alias("c_name"),
+        F.col("C_NATIONKEY").alias("c_nationkey"),
+        F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+        F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+    ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3293,6 +3355,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc06_apply_changes": (cdc06_apply_changes, CDC06_SQL),
     "cdc07_incremental_snapshot": (cdc07_incremental_snapshot, CDC06_SQL),
     "cdc08_foreachbatch_stream": (cdc08_foreachbatch_stream, CDC01_SQL),
+    "cdc09_fb_snapshot": (cdc09_fb_snapshot, CDC06_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),

@@ -123,3 +123,100 @@ def write_cdc_foreachbatch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_cdc_snapshots_foreachbatch(
+    redo_stream: DataFrame,
+    registry: SchemaRegistry,
+    pk_map: dict[tuple[str, str], list[str]],
+    snap_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    config: EngineConfig | None = None,
+    trigger_available_now: bool = True,
+    pending_ttl_batches: int | None = None,
+):
+    """End-to-end batch-speed pipeline: raw redo stream → (carry-over
+    transaction assembly, module docstring) → typed changes → incrementally
+    maintained per-table SNAPSHOTS — redo in, current table state out, one
+    stream, one checkpoint, zero per-group Python.
+
+    The fold is streaming/snapshot.py::merge_step on net per-key changes,
+    with the same versioned-parent retry idempotence for BOTH state kinds
+    (open-transaction carry-over AND each table's snapshot chain): a
+    retried batch re-reads parent versions strictly below its batch_id and
+    overwrites only its own outputs. Snapshot layout per table:
+    ``snap_dir/<owner>.<table>/v=<batch_id>``."""
+    from ..operators.merge import net_changes
+    from .snapshot import merge_step
+
+    config = config or EngineConfig(table_whitelist="TPCH.*", db_name_alias="orcl")
+    spark = redo_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        parent = latest_version(state_dir, below=batch_id)
+        if parent is not None:
+            pending_prev = spark.read.parquet(f"{state_dir}/v={parent}")
+        else:
+            pending_prev = batch.limit(0).withColumn("_first_batch", F.lit(0).cast("long"))
+
+        cur = batch.withColumn("_first_batch", F.lit(batch_id).cast("long"))
+        allrows = pending_prev.unionByName(cur).persist()
+        try:
+            closed = (
+                allrows.filter(F.col("operation").isin("COMMIT", "ROLLBACK"))
+                .select("xid")
+                .distinct()
+            )
+            envelope = cdc_envelope(allrows.drop("_first_batch"), config).persist()
+            try:
+                for r in (
+                    envelope.filter(F.col("OPERATION") == "DDL")
+                    .select("SEG_OWNER", "SRC_TABLE")
+                    .distinct()
+                    .collect()
+                ):
+                    if r["SRC_TABLE"]:
+                        registry.invalidate(r["SEG_OWNER"], r["SRC_TABLE"])
+                for (owner, table), pk_cols in pk_map.items():
+                    if not registry.ensure(owner, table):
+                        continue
+                    rows = envelope.filter(
+                        (F.col("OPERATION") != "DDL")
+                        & (F.col("SEG_OWNER") == owner)
+                        & (F.col("TABLE_NAME") == table)
+                    )
+                    typed = apply_table_schema(
+                        rows, registry, owner, table,
+                        float64_numbers=config.float64_numbers,
+                    )
+                    net = net_changes(typed, pk_cols)
+                    if not net.take(1):
+                        continue  # nothing for this table; version unchanged
+                    tdir = f"{snap_dir}/{owner}.{table}"
+                    tparent = latest_version(tdir, below=batch_id)
+                    prev = (
+                        None if tparent is None
+                        else spark.read.parquet(f"{tdir}/v={tparent}")
+                    )
+                    merge_step(prev, net, pk_cols).write.mode("overwrite").parquet(
+                        f"{tdir}/v={batch_id}"
+                    )
+
+                pending = allrows.join(closed, "xid", "left_anti")
+                if pending_ttl_batches is not None:
+                    pending = pending.filter(
+                        F.col("_first_batch") > batch_id - pending_ttl_batches
+                    )
+                pending.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+            finally:
+                envelope.unpersist()
+        finally:
+            allrows.unpersist()
+
+    writer = redo_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
