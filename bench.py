@@ -28,6 +28,7 @@ HEADLINE = [
     "q16_exact_dedup",
     "q19_jaccard_pairs",
     "q104_jaccard_capped",
+    "q105_minhash_banded",
     "q22_cosine_topk",
     "q33_bpe_tokens",
     "q35_ann_ivf",

@@ -16,6 +16,8 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .text import fingerprint, shingles
@@ -191,6 +193,124 @@ def minhash_neardup_pairs(
             F.col("datasetA.id").alias("doc_id1"),
             F.col("datasetB.id").alias("doc_id2"),
             F.round(F.col("dist"), 6).alias("jaccard_distance_est"),
+        )
+    )
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame-native banded MinHash near-dup candidates — the direct
+    implementation of the classic construction, built to replace the
+    pyspark.ml MinHashLSH path in the hot loop (same recall mechanism,
+    ~an order of magnitude faster here: no HashingTF 2^18-dim vectors, no
+    ml.linalg boxing, no approxSimilarityJoin overhead).
+
+    Vectorized signature computation: per Arrow batch the variable-length
+    shingle-hash arrays are concatenated once and ALL ``num_hashes``
+    universal hashes ((a_i*x + b_i) mod p over the 64-bit shingle hash) are
+    reduced per-document with ``np.minimum.reduceat`` — one H×total matrix
+    op per batch, no per-row Python loop. Signatures split into
+    ``num_bands`` bands of ``num_hashes/num_bands`` rows; two documents are
+    candidates iff some band matches exactly (OR-of-ANDs). The banded join
+    is a posting-list expansion per (band, band-key) bucket — identical
+    shuffle shape to jaccard_pairs but over buckets, linear in collisions.
+    Output: (doc_id1, doc_id2, jaccard_est) with the estimate = fraction of
+    agreeing signature components (the standard unbiased MinHash
+    estimator).
+
+    Scale: the signature relation is H longs per doc (written once at
+    100 TB and bucketed by (band, key)); candidate generation never touches
+    text. Quality is measured, not assumed — tools/minhash_quality.py
+    gates pair-recall for BOTH implementations.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    assert num_hashes % num_bands == 0, "num_hashes must divide into bands"
+    rows_per_band = num_hashes // num_bands
+    p = (1 << 61) - 1  # Mersenne prime; (a*x+b) mod p is a universal family
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, p, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, p, size=num_hashes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def signature(sh: pd.Series) -> pd.Series:
+        arrs = sh.to_numpy()
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+        out = np.full((len(arrs), num_hashes), p, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            concat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs[nz]])
+            # unsigned view keeps (a*x+b) well-defined under int64 wraparound;
+            # mod p afterwards restores the universal-family guarantee
+            vals = (
+                (a[:, None].astype(np.uint64) * concat.astype(np.uint64))
+                + b[:, None].astype(np.uint64)
+            ) % np.uint64(p)
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(vals.astype(np.int64), offsets, axis=1)  # H × n
+            out[nz] = mins.T
+        return pd.Series(list(out))
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sigs = base.select("id", signature(F.col("sh")).alias("sig")).localCheckpoint(
+        eager=False  # barrier: sigs feed band keys AND the pair re-join
+    )
+
+    # band key: one 64-bit key per band = xxhash64 over the band's signature
+    # slice (hash expressions take arrays natively — pure codegen, and no
+    # ANSI overflow like a hand-rolled FNV multiply fold would hit)
+    band_key = F.xxhash64(
+        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+    )
+    bands = (
+        sigs.select("id", F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"), "sig")
+        .withColumn("key", band_key)
+        .select("id", "band", "key")
+    )
+    postings = bands.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    cand = (
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_array).alias("pr"))
+        .select(F.col("pr.id1").alias("id1"), F.col("pr.id2").alias("id2"))
+        .distinct()  # collide-in-any-band → once
+    )
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("_s1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("_s2"))
+    agree = F.aggregate(
+        F.zip_with("_s1", "_s2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            F.col("id1").alias("doc_id1"),
+            F.col("id2").alias("doc_id2"),
+            F.round(agree / F.lit(num_hashes), 6).alias("jaccard_est"),
         )
     )
 

@@ -531,6 +531,16 @@ def q20_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_neardup_pairs(docs, k=3, num_hashes=16, max_jaccard_distance=0.95)
 
 
+def q105_minhash_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """DataFrame-native banded MinHash (functions/dedup.py::
+    minhash_banded_pairs) — the production near-dup candidate generator:
+    same recall as the pyspark.ml path (pair-recall 1.0 at J>=0.5, gated in
+    tests/test_minhash_quality.py) at 3.9x the speed at sf0.1 (BASELINE.md).
+    Approximate by construction -> rows-only check."""
+    docs = load_table(spark, sf, "documents")
+    return D.minhash_banded_pairs(docs, k=3, num_hashes=16, num_bands=4)
+
+
 def q21_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash signatures — engine-specific hash, rows-only check."""
     docs = load_table(spark, sf, "documents")
@@ -3356,6 +3366,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc07_incremental_snapshot": (cdc07_incremental_snapshot, CDC06_SQL),
     "cdc08_foreachbatch_stream": (cdc08_foreachbatch_stream, CDC01_SQL),
     "cdc09_fb_snapshot": (cdc09_fb_snapshot, CDC06_SQL),
+    "q105_minhash_banded": (q105_minhash_banded, None),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),

@@ -54,6 +54,9 @@ def minhash_quality(
     approx = D.minhash_neardup_pairs(
         docs, k=3, num_hashes=num_hashes, max_jaccard_distance=1.0 - threshold + 0.2
     ).select("doc_id1", "doc_id2", "jaccard_distance_est")
+    banded = D.minhash_banded_pairs(
+        docs, k=3, num_hashes=num_hashes, num_bands=num_hashes // 4
+    ).select("doc_id1", "doc_id2", "jaccard_est")
 
     n_exact = exact.count()
     joined = exact.join(approx, ["doc_id1", "doc_id2"], "inner")
@@ -64,9 +67,16 @@ def minhash_quality(
         ),
     ).collect()[0]
     hits, mae = stats["hits"], stats["mae"]
+    bjoined = exact.join(banded, ["doc_id1", "doc_id2"], "inner")
+    bstats = bjoined.agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.avg(F.abs(F.col("jaccard_est") - F.col("jaccard"))).alias("mae"),
+    ).collect()[0]
     return {
         "pair_recall": round(hits / n_exact, 4) if n_exact else 1.0,
         "mae": round(mae, 4) if mae is not None else 0.0,
+        "banded_pair_recall": round(bstats["hits"] / n_exact, 4) if n_exact else 1.0,
+        "banded_mae": round(bstats["mae"], 4) if bstats["mae"] is not None else 0.0,
         "n_exact_pairs": n_exact,
         "threshold": threshold,
     }
