@@ -144,3 +144,37 @@ def fingerprint(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token stream.
     (Content-defined; stable across partitionings — usable as a dedup key.)"""
     return F.xxhash64(F.concat_ws(" ", F.split(F.lower(F.trim(text)), "\\s+")))
+
+
+# PII detection/redaction: the standard pre-training scrub pass. Patterns
+# restricted to constructs whose semantics are identical in Java regex
+# (Spark codegen) and RE2 (DuckDB oracle) — no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ccnum": r"\b[0-9]{13,16}\b",
+}
+# application order matters where categories could overlap (an SSN is not a
+# phone, but both are digit runs): scrub specific → general
+PII_ORDER = ("email", "ssn", "phone", "ipv4", "ccnum")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts on the ORIGINAL text (counting before
+    redaction keeps each category's count independent of scrub order)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII category with a typed placeholder (``<EMAIL>`` etc.)
+    — a chain of regexp_replace, all in whole-stage codegen; at 100 TB this
+    is a pure map stage with zero shuffle."""
+    out = text
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out

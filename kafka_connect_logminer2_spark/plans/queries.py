@@ -2623,6 +2623,122 @@ def cdc09_fb_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q106_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (functions/text.py::pii_scrub) — the
+    standard pre-training scrub pass: per-category counts on the original
+    text, typed-placeholder redaction, all in whole-stage codegen (pure map
+    stage, zero shuffle at 100 TB). The fixture text carries no PII, so a
+    deterministic PII-bearing suffix is derived from doc_id in BOTH engines
+    — the oracle reproduces counts and the md5 of the scrubbed text
+    value-exact."""
+    from ..functions.text import pii_counts, pii_scrub
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-"),
+        F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    c = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["phone"].alias("n_phone"),
+        c["ipv4"].alias("n_ipv4"),
+        c["ssn"].alias("n_ssn"),
+        c["ccnum"].alias("n_ccnum"),
+        F.md5(pii_scrub(aug)).alias("scrub_md5"),
+    )
+
+
+Q106_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-867-' ||
+         printf('%04d', doc_id % 10000) || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{13,16}\b')) AS BIGINT) AS n_ccnum,
+  md5(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+      '\b[0-9]{13,16}\b', '<CCNUM>', 'g')
+  ) AS scrub_md5
+FROM aug
+"""
+
+
+def q107_tws_running_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The transformWithState RUNTIME in the driver-checked surface: events
+    streamed file-by-file through a composable-state processor
+    (streaming/analytics.py::running_counts_tws — ValueState running count
+    per user, cumulative emission). The count is monotone, so the bounded
+    stream's final answer is max(running_n) per user — relationally equal
+    to count(*), which the oracle checks value-exact. Requires the vendored
+    protobuf bridge (session.enable_vendored_protobuf, auto-run by
+    get_spark); if the runtime is unavailable this raises rather than
+    silently degrading."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.analytics import running_counts_tws
+
+    events = load_table(spark, sf, "events").filter(F.col("user_id") < 200)
+    tmp = tempfile.mkdtemp(prefix="q107_")
+    events.orderBy("event_id").repartitionByRange(3, "event_id").write.parquet(
+        f"{tmp}/stage"
+    )
+    os.makedirs(f"{tmp}/ev")
+    now = _time.time()
+    for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+        dst = f"{tmp}/ev/f{i}.parquet"
+        shutil.copy(p, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/ev")
+    )
+    q = (
+        running_counts_tws(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("q107: tws stream did not finish within 600s")
+    out = (
+        spark.read.parquet(f"{tmp}/out")
+        .groupBy("user_id")
+        .agg(F.max("running_n").alias("n"))
+        .localCheckpoint()  # materialize off the temp dir
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+Q107_SQL = """
+SELECT user_id, count(*) AS n FROM events WHERE user_id < 200 GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3367,6 +3483,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc08_foreachbatch_stream": (cdc08_foreachbatch_stream, CDC01_SQL),
     "cdc09_fb_snapshot": (cdc09_fb_snapshot, CDC06_SQL),
     "q105_minhash_banded": (q105_minhash_banded, None),
+    "q106_pii_scrub": (q106_pii_scrub, Q106_SQL),
+    "q107_tws_running_counts": (q107_tws_running_counts, Q107_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),

@@ -92,6 +92,10 @@ def get_spark(
     cores); on a real cluster pass ``None`` master via spark-submit and the
     defaults still apply.
     """
+    # before JVM launch so PYTHONPATH/impl env reach python workers — makes
+    # the transformWithState runtime available in ANY entry path (driver
+    # harness, bench, tools) without each caller having to remember it
+    enable_vendored_protobuf()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -132,3 +132,51 @@ def session_counts(
             "n_events",
         )
     )
+
+
+class RunningCountProcessor:
+    """transformWithStateInPandas processor: per-key running event count in
+    a ValueState, cumulative count emitted every batch (monotone — the final
+    value is the max, which makes a bounded run relationally checkable:
+    max(running_n) == count(*) per key). The minimal composable-state
+    example next to the CDC TransactionProcessor; import stays inside the
+    methods' module so pickling ships only this class."""
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState("n", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        total = sum(len(pdf) for pdf in rows)
+        prev = int(self._n.get()[0]) if self._n.exists() else 0
+        cur = prev + total
+        self._n.update((cur,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_n": [cur]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_counts_tws(events_stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running counts on the transformWithState runtime (requires
+    google.protobuf in workers — session.enable_vendored_protobuf, called by
+    get_spark). Output: one (key, running_n) row per touched key per batch."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # subclass at call time so importing this module never requires the
+    # streaming runtime bits
+    proc_cls = type("_RunningCount", (StatefulProcessor,), dict(RunningCountProcessor.__dict__))
+    schema = StructType(
+        [StructField(key_col, LongType()), StructField("running_n", LongType())]
+    )
+    return events_stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=schema,
+        outputMode="Append",
+        timeMode="None",
+    )

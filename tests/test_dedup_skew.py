@@ -83,3 +83,21 @@ def test_capped_drops_only_hot_shingle_pairs(spark):
     # uncapped: every hot-doc pair appears (C(100,2) pairs via the header)
     hot = int(N_DOCS * HOT_FRACTION)
     assert uncapped.count() >= hot * (hot - 1) / 2
+
+
+def test_pii_scrub_redacts_all_categories(spark):
+    from kafka_connect_logminer2_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io call 555-123-4567 ssn 123-45-6789 "
+              "ip 192.168.0.1 card 4111111111111111 end")],
+        "id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        pii_scrub(F.col("text")).alias("t"),
+        *[v.alias(k) for k, v in c.items()],
+    ).collect()[0]
+    assert row["email"] == row["phone"] == row["ssn"] == row["ipv4"] == row["ccnum"] == 1
+    assert row["t"] == ("mail <EMAIL> call <PHONE> ssn <SSN> "
+                        "ip <IPV4> card <CCNUM> end")
