@@ -2739,6 +2739,48 @@ SELECT user_id, count(*) AS n FROM events WHERE user_id < 200 GROUP BY user_id
 """
 
 
+def q108_int8_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/similarity.py::
+    quantize_embeddings_int8) — per-vector scale + clip stats +
+    reconstruction error, exactly reproduced by the oracle (floor-based
+    half-up avoids cross-engine round() tie-break drift). The quantized
+    array itself is summed per vector so the oracle checks the actual
+    int8 values, not just the error metric."""
+    emb = load_table(spark, sf, "embeddings")
+    out = S.quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        "n_clipped",
+        "l2_err",
+        F.aggregate("q_int8", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size("q_int8").alias("dim"),
+    )
+
+
+Q108_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+  FROM embeddings
+), qq AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(least(greatest(floor(x / scale + 0.5), -127), 127) AS INTEGER)) AS q
+  FROM base
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       CAST(len(list_filter(list_zip(v, q),
+           p -> abs(CAST(p[2] AS DOUBLE)) = 127 AND abs(CAST(p[1] AS DOUBLE) / scale) > 127.5)) AS BIGINT) AS n_clipped,
+       round(sqrt(list_sum(list_transform(list_zip(v, q),
+           p -> pow(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale, 2)))), 4) AS l2_err,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(len(q) AS INTEGER) AS dim
+FROM qq
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3485,6 +3527,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q105_minhash_banded": (q105_minhash_banded, None),
     "q106_pii_scrub": (q106_pii_scrub, Q106_SQL),
     "q107_tws_running_counts": (q107_tws_running_counts, Q107_SQL),
+    "q108_int8_quantization": (q108_int8_quantization, Q108_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),
