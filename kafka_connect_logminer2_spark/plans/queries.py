@@ -2781,6 +2781,52 @@ FROM qq
 """
 
 
+def q109_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout maintenance in the driver-checked surface: the events table is
+    splintered into per-micro-batch-sized small files (64 of them — the
+    1-minute-trigger pathology), compacted by operators/compaction.py::
+    compact_parquet with a commit-time range sort, and re-aggregated. The
+    oracle is the SAME aggregate over the original table: a layout rewrite
+    must be contents-neutral, and the result row carries the measured
+    file-count collapse so the driver also value-checks that compaction
+    actually compacted (64 → files_after)."""
+    import shutil
+    import tempfile
+
+    from ..operators.compaction import compact_parquet
+
+    events = load_table(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="q109_")
+    # the small-file pathology: one file per "micro-batch"
+    events.repartition(64).write.parquet(f"{tmp}/small")
+    stats = compact_parquet(
+        spark, f"{tmp}/small", f"{tmp}/compact",
+        target_file_bytes=256 * 1024 * 1024, sort_cols=["ts"],
+    )
+    out = (
+        spark.read.parquet(f"{tmp}/compact")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("files_before", F.lit(stats["files_before"]).cast("long"))
+        .withColumn("files_after", F.lit(stats["files_after"]).cast("long"))
+        .localCheckpoint()  # materialize off the temp dir
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+Q109_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       CAST(64 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3528,6 +3574,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q106_pii_scrub": (q106_pii_scrub, Q106_SQL),
     "q107_tws_running_counts": (q107_tws_running_counts, Q107_SQL),
     "q108_int8_quantization": (q108_int8_quantization, Q108_SQL),
+    "q109_compaction_roundtrip": (q109_compaction_roundtrip, Q109_SQL),
     "q87_bucketed_join": (q87_bucketed_join, Q87_SQL),
     "q88_stats_aggregates": (q88_stats_aggregates, Q88_SQL),
     "q89_unpivot": (q89_unpivot, Q89_SQL),

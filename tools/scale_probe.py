@@ -170,6 +170,37 @@ def main() -> None:
             .agg(F.count(F.lit(1)))
         )
 
+    def minhash_banded_op(m):
+        # q105's shape: vectorized signatures + band-bucket join. Each copy's
+        # words get a copy-suffix so shingle spaces are DISJOINT across
+        # copies (plain replication would make every copy an exact dup of
+        # its source — m² pairs by fixture construction, not operator cost).
+        parts = [docs]
+        for i in range(1, m):
+            parts.append(
+                docs.withColumn("doc_id", F.col("doc_id") + i * span).withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", rf"$1c{i}")
+                )
+            )
+        df = parts[0]
+        for c in parts[1:]:
+            df = df.unionByName(c)
+        return D.minhash_banded_pairs(df, k=3, num_hashes=16, num_bands=4)
+
+    def pii_scrub_op(m):
+        # q106's shape: pure regexp map stage — must be exactly linear
+        from kafka_connect_logminer2_spark.functions.text import pii_scrub
+
+        df = replicate(docs, m, ["doc_id"], span)
+        return df.select(F.md5(pii_scrub(F.col("text"))).alias("h")).filter(
+            F.col("h").isNotNull()
+        )
+
+    def quantize_op(m):
+        # q108's shape: per-vector arithmetic, no shuffle at all
+        corpus = replicate(emb, m, ["vec_id"], span)
+        return S.quantize_embeddings_int8(corpus).filter(F.col("n_clipped") >= 0)
+
     ops = {
         "hash_agg": agg_op,
         "exact_dedup": dedup_op,
@@ -180,6 +211,9 @@ def main() -> None:
         "kmeans_assign": kmeans_assign_op,
         "pipeline_fold": pipeline_fold_op,
         "retention": retention_op,
+        "minhash_banded": minhash_banded_op,
+        "pii_scrub": pii_scrub_op,
+        "int8_quantize": quantize_op,
     }
 
     for name, op in ops.items():
