@@ -228,3 +228,76 @@ def test_tws_processor_logic_without_spark():
     ])
     out = _feed(proc, "B", [dict(scn=12, operation="ROLLBACK")])
     assert out == [] and not proc._buf.exists()
+
+
+@needs_protobuf
+def test_tws_timer_evicts_abandoned_txn_end_to_end(spark, tmp_path):
+    """A15 abandoned-transaction eviction on the REAL runtime: txn A opens
+    in batch 0 and never commits before its processing-time timer fires, so
+    its buffered rows are evicted — a COMMIT arriving after the expiry must
+    find empty state and emit nothing. Txn B (same batches, commits
+    normally before expiry) proves the timer didn't over-evict."""
+    tmp = str(tmp_path)
+    b1 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="START", xid="B"),
+        dict(scn=4, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS.format(k=2), row_id="r2"),
+        dict(scn=5, operation="COMMIT", xid="B", commit_scn=5),
+    ]
+    b2 = [  # filler batch: unrelated txn — A's 1 ms timer fires HERE,
+        # evicting A's buffer before its commit ever arrives
+        dict(scn=6, operation="START", xid="F"),
+        dict(scn=7, operation="INSERT", xid="F", table_name="CUSTOMER",
+             sql_redo=INS.format(k=9), row_id="r9"),
+        dict(scn=8, operation="COMMIT", xid="F", commit_scn=8),
+    ]
+    b3 = [
+        dict(scn=9, operation="COMMIT", xid="A", commit_scn=9),
+    ]
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+    for i, rows in enumerate([b1, b2, b3]):
+        from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+
+        redo_events_from_rows(spark, rows).coalesce(1).write.parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/redo/f{i}.parquet")
+        os.utime(f"{tmp}/redo/f{i}.parquet", (now + i * 10,) * 2)
+
+    # NOTE: availableNow + ProcessingTime timeMode does NOT self-terminate on
+    # this Spark build — after draining the files it keeps scheduling empty
+    # micro-batches for potential timer wakeups. Poll the commit log until
+    # the three FILE batches are in, then stop explicitly.
+    q = (
+        assemble_transactions_tws(
+            read_redo_stream_files(spark, f"{tmp}/redo", 1), timeout_ms=1
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 240
+    commits = f"{tmp}/ckpt/commits"
+    while time.time() < deadline:
+        n = (
+            len([f for f in os.listdir(commits) if f.isdigit()])
+            if os.path.isdir(commits)
+            else 0
+        )
+        if n >= 3:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    out = spark.read.parquet(f"{tmp}/out")
+    rows = {(r.xid, r.scn) for r in out.collect()}
+    assert ("B", 4) in rows, "normally-committed txn lost by over-eviction"
+    assert not any(x == "A" for x, _ in rows), (
+        "abandoned txn A should have been evicted by its timer before its "
+        "late COMMIT arrived"
+    )
