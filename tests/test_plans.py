@@ -420,3 +420,28 @@ def test_tpch_q99_shipmode_fact_join_pushed_dates(spark, sf_dir):
     is the only shuffle-bearing join; conditional sums partial-aggregate."""
     plan = _audit(spark, sf_dir, "q99_shipmode_priority", max_smj=1)
     assert "partial_" in plan
+
+
+def test_pii_scrub_is_pure_map_stage(spark, sf_dir):
+    """q106: counting + redaction must stay a zero-exchange map stage —
+    a shuffle here would mean the scrub accidentally grew an aggregation."""
+    plan = plan_of(QUERY_REGISTRY["q106_pii_scrub"][0](spark, sf_dir))
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_int8_quantization_is_pure_map_stage(spark, sf_dir):
+    """q108: per-vector quantization is embarrassingly parallel — zero
+    exchanges, zero Python."""
+    plan = plan_of(QUERY_REGISTRY["q108_int8_quantization"][0](spark, sf_dir))
+    assert plan.count("Exchange") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_capped_bounded_exchanges(spark, sf_dir):
+    """q104: the capped production form keeps the q19 shuffle shape (shingle
+    relation + pair aggregation + size joins) — exchange growth would mean
+    the cap filter stopped riding the posting-list aggregation."""
+    plan = plan_of(QUERY_REGISTRY["q104_jaccard_capped"][0](spark, sf_dir))
+    assert plan.count("Exchange") <= 4
+    assert "BatchEvalPython" not in plan

@@ -163,3 +163,69 @@ def test_fb_pending_ttl_evicts_abandoned_txn(spark, tmp_path):
     # Z (abandoned, first seen batch 0) evicted by batch 2; Y committed
     assert last.filter(F.col("xid") == "Z").count() == 0
     assert last.count() == 0
+
+
+def test_fb_ddl_schema_evolution_mid_stream(spark, tmp_path):
+    """DDL-before-DML ordering in the foreachBatch assembler: a DDL adding a
+    column mid-stream invalidates the registry before the same batch's DML
+    materializes, so rows after the DDL carry the new column typed."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+
+    tmp = str(tmp_path)
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v1 = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+    ]
+    v2 = v1 + [mk("C_TIER", data_type="NUMBER", data_precision=4)]
+    reg = SchemaRegistry()
+    reg.register(v1)
+    reg._loader = lambda o, t: v2 if (o, t) == ("TPCH", "CUSTOMER") else None
+
+    INS2 = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'a\')'
+    INS3 = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_TIER")'
+        " values ({k},'b',7)"
+    )
+    b1 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS2.format(k=1), row_id="r1"),
+        dict(scn=3, operation="COMMIT", xid="A", commit_scn=3),
+    ]
+    b2 = [
+        dict(scn=4, operation="START", xid="D"),
+        dict(scn=5, operation="DDL", xid="D", table_name="CUSTOMER",
+             sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)"),
+        dict(scn=6, operation="COMMIT", xid="D", commit_scn=6),
+        dict(scn=7, operation="START", xid="B"),
+        dict(scn=8, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS3.format(k=2), row_id="r2"),
+        dict(scn=9, operation="COMMIT", xid="B", commit_scn=9),
+    ]
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+    for i, rows in enumerate([b1, b2]):
+        redo_events_from_rows(spark, rows).coalesce(1).write.parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/redo/f{i}.parquet")
+        os.utime(f"{tmp}/redo/f{i}.parquet", (now + i * 10,) * 2)
+
+    q = write_cdc_foreachbatch(
+        read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+        reg,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        f"{tmp}/state",
+        default_config(),
+    )
+    assert q.awaitTermination(300)
+
+    got = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    rows = {r.data["C_CUSTKEY"]: r for r in got.collect()}
+    assert rows[1].data["C_NAME"] == "a"
+    # the post-DDL row must carry the evolved column, typed
+    assert rows[2].data["C_TIER"] == 7
