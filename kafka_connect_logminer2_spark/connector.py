@@ -1,0 +1,158 @@
+"""Connector lifecycle facade — the reference's entry-point surface on Spark.
+
+A user of the reference interacts with three things: a Kafka-Connect
+properties map, `connector.start(map)`, and task shutdown. This module is
+the 1:1 analog (reference flow at OracleSourceConnector2.java:23-51 →
+OracleSourceTask2.java:111-241):
+
+  start(map)  → validate required keys (db.name, table.whitelist — the
+                reference's exact check, OracleSourceConnector2.java:23-36)
+              → resolve the start position (A3 precedence,
+                operators/offsets.py — stored offset, start.scn override,
+                reset.offset, else earliest; OracleSourceTask2.java:135-192)
+              → append a run-manifest row with the serialized config (A20,
+                :198-205) and register the status listener (A21, :315-367)
+              → fork by path (:207-235): CM-style bounded input runs the
+                batch pipeline; non-CM streams via one of the three
+                assemblers (applyInPandasWithState / transformWithState /
+                foreachBatch carry-over) into per-table typed sinks with
+                the heartbeat branch split off (A19)
+  stop()      → graceful: stop the query, flip status, unregister (A26;
+                the reference's shutdown hook + 20 s drain,
+                OracleSourceTask2.java:215-235)
+
+One deliberate divergence: the reference hard-codes exactly ONE task
+(OracleSourceConnector2.java:45-51); here parallelism comes from Spark's
+own scheduler, so there is nothing to configure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+from .operators.heartbeat import StatusListener, split_heartbeat, write_run_manifest
+from .operators.offsets import resolve_start_scn
+from .operators.schema_registry import SchemaRegistry
+
+
+class ConfigError(ValueError):
+    """Missing/invalid connector properties (the reference throws
+    ConnectException from the same checks)."""
+
+
+REQUIRED_PROPS = ("db.name", "table.whitelist")  # OracleSourceConnector2.java:23-36
+
+
+class LogMinerConnector:
+    """Lifecycle wrapper tying config → offset resolution → manifest →
+    stream → sinks → shutdown into the reference's start/stop shape."""
+
+    def __init__(self, props: dict[str, str], spark: SparkSession | None = None):
+        missing = [k for k in REQUIRED_PROPS if not props.get(k)]
+        if missing:
+            raise ConfigError(f"missing required connector properties: {missing}")
+        self.props = props
+        self.config = EngineConfig.from_connect_map(props)
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark(app_name=f"logminer-{self.config.name}")
+        self.spark = spark
+        self.query = None
+        self._listener: StatusListener | None = None
+        self.resolved = None
+
+    def start(
+        self,
+        source_path: str,
+        registry: SchemaRegistry,
+        out_dir: str,
+        checkpoint_dir: str,
+        meta_dir: str | None = None,
+        assembler: str = "fb",
+        stored_offset: int | None = None,
+        current_offset: int | None = None,
+        max_files_per_trigger: int | None = None,
+        scn_range_size: int | None = None,
+    ):
+        """Begin mining ``source_path`` (a directory of SCN-ordered redo
+        parquet files) into per-table typed sinks under ``out_dir``.
+        Returns the StreamingQuery handle."""
+        from .streaming.pipeline import cdc_stream, read_redo_stream_files, write_per_table
+
+        self.resolved = resolve_start_scn(self.config, stored_offset, current_offset)
+        meta_dir = meta_dir or f"{out_dir}/_meta"
+        write_run_manifest(self.spark, self.config, meta_dir, self.resolved.scn)
+        self._listener = StatusListener(self.spark, self.config, meta_dir)
+        self._listener.register()
+
+        stream = read_redo_stream_files(self.spark, source_path, max_files_per_trigger)
+        if self.resolved.scn:
+            # A4 skip-replay analog on resume: discard already-delivered SCNs
+            from pyspark.sql import functions as F
+
+            stream = stream.filter(F.col("scn") > self.resolved.scn)
+
+        if assembler == "fb":
+            from .streaming.transactions_fb import write_cdc_foreachbatch
+
+            self.query = write_cdc_foreachbatch(
+                stream, registry, out_dir, checkpoint_dir,
+                f"{out_dir}/_txn_state", self.config,
+            )
+        else:
+            envelope = cdc_stream(stream, self.config, assembler=assembler)
+            data, _hb = split_heartbeat(envelope, self.config)
+            self.query = write_per_table(
+                data, registry, out_dir, checkpoint_dir, self.config,
+                scn_range_size=scn_range_size,
+            )
+        return self.query
+
+    def run_cm_batch(self, redo, registry: SchemaRegistry, owner: str, table: str):
+        """The CM fork (Oracle <19c, OracleSourceTask2.java:207-214):
+        COMMITTED_DATA_ONLY input needs no assembly — filters → parse →
+        envelope → typed, as a bounded batch."""
+        from .operators.schema_registry import apply_table_schema
+        from .plans.cdc import cdc_envelope_cm
+
+        return apply_table_schema(
+            cdc_envelope_cm(redo, self.config), registry, owner, table,
+            float64_numbers=self.config.float64_numbers,
+        )
+
+    def stop(self, timeout_s: int = 20) -> None:
+        """Graceful shutdown (A26): the reference's hook drains for 20 s
+        (OracleSourceTask2.java:228); here stop() is synchronous and the
+        checkpoint guarantees the resume point. The terminal status event
+        (A21) is delivered on the listener callback thread, so unregistering
+        waits (bounded) until the STOPPED/FAILED row landed — otherwise the
+        status log would claim the run never ended."""
+        import time
+
+        qid = str(self.query.id) if self.query is not None else None
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+            self.query.awaitTermination(timeout_s)
+        if self._listener is not None:
+            if qid is not None:
+                deadline = time.time() + timeout_s
+                path = self._listener.status_path
+                while time.time() < deadline:
+                    try:
+                        import json as _json
+
+                        with open(path) as f:
+                            done = any(
+                                r.get("query_id") == qid
+                                and r.get("event") in ("STOPPED", "FAILED")
+                                for r in map(_json.loads, f)
+                            )
+                    except FileNotFoundError:
+                        done = False
+                    if done:
+                        break
+                    time.sleep(0.2)
+            self._listener.unregister()
+            self._listener = None
