@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .text import fingerprint, shingles
+from .text import fingerprint, shingles, word_ngrams
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -107,6 +107,51 @@ def jaccard_pairs(
             F.col("inter").cast("long").alias("n_shared"),
             "jaccard",
         )
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-substring accounting (the span-level exact
+    dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every doc, how many of its distinct
+    ``span_tokens``-token windows also occur verbatim in at least one OTHER
+    document. Doc-level dedup (exact_dedup/minhash) can't see a boilerplate
+    license header pasted into a million otherwise-distinct pages; this
+    operator is the detection pass for span-level contamination.
+
+    Plan shape: windows are built JVM-side (text.word_ngrams — zip_with
+    slices, no interpreted O(n²) lambda), deduped per doc, and hashed to
+    64-bit keys BEFORE the exchange, so the only shuffled relation is
+    (doc_id, span_hash) — 16 bytes/row regardless of span length. One
+    exchange for the per-span doc count (window over span_hash), one for
+    the per-doc rollup. Docs shorter than ``span_tokens`` emit no windows
+    and are absent from the output (they cannot carry a duplicated span).
+    """
+    from pyspark.sql import Window
+
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                word_ngrams(F.split(F.lower(F.col(text_col)), " "), span_tokens)
+            )
+        ).alias("span"),
+    ).select("doc_id", F.xxhash64("span").alias("h"))
+    # per-doc distinct spans → count(*) per span-hash == docs containing it
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        spans.withColumn("ndocs", ndocs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
     )
 
 

@@ -362,3 +362,76 @@ def embedding_neardup_pairs(
         .groupBy("bi", "bj")
         .applyInPandas(tile, out_schema)
     )
+
+
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dedup (Abbas et al. 2023): assign every
+    vector to its nearest coarse centroid, then run all-pairs cosine ONLY
+    within each cluster — the global O(n²) pair scan becomes k independent
+    tiles, each a single float64 NumPy matmul in one ``applyInPandas``
+    group (the same BLAS-tile shape as :func:`embedding_neardup_pairs`,
+    partitioned semantically instead of by hash).
+
+    ``centroids`` defaults to the deterministic rule ``id < n_centroids``
+    so an external oracle can recompute the exact assignment in SQL;
+    production callers pass ivf_topk's hash-sampled + Lloyd-refined set
+    (fixed k×dim on the driver regardless of corpus size). Similarities
+    are rounded to 6 dp BEFORE the argmax so the assignment's tie-break
+    (lower centroid id wins) is bit-identical across engines. Cluster-size
+    skew bounds the tile: raise ``n_centroids`` to shrink tiles, or
+    sub-block a hot cluster with embedding_neardup_pairs's bi/bj scheme."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        centroids
+        if centroids is not None
+        else embeddings.filter(F.col(id_col) < n_centroids)
+    )
+    rows = sorted(cents.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    cids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    cmat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = v @ cmat.T
+        sims /= np.linalg.norm(v, axis=1)[:, None] * cnorm[None, :]
+        np.round(sims, 6, out=sims)
+        # stable argsort on -sim → deterministic lowest-cid tie-break
+        best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        return pd.Series(cids[best].astype("int32"))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        sims = m @ m.T
+        nrm = np.linalg.norm(m, axis=1)
+        sims /= nrm[:, None] * nrm[None, :]
+        np.round(sims, 6, out=sims)
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(ii), int(key[0]), dtype="int32"),
+                "vec_id1": ids[ii],
+                "vec_id2": ids[jj],
+                "cos_sim": sims[ii, jj],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        tile, "cluster int, vec_id1 long, vec_id2 long, cos_sim double"
+    )

@@ -245,12 +245,19 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def q11_except(spark: SparkSession, sf: str) -> DataFrame:
-    """B15: MINUS/EXCEPT — customers that never ordered."""
+    """B15: MINUS/EXCEPT — customers with no order in 1995 (testdata gives
+    every customer at least one order overall, which made the unrestricted
+    form vacuously empty and the oracle compare trivial; the year-bounded
+    subtrahend yields a real difference set)."""
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     return (
         customer.select(F.col("c_custkey").alias("custkey"))
-        .exceptAll(orders.select(F.col("o_custkey").alias("custkey")))
+        .exceptAll(
+            orders.filter(F.year("o_orderdate") == 1995).select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
         .distinct()
     )
 
@@ -258,7 +265,7 @@ def q11_except(spark: SparkSession, sf: str) -> DataFrame:
 Q11_SQL = """
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey AS custkey FROM orders
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
 """
 
 
@@ -690,6 +697,7 @@ def q29_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming windowed-count plan executed over the bounded events
     table via availableNow + memory sink — proves the watermarked streaming
     operator computes exactly what the batch oracle (q14's SQL shape) says."""
+    import shutil
     import tempfile
 
     from ..streaming.analytics import windowed_counts
@@ -710,8 +718,15 @@ def q29_streaming_window(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(name)
+    if not q.awaitTermination(300):
+        # a half-processed bounded stream would read as a value-hash
+        # mismatch downstream — fail loudly at the source instead
+        q.stop()
+        raise TimeoutError("q29: windowed-count stream did not finish within 300s")
+    # the memory sink holds the result; the staged input + checkpoint are done
+    out = spark.table(name).localCheckpoint()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 Q29_SQL = """
@@ -2104,21 +2119,23 @@ def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
 def q63_intersect(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT (distinct) — the set-op family member q09/q10/q11 don't
-    cover: customers who placed orders in BOTH 1994 and 1995. Spark plans
-    this as a left-semi join over pre-aggregated (distinct) sides; both
-    branches scan the same orders file with the year predicate pushed to
-    the parquet reader."""
+    cover: customers who placed orders in BOTH 1996 and 1997 (testdata
+    orders span 1995-2001; an out-of-range year would make the intersect
+    vacuously empty and the oracle compare trivial). Spark plans this as a
+    left-semi join over pre-aggregated (distinct) sides; both branches scan
+    the same orders file with the year predicate pushed to the parquet
+    reader."""
     o = load_table(spark, sf, "orders")
     yr = F.year("o_orderdate")
-    a = o.filter(yr == 1994).select("o_custkey")
-    b = o.filter(yr == 1995).select("o_custkey")
+    a = o.filter(yr == 1996).select("o_custkey")
+    b = o.filter(yr == 1997).select("o_custkey")
     return a.intersect(b)
 
 
 Q63_SQL = """
-SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT
-SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 """
 
 
@@ -3488,6 +3505,257 @@ WHERE c.c_custkey < 300
 """
 
 
+def q110_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact dedup signal (Lee et al. 2022): per document, how
+    many of its distinct 8-token windows occur verbatim in at least one
+    other document. Doc-level dedup can't see a boilerplate header pasted
+    into otherwise-distinct pages — this is the detection pass for that.
+    Only (doc_id, span_hash) pairs are ever shuffled (16 bytes/row); see
+    functions/dedup.py::dup_span_stats for the plan shape."""
+    docs = load_table(spark, sf, "documents")
+    return D.dup_span_stats(docs, span_tokens=8)
+
+
+Q110_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS span
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+  WHERE len(t) >= 8
+),
+counted AS (
+  SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS ndocs FROM grams
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_frac
+FROM counted GROUP BY doc_id
+"""
+
+
+def q111_shard_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training-export
+    step: every doc lands in pmod(knuth_hash(doc_id), 8) and is ordered
+    within its shard by a second multiplicative hash, so the permutation is
+    reproducible bit-for-bit on any engine and stable under repartitioning
+    (no RNG, no seed files). The manifest row per shard carries an
+    order signature (sum of pos·doc_id) that pins the within-shard
+    permutation itself, not just membership — the oracle recomputes the
+    identical permutation in SQL. One exchange on shard for the
+    row_number, then a tiny 8-row rollup; at 100 TB the shard column is
+    also the write partitioning, so export is shuffle-once."""
+    docs = load_table(spark, sf, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h2 = (F.col("doc_id") * F.lit(40503)) % F.lit(65536)
+    w = Window.partitionBy("shard").orderBy(F.col("h2").asc(), F.col("doc_id").asc())
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        (h % 8).cast("int").alias("shard"),
+        h2.alias("h2"),
+    ).withColumn("pos", F.row_number().over(w))
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_sig"),
+    )
+
+
+Q111_SQL = """
+WITH sharded AS (
+  SELECT doc_id, n_chars,
+         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+         (doc_id * 40503) % 65536 AS h2
+  FROM documents
+),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+  FROM sharded
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(pos * doc_id) AS BIGINT) AS order_sig
+FROM pos GROUP BY shard
+"""
+
+
+def q112_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic near-dedup (Abbas et al. 2023): coarse-cluster
+    the embedding corpus, then all-pairs cosine ONLY within each cluster —
+    the O(n²) pair scan becomes k independent per-cluster tiles. Centroids
+    here are a deterministic SQL-reproducible rule (vec_id < 16) so the
+    oracle can recompute the exact assignment; production would pass
+    ivf_topk's hash-sampled + Lloyd-refined set. Same 0.4 threshold as the
+    exact all-pairs q23 — the diff between the two result sets is precisely
+    the recall the coarse partition trades for the k-fold cost cut."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.semantic_neardup_pairs(emb, threshold=0.4, n_centroids=16)
+
+
+_COS = """round(
+  list_aggregate(list_transform(generate_series(1, len({a})),
+     i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum') /
+  (sqrt(list_aggregate(list_transform(generate_series(1, len({a})),
+     i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum')) *
+   sqrt(list_aggregate(list_transform(generate_series(1, len({b})),
+     i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')))
+, 6)"""
+
+Q112_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_COS.format(a="e.embedding", b="c.cvec")} AS sim
+  FROM embeddings e, c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+    FROM sims
+  ) WHERE r = 1
+)
+SELECT * FROM (
+  SELECT CAST(a.cluster AS INT) AS cluster,
+         a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+         {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.4
+"""
+
+
+def q113_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup driver-checked end-to-end: the bounded events
+    table is staged TWICE (every event duplicated across the replay), read
+    as one micro-batch, and dropDuplicatesWithinWatermark on event_id must
+    reduce it back to the batch DISTINCT truth — the oracle aggregates the
+    original table, so any dup that survives (or real row that is lost)
+    breaks the value hash."""
+    import shutil
+    import tempfile
+
+    from ..streaming.analytics import stream_dedup
+
+    events = load_table(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="q113_")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    events.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/in")
+    deduped = stream_dedup(stream, keys=["event_id"], watermark="1 hour")
+    name = "q113_result"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q113: dedup stream did not finish within 300s")
+    out = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+Q113_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def cdc10_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel read of the incrementally-maintained snapshot: the mixed
+    change log is staged as three SCN-banded files (the generator's bands —
+    inserts < 9M ≤ updates < 18M ≤ deletes, sources/redo.py), streamed one
+    file per micro-batch into write_snapshot, and the state is read AS OF
+    batch 1 — inserts and updates applied, deletes not yet. Every snapshot
+    version is an immutable ``v=<batch>`` dir, so the historical read is
+    just a different version pick (``read_snapshot(as_of=...)``, the
+    VERSION AS OF contract); the oracle is cdc06's relational truth minus
+    the delete filter."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
+    from ..streaming.snapshot import read_snapshot, write_snapshot
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc10_")
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    for i, band in enumerate((ins, upd, dele)):
+        band.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
+        import glob
+
+        (part,) = glob.glob(f"{tmp}/stage{i}/part*")
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    q = write_snapshot(
+        cdc_stream(stream, default_config()),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc10: snapshot stream did not finish within 600s")
+    snap = read_snapshot(spark, f"{tmp}/snap", as_of=1)
+    out = (
+        snap.select(
+            F.col("C_CUSTKEY").alias("c_custkey"),
+            F.col("C_NAME").alias("c_name"),
+            F.col("C_NATIONKEY").alias("c_nationkey"),
+            F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+            F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+        ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC10_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       round(CASE WHEN c_custkey % 10 IN (0, 1, 2)
+                  THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_custkey % 10 NOT IN (3, 4)
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -3590,6 +3858,11 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q102_token_entropy": (q102_token_entropy, Q102_SQL),
     "q103_lateral_topn": (q103_lateral_topn, Q103_SQL),
     "q104_jaccard_capped": (q104_jaccard_capped, Q104_SQL),
+    "q110_substring_dedup": (q110_substring_dedup, Q110_SQL),
+    "q111_shard_export": (q111_shard_export, Q111_SQL),
+    "q112_semantic_dedup": (q112_semantic_dedup, Q112_SQL),
+    "q113_stream_dedup": (q113_stream_dedup, Q113_SQL),
+    "cdc10_time_travel": (cdc10_time_travel, CDC10_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

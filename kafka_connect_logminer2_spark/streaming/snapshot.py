@@ -63,9 +63,17 @@ def latest_version(snap_dir: str, below: int | None = None) -> int | None:
     return max(versions, default=None)
 
 
-def read_snapshot(spark: SparkSession, snap_dir: str) -> DataFrame | None:
-    """The current table state, or None before the first batch."""
-    v = latest_version(snap_dir)
+def read_snapshot(
+    spark: SparkSession, snap_dir: str, as_of: int | None = None
+) -> DataFrame | None:
+    """The current table state, or None before the first batch.
+
+    ``as_of`` is the time-travel bound: read the state as of batch
+    ``as_of`` (largest committed version ≤ it) instead of the latest —
+    every version is an immutable dir, so historical reads are just a
+    different version pick, the same contract Delta/Iceberg expose as
+    VERSION AS OF. None before the first committed version ≤ ``as_of``."""
+    v = latest_version(snap_dir, below=None if as_of is None else as_of + 1)
     return None if v is None else spark.read.parquet(f"{snap_dir}/v={v}")
 
 

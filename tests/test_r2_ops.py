@@ -1,0 +1,127 @@
+"""Round-2 operators: span-level dedup, semantic near-dedup, deterministic
+shard export, snapshot time travel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.functions.dedup import dup_span_stats
+from kafka_connect_logminer2_spark.functions.similarity import (
+    embedding_neardup_pairs,
+    semantic_neardup_pairs,
+)
+
+
+def test_dup_span_stats_detects_shared_boilerplate(spark):
+    """A 9-token header pasted into docs 1 and 2 yields exactly its two
+    8-token windows as dup spans in each; doc 3 shares nothing; a doc
+    shorter than the span emits no row at all."""
+    header = "this software is provided as is without any warranty"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, header + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, header + " one two three four five six seven eight nine"),
+            (3, "completely different words in this third document body here ok"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, span_tokens=8).collect()}
+    # 9-token header -> windows at offsets 0 and 1 are the shared spans
+    assert out[1]["n_dup_spans"] == 2
+    assert out[2]["n_dup_spans"] == 2
+    assert out[3]["n_dup_spans"] == 0
+    assert 4 not in out  # < 8 tokens: no windows, no row
+    # n_spans = len - 7 distinct windows for repeat-free docs (doc 3: 10 tokens)
+    assert out[3]["n_spans"] == 10 - 7
+    assert abs(out[1]["dup_frac"] - 2 / out[1]["n_spans"]) < 1e-9
+
+
+def test_dup_span_stats_identical_docs_all_spans_dup(spark):
+    text = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = dup_span_stats(docs, span_tokens=8).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_dup_spans"] == r["n_spans"] == 12 - 7
+        assert r["dup_frac"] == 1.0
+
+
+def test_semantic_neardup_is_subset_of_exact_pairs(spark, sf_dir):
+    """Within-cluster pairs must be a subset of the exact all-pairs result
+    at the same threshold, with identical cos_sim values — the coarse
+    partition can lose cross-cluster pairs (recall trade) but can never
+    invent or perturb one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["vec_id1"], r["vec_id2"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    sem = semantic_neardup_pairs(emb, threshold=0.4, n_centroids=16).collect()
+    assert len(sem) > 0
+    for r in sem:
+        key = (r["vec_id1"], r["vec_id2"])
+        assert key in exact
+        assert abs(exact[key] - r["cos_sim"]) < 1e-9
+    # the semantic pass should keep a usable share of the true pairs
+    # (measured 19/66 = 0.29 at sf0.001 with 16 centroids on 500 vectors —
+    # the threshold here is a regression floor, not a quality target)
+    assert len(sem) >= 0.25 * len(exact)
+
+
+def test_semantic_neardup_assignment_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, semantic_neardup_pairs(emb, threshold=0.4).collect()))
+    b = sorted(map(tuple, semantic_neardup_pairs(emb, threshold=0.4).collect()))
+    assert a == b
+
+
+def test_snapshot_time_travel_reads_earlier_version(spark, tmp_path):
+    """as_of pins the read to the largest version <= the bound; the latest
+    read is unaffected; a bound before the first version yields None."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import read_snapshot
+
+    snap = tmp_path / "snap"
+    for v, vals in ((0, [(1, "a")]), (2, [(1, "a2"), (2, "b")]), (5, [(2, "b")])):
+        df = spark.createDataFrame(vals, "k long, val string")
+        df.coalesce(1).write.parquet(str(snap / f"v={v}"))
+    assert read_snapshot(spark, str(snap)).count() == 1  # v=5
+    as_of_3 = read_snapshot(spark, str(snap), as_of=3)  # -> v=2
+    assert sorted(r["val"] for r in as_of_3.collect()) == ["a2", "b"]
+    as_of_0 = read_snapshot(spark, str(snap), as_of=0)
+    assert [r["val"] for r in as_of_0.collect()] == ["a"]
+    assert read_snapshot(spark, str(snap / "missing"), as_of=4) is None
+
+
+def test_shard_export_partition_is_stable_under_repartitioning(spark, sf_dir):
+    """The shard/order signature must not depend on input partitioning —
+    that's the whole point of hash-derived ordering."""
+    from kafka_connect_logminer2_spark.plans.queries import q111_shard_export
+
+    base = sorted(map(tuple, q111_shard_export(spark, sf_dir).collect()))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(7)
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h2 = (F.col("doc_id") * F.lit(40503)) % F.lit(65536)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("h2").asc(), F.col("doc_id").asc())
+    again = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id", "n_chars", (h % 8).cast("int").alias("shard"), h2.alias("h2")
+            )
+            .withColumn("pos", F.row_number().over(w))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.col("pos") * F.col("doc_id")).alias("order_sig"),
+            )
+            .collect(),
+        )
+    )
+    assert base == again
