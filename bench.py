@@ -29,6 +29,9 @@ HEADLINE = [
     "q19_jaccard_pairs",
     "q104_jaccard_capped",
     "q105_minhash_banded",
+    "q110_substring_dedup",
+    "q111_shard_export",
+    "q112_semantic_dedup",
     "q22_cosine_topk",
     "q33_bpe_tokens",
     "q35_ann_ivf",

@@ -3679,24 +3679,21 @@ FROM events GROUP BY event_type
 """
 
 
-def cdc10_time_travel(spark: SparkSession, sf: str) -> DataFrame:
-    """Time-travel read of the incrementally-maintained snapshot: the mixed
-    change log is staged as three SCN-banded files (the generator's bands —
-    inserts < 9M ≤ updates < 18M ≤ deletes, sources/redo.py), streamed one
-    file per micro-batch into write_snapshot, and the state is read AS OF
-    batch 1 — inserts and updates applied, deletes not yet. Every snapshot
-    version is an immutable ``v=<batch>`` dir, so the historical read is
-    just a different version pick (``read_snapshot(as_of=...)``, the
-    VERSION AS OF contract); the oracle is cdc06's relational truth minus
-    the delete filter."""
+def _banded_snapshot(spark: SparkSession, sf: str, tmp: str) -> None:
+    """Shared scaffolding for the version-history queries (cdc10/cdc11):
+    stage the mixed change log as three SCN-banded files (the generator's
+    bands — inserts < 9M ≤ updates < 18M ≤ deletes, sources/redo.py) and
+    stream them one file per micro-batch into write_snapshot, producing a
+    3-version history at ``<tmp>/snap``: v0 = inserts, v1 = +updates,
+    v2 = +deletes."""
+    import glob
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from ..plans.cdc import customer_registry, default_config
     from ..streaming.pipeline import cdc_stream, read_redo_stream_files
-    from ..streaming.snapshot import read_snapshot, write_snapshot
+    from ..streaming.snapshot import write_snapshot
 
     keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
     ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
@@ -3707,13 +3704,10 @@ def cdc10_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         keysel.isin(6, 7)
     )
 
-    tmp = tempfile.mkdtemp(prefix="cdc10_")
     os.makedirs(f"{tmp}/redo")
     now = _time.time()
     for i, band in enumerate((ins, upd, dele)):
         band.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
-        import glob
-
         (part,) = glob.glob(f"{tmp}/stage{i}/part*")
         dst = f"{tmp}/redo/f{i}.parquet"
         shutil.copy(part, dst)
@@ -3731,7 +3725,24 @@ def cdc10_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
     if not q.awaitTermination(600):
         q.stop()
-        raise TimeoutError("cdc10: snapshot stream did not finish within 600s")
+        raise TimeoutError("banded snapshot stream did not finish within 600s")
+
+
+def cdc10_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel read of the incrementally-maintained snapshot: the
+    SCN-banded 3-version history (_banded_snapshot) read AS OF batch 1 —
+    inserts and updates applied, deletes not yet. Every snapshot version is
+    an immutable ``v=<batch>`` dir, so the historical read is just a
+    different version pick (``read_snapshot(as_of=...)``, the VERSION AS OF
+    contract); the oracle is cdc06's relational truth minus the delete
+    filter."""
+    import shutil
+    import tempfile
+
+    from ..streaming.snapshot import read_snapshot
+
+    tmp = tempfile.mkdtemp(prefix="cdc10_")
+    _banded_snapshot(spark, sf, tmp)
     snap = read_snapshot(spark, f"{tmp}/snap", as_of=1)
     out = (
         snap.select(
@@ -3753,6 +3764,44 @@ SELECT c_custkey, c_name, c_nationkey,
        c_mktsegment
 FROM customer
 WHERE c_custkey % 10 NOT IN (3, 4)
+"""
+
+
+def cdc11_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-feed between snapshot versions (the Delta/Iceberg
+    ``table_changes`` contract): diff the SCN-banded history's v0 (inserts
+    only) against v2 (final) — streaming/snapshot.py::snapshot_diff labels
+    every key whose state changed as INSERT/UPDATE/DELETE in ONE full-outer
+    join of two immutable version reads, no change-log replay. The oracle
+    derives the same feed relationally: keys with the update rule applied
+    (k%10 in 0,1,2) surface as UPDATE with the after-image, deleted keys
+    (k%10 in 6,7) as DELETE with a NULL image, and nothing else changed."""
+    import shutil
+    import tempfile
+
+    from ..streaming.snapshot import snapshot_diff
+
+    tmp = tempfile.mkdtemp(prefix="cdc11_")
+    _banded_snapshot(spark, sf, tmp)
+    diff = snapshot_diff(spark, f"{tmp}/snap", 0, 2, ["C_CUSTKEY"])
+    out = (
+        diff.select(
+            F.col("C_CUSTKEY").alias("c_custkey"),
+            "change_type",
+            F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+        ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC11_SQL = """
+SELECT c_custkey, 'UPDATE' AS change_type,
+       round(c_acctbal + 100, 2) AS c_acctbal
+FROM customer WHERE c_custkey % 10 IN (0, 1, 2)
+UNION ALL
+SELECT c_custkey, 'DELETE' AS change_type, CAST(NULL AS DOUBLE) AS c_acctbal
+FROM customer WHERE c_custkey % 10 IN (6, 7)
 """
 
 
@@ -3863,6 +3912,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q112_semantic_dedup": (q112_semantic_dedup, Q112_SQL),
     "q113_stream_dedup": (q113_stream_dedup, Q113_SQL),
     "cdc10_time_travel": (cdc10_time_travel, CDC10_SQL),
+    "cdc11_snapshot_diff": (cdc11_snapshot_diff, CDC11_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

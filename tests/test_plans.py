@@ -445,3 +445,69 @@ def test_jaccard_capped_bounded_exchanges(spark, sf_dir):
     plan = plan_of(QUERY_REGISTRY["q104_jaccard_capped"][0](spark, sf_dir))
     assert plan.count("Exchange") <= 4
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dedup_shuffles_hashes_only(spark, sf_dir):
+    """q110: the span relation that shuffles is (doc_id, span_hash) — the
+    span text is consumed by xxhash64 scan-side and never crosses an
+    exchange; two wide exchanges total (per-span window + per-doc rollup)."""
+    plan = plan_of(QUERY_REGISTRY["q110_substring_dedup"][0](spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2
+    assert all("span" not in l and "text" not in l for l in ex)
+    assert "BatchEvalPython" not in plan
+
+
+def test_shard_export_single_corpus_exchange(spark, sf_dir):
+    """q111: one exchange on shard for the row_number, then the 8-row
+    rollup — hash-derived ordering must not add a global sort."""
+    plan = plan_of(QUERY_REGISTRY["q111_shard_export"][0](spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) <= 2  # shard window + final 8-row rollup
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("text" not in l for l in scan_lines)  # column pruning
+
+
+def test_semantic_dedup_arrow_only_python(spark, sf_dir):
+    """q112: assignment + per-cluster tiles run as Arrow-batched Python
+    (pandas UDF / applyInPandas) — never row-at-a-time BatchEvalPython."""
+    plan = plan_of(QUERY_REGISTRY["q112_semantic_dedup"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Catalyst's runtime row-level bloom filter: a selective filter on one
+    join side injects a bloom_filter_agg subquery whose might_contain()
+    predicate prunes the OTHER side's scan before the shuffle — at 100 TB
+    this is the difference between shuffling all of lineitem and shuffling
+    the ~1% that can possibly match. The audit pins that the engine config
+    leaves the rewrite reachable (a silent conf regression would only show
+    up as a 100× shuffle at scale)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -125,3 +125,39 @@ def test_shard_export_partition_is_stable_under_repartitioning(spark, sf_dir):
         )
     )
     assert base == again
+
+
+def test_snapshot_diff_labels_changes(spark, tmp_path):
+    """INSERT/UPDATE/DELETE labeling across two versions, null-safe change
+    detection, and after-image semantics (NULL image on DELETE)."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import snapshot_diff
+
+    snap = tmp_path / "snap"
+    v0 = [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)]
+    v2 = [(1, "a", 10), (2, "b", 22), (4, "D", 40), (5, "e", 50)]
+    for v, vals in ((0, v0), (2, v2)):
+        spark.createDataFrame(vals, "k long, name string, val long").coalesce(
+            1
+        ).write.parquet(str(snap / f"v={v}"))
+    out = {
+        r["k"]: (r["change_type"], r["name"], r["val"])
+        for r in snapshot_diff(spark, str(snap), 0, 2, ["k"]).collect()
+    }
+    assert 1 not in out  # unchanged
+    assert out[2] == ("UPDATE", "b", 22)  # NULL -> value is a change
+    assert out[3] == ("DELETE", None, None)  # image nulled on delete
+    assert out[4] == ("UPDATE", "D", 40)
+    assert out[5] == ("INSERT", "e", 50)
+    # missing version -> None, not an exception
+    assert snapshot_diff(spark, str(snap), 0, 1, ["k"]) is not None  # v<=1 is v0... diff(v0,v0)
+    assert snapshot_diff(spark, str(tmp_path / "none"), 0, 2, ["k"]) is None
+
+
+def test_snapshot_diff_same_version_is_empty(spark, tmp_path):
+    from kafka_connect_logminer2_spark.streaming.snapshot import snapshot_diff
+
+    snap = tmp_path / "snap"
+    spark.createDataFrame([(1, "a")], "k long, name string").coalesce(1).write.parquet(
+        str(snap / "v=0")
+    )
+    assert snapshot_diff(spark, str(snap), 0, 0, ["k"]).count() == 0

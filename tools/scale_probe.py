@@ -201,6 +201,33 @@ def main() -> None:
         corpus = replicate(emb, m, ["vec_id"], span)
         return S.quantize_embeddings_int8(corpus).filter(F.col("n_clipped") >= 0)
 
+    def dup_span_op(m):
+        # q110's shape: per-doc distinct 8-token windows, hashed before the
+        # exchange. Same alphabet rotation as jaccard_op: textually disjoint
+        # copies, so span-collision counts stay fixture-linear.
+        alpha = "etaoinshr"
+        out = docs
+        for i in range(1, m):
+            rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+            out = out.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + i * span).withColumn(
+                    "text", F.translate("text", alpha, rot)
+                )
+            )
+        return D.dup_span_stats(out, span_tokens=8)
+
+    def semantic_dedup_op(m):
+        # q112's shape: coarse-centroid assign (matmul UDF) + per-cluster
+        # BLAS tiles. Tile flops are sum of per-cluster n_c² = N²/k, so the
+        # production contract is k ∝ N (more clusters as the corpus grows,
+        # constant cluster size) — the probe scales n_centroids with m and
+        # measures that total time then stays ~linear. Holding k fixed
+        # while N grows 10× would be 100× flops BY DESIGN, not a plan flaw.
+        corpus = replicate(emb, m, ["vec_id"], span)
+        return S.semantic_neardup_pairs(
+            corpus, threshold=0.4, n_centroids=16 * m
+        )
+
     ops = {
         "hash_agg": agg_op,
         "exact_dedup": dedup_op,
@@ -214,6 +241,8 @@ def main() -> None:
         "minhash_banded": minhash_banded_op,
         "pii_scrub": pii_scrub_op,
         "int8_quantize": quantize_op,
+        "dup_span": dup_span_op,
+        "semantic_dedup": semantic_dedup_op,
     }
 
     for name, op in ops.items():
