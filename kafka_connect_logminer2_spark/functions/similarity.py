@@ -147,6 +147,36 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The IVF coarse quantizer as a FIXED-size model: ``n_centroids``
+    vectors drawn by a deterministic corpus-size-independent sample (the
+    n_centroids smallest xxhash64(id) — a per-partition top-k merge, never
+    a full collect), refined with ``train_iters`` Lloyd iterations. The
+    driver holds exactly k × dim doubles no matter how large the corpus
+    is."""
+    from .clustering import lloyd_refine
+
+    cents = [
+        r[1]
+        for r in embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    ]
+    cmat = np.asarray(cents, dtype=np.float64)
+    if train_iters > 0:
+        cmat, _ = lloyd_refine(
+            embeddings.select(vec_col), cmat, train_iters, vec_col=vec_col
+        )
+    return cmat
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -181,20 +211,9 @@ def ivf_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .clustering import lloyd_refine
-
-    cents = [
-        r[1]
-        for r in embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(n_centroids)
-        .collect()
-    ]
-    cmat = np.asarray(cents, dtype=np.float64)
-    if train_iters > 0:
-        cmat, _ = lloyd_refine(
-            embeddings.select(vec_col), cmat, train_iters, vec_col=vec_col
-        )
+    cmat = ivf_centroids(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
     cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     n_probe = nprobe
 
@@ -233,6 +252,97 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 64,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: assign every vector to its nearest cell
+    and write the corpus PARTITIONED BY cell (``_cell=<c>/`` dirs). This is
+    the persisted form ivf_topk's docstring promises at scale — the cell
+    assignment is computed once, and every later query becomes a
+    partition-pruned scan of ~nprobe/n_centroids of the corpus (the filter
+    is resolved at PLANNING time against the directory listing; unprobed
+    cells are never opened, let alone read). Returns the centroid matrix
+    the reader needs (at scale it would be persisted alongside the index;
+    k × dim doubles, driver-sized by construction)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = ivf_centroids(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        order = np.argsort(-(v @ cmat_n.T), axis=1, kind="stable")
+        return pd.Series(order[:, 0].astype("int32"))
+
+    embeddings.select(
+        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("_cell")
+    ).write.mode("overwrite").partitionBy("_cell").parquet(index_dir)
+    return cmat
+
+
+def ivf_query_index(
+    spark,
+    index_dir: str,
+    cmat: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a persisted IVF index with partition pruning: each query's
+    ``nprobe`` nearest cells are computed driver-side (queries are
+    driver-sized by the ANN contract — the corpus is the big side), the
+    union of probed cells becomes a static IN filter the planner turns
+    into PartitionFilters, and only those cell directories are scanned.
+    Produces exactly ivf_topk's output (same rounding, tie-breaks, and
+    self-exclusion) — the index is a layout change, not a semantics
+    change; tests assert result equality and audit the pruned scan."""
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qv = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    order = np.argsort(-(qn @ cmat_n.T), axis=1, kind="stable")[:, :nprobe]
+    q = spark.createDataFrame(
+        [
+            (int(r[0]), [float(x) for x in r[1]], [int(c) for c in order[i]])
+            for i, r in enumerate(qrows)
+        ],
+        "_qid long, _qvec array<float>, _probes array<int>",
+    )
+    touched = sorted({int(c) for row in order for c in row})
+    idx = spark.read.parquet(index_dir).filter(F.col("_cell").isin(touched))
+    scored = idx.join(
+        F.broadcast(q),
+        F.array_contains(F.col("_probes"), F.col("_cell"))
+        & (F.col(id_col) != F.col("_qid")),
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
     )
 
 

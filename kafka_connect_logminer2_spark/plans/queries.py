@@ -3767,6 +3767,30 @@ WHERE c_custkey % 10 NOT IN (3, 4)
 """
 
 
+def q114_ann_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN over a PERSISTED cell-partitioned IVF index: the corpus is
+    materialized once partitioned by nearest-cell (ivf_write_index), and
+    the query reads ONLY the probed cell directories — the planner turns
+    the cell filter into PartitionFilters, so at 100 TB every query scans
+    ~nprobe/n_centroids of the corpus instead of all of it. Same math as
+    the in-memory q35 (tests assert result equality and audit the pruned
+    file count); rows-only here because recall < 1 by construction."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="q114_")
+    cmat = S.ivf_write_index(emb, f"{tmp}/index", n_centroids=64, train_iters=2)
+    out = S.ivf_query_index(
+        spark, f"{tmp}/index", cmat, queries_df, k=5, nprobe=5
+    ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def cdc11_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed between snapshot versions (the Delta/Iceberg
     ``table_changes`` contract): diff the SCN-banded history's v0 (inserts
@@ -3913,6 +3937,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q113_stream_dedup": (q113_stream_dedup, Q113_SQL),
     "cdc10_time_travel": (cdc10_time_travel, CDC10_SQL),
     "cdc11_snapshot_diff": (cdc11_snapshot_diff, CDC11_SQL),
+    "q114_ann_partitioned": (q114_ann_partitioned, None),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -161,3 +161,54 @@ def test_snapshot_diff_same_version_is_empty(spark, tmp_path):
         str(snap / "v=0")
     )
     assert snapshot_diff(spark, str(snap), 0, 0, ["k"]).count() == 0
+
+
+def test_ivf_partitioned_index_equals_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """The persisted cell-partitioned IVF index is a LAYOUT change, not a
+    semantics change: its top-k must equal ivf_topk's bit-for-bit. And the
+    point of the layout — the probed-cell filter resolves to
+    PartitionFilters at planning time and the scan touches strictly fewer
+    partition dirs than exist."""
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        ivf_query_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    cmat = ivf_write_index(emb, idx, n_centroids=64, train_iters=2)
+    out = ivf_query_index(spark, idx, cmat, queries, k=5, nprobe=5)
+
+    mem = sorted(map(tuple, ivf_topk(emb, queries, k=5, nprobe=5).collect()))
+    assert sorted(map(tuple, out.collect())) == mem
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "_cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # strictly fewer cell dirs actually read than materialized — measured
+    # with input_file_name() at execution (inputFiles() lists the
+    # pre-pruning FileIndex, so it can't see pruning): one query's 5 probed
+    # cells (same float64 stable-argsort math as the reader) must open at
+    # most 5 of the 64 directories
+    import glob as _glob
+
+    import numpy as np
+
+    qvec = np.asarray(queries.limit(1).collect()[0]["embedding"], dtype=np.float64)
+    qvec /= np.linalg.norm(qvec)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    probes = [int(c) for c in np.argsort(-(qvec @ cn.T), kind="stable")[:5]]
+    seen = {
+        f.split("_cell=")[1].split("/")[0]
+        for (f,) in spark.read.parquet(idx)
+        .filter(F.col("_cell").isin(probes))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    n_cells = len(_glob.glob(f"{idx}/_cell=*"))
+    assert 0 < len(seen) <= 5 < n_cells
