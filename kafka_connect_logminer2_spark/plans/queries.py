@@ -3829,6 +3829,272 @@ FROM customer WHERE c_custkey % 10 IN (6, 7)
 """
 
 
+def q115_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance from the change feed — the
+    materialized-view update without recomputation: a per-segment
+    (count, sum) rollup is computed ONCE over the v0 snapshot, then folded
+    forward using only cdc11's diff with before-images (−before for
+    UPDATE/DELETE, +after for UPDATE/INSERT — group reassignment falls out
+    for free because the two contributions carry their own group keys).
+    The v2 table itself is never re-aggregated; the oracle aggregates the
+    final relational state directly, so any drift between 'base + deltas'
+    and the recomputed truth breaks the value hash. At 100 TB this is the
+    difference between touching the change feed and re-scanning the
+    table."""
+    import shutil
+    import tempfile
+
+    from ..streaming.snapshot import read_snapshot, snapshot_diff
+
+    tmp = tempfile.mkdtemp(prefix="q115_")
+    _banded_snapshot(spark, sf, tmp)
+    v0 = read_snapshot(spark, f"{tmp}/snap", as_of=0)
+    base = v0.groupBy(F.col("C_MKTSEGMENT").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("C_ACCTBAL").alias("s0"),
+    )
+    diff = snapshot_diff(
+        spark, f"{tmp}/snap", 0, 2, ["C_CUSTKEY"], include_before=True
+    )
+    minus = diff.filter(F.col("change_type").isin("UPDATE", "DELETE")).select(
+        F.col("C_MKTSEGMENT_before").alias("seg"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("C_ACCTBAL_before")).alias("ds"),
+    )
+    plus = diff.filter(F.col("change_type").isin("UPDATE", "INSERT")).select(
+        F.col("C_MKTSEGMENT").alias("seg"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("C_ACCTBAL").alias("ds"),
+    )
+    deltas = (
+        minus.unionByName(plus)
+        .groupBy("seg")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    out = (
+        base.join(deltas, "seg", "full_outer")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_customers"
+            ),
+            F.round(
+                F.coalesce("s0", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0)), 2
+            ).alias("sum_acctbal"),
+        )
+        .filter(F.col("n_customers") > 0)
+        .localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+Q115_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(CASE WHEN c_custkey % 10 IN (0, 1, 2)
+                      THEN c_acctbal + 100 ELSE c_acctbal END), 2) AS sum_acctbal
+FROM customer
+WHERE c_custkey % 10 NOT IN (3, 4, 6, 7)
+GROUP BY c_mktsegment
+"""
+
+
+def cdc12_ddl_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Mid-stream DDL schema evolution driver-checked end-to-end (SURVEY §7
+    hard part 4, A12/A13): the stream is three SCN-banded micro-batches —
+    (1) the full insert scenario under the 5-column schema, (2) an
+    auto-committed ALTER TABLE ADD C_TIER, (3) UPDATEs that SET the new
+    column for keys with c_custkey%10 in (0,1,2,5). The DDL invalidates the
+    cached schema; the next DML lazily reloads the 6-column dictionary; the
+    snapshot merge null-backfills untouched rows. The oracle derives the
+    same final state relationally — post-DDL column typed and populated
+    exactly where the updates landed, NULL elsewhere."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators.schema_registry import ColumnMeta
+    from ..plans.cdc import customer_registry, default_config
+    from ..sources.redo import _common, redo_events_from_rows
+    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
+    from ..streaming.snapshot import read_snapshot, write_snapshot
+
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+
+    ddl = redo_events_from_rows(
+        spark,
+        [
+            dict(scn=20_000_000, operation="START", xid="D.1.1"),
+            dict(
+                scn=20_000_001,
+                operation="DDL",
+                xid="D.1.1",
+                table_name="CUSTOMER",
+                sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)",
+            ),
+            dict(scn=20_000_002, operation="COMMIT", xid="D.1.1", commit_scn=20_000_002),
+        ],
+    )
+
+    c = load_table(spark, sf, "customer")
+    cc = c.filter((F.col("c_custkey") % 10).isin(0, 1, 2, 5)).select(
+        "*",
+        (F.col("c_custkey") * 10 + 21_000_000).alias("base"),
+        F.concat_ws(".", F.lit("4"), F.col("c_custkey").cast("string"), F.lit("1")).alias(
+            "xid"
+        ),
+        F.format_string("AAA%015d", F.col("c_custkey")).alias("row_id"),
+    )
+    # LogMiner-canonical UPDATE: the SET column is repeated in the WHERE
+    # with its before-image (NULL — the column was just added); the parser
+    # builds the after-image from WHERE columns with SET overrides, exactly
+    # the reference's contract (OracleSourceConnectorUtils2.java:386-415)
+    upd_sql = F.concat(
+        F.lit('update "TPCH"."CUSTOMER" set "C_TIER" = '),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(' where "C_CUSTKEY" = '),
+        F.col("c_custkey").cast("string"),
+        F.lit(' and "C_TIER" IS NULL'),
+    )
+    tier_upd = (
+        cc.select(*_common(F.col("base"), F.col("xid"), "START"))
+        .unionByName(
+            cc.select(
+                *_common(
+                    F.col("base") + 1,
+                    F.col("xid"),
+                    "UPDATE",
+                    table=F.lit("CUSTOMER"),
+                    sql=upd_sql,
+                    row_id=F.col("row_id"),
+                )
+            )
+        )
+        .unionByName(
+            cc.select(
+                *_common(
+                    F.col("base") + 3,
+                    F.col("xid"),
+                    "COMMIT",
+                    commit_scn=F.col("base") + 3,
+                    commit_ts=True,
+                )
+            )
+        )
+    )
+
+    # two-version dictionary: the reload after the DDL invalidation serves
+    # the 6-column view (the reference's reload-on-miss contract,
+    # OracleSourceConnectorUtils2.java:249,368-371)
+    reg = customer_registry()
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v2_cols = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+        mk("C_NATIONKEY", data_type="NUMBER", data_precision=9),
+        mk("C_ACCTBAL", data_type="NUMBER", data_precision=12, data_scale=2),
+        mk("C_MKTSEGMENT", data_type="VARCHAR2", data_length=10),
+        mk("C_TIER", data_type="NUMBER", data_precision=4),
+    ]
+    reg._loader = lambda owner, table: (
+        v2_cols if (owner, table) == ("TPCH", "CUSTOMER") else None
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc12_")
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    for i, band in enumerate((ins, ddl, tier_upd)):
+        band.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
+        (part,) = glob.glob(f"{tmp}/stage{i}/part*")
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    q = write_snapshot(
+        cdc_stream(stream, default_config()),
+        reg,
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc12: snapshot stream did not finish within 600s")
+    snap = read_snapshot(spark, f"{tmp}/snap")
+    out = (
+        snap.select(
+            F.col("C_CUSTKEY").alias("c_custkey"),
+            F.col("C_NAME").alias("c_name"),
+            F.col("C_NATIONKEY").alias("c_nationkey"),
+            F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+            F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+            F.col("C_TIER").cast("int").alias("c_tier"),
+        ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC12_SQL = """
+SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+       c_mktsegment,
+       CASE WHEN c_custkey % 10 IN (0, 1, 2, 5)
+            THEN CAST(c_custkey % 100 AS INTEGER) END AS c_tier
+FROM customer
+WHERE c_custkey % 10 NOT IN (3, 4)
+"""
+
+
+def q116_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring (the CCNet-style perplexity
+    filter): train unigram probabilities over the whole corpus in one
+    aggregation, then score every document as its average negative token
+    log-probability — low-probability-dense docs are the quality-filter
+    rejects. Plan shape: one explode, token hashed to 64 bits BEFORE any
+    exchange (counts group on the hash, the rescore joins on the hash —
+    token text never shuffles), total-token count broadcast as a scalar;
+    per-doc rollup is the only other exchange. Vocabulary stays
+    distributed end-to-end — nothing vocab-sized ever reaches the
+    driver."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    toks = toks.localCheckpoint(eager=False)  # feeds counts + rescore
+    counts = toks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.select(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(counts, "h")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+Q116_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(-ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_neg_logprob
+FROM toks JOIN counts USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -3938,6 +4204,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc10_time_travel": (cdc10_time_travel, CDC10_SQL),
     "cdc11_snapshot_diff": (cdc11_snapshot_diff, CDC11_SQL),
     "q114_ann_partitioned": (q114_ann_partitioned, None),
+    "q115_incremental_agg": (q115_incremental_agg, Q115_SQL),
+    "q116_unigram_logprob": (q116_unigram_logprob, Q116_SQL),
+    "cdc12_ddl_evolution": (cdc12_ddl_evolution, CDC12_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -366,6 +366,7 @@ def snapshot_diff(
     from_version: int,
     to_version: int,
     pk_cols: list[str],
+    include_before: bool = False,
 ) -> DataFrame | None:
     """Change-data-feed between two snapshot versions (the Delta/Iceberg
     ``table_changes`` contract): every key whose state differs between the
@@ -378,7 +379,12 @@ def snapshot_diff(
     UPDATE detection is null-safe per non-pk column (a column going
     NULL→value or value→NULL is a change). Add-only schema evolution is
     handled the same way the bucketed read does it: a column absent on one
-    side reads as NULL there. Returns None if either version is missing."""
+    side reads as NULL there. Returns None if either version is missing.
+
+    ``include_before`` additionally emits ``<col>_before`` columns (the
+    from-version image; NULL for INSERT) — the pre/post pair downstream
+    incremental maintenance needs: an aggregate folds the feed as
+    −before + after per row instead of recomputing from the full table."""
     older = read_snapshot(spark, snap_dir, as_of=from_version)
     newer = read_snapshot(spark, snap_dir, as_of=to_version)
     if older is None or newer is None:
@@ -409,6 +415,17 @@ def snapshot_diff(
         .when(F.col("_in_new").isNull(), F.lit("DELETE"))
         .when(changed, F.lit("UPDATE"))
     )
+    before_cols = (
+        [
+            # from-version image for UPDATE/DELETE; NULL for INSERT
+            F.when(F.col("change_type") != "INSERT", F.col(f"_o_{c}")).alias(
+                f"{c}_before"
+            )
+            for c in non_pk
+        ]
+        if include_before
+        else []
+    )
     return (
         joined.withColumn("change_type", change_type)
         .filter(F.col("change_type").isNotNull())
@@ -420,6 +437,7 @@ def snapshot_diff(
                 F.when(F.col("change_type") != "DELETE", F.col(f"_n_{c}")).alias(c)
                 for c in non_pk
             ],
+            *before_cols,
         )
     )
 

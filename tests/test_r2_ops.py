@@ -212,3 +212,35 @@ def test_ivf_partitioned_index_equals_inmemory_and_prunes(spark, sf_dir, tmp_pat
     }
     n_cells = len(_glob.glob(f"{idx}/_cell=*"))
     assert 0 < len(seen) <= 5 < n_cells
+
+
+def test_snapshot_diff_before_images(spark, tmp_path):
+    """include_before emits the from-version image per column: NULL for
+    INSERT, populated for UPDATE/DELETE — the −before/+after pair
+    incremental aggregate maintenance folds."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import snapshot_diff
+
+    snap = tmp_path / "snap"
+    v0 = [(1, "x", 10), (2, "y", 20)]
+    v1 = [(1, "x", 11), (3, "z", 30)]
+    for v, vals in ((0, v0), (1, v1)):
+        spark.createDataFrame(vals, "k long, g string, val long").coalesce(
+            1
+        ).write.parquet(str(snap / f"v={v}"))
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(
+            spark, str(snap), 0, 1, ["k"], include_before=True
+        ).collect()
+    }
+    assert (out[1]["val_before"], out[1]["val"]) == (10, 11)
+    assert (out[2]["change_type"], out[2]["val_before"], out[2]["val"]) == (
+        "DELETE",
+        20,
+        None,
+    )
+    assert (out[3]["change_type"], out[3]["val_before"], out[3]["val"]) == (
+        "INSERT",
+        None,
+        30,
+    )
