@@ -32,6 +32,7 @@ HEADLINE = [
     "q110_substring_dedup",
     "q111_shard_export",
     "q112_semantic_dedup",
+    "q116_unigram_logprob",
     "q22_cosine_topk",
     "q33_bpe_tokens",
     "q35_ann_ivf",

@@ -4051,6 +4051,180 @@ WHERE c_custkey % 10 NOT IN (3, 4)
 """
 
 
+def cdc13_consistent_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table transactional consistency at an as-of read: every
+    transaction atomically inserts a CUSTOMER row AND all of that
+    customer's ORDERS rows (a multi-table txn, the reference's normal case
+    — one xid spans tables). The stream is staged as two SCN bands split
+    at custkey 100; reading BOTH tables as-of batch 0 must yield a
+    consistent cut — exactly the customers below the boundary and exactly
+    their orders, never an order whose customer is missing. The oracle
+    joins the base tables under the same boundary; a torn cut (txn half
+    applied) breaks row counts and the value hash."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from ..operators.schema_registry import ColumnMeta, SchemaRegistry
+    from ..plans.cdc import default_config
+    from ..sources.redo import _common
+    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
+    from ..streaming.snapshot import read_snapshot, write_snapshots
+
+    c = load_table(spark, sf, "customer").select(
+        "*",
+        (F.col("c_custkey") * 100).alias("base"),
+        F.concat_ws(".", F.lit("7"), F.col("c_custkey").cast("string"), F.lit("1")).alias(
+            "xid"
+        ),
+        F.format_string("AAC%015d", F.col("c_custkey")).alias("row_id"),
+    )
+    cust_ins_sql = F.concat(
+        F.lit('insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_MKTSEGMENT") values ('),
+        F.col("c_custkey").cast("string"),
+        F.lit(",'"),
+        F.regexp_replace(F.col("c_name"), "'", "''"),
+        F.lit("','"),
+        F.col("c_mktsegment"),
+        F.lit("')"),
+    )
+    o = load_table(spark, sf, "orders").withColumn(
+        "_i", F.row_number().over(W.partitionBy("o_custkey").orderBy("o_orderkey"))
+    )
+    oo = o.select(
+        "*",
+        (F.col("o_custkey") * 100 + 1 + F.col("_i")).alias("base"),
+        F.concat_ws(".", F.lit("7"), F.col("o_custkey").cast("string"), F.lit("1")).alias(
+            "xid"
+        ),
+        F.format_string("AAD%015d", F.col("o_orderkey")).alias("row_id"),
+    )
+    ord_ins_sql = F.concat(
+        F.lit('insert into "TPCH"."ORDERS"("O_ORDERKEY","O_CUSTKEY","O_TOTALPRICE","O_ORDERPRIORITY") values ('),
+        F.col("o_orderkey").cast("string"),
+        F.lit(","),
+        F.col("o_custkey").cast("string"),
+        F.lit(","),
+        F.col("o_totalprice").cast("string"),
+        F.lit(",'"),
+        F.col("o_orderpriority"),
+        F.lit("')"),
+    )
+    redo = (
+        c.select(*_common(F.col("base"), F.col("xid"), "START"))
+        .unionByName(
+            c.select(
+                *_common(
+                    F.col("base") + 1,
+                    F.col("xid"),
+                    "INSERT",
+                    table=F.lit("CUSTOMER"),
+                    sql=cust_ins_sql,
+                    row_id=F.col("row_id"),
+                )
+            )
+        )
+        .unionByName(
+            oo.select(
+                *_common(
+                    F.col("base"),
+                    F.col("xid"),
+                    "INSERT",
+                    table=F.lit("ORDERS"),
+                    sql=ord_ins_sql,
+                    row_id=F.col("row_id"),
+                )
+            )
+        )
+        .unionByName(
+            c.select(
+                *_common(
+                    F.col("base") + 95,
+                    F.col("xid"),
+                    "COMMIT",
+                    commit_scn=F.col("base") + 95,
+                    commit_ts=True,
+                )
+            )
+        )
+    )
+
+    reg = SchemaRegistry()
+    mkc = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    mko = lambda name, **kw: ColumnMeta("TPCH", "ORDERS", name, True, **kw)
+    reg.register(
+        [
+            mkc("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+            mkc("C_NAME", data_type="VARCHAR2", data_length=25),
+            mkc("C_MKTSEGMENT", data_type="VARCHAR2", data_length=10),
+        ]
+    )
+    reg.register(
+        [
+            mko("O_ORDERKEY", data_type="NUMBER", data_precision=18),
+            mko("O_CUSTKEY", data_type="NUMBER", data_precision=18),
+            mko("O_TOTALPRICE", data_type="NUMBER", data_precision=12, data_scale=2),
+            mko("O_ORDERPRIORITY", data_type="VARCHAR2", data_length=15),
+        ]
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc13_")
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    # SCN bands split at custkey 100 (scn 100*100): band 0 holds complete
+    # transactions for custkey < 100, band 1 the rest
+    bands = (redo.filter(F.col("scn") < 100 * 100), redo.filter(F.col("scn") >= 100 * 100))
+    for i, band in enumerate(bands):
+        band.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
+        (part,) = glob.glob(f"{tmp}/stage{i}/part*")
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    q = write_snapshots(
+        cdc_stream(stream, default_config()),
+        reg,
+        {("TPCH", "CUSTOMER"): ["C_CUSTKEY"], ("TPCH", "ORDERS"): ["O_ORDERKEY"]},
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc13: snapshot stream did not finish within 600s")
+    cust = read_snapshot(spark, f"{tmp}/snap/TPCH.CUSTOMER", as_of=0)
+    orders = read_snapshot(spark, f"{tmp}/snap/TPCH.ORDERS", as_of=0)
+    out = (
+        cust.join(
+            orders, cust["C_CUSTKEY"] == orders["O_CUSTKEY"], "left"
+        )
+        .groupBy(F.col("C_MKTSEGMENT").alias("c_mktsegment"))
+        .agg(
+            F.countDistinct("C_CUSTKEY").alias("n_customers"),
+            F.count("O_ORDERKEY").alias("n_orders"),
+            F.round(F.sum("O_TOTALPRICE"), 2).alias("sum_totalprice"),
+        )
+        .localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC13_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       count(o.o_orderkey) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_totalprice
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 100
+GROUP BY c_mktsegment
+"""
+
+
 def q116_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-trained unigram LM scoring (the CCNet-style perplexity
     filter): train unigram probabilities over the whole corpus in one
@@ -4207,6 +4381,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q115_incremental_agg": (q115_incremental_agg, Q115_SQL),
     "q116_unigram_logprob": (q116_unigram_logprob, Q116_SQL),
     "cdc12_ddl_evolution": (cdc12_ddl_evolution, CDC12_SQL),
+    "cdc13_consistent_cut": (cdc13_consistent_cut, CDC13_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
