@@ -3679,21 +3679,17 @@ FROM events GROUP BY event_type
 """
 
 
-def _banded_snapshot(spark: SparkSession, sf: str, tmp: str) -> None:
-    """Shared scaffolding for the version-history queries (cdc10/cdc11):
-    stage the mixed change log as three SCN-banded files (the generator's
-    bands — inserts < 9M ≤ updates < 18M ≤ deletes, sources/redo.py) and
-    stream them one file per micro-batch into write_snapshot, producing a
-    3-version history at ``<tmp>/snap``: v0 = inserts, v1 = +updates,
-    v2 = +deletes."""
+def _stage_banded_redo(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
+    """Stage the mixed change log as three SCN-banded files (the
+    generator's bands — inserts < 9M ≤ updates < 18M ≤ deletes,
+    sources/redo.py) and return the one-file-per-micro-batch stream over
+    them: batch 0 = inserts, 1 = +updates, 2 = +deletes."""
     import glob
     import os
     import shutil
     import time as _time
 
-    from ..plans.cdc import customer_registry, default_config
-    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
-    from ..streaming.snapshot import write_snapshot
+    from ..streaming.pipeline import read_redo_stream_files
 
     keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
     ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
@@ -3713,7 +3709,18 @@ def _banded_snapshot(spark: SparkSession, sf: str, tmp: str) -> None:
         shutil.copy(part, dst)
         os.utime(dst, (now + i * 10, now + i * 10))
 
-    stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+    return read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+
+
+def _banded_snapshot(spark: SparkSession, sf: str, tmp: str) -> None:
+    """Shared scaffolding for the version-history queries (cdc10/cdc11):
+    the banded stream folded by write_snapshot into a 3-version history at
+    ``<tmp>/snap``: v0 = inserts, v1 = +updates, v2 = +deletes."""
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import cdc_stream
+    from ..streaming.snapshot import write_snapshot
+
+    stream = _stage_banded_redo(spark, sf, tmp)
     q = write_snapshot(
         cdc_stream(stream, default_config()),
         customer_registry(),
@@ -4225,6 +4232,65 @@ GROUP BY c_mktsegment
 """
 
 
+def cdc14_streaming_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained grouped aggregate (streaming materialized
+    view, streaming/snapshot.py::write_aggregate): the banded change
+    stream folds a per-mktsegment (count, sum of acctbal) state forward
+    every micro-batch from the batch's touched keys only — the table is
+    never re-aggregated, across inserts, updates (+100 patches) and
+    deletes. The oracle recomputes the truth from the final relational
+    state, so any drift in the incremental fold breaks the value hash.
+    Same truth as q115, which proves the fold ONCE over a two-version
+    diff; here the fold runs per-batch inside the continuous pipeline."""
+    import shutil
+    import tempfile
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import cdc_stream
+    from ..streaming.snapshot import read_aggregate, write_aggregate
+
+    tmp = tempfile.mkdtemp(prefix="cdc14_")
+    stream = _stage_banded_redo(spark, sf, tmp)
+    q = write_aggregate(
+        cdc_stream(stream, default_config()),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        ["C_MKTSEGMENT"],
+        ["C_ACCTBAL"],
+        f"{tmp}/snap",
+        f"{tmp}/agg",
+        f"{tmp}/ckpt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc14: aggregate stream did not finish within 600s")
+    agg = read_aggregate(spark, f"{tmp}/agg")
+    out = (
+        agg.select(
+            F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+            F.col("n").alias("n_customers"),
+            F.round(F.col("sum_C_ACCTBAL"), 2).alias("sum_acctbal"),
+        ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# same relational truth as q115 — there proven over a one-shot two-version
+# diff, here over the per-batch continuous fold
+CDC14_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(CASE WHEN c_custkey % 10 IN (0, 1, 2)
+                      THEN c_acctbal + 100 ELSE c_acctbal END), 2) AS sum_acctbal
+FROM customer
+WHERE c_custkey % 10 NOT IN (3, 4, 6, 7)
+GROUP BY c_mktsegment
+"""
+
+
 def q116_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-trained unigram LM scoring (the CCNet-style perplexity
     filter): train unigram probabilities over the whole corpus in one
@@ -4382,6 +4448,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q116_unigram_logprob": (q116_unigram_logprob, Q116_SQL),
     "cdc12_ddl_evolution": (cdc12_ddl_evolution, CDC12_SQL),
     "cdc13_consistent_cut": (cdc13_consistent_cut, CDC13_SQL),
+    "cdc14_streaming_aggregate": (cdc14_streaming_aggregate, CDC14_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -244,3 +244,97 @@ def test_snapshot_diff_before_images(spark, tmp_path):
         None,
         30,
     )
+
+
+def test_write_aggregate_group_reassignment_and_as_of(spark, tmp_path):
+    """The continuously-maintained aggregate must handle the case the CDC
+    scenario doesn't hit: an UPDATE that MOVES a row between groups (the
+    −before contribution leaves the old group, the +after joins the new
+    one), plus deletes shrinking a group to zero (it leaves the state) and
+    as-of reads of earlier aggregate versions."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from kafka_connect_logminer2_spark.plans.cdc import customer_registry, default_config
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+    from kafka_connect_logminer2_spark.streaming.pipeline import (
+        cdc_stream,
+        read_redo_stream_files,
+    )
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        read_aggregate,
+        write_aggregate,
+    )
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/redo")
+    ins = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_NATIONKEY",'
+        "\"C_ACCTBAL\",\"C_MKTSEGMENT\") values ({k},'n',1,{bal},'{seg}')"
+    )
+    batch0 = redo_events_from_rows(
+        spark,
+        [
+            dict(scn=1, operation="START", xid="A"),
+            dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+                 sql_redo=ins.format(k=1, bal=10, seg="AUTOMOBILE"), row_id="r1"),
+            dict(scn=3, operation="INSERT", xid="A", table_name="CUSTOMER",
+                 sql_redo=ins.format(k=2, bal=20, seg="BUILDING"), row_id="r2"),
+            dict(scn=4, operation="COMMIT", xid="A", commit_scn=4),
+        ],
+    )
+    upd = (
+        'update "TPCH"."CUSTOMER" set "C_MKTSEGMENT" = \'BUILDING\', "C_ACCTBAL" = 15 '
+        'where "C_CUSTKEY" = 1 and "C_MKTSEGMENT" = \'AUTOMOBILE\' and "C_ACCTBAL" = 10'
+    )
+    dele = 'delete from "TPCH"."CUSTOMER" where "C_CUSTKEY" = 2 and "C_ACCTBAL" = 20'
+    batch1 = redo_events_from_rows(
+        spark,
+        [
+            dict(scn=10, operation="START", xid="B"),
+            dict(scn=11, operation="UPDATE", xid="B", table_name="CUSTOMER",
+                 sql_redo=upd, row_id="r1"),
+            dict(scn=12, operation="DELETE", xid="B", table_name="CUSTOMER",
+                 sql_redo=dele, row_id="r2"),
+            dict(scn=13, operation="COMMIT", xid="B", commit_scn=13),
+        ],
+    )
+    now = _time.time()
+    for i, b in enumerate((batch0, batch1)):
+        b.coalesce(1).write.parquet(f"{tmp}/stage{i}")
+        (part,) = glob.glob(f"{tmp}/stage{i}/part*")
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    q = write_aggregate(
+        cdc_stream(
+            read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+            default_config(),
+        ),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        ["C_MKTSEGMENT"],
+        ["C_ACCTBAL"],
+        f"{tmp}/snap",
+        f"{tmp}/agg",
+        f"{tmp}/ckpt",
+    )
+    assert q.awaitTermination(300)
+
+    final = {
+        r["C_MKTSEGMENT"]: (r["n"], r["sum_C_ACCTBAL"])
+        for r in read_aggregate(spark, f"{tmp}/agg").collect()
+    }
+    # k1 moved AUTOMOBILE→BUILDING with bal 15; k2 (BUILDING, 20) deleted;
+    # AUTOMOBILE shrank to 0 and must be gone entirely
+    assert final == {"BUILDING": (1, 15.0)}
+    v0 = {
+        r["C_MKTSEGMENT"]: (r["n"], r["sum_C_ACCTBAL"])
+        for r in read_aggregate(spark, f"{tmp}/agg", as_of=0).collect()
+    }
+    assert v0 == {"AUTOMOBILE": (1, 10.0), "BUILDING": (1, 20.0)}
