@@ -484,6 +484,35 @@ def write_aggregate(
     return writer.start()
 
 
+def vacuum_versions(state_dir: str, keep: int = 2) -> list[int]:
+    """Retention for a versioned state dir (snapshot or aggregate): delete
+    all but the ``keep`` newest committed versions — the VACUUM side of the
+    time-travel contract. Time travel and change-data-feed reads reach
+    only versions that survive; ``keep`` is therefore the retention
+    horizon, exactly Delta/Iceberg's expire-snapshots trade. Never deletes
+    the latest version; returns the version ids removed. The bucketed
+    layout vacuums per bucket dir (pass each ``b=<k>`` dir); batch-level
+    commit markers are left in place — they only ever reference versions
+    by upper bound, so dropping old versions cannot un-commit newer
+    ones."""
+    import shutil as _shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    if not os.path.isdir(state_dir):
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := _V_RE.match(d))
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+    doomed = versions[:-keep] if len(versions) > keep else []
+    for v in doomed:
+        _shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+    return doomed
+
+
 def read_aggregate(
     spark: SparkSession, agg_dir: str, as_of: int | None = None
 ) -> DataFrame | None:

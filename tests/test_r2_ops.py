@@ -338,3 +338,34 @@ def test_write_aggregate_group_reassignment_and_as_of(spark, tmp_path):
         for r in read_aggregate(spark, f"{tmp}/agg", as_of=0).collect()
     }
     assert v0 == {"AUTOMOBILE": (1, 10.0), "BUILDING": (1, 20.0)}
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    """VACUUM keeps the newest `keep` versions: the latest read is
+    unchanged, time travel inside the horizon still works, and as-of reads
+    older than the horizon resolve to the oldest surviving version (or
+    None below it) — the documented retention trade."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        read_snapshot,
+        vacuum_versions,
+    )
+
+    snap = tmp_path / "snap"
+    for v in (0, 1, 3, 7):
+        spark.createDataFrame([(v,)], "k long").coalesce(1).write.parquet(
+            str(snap / f"v={v}")
+        )
+    removed = vacuum_versions(str(snap), keep=2)
+    assert removed == [0, 1]
+    assert read_snapshot(spark, str(snap)).collect()[0]["k"] == 7
+    assert read_snapshot(spark, str(snap), as_of=5).collect()[0]["k"] == 3
+    # horizon: versions 0/1 are gone — an as-of bound below the oldest
+    # survivor finds nothing
+    assert read_snapshot(spark, str(snap), as_of=2) is None
+    # keep >= number of versions is a no-op; keep < 1 rejected
+    assert vacuum_versions(str(snap), keep=5) == []
+    try:
+        vacuum_versions(str(snap), keep=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
