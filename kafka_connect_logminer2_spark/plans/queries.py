@@ -4335,6 +4335,147 @@ GROUP BY doc_id
 """
 
 
+def q117_pack_assemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Packed-sequence ASSEMBLY — the step after q51's binning: for every
+    (source, bin) context window, concatenate the member documents in
+    doc_id order into the actual training sequence. The md5 of each
+    assembled sequence is value-hash-checked cross-engine, so the
+    concatenation order and separator are pinned exactly, not just the bin
+    membership. One shuffle on (source, bin): texts travel once, the
+    per-bin sort happens on collected structs inside the hash aggregate
+    (array_sort), not as a global sort."""
+    docs = load_table(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    ).withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048)),
+    )
+    packed = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                ),
+                lambda s: s.getField("text"),
+            ),
+        ).alias("seq"),
+    )
+    return packed.select(
+        "source",
+        "bin",
+        "n_docs",
+        "bin_tokens",
+        F.md5("seq").alias("seq_md5"),
+        F.length("seq").cast("long").alias("seq_chars"),
+    )
+
+
+Q117_SQL = """
+WITH b AS (
+  SELECT doc_id, source, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(floor(coalesce(sum(len(string_split_regex(trim(text), '\\s+')))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+           AS BIGINT) AS bin
+  FROM documents
+)
+SELECT source, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5,
+       CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT)
+         AS seq_chars
+FROM b GROUP BY source, bin
+"""
+
+
+def q118_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aware train/eval split: assign each NEAR-DUP CLUSTER (not each
+    doc) to a split by Knuth-hashing the cluster id, so near-duplicate
+    documents can never straddle the boundary — the leakage mode a naive
+    per-doc split has. Clusters come from the q38 connected-components
+    pass over the exact-Jaccard pair graph; singleton docs are their own
+    cluster. The oracle recomputes the identical clusters (recursive CTE)
+    and the identical hash, so membership AND assignment are value-hash
+    checked."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.05)
+    clusters = D.dup_clusters(pairs)
+    labeled = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster_id", "doc_id")
+    )
+    split = F.when(
+        (F.col("cluster") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+        < 90,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return (
+        labeled.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# cluster derivation identical to Q38_SQL, then the same multiplicative-hash
+# split applied to the cluster id (singletons: the doc's own id)
+Q118_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+      i -> string_split(lower(text),' ')[i] || ' ' ||
+           string_split(lower(text),' ')[i+1] || ' ' ||
+           string_split(lower(text),' ')[i+2])
+  )) AS shingle FROM documents
+), sizes AS (
+  SELECT id, count(*) AS sz FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes s1 ON s1.id = id1
+  JOIN sizes s2 ON s2.id = id2
+  WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.05
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), labeled AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT CASE WHEN (cluster * 2654435761) % 4294967296 % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT cluster) AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM labeled GROUP BY 1
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -4449,6 +4590,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc12_ddl_evolution": (cdc12_ddl_evolution, CDC12_SQL),
     "cdc13_consistent_cut": (cdc13_consistent_cut, CDC13_SQL),
     "cdc14_streaming_aggregate": (cdc14_streaming_aggregate, CDC14_SQL),
+    "q117_pack_assemble": (q117_pack_assemble, Q117_SQL),
+    "q118_leakage_safe_split": (q118_leakage_safe_split, Q118_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
