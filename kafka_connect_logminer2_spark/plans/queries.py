@@ -1685,7 +1685,17 @@ def q54_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events")
     hourly = events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("av"))
+    ).agg(
+        # cross-engine determinism: carry the exact (sum, count) pair and
+        # divide AFTER the forward-fill. avg() here was boundary-fragile:
+        # 2-decimal values averaged over 24 rows land exactly on .xxxx5
+        # rounding boundaries, and the engines' different summation orders
+        # rounded a handful of sf0.1 rows apart. round(sum, 2) is exact
+        # (inputs have 2 decimals; fp error ~1e-12 vs a 0.005 boundary), so
+        # both engines divide IDENTICAL doubles — same result bit-for-bit.
+        F.count(F.lit(1)).alias("n_h"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    )
     bounds = events.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -1701,11 +1711,13 @@ def q54_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         grid.join(hourly, ["hour", "event_type"], "left")
-        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("n", F.coalesce("n_h", F.lit(0)))
         .withColumn("is_gap", (F.col("n") == 0).cast("int"))
+        .withColumn("_sv_f", F.last("sv", ignorenulls=True).over(w))
+        .withColumn("_n_f", F.last("n_h", ignorenulls=True).over(w))
         .withColumn(
             "avg_value_ffill",
-            F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)),
+            F.coalesce(F.round(F.col("_sv_f") / F.col("_n_f"), 6), F.lit(0.0)),
         )
         .select("hour", "event_type", "n", "avg_value_ffill", "is_gap")
     )
@@ -1722,13 +1734,17 @@ grid AS (
 g AS (SELECT hour, event_type FROM grid, (SELECT DISTINCT event_type FROM events)),
 h AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
-         count(*) AS n, round(avg(value), 6) AS av
+         count(*) AS n, round(sum(value), 2) AS sv
   FROM events GROUP BY 1, 2
 )
 SELECT g.hour, g.event_type, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
-       coalesce(last_value(h.av IGNORE NULLS) OVER (
-         PARTITION BY g.event_type ORDER BY g.hour
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+       coalesce(round(
+         last_value(h.sv IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / last_value(h.n IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6), 0.0)
          AS avg_value_ffill,
        CAST(h.n IS NULL AS INT) AS is_gap
 FROM g LEFT JOIN h ON g.hour = h.hour AND g.event_type = h.event_type

@@ -511,3 +511,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_unigram_logprob_shuffles_hashes_only(spark, sf_dir):
+    """q116: token text is hashed scan-side; the vocabulary count, the
+    rescore join, and the per-doc rollup all exchange 8-byte hashes — the
+    token string never crosses an exchange, and nothing vocab-sized is
+    collected (no broadcast of the counts side)."""
+    plan = plan_of(QUERY_REGISTRY["q116_unigram_logprob"][0](spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("tok" not in l and "text" not in l for l in ex)
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_assemble_two_exchanges_no_global_sort(spark, sf_dir):
+    """q117: one exchange on source for the running-token window, one on
+    (source, bin) for the assembly aggregate — the per-bin ordering happens
+    via array_sort inside the hash aggregate, never a rangepartitioning
+    global sort."""
+    plan = plan_of(QUERY_REGISTRY["q117_pack_assemble"][0](spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) <= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
