@@ -4351,6 +4351,63 @@ GROUP BY doc_id
 """
 
 
+def cdc15_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-batch change-data-feed EMISSION (write_snapshot's cdf_dir): each
+    micro-batch's merge also writes exactly the INSERT/UPDATE/DELETE rows
+    it applied — batch 0 of the banded stream emits the surviving inserts,
+    batch 1 the +100 acctbal updates, batch 2 the deletes. The oracle
+    derives the full three-batch feed relationally, so the per-batch
+    granularity, change labels and after-images are all value-hash
+    checked (Delta's table_changes contract, produced continuously
+    instead of recomputed)."""
+    import shutil
+    import tempfile
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import cdc_stream
+    from ..streaming.snapshot import read_change_feed, write_snapshot
+
+    tmp = tempfile.mkdtemp(prefix="cdc15_")
+    stream = _stage_banded_redo(spark, sf, tmp)
+    q = write_snapshot(
+        cdc_stream(stream, default_config()),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+        cdf_dir=f"{tmp}/cdf",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc15: snapshot stream did not finish within 600s")
+    feed = read_change_feed(spark, f"{tmp}/cdf")
+    out = (
+        feed.select(
+            F.col("batch").cast("int").alias("batch"),
+            "change_type",
+            F.col("C_CUSTKEY").alias("c_custkey"),
+            F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+        ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC15_SQL = """
+SELECT 0 AS batch, 'INSERT' AS change_type, c_custkey,
+       round(c_acctbal, 2) AS c_acctbal
+FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+UNION ALL
+SELECT 1, 'UPDATE', c_custkey, round(c_acctbal + 100, 2)
+FROM customer WHERE c_custkey % 10 IN (0, 1, 2)
+UNION ALL
+SELECT 2, 'DELETE', c_custkey, CAST(NULL AS DOUBLE)
+FROM customer WHERE c_custkey % 10 IN (6, 7)
+"""
+
+
 def q117_pack_assemble(spark: SparkSession, sf: str) -> DataFrame:
     """Packed-sequence ASSEMBLY — the step after q51's binning: for every
     (source, bin) context window, concatenate the member documents in
@@ -4608,6 +4665,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc14_streaming_aggregate": (cdc14_streaming_aggregate, CDC14_SQL),
     "q117_pack_assemble": (q117_pack_assemble, Q117_SQL),
     "q118_leakage_safe_split": (q118_leakage_safe_split, Q118_SQL),
+    "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -121,7 +121,7 @@ def _merge_one_table(
     pk_cols: list[str],
     snap_dir: str,
     config: EngineConfig | None,
-) -> None:
+) -> tuple[int | None, DataFrame | None]:
     # DDL first: invalidate before this batch's DML materializes — the same
     # ordering contract as pipeline.py::write_per_table (SURVEY §7 part 4)
     for r in (
@@ -138,7 +138,7 @@ def _merge_one_table(
         & (F.col("TABLE_NAME") == table)
     )
     if not registry.ensure(owner, table):
-        return
+        return None, None
     typed = apply_table_schema(
         rows,
         registry,
@@ -148,11 +148,12 @@ def _merge_one_table(
     )
     net = net_changes(typed, pk_cols)
     if not net.take(1):
-        return  # nothing for this table in the batch; version unchanged
+        return None, None  # nothing for this table; version unchanged
     parent = latest_version(snap_dir, below=batch_id)
     prev = None if parent is None else spark.read.parquet(f"{snap_dir}/v={parent}")
     out = merge_step(prev, net, pk_cols)
     out.write.mode("overwrite").parquet(f"{snap_dir}/v={batch_id}")
+    return parent, net.select(*pk_cols).distinct()
 
 
 def write_snapshot(
@@ -165,15 +166,40 @@ def write_snapshot(
     checkpoint_dir: str,
     config: EngineConfig | None = None,
     trigger_available_now: bool = True,
+    cdf_dir: str | None = None,
 ):
     """Maintain ``snap_dir`` as the continuously-merged state of
-    ``owner.table`` implied by the committed envelope stream."""
+    ``owner.table`` implied by the committed envelope stream.
+
+    ``cdf_dir``: optionally EMIT the per-batch change-data-feed — after
+    each merge, the INSERT/UPDATE/DELETE rows (with before-images) that
+    this batch applied, computed by diffing the parent and new versions
+    restricted to the batch's touched keys (O(changed keys), not
+    O(table)) and written to ``cdf_dir/batch=<id>``. Downstream consumers
+    subscribe to the feed instead of diffing versions themselves; a
+    retried batch overwrites its own feed directory, so the feed stays
+    exactly-once alongside the snapshot."""
     spark = envelope_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        _merge_one_table(
+        parent, keys = _merge_one_table(
             spark, batch, batch_id, registry, owner, table, pk_cols, snap_dir, config
         )
+        if cdf_dir is None or keys is None:
+            return
+        new = spark.read.parquet(f"{snap_dir}/v={batch_id}").join(
+            F.broadcast(keys), pk_cols, "left_semi"
+        )
+        prev = (
+            None
+            if parent is None
+            else spark.read.parquet(f"{snap_dir}/v={parent}").join(
+                F.broadcast(keys), pk_cols, "left_semi"
+            )
+        )
+        diff_states(prev, new, pk_cols, include_before=True).write.mode(
+            "overwrite"
+        ).parquet(f"{cdf_dir}/batch={batch_id}")
 
     writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -484,6 +510,26 @@ def write_aggregate(
     return writer.start()
 
 
+def read_change_feed(
+    spark: SparkSession,
+    cdf_dir: str,
+    from_batch: int | None = None,
+    to_batch: int | None = None,
+) -> DataFrame | None:
+    """The emitted change-data-feed as one DataFrame with a ``batch``
+    partition column (Delta's ``table_changes(from, to)`` shape). Batch
+    bounds become partition filters — reading a window of the feed scans
+    only those ``batch=`` directories."""
+    if not os.path.isdir(cdf_dir):
+        return None
+    df = spark.read.option("mergeSchema", "true").parquet(cdf_dir)
+    if from_batch is not None:
+        df = df.filter(F.col("batch") >= from_batch)
+    if to_batch is not None:
+        df = df.filter(F.col("batch") <= to_batch)
+    return df
+
+
 def vacuum_versions(state_dir: str, keep: int = 2) -> list[int]:
     """Retention for a versioned state dir (snapshot or aggregate): delete
     all but the ``keep`` newest committed versions — the VACUUM side of the
@@ -551,6 +597,32 @@ def snapshot_diff(
     newer = read_snapshot(spark, snap_dir, as_of=to_version)
     if older is None or newer is None:
         return None
+    return diff_states(older, newer, pk_cols, include_before=include_before)
+
+
+def diff_states(
+    older: DataFrame | None,
+    newer: DataFrame,
+    pk_cols: list[str],
+    include_before: bool = False,
+) -> DataFrame:
+    """Core of :func:`snapshot_diff` over two already-loaded states —
+    also the per-batch kernel of the change-data-feed emission, where the
+    inputs are the parent/new versions restricted to the batch's touched
+    keys. ``older=None`` means no prior state: every row is an INSERT."""
+    if older is None:
+        out = newer.select(
+            *pk_cols,
+            F.lit("INSERT").alias("change_type"),
+            *[c for c in newer.columns if c not in pk_cols],
+        )
+        if include_before:
+            for c in newer.columns:
+                if c not in pk_cols:
+                    out = out.withColumn(
+                        f"{c}_before", F.lit(None).cast(newer.schema[c].dataType)
+                    )
+        return out
     all_cols = list(dict.fromkeys([*older.columns, *newer.columns]))
     non_pk = [c for c in all_cols if c not in pk_cols]
     for c in all_cols:

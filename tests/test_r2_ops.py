@@ -369,3 +369,36 @@ def test_vacuum_versions_retention(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_change_feed_window_reads_partition_pruned(spark, tmp_path):
+    """read_change_feed's batch bounds must become partition filters over
+    the batch= directories, and the feed must carry before-images."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        diff_states,
+        read_change_feed,
+    )
+
+    cdf = tmp_path / "cdf"
+    v0 = spark.createDataFrame([(1, 10)], "k long, val long")
+    v1 = spark.createDataFrame([(1, 11), (2, 20)], "k long, val long")
+    diff_states(None, v0, ["k"], include_before=True).coalesce(1).write.parquet(
+        str(cdf / "batch=0")
+    )
+    diff_states(v0, v1, ["k"], include_before=True).coalesce(1).write.parquet(
+        str(cdf / "batch=1")
+    )
+    feed = read_change_feed(spark, str(cdf))
+    assert {(r["batch"], r["k"], r["change_type"]) for r in feed.collect()} == {
+        (0, 1, "INSERT"),
+        (1, 1, "UPDATE"),
+        (1, 2, "INSERT"),
+    }
+    upd = feed.filter("batch = 1 and k = 1").collect()[0]
+    assert (upd["val_before"], upd["val"]) == (10, 11)
+    windowed = read_change_feed(spark, str(cdf), from_batch=1)
+    assert windowed.count() == 2
+    plan = windowed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "batch" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert read_change_feed(spark, str(tmp_path / "nope")) is None
