@@ -453,54 +453,15 @@ def write_aggregate(
         new = spark.read.parquet(f"{snap_dir}/v={batch_id}")
 
         keys = net.select(*pk_cols).distinct()
-
-        def contributions(state: DataFrame | None, sign: int) -> DataFrame | None:
-            if state is None:
-                return None
-            touched = state.join(F.broadcast(keys), pk_cols, "left_semi")
-            return touched.select(
-                *group_cols,
-                F.lit(sign).cast("long").alias("_dn"),
-                *[
-                    (F.coalesce(F.col(c).cast("double"), F.lit(0.0)) * sign).alias(
-                        f"_ds_{c}"
-                    )
-                    for c in sum_cols
-                ],
-            )
-        minus = contributions(prev, -1)
-        plus = contributions(new, +1)
-        deltas = plus if minus is None else minus.unionByName(plus)
-        deltas = deltas.groupBy(*group_cols).agg(
-            F.sum("_dn").alias("_dn"),
-            *[F.sum(f"_ds_{c}").alias(f"_ds_{c}") for c in sum_cols],
-        )
-
         agg_parent = latest_version(agg_dir, below=batch_id)
-        if agg_parent is None:
-            folded = deltas.select(
-                *group_cols,
-                F.col("_dn").alias("n"),
-                *[F.col(f"_ds_{c}").alias(f"sum_{c}") for c in sum_cols],
-            )
-        else:
-            base = spark.read.parquet(f"{agg_dir}/v={agg_parent}")
-            folded = base.join(deltas, group_cols, "full_outer").select(
-                *group_cols,
-                (
-                    F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))
-                ).alias("n"),
-                *[
-                    (
-                        F.coalesce(f"sum_{c}", F.lit(0.0))
-                        + F.coalesce(f"_ds_{c}", F.lit(0.0))
-                    ).alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
-            )
-        folded.filter(F.col("n") > 0).write.mode("overwrite").parquet(
-            f"{agg_dir}/v={batch_id}"
+        base = (
+            None
+            if agg_parent is None
+            else spark.read.parquet(f"{agg_dir}/v={agg_parent}")
         )
+        fold_aggregate_step(
+            prev, new, keys, base, pk_cols, group_cols, sum_cols
+        ).write.mode("overwrite").parquet(f"{agg_dir}/v={batch_id}")
 
     writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -557,6 +518,79 @@ def vacuum_versions(state_dir: str, keep: int = 2) -> list[int]:
     for v in doomed:
         _shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
     return doomed
+
+
+def fold_aggregate_step(
+    prev: DataFrame | None,
+    new: DataFrame,
+    keys: DataFrame,
+    base: DataFrame | None,
+    pk_cols: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """One incremental aggregate fold (write_aggregate's per-batch kernel,
+    factored out so the property suite can drive it with random histories):
+    −previous/+new contributions for the touched ``keys`` are summed into
+    per-group deltas and merged with ``base``. The base↔deltas merge is a
+    NULL-SAFE full outer join — a NULL group value is a legitimate group
+    (SQL GROUP BY semantics) and must merge with itself, which a plain
+    column-equality join would silently fail to do, leaving duplicate
+    null-group rows. NULL sum values contribute 0 (SQL SUM ignores NULLs);
+    groups folded to n=0 leave the state."""
+
+    def contributions(state: DataFrame | None, sign: int) -> DataFrame | None:
+        if state is None:
+            return None
+        touched = state.join(F.broadcast(keys), pk_cols, "left_semi")
+        return touched.select(
+            *group_cols,
+            F.lit(sign).cast("long").alias("_dn"),
+            *[
+                (F.coalesce(F.col(c).cast("double"), F.lit(0.0)) * sign).alias(
+                    f"_ds_{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+
+    minus = contributions(prev, -1)
+    plus = contributions(new, +1)
+    deltas = plus if minus is None else minus.unionByName(plus)
+    deltas = deltas.groupBy(*group_cols).agg(
+        F.sum("_dn").alias("_dn"),
+        *[F.sum(f"_ds_{c}").alias(f"_ds_{c}") for c in sum_cols],
+    )
+    if base is None:
+        folded = deltas.select(
+            *group_cols,
+            F.col("_dn").alias("n"),
+            *[F.col(f"_ds_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    else:
+        b = base.select(
+            *[F.col(g).alias(f"_bg_{g}") for g in group_cols], "n",
+            *[f"sum_{c}" for c in sum_cols],
+        )
+        cond = None
+        for g in group_cols:
+            e = F.col(f"_bg_{g}").eqNullSafe(F.col(g))
+            cond = e if cond is None else cond & e
+        folded = b.join(deltas, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(g), F.col(f"_bg_{g}")).alias(g)
+                for g in group_cols
+            ],
+            (F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias("n"),
+            *[
+                (
+                    F.coalesce(f"sum_{c}", F.lit(0.0))
+                    + F.coalesce(f"_ds_{c}", F.lit(0.0))
+                ).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+    return folded.filter(F.col("n") > 0)
 
 
 def read_aggregate(

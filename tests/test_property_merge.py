@@ -83,3 +83,52 @@ def test_incremental_chain_equals_batch_and_simulator(spark, history, cuts):
         snap = merge_step(snap, net, ["K"]).localCheckpoint()
     assert snap is not None
     assert _collect(snap) == expected
+
+
+def _simulate_agg(history):
+    """Expected aggregate of the final state: group by A (NULL is a real
+    group), n = rows, sum_K = sum of keys (K is the sum column here)."""
+    agg: dict = {}
+    for k, a, _b in _simulate(history):
+        n, s = agg.get(a, (0, 0.0))
+        agg[a] = (n + 1, s + k)
+    return sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(history=_history, cuts=_cuts)
+def test_incremental_aggregate_fold_equals_simulator(spark, history, cuts):
+    """write_aggregate's per-batch kernel (fold_aggregate_step) driven over
+    random histories and random batch boundaries must land on exactly the
+    grouped aggregate of the simulator's final state — including NULL
+    groups (the null-safe base↔deltas merge) and groups folding to zero."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import fold_aggregate_step
+
+    rows = _rows(history)
+    expected = _simulate_agg(history)
+
+    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    snap, agg, last = None, None, 0
+    for cut in bounds:
+        batch = rows[last:cut]
+        last = cut
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema=SCHEMA)
+        net = net_changes(bdf, ["K"])
+        new = merge_step(snap, net, ["K"]).localCheckpoint()
+        keys = net.select("K").distinct()
+        agg = fold_aggregate_step(
+            snap, new, keys, agg, ["K"], ["A"], ["K"]
+        ).localCheckpoint()
+        snap = new
+    assert agg is not None
+    got = sorted(
+        ((r["A"], (r["n"], r["sum_K"])) for r in agg.collect()),
+        key=lambda kv: (kv[0] is None, kv[0]),
+    )
+    assert got == expected
