@@ -539,6 +539,16 @@ def fold_aggregate_step(
     null-group rows. NULL sum values contribute 0 (SQL SUM ignores NULLs);
     groups folded to n=0 leave the state."""
 
+    # add-only DDL evolution: a group/sum column added mid-stream is absent
+    # from versions written before the DDL — read it as NULL there
+    # (0-contribution / NULL group), typed from the CURRENT schema so the
+    # −/+ contribution union stays type-consistent; same alignment rule as
+    # the bucketed snapshot read
+    if prev is not None:
+        for c in (*group_cols, *sum_cols):
+            if c not in prev.columns:
+                prev = prev.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+
     def contributions(state: DataFrame | None, sign: int) -> DataFrame | None:
         if state is None:
             return None
@@ -568,6 +578,11 @@ def fold_aggregate_step(
             *[F.col(f"_ds_{c}").alias(f"sum_{c}") for c in sum_cols],
         )
     else:
+        # the aggregate state itself evolves add-only too: a sum column
+        # added mid-stream is missing from the base written before the DDL
+        for c in sum_cols:
+            if f"sum_{c}" not in base.columns:
+                base = base.withColumn(f"sum_{c}", F.lit(0.0))
         b = base.select(
             *[F.col(g).alias(f"_bg_{g}") for g in group_cols], "n",
             *[f"sum_{c}" for c in sum_cols],

@@ -402,3 +402,22 @@ def test_change_feed_window_reads_partition_pruned(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "batch" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert read_change_feed(spark, str(tmp_path / "nope")) is None
+
+
+def test_fold_aggregate_survives_added_sum_column(spark):
+    """A sum column added by mid-stream DDL is absent from the previous
+    snapshot version — the fold must read it as a 0-contribution NULL
+    there instead of failing analysis."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import fold_aggregate_step
+
+    prev = spark.createDataFrame([(1, "g")], "k long, grp string")  # no 'val' yet
+    new = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 7.0)], "k long, grp string, val double"
+    )
+    keys = new.select("k").distinct()
+    # the pre-DDL aggregate state lacks the sum column as well
+    base = spark.createDataFrame([("g", 1)], "grp string, n long")
+    out = fold_aggregate_step(prev, new, keys, base, ["k"], ["grp"], ["val"]).collect()
+    # fold = base(1 row) − prev(key 1, val NULL→0) + new(keys 1,2, 5+7):
+    # exactly the aggregate of the post-DDL state
+    assert [(r["grp"], r["n"], r["sum_val"]) for r in out] == [("g", 2, 12.0)]
