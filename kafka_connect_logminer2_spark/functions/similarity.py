@@ -313,6 +313,10 @@ def ivf_query_index(
     change; tests assert result equality and audit the pruned scan."""
     cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     qv = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
     order = np.argsort(-(qn @ cmat_n.T), axis=1, kind="stable")[:, :nprobe]
@@ -505,6 +509,12 @@ def semantic_neardup_pairs(
         else embeddings.filter(F.col(id_col) < n_centroids)
     )
     rows = sorted(cents.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    if not rows:
+        raise ValueError(
+            "semantic_neardup_pairs: empty centroid set (default rule is "
+            f"{id_col} < n_centroids — pass explicit `centroids` if ids "
+            "don't start near 0)"
+        )
     cids = np.asarray([r[0] for r in rows], dtype=np.int64)
     cmat = np.asarray([r[1] for r in rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)

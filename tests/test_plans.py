@@ -100,12 +100,44 @@ def test_ngram_profile_prunes_columns(spark, sf_dir):
     assert "source" not in scan_line and "n_chars" not in scan_line
 
 
-@pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
+# Scenario queries run a full streaming pipeline and return a
+# localCheckpoint'd result — their "plan" is a bare RDD scan, so auditing it
+# proves nothing while costing a complete stream execution each. Their
+# Python usage is audited through the operators they are built from (the
+# cdc01-06 batch plans below plus the streaming suites).
+_SCENARIO_STREAMS = {
+    "q29_streaming_window",
+    "q107_tws_running_counts",
+    "q109_compaction_roundtrip",
+    "q113_stream_dedup",
+    "q114_ann_partitioned",
+    "cdc07_incremental_snapshot",
+    "cdc08_foreachbatch_stream",
+    "cdc09_fb_snapshot",
+    "cdc10_time_travel",
+    "cdc11_snapshot_diff",
+    "cdc12_ddl_evolution",
+    "cdc13_consistent_cut",
+    "cdc14_streaming_aggregate",
+    "cdc15_change_feed",
+    "q115_incremental_agg",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERY_REGISTRY) - _SCENARIO_STREAMS)
+)
 def test_no_row_python_udfs(spark, sf_dir, name):
     """No query may use row-at-a-time Python (BatchEvalPython); Python is
     allowed only Arrow-batched (ArrowEvalPython / mapInPandas / FlatMapsInPandas)."""
     plan = plan_of(QUERY_REGISTRY[name][0](spark, sf_dir))
     assert "BatchEvalPython" not in plan
+
+
+def test_scenario_stream_exclusions_are_checkpointed_results():
+    """Every name excluded from the Python-UDF audit must actually exist in
+    the registry — a stale entry here would silently drop coverage."""
+    assert _SCENARIO_STREAMS <= set(QUERY_REGISTRY)
 
 
 def test_decontamination_broadcasts_eval_side(spark, sf_dir):
