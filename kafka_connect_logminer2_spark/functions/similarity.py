@@ -272,11 +272,22 @@ def ivf_write_index(
     cells are never opened, let alone read). Returns the centroid matrix
     the reader needs (at scale it would be persisted alongside the index;
     k × dim doubles, driver-sized by construction)."""
-    from pyspark.sql.functions import pandas_udf
-
     cmat = ivf_centroids(
         embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
     )
+    embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
+    ).write.mode("overwrite").partitionBy("_cell").parquet(index_dir)
+    return cmat
+
+
+def _cell_assign_udf(cmat: np.ndarray):
+    """Arrow UDF assigning each vector to its nearest centroid (rounded-free
+    stable argmax — the shared kernel of index build, append, and probe)."""
+    from pyspark.sql.functions import pandas_udf
+
     cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
     @pandas_udf("int")
@@ -286,10 +297,31 @@ def ivf_write_index(
         order = np.argsort(-(v @ cmat_n.T), axis=1, kind="stable")
         return pd.Series(order[:, 0].astype("int32"))
 
-    embeddings.select(
-        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("_cell")
-    ).write.mode("overwrite").partitionBy("_cell").parquet(index_dir)
-    return cmat
+    return cell_of
+
+
+def ivf_append_index(
+    new_embeddings: DataFrame,
+    index_dir: str,
+    cmat: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors against
+    the existing centroid model and append them to their cell partitions —
+    the index grows with the corpus without ever being rebuilt (at 100 TB
+    a per-batch rebuild is a non-starter; appends touch only the cells the
+    new batch lands in). The centroid model is intentionally frozen: cell
+    boundaries moving would silently strand previously-indexed vectors in
+    wrong partitions — re-train + full rebuild is an explicit offline
+    operation, not a side effect of ingest. Queries over the appended
+    index are identical to a fresh full build with the same model (tests
+    pin this bit-for-bit)."""
+    new_embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
+    ).write.mode("append").partitionBy("_cell").parquet(index_dir)
 
 
 def ivf_query_index(

@@ -421,3 +421,43 @@ def test_fold_aggregate_survives_added_sum_column(spark):
     # fold = base(1 row) − prev(key 1, val NULL→0) + new(keys 1,2, 5+7):
     # exactly the aggregate of the post-DDL state
     assert [(r["grp"], r["n"], r["sum_val"]) for r in out] == [("g", 2, 12.0)]
+
+
+def test_ivf_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Appending the second half of the corpus to an index built on the
+    first half (same frozen centroid model) must answer queries
+    bit-for-bit like a full one-shot build with that model."""
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_centroids,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # model trained on the FULL corpus in both paths so only the build
+    # strategy differs (incremental vs one-shot)
+    cmat = ivf_centroids(emb, n_centroids=64, train_iters=2)
+
+    full_idx = str(tmp_path / "full")
+    from kafka_connect_logminer2_spark.functions.similarity import _cell_assign_udf
+
+    emb.select(
+        "vec_id", "embedding", _cell_assign_udf(cmat)("embedding").alias("_cell")
+    ).write.partitionBy("_cell").parquet(full_idx)
+
+    inc_idx = str(tmp_path / "inc")
+    first.select(
+        "vec_id", "embedding", _cell_assign_udf(cmat)("embedding").alias("_cell")
+    ).write.partitionBy("_cell").parquet(inc_idx)
+    ivf_append_index(second, inc_idx, cmat)
+
+    a = sorted(map(tuple, ivf_query_index(spark, full_idx, cmat, queries, k=5, nprobe=5).collect()))
+    b = sorted(map(tuple, ivf_query_index(spark, inc_idx, cmat, queries, k=5, nprobe=5).collect()))
+    assert a == b and len(a) == 40
