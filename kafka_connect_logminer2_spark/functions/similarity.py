@@ -14,6 +14,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _safe_norms(m: np.ndarray) -> np.ndarray:
+    """Row norms with zero-norm rows mapped to 1.0 — an all-zero embedding
+    otherwise yields NaN sims and a nondeterministic argmax the SQL oracle
+    cannot reproduce; with the guard its similarity to everything is 0 and
+    assignment falls to the lowest-id tie-break, deterministically."""
+    n = np.linalg.norm(m, axis=1)
+    return np.where(n == 0, 1.0, n)
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float arrays (element-wise cast →
     the oracle's unnest-and-sum in double matches bit-for-bit up to fp
@@ -220,7 +229,7 @@ def ivf_topk(
     @pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v /= _safe_norms(v)[:, None]
         sims = v @ cmat_n.T
         # stable argsort on -sim → deterministic lower-index-wins tie-break
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
@@ -269,9 +278,13 @@ def ivf_write_index(
     assignment is computed once, and every later query becomes a
     partition-pruned scan of ~nprobe/n_centroids of the corpus (the filter
     is resolved at PLANNING time against the directory listing; unprobed
-    cells are never opened, let alone read). Returns the centroid matrix
-    the reader needs (at scale it would be persisted alongside the index;
-    k × dim doubles, driver-sized by construction)."""
+    cells are never opened, let alone read). The centroid model is
+    persisted WITH the index at ``index_dir/_model/centroids.parquet``
+    (k × dim doubles — underscore-prefixed, so the data read never sees
+    it): an index that can only be queried by the driver that built it is
+    not persisted. ``ivf_query_index``/``ivf_append_index`` reload it when
+    ``cmat`` is not passed, so a fresh session reopens the index with zero
+    ceremony. Returns the centroid matrix for in-process reuse."""
     cmat = ivf_centroids(
         embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
     )
@@ -280,7 +293,29 @@ def ivf_write_index(
         F.col(vec_col),
         _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
     ).write.mode("overwrite").partitionBy("_cell").parquet(index_dir)
+    _save_centroids(embeddings.sparkSession, index_dir, cmat)
     return cmat
+
+
+def _save_centroids(spark, index_dir: str, cmat: np.ndarray) -> None:
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cmat)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_model/centroids.parquet")
+
+
+def load_ivf_centroids(spark, index_dir: str) -> np.ndarray:
+    """Reload the persisted coarse-quantizer model (k × dim doubles —
+    driver-sized by construction). Row order is pinned by the explicit
+    cell id, not file order, so the reloaded matrix is bit-for-bit the
+    one the index was built with."""
+    rows = spark.read.parquet(f"{index_dir}/_model/centroids.parquet").collect()
+    if not rows:
+        raise ValueError(f"no centroid model at {index_dir}/_model")
+    return np.asarray(
+        [r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
 
 
 def _cell_assign_udf(cmat: np.ndarray):
@@ -293,7 +328,7 @@ def _cell_assign_udf(cmat: np.ndarray):
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v /= _safe_norms(v)[:, None]
         order = np.argsort(-(v @ cmat_n.T), axis=1, kind="stable")
         return pd.Series(order[:, 0].astype("int32"))
 
@@ -303,7 +338,7 @@ def _cell_assign_udf(cmat: np.ndarray):
 def ivf_append_index(
     new_embeddings: DataFrame,
     index_dir: str,
-    cmat: np.ndarray,
+    cmat: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -316,7 +351,10 @@ def ivf_append_index(
     wrong partitions — re-train + full rebuild is an explicit offline
     operation, not a side effect of ingest. Queries over the appended
     index are identical to a fresh full build with the same model (tests
-    pin this bit-for-bit)."""
+    pin this bit-for-bit). ``cmat=None`` reloads the persisted model from
+    ``index_dir/_model`` — the normal cross-session append path."""
+    if cmat is None:
+        cmat = load_ivf_centroids(new_embeddings.sparkSession, index_dir)
     new_embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -327,7 +365,7 @@ def ivf_append_index(
 def ivf_query_index(
     spark,
     index_dir: str,
-    cmat: np.ndarray,
+    cmat: np.ndarray | None,
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 5,
@@ -342,7 +380,11 @@ def ivf_query_index(
     into PartitionFilters, and only those cell directories are scanned.
     Produces exactly ivf_topk's output (same rounding, tie-breaks, and
     self-exclusion) — the index is a layout change, not a semantics
-    change; tests assert result equality and audit the pruned scan."""
+    change; tests assert result equality and audit the pruned scan.
+    ``cmat=None`` reloads the persisted model from ``index_dir/_model`` —
+    the normal serving path after a driver restart."""
+    if cmat is None:
+        cmat = load_ivf_centroids(spark, index_dir)
     cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
@@ -350,7 +392,7 @@ def ivf_query_index(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
     qv = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    qn = qv / _safe_norms(qv)[:, None]
     order = np.argsort(-(qn @ cmat_n.T), axis=1, kind="stable")[:, :nprobe]
     q = spark.createDataFrame(
         [
@@ -483,7 +525,7 @@ def embedding_neardup_pairs(
         sims = lm @ rm.T
         # single divide by the norm product — same fp operation order as the
         # oracle's dot / (norm_a * norm_b)
-        sims /= np.linalg.norm(lm, axis=1)[:, None] * np.linalg.norm(rm, axis=1)[None, :]
+        sims /= _safe_norms(lm)[:, None] * _safe_norms(rm)[None, :]
         np.round(sims, 6, out=sims)
         # diagonal tile holds the same block on both sides: keep the upper
         # triangle. Off-diagonal tiles see each unordered cross-block pair
@@ -517,22 +559,33 @@ def semantic_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cluster_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dedup (Abbas et al. 2023): assign every
     vector to its nearest coarse centroid, then run all-pairs cosine ONLY
     within each cluster — the global O(n²) pair scan becomes k independent
-    tiles, each a single float64 NumPy matmul in one ``applyInPandas``
-    group (the same BLAS-tile shape as :func:`embedding_neardup_pairs`,
-    partitioned semantically instead of by hash).
+    tiles, each a float64 NumPy matmul in an ``applyInPandas`` group.
+
+    HOT clusters are sub-blocked AUTOMATICALLY: real corpora have Zipfian
+    cluster sizes, and without a bound one hot cluster = one task's memory.
+    A tiny (k-row, broadcast) cluster-size aggregate gives every cluster a
+    block count ``nb = ceil(size / max_cluster_rows)``; rows are hashed
+    into ``nb`` blocks and every (bi ≤ bj) block pair becomes its own tile
+    — exactly :func:`embedding_neardup_pairs`'s bi/bj scheme, applied per
+    cluster. Each pair of vectors still meets in exactly one tile
+    (diagonal tiles keep the id1 < id2 upper triangle; off-diagonal tiles
+    orient ids afterwards), so the result set is IDENTICAL to the unsplit
+    computation — the split changes task shape, not semantics. Per-task
+    tile memory is bounded by ~``max_cluster_rows`` rows per side
+    regardless of skew; a cluster holding half the corpus becomes
+    nb(nb+1)/2 bounded tasks instead of one unbounded one.
 
     ``centroids`` defaults to the deterministic rule ``id < n_centroids``
     so an external oracle can recompute the exact assignment in SQL;
     production callers pass ivf_topk's hash-sampled + Lloyd-refined set
     (fixed k×dim on the driver regardless of corpus size). Similarities
     are rounded to 6 dp BEFORE the argmax so the assignment's tie-break
-    (lower centroid id wins) is bit-identical across engines. Cluster-size
-    skew bounds the tile: raise ``n_centroids`` to shrink tiles, or
-    sub-block a hot cluster with embedding_neardup_pairs's bi/bj scheme."""
+    (lower centroid id wins) is bit-identical across engines."""
     from pyspark.sql.functions import pandas_udf
 
     cents = (
@@ -547,15 +600,20 @@ def semantic_neardup_pairs(
             f"{id_col} < n_centroids — pass explicit `centroids` if ids "
             "don't start near 0)"
         )
+    if any(not (0 <= int(r[0]) < 2**31) for r in rows):
+        raise ValueError(
+            "semantic_neardup_pairs: centroid ids must fit int32 (the "
+            "cluster output column) — got ids outside [0, 2^31)"
+        )
     cids = np.asarray([r[0] for r in rows], dtype=np.int64)
     cmat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm = _safe_norms(cmat)
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
         sims = v @ cmat.T
-        sims /= np.linalg.norm(v, axis=1)[:, None] * cnorm[None, :]
+        sims /= _safe_norms(v)[:, None] * cnorm[None, :]
         np.round(sims, 6, out=sims)
         # stable argsort on -sim → deterministic lowest-cid tie-break
         best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
@@ -566,24 +624,68 @@ def semantic_neardup_pairs(
         F.col(vec_col).alias("v"),
         assign(F.col(vec_col)).alias("cluster"),
     )
+    # cluster sizes: k rows, broadcast back — the only cross-cluster state
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    blocked = (
+        assigned.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "_nb",
+            F.ceil(F.col("_csize") / F.lit(max_cluster_rows)).cast("int"),
+        )
+        .withColumn("_blk", F.pmod(F.xxhash64("id"), F.col("_nb")).cast("int"))
+    )
+    left = blocked.select(
+        "cluster",
+        "id",
+        "v",
+        F.col("_blk").alias("bi"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("bj"),
+        F.lit("L").alias("side"),
+    )
+    right = blocked.select(
+        "cluster",
+        "id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("bi"),
+        F.col("_blk").alias("bj"),
+        F.lit("R").alias("side"),
+    )
 
     def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        sims = m @ m.T
-        nrm = np.linalg.norm(m, axis=1)
-        sims /= nrm[:, None] * nrm[None, :]
+        ls = pdf[pdf["side"] == "L"]
+        rs = pdf[pdf["side"] == "R"]
+        empty = pd.DataFrame(
+            {"cluster": [], "vec_id1": [], "vec_id2": [], "cos_sim": []}
+        ).astype(
+            {"cluster": "int32", "vec_id1": "int64", "vec_id2": "int64",
+             "cos_sim": "float64"}
+        )
+        if ls.empty or rs.empty:
+            return empty
+        li = ls["id"].to_numpy()
+        ri = rs["id"].to_numpy()
+        lm = np.stack(ls["v"].to_numpy()).astype(np.float64)
+        rm = np.stack(rs["v"].to_numpy()).astype(np.float64)
+        sims = lm @ rm.T
+        sims /= _safe_norms(lm)[:, None] * _safe_norms(rm)[None, :]
         np.round(sims, 6, out=sims)
-        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        if key[1] == key[2]:  # diagonal: same block both sides → upper triangle
+            pair_mask = li[:, None] < ri[None, :]
+        else:
+            pair_mask = True
+        ii, jj = np.nonzero((sims >= threshold) & pair_mask)
+        a, b = li[ii], ri[jj]
         return pd.DataFrame(
             {
                 "cluster": np.full(len(ii), int(key[0]), dtype="int32"),
-                "vec_id1": ids[ii],
-                "vec_id2": ids[jj],
+                "vec_id1": np.minimum(a, b),
+                "vec_id2": np.maximum(a, b),
                 "cos_sim": sims[ii, jj],
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
-        tile, "cluster int, vec_id1 long, vec_id2 long, cos_sim double"
+    return (
+        left.unionByName(right)
+        .groupBy("cluster", "bi", "bj")
+        .applyInPandas(tile, "cluster int, vec_id1 long, vec_id2 long, cos_sim double")
     )

@@ -28,6 +28,42 @@ from ..sources.redo import (
 from .cdc import cdc_envelope, run_cdc_batch
 
 # --------------------------------------------------------------------------
+# shared deterministic-hash helpers
+# --------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # Knuth's 2^32 golden-ratio multiplier
+
+
+def knuth_bucket(col: F.Column, mod: int) -> F.Column:
+    """``(id * 2654435761) mod 2^32 mod m`` computed WITHOUT int64 overflow:
+    the naive product wraps silently in Spark but errors in DuckDB for
+    id ≳ 3.4e9, breaking the "bit-for-bit on any engine" contract exactly
+    where it matters (shard/split assignment at real corpus sizes). The id
+    is first reduced mod 2^32 (pmod → negatives too), then the product is
+    split 16/16: (lo·K + (hi·K mod 2^16)·2^16) mod 2^32 ≡ (id·K) mod 2^32,
+    with every intermediate < 2^48. Identical values to the naive form
+    wherever the naive form doesn't overflow, so existing oracles agree."""
+    d = F.pmod(col.cast("long"), F.lit(4294967296))
+    lo = d % F.lit(65536)
+    hi = F.shiftright(d, 16)
+    h = F.pmod(
+        lo * F.lit(_KNUTH) + F.pmod(hi * F.lit(_KNUTH), F.lit(65536)) * F.lit(65536),
+        F.lit(4294967296),
+    )
+    return h % F.lit(mod)
+
+
+def knuth_bucket_sql(expr: str, mod: int) -> str:
+    """The DuckDB-side twin of :func:`knuth_bucket` — same 16/16 split,
+    same pmod wrap, value-identical on any BIGINT input."""
+    d = f"((({expr}) % 4294967296 + 4294967296) % 4294967296)"
+    return (
+        f"((({d} % 65536) * {_KNUTH} + "
+        f"(({d} // 65536) * {_KNUTH} % 65536) * 65536) % 4294967296 % {mod})"
+    )
+
+
+# --------------------------------------------------------------------------
 # §2B relational surface
 # --------------------------------------------------------------------------
 
@@ -1458,7 +1494,7 @@ def q48_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     is a pushed-down scan predicate, and the split never changes when the
     corpus is re-partitioned."""
     docs = load_table(spark, sf, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    bucket = knuth_bucket(F.col("doc_id"), 100)
     return (
         docs.withColumn("_b", bucket)
         .groupBy("source")
@@ -1470,11 +1506,11 @@ def q48_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q48_SQL = """
+Q48_SQL = f"""
 SELECT source, count(*) AS n_total,
-       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+       CAST(sum(CASE WHEN {knuth_bucket_sql("doc_id", 100)} < 20
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+       CAST(sum(CASE WHEN {knuth_bucket_sql("doc_id", 100)} < 20
                 THEN n_chars END) AS BIGINT) AS sampled_chars
 FROM documents GROUP BY source
 """
@@ -3051,7 +3087,7 @@ def q93_temperature_sampling(spark: SparkSession, sf: str) -> DataFrame:
             * F.least(F.lit(1.0), F.lit(5.0) / F.sqrt(F.col("n_total").cast("double")))
         ),
     )
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10000)
+    bucket = knuth_bucket(F.col("doc_id"), 10000)
     return (
         docs.withColumn("_b", bucket)
         .join(F.broadcast(rates), "source")
@@ -3064,7 +3100,7 @@ def q93_temperature_sampling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q93_SQL = """
+Q93_SQL = f"""
 WITH counts AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
 rates AS (
   SELECT source, n_total,
@@ -3073,7 +3109,7 @@ rates AS (
 SELECT d.source, r.n_total, count(*) AS n_kept,
        CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
 FROM documents d JOIN rates r ON d.source = r.source
-WHERE (d.doc_id * 2654435761) % 4294967296 % 10000 < r.thr
+WHERE {knuth_bucket_sql("d.doc_id", 10000)} < r.thr
 GROUP BY d.source, r.n_total
 """
 
@@ -3553,39 +3589,74 @@ FROM counted GROUP BY doc_id
 """
 
 
-def q111_shard_export(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic global shuffle + shard assignment — the training-export
-    step: every doc lands in pmod(knuth_hash(doc_id), 8) and is ordered
-    within its shard by a second multiplicative hash, so the permutation is
-    reproducible bit-for-bit on any engine and stable under repartitioning
-    (no RNG, no seed files). The manifest row per shard carries an
-    order signature (sum of pos·doc_id) that pins the within-shard
-    permutation itself, not just membership — the oracle recomputes the
-    identical permutation in SQL. One exchange on shard for the
-    row_number, then a tiny 8-row rollup; at 100 TB the shard column is
-    also the write partitioning, so export is shuffle-once."""
-    docs = load_table(spark, sf, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    h2 = (F.col("doc_id") * F.lit(40503)) % F.lit(65536)
-    w = Window.partitionBy("shard").orderBy(F.col("h2").asc(), F.col("doc_id").asc())
+def shard_ranked(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """(doc_id, n_chars, shard, h2, pos): the per-doc shard assignment and
+    1-based global rank within shard, computed with the two-level rank
+    described in :func:`shard_export` — the sort stage runs at full
+    shuffle width regardless of n_shards."""
+    h2 = (F.pmod(F.col("doc_id"), F.lit(65536)) * F.lit(40503)) % F.lit(65536)
     sharded = docs.select(
         "doc_id",
         "n_chars",
-        (h % 8).cast("int").alias("shard"),
+        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
         h2.alias("h2"),
-    ).withColumn("pos", F.row_number().over(w))
-    return sharded.groupBy("shard").agg(
+    )
+    counts = sharded.groupBy("shard", "h2").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.partitionBy("shard").orderBy("h2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+    ).select("shard", "h2", "_off")
+    w = Window.partitionBy("shard", "h2").orderBy(F.col("doc_id").asc())
+    return (
+        sharded.join(F.broadcast(offsets), ["shard", "h2"])
+        .withColumn("pos", F.row_number().over(w) + F.col("_off"))
+        .drop("_off")
+    )
+
+
+def shard_export(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training-export
+    step: every doc lands in ``knuth_hash(doc_id) mod n_shards`` and is
+    ordered within its shard by a second multiplicative hash, so the
+    permutation is reproducible bit-for-bit on any engine and stable under
+    repartitioning (no RNG, no seed files). The manifest row per shard
+    carries an order signature (sum of pos·doc_id) that pins the
+    within-shard permutation itself, not just membership.
+
+    SCALE: the within-shard rank is TWO-LEVEL, never a per-shard window.
+    ``row_number() over (shard)`` would cap the sort at n_shards tasks —
+    the one hard parallelism ceiling of the r2 version. Instead the rank
+    key splits into the 16-bit ``h2`` prefix and ``doc_id``:
+    ``pos = row_number() over (shard, h2 order by doc_id)
+          + Σ counts of earlier h2 groups in the shard``.
+    The big-data window hashes on (shard, h2) — up to n_shards·65536
+    well-spread groups, so the sort stage runs at full cluster width —
+    while the offset table is a tiny (≤ n_shards·65536 row) aggregate
+    whose own per-shard cumulative window is driver-trivial and is
+    broadcast back. Identical pos values, no n_shards ceiling; the
+    plan audit pins sort-stage partitions > n_shards."""
+    return shard_ranked(docs, n_shards).groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.col("pos") * F.col("doc_id")).alias("order_sig"),
     )
 
 
-Q111_SQL = """
+def q111_shard_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-export sharding manifest (see :func:`shard_export` for the
+    scale design) — the oracle recomputes the identical permutation with a
+    plain per-shard window, proving the two-level rank IS the global
+    rank."""
+    return shard_export(load_table(spark, sf, "documents"), n_shards=8)
+
+
+Q111_SQL = f"""
 WITH sharded AS (
   SELECT doc_id, n_chars,
-         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard,
-         (doc_id * 40503) % 65536 AS h2
+         CAST({knuth_bucket_sql("doc_id", 8)} AS INT) AS shard,
+         ((doc_id % 65536 + 65536) % 65536 * 40503) % 65536 AS h2
   FROM documents
 ),
 pos AS (
@@ -4118,6 +4189,18 @@ def cdc13_consistent_cut(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").withColumn(
         "_i", F.row_number().over(W.partitionBy("o_custkey").orderBy("o_orderkey"))
     )
+    # each txn owns a 100-wide SCN band (orders at base+1+_i, commit at
+    # base+95): a customer with >= 94 orders would push inserts past its own
+    # commit SCN and across the band split, silently tearing the
+    # complete-transactions-per-band premise. Fail loudly if the fixture
+    # ever grows that skewed instead.
+    _max_orders = o.agg(F.max("_i")).collect()[0][0] or 0
+    if _max_orders >= 94:
+        raise AssertionError(
+            f"cdc13 fixture: a customer has {_max_orders} orders — overruns "
+            "the 100-SCN per-txn budget (widen the stride before trusting "
+            "this scenario)"
+        )
     oo = o.select(
         "*",
         (F.col("o_custkey") * 100 + 1 + F.col("_i")).alias("base"),
@@ -4490,9 +4573,7 @@ def q118_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
         "cluster", F.coalesce("cluster_id", "doc_id")
     )
     split = F.when(
-        (F.col("cluster") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
-        < 90,
-        F.lit("train"),
+        knuth_bucket(F.col("cluster"), 100) < 90, F.lit("train")
     ).otherwise(F.lit("eval"))
     return (
         labeled.withColumn("split", split)
@@ -4507,7 +4588,7 @@ def q118_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
 
 # cluster derivation identical to Q38_SQL, then the same multiplicative-hash
 # split applied to the cluster id (singletons: the doc's own id)
-Q118_SQL = """
+Q118_SQL = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id AS id, unnest(list_distinct(
     list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
@@ -4540,12 +4621,183 @@ WITH RECURSIVE sh AS (
   SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster
   FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 )
-SELECT CASE WHEN (cluster * 2654435761) % 4294967296 % 100 < 90
+SELECT CASE WHEN {knuth_bucket_sql("cluster", 100)} < 90
             THEN 'train' ELSE 'eval' END AS split,
        count(*) AS n_docs,
        count(DISTINCT cluster) AS n_clusters,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM labeled GROUP BY 1
+"""
+
+
+def q119_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """THE END-TO-END TRAINING-CORPUS PIPELINE as one oracle-checked query:
+    every stage is individually green elsewhere in the registry, but the
+    PRODUCT is the composition, and stage composition is where schema and
+    ordering drift hides. Stages (each feeding the next's survivors only):
+
+      00 raw          → the documents table
+      01 quality gate → ≥ 8 space-tokens (the span stage's own tokenizer,
+                        so every survivor can carry spans)
+      02 span dedup   → drop docs whose 8-token-window dup_frac > 0.5
+                        (Lee et al. 2022 signal, q110's operator)
+      03 near-dup     → 3-gram Jaccard ≥ 0.05 pair graph → connected
+                        components (q38) → keep one rep per cluster
+                        (the min-id member — cluster_id by construction)
+      04 split        → leakage-safe train split on the CLUSTER id
+                        (q118's hash — near-dups can never straddle it)
+      05 packing      → q51's 2048-token per-source bins over train docs
+      06 sharding     → q111's 8-shard deterministic export manifest
+
+    Output = per-stage yield ledger (stage, n_rows, checksum): n_rows is
+    docs for 00-04, bins for 05, shards for 06; checksum pins the exact
+    surviving content (char sum / token sum / order signature), so ANY
+    drift in ANY stage breaks the value hash. The oracle recomputes the
+    whole pipeline in one SQL chain."""
+    docs = load_table(spark, sf, "documents")
+    raw = docs.select("doc_id", "source", "text", "n_chars")
+    n_tok_sp = F.size(F.split(F.lower(F.col("text")), " "))
+    clean = raw.withColumn("n_tok_sp", n_tok_sp).filter(F.col("n_tok_sp") >= 8)
+
+    frac = D.dup_span_stats(clean, span_tokens=8).select("doc_id", "dup_frac")
+    kept = clean.join(frac, "doc_id").filter(F.col("dup_frac") <= 0.5).drop("dup_frac")
+    kept = kept.localCheckpoint(eager=False)  # feeds pair graph + 3 ledgers
+
+    pairs = D.jaccard_pairs(kept, k=3, threshold=0.05)
+    clusters = D.dup_clusters(pairs)
+    labeled = kept.join(clusters, "doc_id", "left").withColumn(
+        "cluster", F.coalesce("cluster_id", "doc_id")
+    )
+    reps = labeled.filter(F.col("doc_id") == F.col("cluster"))
+    train = reps.filter(knuth_bucket(F.col("cluster"), 100) < 90)
+    train = train.withColumn(
+        "n_tok_ws", F.size(F.split(F.trim("text"), r"\s+"))
+    ).localCheckpoint(eager=False)  # feeds packing + sharding + ledger
+
+    wpack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = (
+        train.withColumn(
+            "bin",
+            F.floor(
+                F.coalesce(F.sum("n_tok_ws").over(wpack), F.lit(0)) / F.lit(2048)
+            ),
+        )
+        .groupBy("source", "bin")
+        .agg(F.sum("n_tok_ws").alias("bt"))
+    )
+    shards = shard_export(train.select("doc_id", "n_chars"), n_shards=8)
+
+    def ledger(df: DataFrame, stage: str, checksum: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            checksum.cast("long").alias("checksum"),
+        )
+
+    return (
+        ledger(raw, "00_raw", F.sum("n_chars"))
+        .unionByName(ledger(clean, "01_quality", F.sum("n_chars")))
+        .unionByName(ledger(kept, "02_span_dedup", F.sum("n_chars")))
+        .unionByName(ledger(reps, "03_neardup_reps", F.sum("n_chars")))
+        .unionByName(ledger(train, "04_train_split", F.sum("n_chars")))
+        .unionByName(ledger(bins, "05_packed", F.sum("bt")))
+        .unionByName(ledger(shards, "06_shards", F.sum("order_sig")))
+    )
+
+
+_Q119_GRAM3 = """list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+      i -> string_split(lower(text),' ')[i] || ' ' ||
+           string_split(lower(text),' ')[i+1] || ' ' ||
+           string_split(lower(text),' ')[i+2])"""
+
+Q119_SQL = f"""
+WITH RECURSIVE
+clean AS (
+  SELECT doc_id, source, text, n_chars
+  FROM documents WHERE len(string_split(lower(text), ' ')) >= 8
+),
+sp AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM clean),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS span
+  FROM sp, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) r
+),
+counted AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS ndocs FROM grams),
+frac AS (
+  SELECT doc_id, round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*), 6) AS dup_frac
+  FROM counted GROUP BY doc_id
+),
+kept AS (
+  SELECT c.* FROM clean c JOIN frac f USING (doc_id) WHERE f.dup_frac <= 0.5
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct({_Q119_GRAM3})) AS shingle FROM kept
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+prs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes s1 ON s1.id = id1
+  JOIN sizes s2 ON s2.id = id2
+  WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.05
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM prs
+  UNION ALL SELECT id2, id1 FROM prs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+reps AS (
+  SELECT k.doc_id, k.source, k.text, k.n_chars,
+         coalesce(c.cluster_id, k.doc_id) AS cluster
+  FROM kept k LEFT JOIN comp c USING (doc_id)
+  WHERE k.doc_id = coalesce(c.cluster_id, k.doc_id)
+),
+train AS (
+  SELECT *, len(string_split_regex(trim(text), '\\s+')) AS n_tok_ws
+  FROM reps WHERE {knuth_bucket_sql("cluster", 100)} < 90
+),
+b AS (
+  SELECT source, n_tok_ws,
+         CAST(floor(coalesce(sum(n_tok_ws) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+           AS BIGINT) AS bin
+  FROM train
+),
+bins AS (SELECT source, bin, sum(n_tok_ws) AS bt FROM b GROUP BY source, bin),
+sharded AS (
+  SELECT doc_id, n_chars,
+         CAST({knuth_bucket_sql("doc_id", 8)} AS INT) AS shard,
+         ((doc_id % 65536 + 65536) % 65536 * 40503) % 65536 AS h2
+  FROM train
+),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+  FROM sharded
+),
+shards AS (
+  SELECT shard, count(*) AS n, sum(pos * doc_id) AS sig FROM pos GROUP BY shard
+)
+SELECT '00_raw' AS stage, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS checksum FROM documents
+UNION ALL SELECT '01_quality', count(*), CAST(sum(n_chars) AS BIGINT) FROM clean
+UNION ALL SELECT '02_span_dedup', count(*), CAST(sum(n_chars) AS BIGINT) FROM kept
+UNION ALL SELECT '03_neardup_reps', count(*), CAST(sum(n_chars) AS BIGINT) FROM reps
+UNION ALL SELECT '04_train_split', count(*), CAST(sum(n_chars) AS BIGINT) FROM train
+UNION ALL SELECT '05_packed', count(*), CAST(sum(bt) AS BIGINT) FROM bins
+UNION ALL SELECT '06_shards', count(*), CAST(sum(sig) AS BIGINT) FROM shards
 """
 
 
@@ -4665,6 +4917,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc14_streaming_aggregate": (cdc14_streaming_aggregate, CDC14_SQL),
     "q117_pack_assemble": (q117_pack_assemble, Q117_SQL),
     "q118_leakage_safe_split": (q118_leakage_safe_split, Q118_SQL),
+    "q119_corpus_pipeline": (q119_corpus_pipeline, Q119_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
 }
 

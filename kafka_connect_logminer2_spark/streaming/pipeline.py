@@ -91,6 +91,39 @@ def kafka_reader_options(
     }
 
 
+def kafka_writer_options(
+    config: EngineConfig,
+    bootstrap_servers: str,
+    checkpoint_dir: str | None = None,
+) -> dict[str, str]:
+    """The exact options map the Kafka envelope SINK runs with — the
+    reader-options twin (kafka_reader_options above), pure so the write
+    half of the transport contract is testable without a broker.
+
+    Mapping contract:
+    - ``kafka.bootstrap.servers``: the cluster;
+    - ``topic`` is set ONLY when ``config.topic`` pins a single topic —
+      otherwise it is omitted and Spark's Kafka sink routes each record by
+      its ``topic`` COLUMN (operators/envelope.py::kafka_records carries
+      it), which is how A18's per-table dynamic routing reaches the wire
+      (reference: OracleSourceTask2.java:300 SourceRecord topic field);
+    - ``checkpointLocation``: exactly-once resume for the streaming write
+      (A3/A4's sink half);
+    - ``kafka.acks=all``: a source connector must not lose committed
+      transactions to a broker failover — durability over latency, the
+      reference's implicit Connect-producer default.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "kafka.acks": "all",
+    }
+    if config.topic:
+        opts["topic"] = config.topic
+    if checkpoint_dir is not None:
+        opts["checkpointLocation"] = checkpoint_dir
+    return opts
+
+
 def read_redo_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

