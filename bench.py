@@ -49,6 +49,7 @@ HEADLINE = [
     "q102_token_entropy",
     "q73_local_supplier_volume",
     "q78_returned_items",
+    "q119_corpus_pipeline",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
     "cdc06_apply_changes",

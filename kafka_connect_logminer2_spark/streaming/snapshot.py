@@ -266,16 +266,32 @@ def read_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> DataFrame | No
     last = _last_committed_batch(snap_dir)
     if last is None:
         return None
-    parts = []
+    versions = {}
     for d in sorted(os.listdir(snap_dir)):
         if not d.startswith("b="):
             continue
         v = latest_version(os.path.join(snap_dir, d), below=last + 1)
         if v is not None:
-            parts.append(f"{snap_dir}/{d}/v={v}")
-    if not parts:
+            versions[d] = v
+    if not versions:
         return None
-    df = spark.read.option("mergeSchema", "true").parquet(*parts)
+    distinct = set(versions.values())
+    if len(distinct) == 1:
+        # UNIFORM-VERSION FAST PATH (the post-compaction layout): one glob,
+        # one FileIndex root, no per-file schema merge. Measured at 1k
+        # buckets (BASELINE.md): 3.4 s cold vs 7.9 s for the N-path union —
+        # and on an object store the union's 1k sequential per-bucket LISTs
+        # are the real degeneration; the glob is a single prefixed listing.
+        (v,) = distinct
+        df = (
+            spark.read.option("basePath", snap_dir)
+            .parquet(f"{snap_dir}/b=*/v={v}")
+            .drop("b", "v")
+        )
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{snap_dir}/{d}/v={v}" for d, v in versions.items()]
+        )
     meta = _read_meta(snap_dir)
     if meta and meta.get("schema"):
         target = StructType.fromJson(meta["schema"])
@@ -288,6 +304,38 @@ def read_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> DataFrame | No
             ]
         )
     return df
+
+
+def compact_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> int | None:
+    """Bring every bucket to the LAST COMMITTED version id — the layout
+    normalizer that unlocks read_snapshot_bucketed's single-glob fast path.
+
+    A streamed bucketed snapshot naturally diverges: each batch rewrites
+    only touched buckets, so per-bucket latest versions scatter across
+    batch ids and the read degenerates to an N-path union (at 1k buckets:
+    2.3× slower cold locally, N sequential LISTs on an object store —
+    BASELINE.md). Compaction copies each stale bucket's current state to
+    ``v=<last_committed>`` — an id that ALREADY belongs to a committed
+    batch, so it can never collide with a future micro-batch id (those are
+    strictly increasing past it). History is untouched: older versions
+    remain for time travel, and ``v=last`` in every bucket is exactly that
+    bucket's state as of the last committed batch. Idempotent; per-bucket
+    cost is O(bucket), and only stale buckets are rewritten. Returns the
+    uniform version id, or None if there is nothing to compact."""
+    last = _last_committed_batch(snap_dir)
+    if last is None:
+        return None
+    for d in sorted(os.listdir(snap_dir)):
+        if not d.startswith("b="):
+            continue
+        bdir = os.path.join(snap_dir, d)
+        v = latest_version(bdir, below=last + 1)
+        if v is None or v == last:
+            continue
+        spark.read.parquet(f"{bdir}/v={v}").write.mode("overwrite").parquet(
+            f"{bdir}/v={last}"
+        )
+    return last
 
 
 def write_snapshot_bucketed(

@@ -653,3 +653,91 @@ def test_bucketed_snapshot_uncommitted_batch_invisible(spark, tmp_path):
 
     after = {r.C_CUSTKEY for r in read_snapshot_bucketed(spark, f"{tmp}/snap").collect()}
     assert after == {1}, "uncommitted bucket version leaked into the read"
+
+
+def test_bucketed_compaction_uniform_version_same_state(spark, sf_dir, tmp_path):
+    """compact_snapshot_bucketed brings every stale bucket to the last
+    committed version id: after it, (a) all data-bearing buckets share one
+    version — the single-glob fast path in read_snapshot_bucketed (one
+    FileIndex root instead of an N-path union; at 1k buckets the union is
+    2.3x slower cold locally and N object-store LISTs at scale,
+    BASELINE.md) — and (b) the visible state is BIT-IDENTICAL to the
+    pre-compaction read, with older versions left in place for time
+    travel."""
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        compact_snapshot_bucketed,
+        latest_version,
+        read_snapshot_bucketed,
+        write_snapshot_bucketed,
+        _last_committed_batch,
+    )
+
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/redo")
+    now = time.time()
+    # batch 0: every bucket written; batch 1: a two-key update — only its
+    # buckets advance, scattering per-bucket latest versions
+    redo_inserts_from_customer(spark, sf_dir).coalesce(1).write.parquet(f"{tmp}/s0")
+    UPD = (
+        'update "TPCH"."CUSTOMER" set "C_ACCTBAL" = 777.77 '
+        'where "C_CUSTKEY" = {k} and "C_ACCTBAL" = 0'
+    )
+    redo_events_from_rows(
+        spark,
+        [
+            dict(scn=10_000_001, operation="START", xid="Z"),
+            dict(scn=10_000_002, operation="UPDATE", xid="Z", table_name="CUSTOMER",
+                 sql_redo=UPD.format(k=1), row_id="z1"),
+            dict(scn=10_000_003, operation="UPDATE", xid="Z", table_name="CUSTOMER",
+                 sql_redo=UPD.format(k=22), row_id="z2"),
+            dict(scn=10_000_004, operation="COMMIT", xid="Z", commit_scn=10_000_004),
+        ],
+    ).coalesce(1).write.parquet(f"{tmp}/s1")
+    for i, stage in enumerate(("s0", "s1")):
+        part = sorted(glob.glob(f"{tmp}/{stage}/part*"))[0]
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    q = write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1),
+            default_config(),
+        ),
+        customer_registry(),
+        "TPCH",
+        "CUSTOMER",
+        ["C_CUSTKEY"],
+        f"{tmp}/snap",
+        f"{tmp}/ckpt",
+        num_buckets=8,
+    )
+    assert q.awaitTermination(300)
+
+    snap = f"{tmp}/snap"
+    last = _last_committed_batch(snap)
+    bdirs = [d for d in sorted(os.listdir(snap)) if d.startswith("b=")]
+    before_versions = {
+        d: latest_version(os.path.join(snap, d), below=last + 1) for d in bdirs
+    }
+    # the multi-batch stream must actually have scattered the versions —
+    # otherwise this test exercises nothing
+    assert len(set(before_versions.values())) > 1
+    before = _rows(read_snapshot_bucketed(spark, snap))
+
+    got = compact_snapshot_bucketed(spark, snap)
+    assert got == last
+    after_versions = {
+        d: latest_version(os.path.join(snap, d), below=last + 1) for d in bdirs
+    }
+    assert set(after_versions.values()) == {last}
+    # glob fast path returns the identical state
+    assert _rows(read_snapshot_bucketed(spark, snap)) == before
+    # history preserved: every bucket that was stale still has its old version
+    for d, v in before_versions.items():
+        if v != last:
+            assert os.path.isdir(os.path.join(snap, d, f"v={v}"))
+    # idempotent
+    assert compact_snapshot_bucketed(spark, snap) == last
+    assert _rows(read_snapshot_bucketed(spark, snap)) == before

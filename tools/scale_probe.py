@@ -228,8 +228,20 @@ def main() -> None:
             corpus, threshold=0.4, n_centroids=16 * m
         )
 
+    def shard_export_op(m):
+        # q111's shape: two-level within-shard rank (window on (shard, h2) +
+        # broadcast offset table). Sort width is decoupled from n_shards, so
+        # with n_shards FIXED at 8 the growth must stay ~linear — the r2
+        # per-shard-window version was the one registered plan hard-capped
+        # at 8 tasks.
+        from kafka_connect_logminer2_spark.plans.queries import shard_export
+
+        df = replicate(docs, m, ["doc_id"], span)
+        return shard_export(df.select("doc_id", "n_chars"), n_shards=8)
+
     ops = {
         "hash_agg": agg_op,
+        "shard_export": shard_export_op,
         "exact_dedup": dedup_op,
         "topk_window": window_op,
         "cosine_topk": topk_op,
