@@ -4801,6 +4801,86 @@ UNION ALL SELECT '06_shards', count(*), CAST(sum(sig) AS BIGINT) FROM shards
 """
 
 
+def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA over the embedding corpus (functions/pca.py — partial-Gram
+    aggregation, driver-side eigh over the d×d covariance, sign-pinned
+    components): the SemDeDup whitening/dimension-reduction preprocessing
+    step. Output is the model summary — per component its eigenvalue and
+    cumulative variance-explained — rounded to 6 dp. No SQL oracle (an
+    eigensolver isn't SQL; rows-only here); the quality gates live in
+    tests/test_pca.py: orthonormal components, whitened covariance ≈ I,
+    reconstruction error == discarded eigenvalue mass, determinism."""
+    from ..functions import pca as P
+
+    emb = load_table(spark, sf, "embeddings")
+    model = P.fit_pca(emb, k=8)
+    ev = model["evals"]
+    total = model["total_var"] or 1.0
+    cum = 0.0
+    rows = []
+    for i, lam in enumerate(ev):
+        cum += float(lam)
+        rows.append((i, round(float(lam), 6), round(cum / total, 6)))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, cum_var_explained double"
+    )
+
+
+def q121_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary construction + OOV accounting — the tokenizer-prep step
+    of a training pipeline: build the global top-1000 token vocabulary
+    (count desc, token asc — ties pinned so the vocab is deterministic on
+    any engine) and report per-source token counts, covered occurrences,
+    and coverage fraction. Plan shape: one (token) hash-agg over the
+    exploded corpus → a 1000-row broadcast vocab → a second pass that
+    joins the broadcast and folds per source; the corpus itself never
+    shuffles wide rows, and nothing vocabulary-sized lands on the driver
+    (the top-k is a TakeOrdered over the token aggregate)."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(1000)
+        .select("token")
+    )
+    return (
+        toks.join(F.broadcast(vocab).withColumn("_v", F.lit(1)), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("_v", F.lit(0))).alias("n_covered"),
+            F.round(
+                F.sum(F.coalesce("_v", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+Q121_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 1000
+  )
+)
+SELECT t.source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       round(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS coverage
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.source
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -4918,6 +4998,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q117_pack_assemble": (q117_pack_assemble, Q117_SQL),
     "q118_leakage_safe_split": (q118_leakage_safe_split, Q118_SQL),
     "q119_corpus_pipeline": (q119_corpus_pipeline, Q119_SQL),
+    "q120_pca_whiten": (q120_pca_whiten, None),
+    "q121_vocab_coverage": (q121_vocab_coverage, Q121_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
 }
 
