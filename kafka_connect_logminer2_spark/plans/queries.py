@@ -3670,6 +3670,32 @@ FROM pos GROUP BY shard
 """
 
 
+def q122_shard_export_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """shard_export at n_shards=256 — the parameterization proven end to
+    end with its own oracle: same two-level rank, 32× the shard count,
+    identical plan shape (the sort stage's width is the shuffle width
+    either way — that's the point of decoupling)."""
+    return shard_export(load_table(spark, sf, "documents"), n_shards=256)
+
+
+Q122_SQL = f"""
+WITH sharded AS (
+  SELECT doc_id, n_chars,
+         CAST({knuth_bucket_sql("doc_id", 256)} AS INT) AS shard,
+         ((doc_id % 65536 + 65536) % 65536 * 40503) % 65536 AS h2
+  FROM documents
+),
+pos AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+  FROM sharded
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(pos * doc_id) AS BIGINT) AS order_sig
+FROM pos GROUP BY shard
+"""
+
+
 def q112_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic near-dedup (Abbas et al. 2023): coarse-cluster
     the embedding corpus, then all-pairs cosine ONLY within each cluster —
@@ -5000,6 +5026,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q119_corpus_pipeline": (q119_corpus_pipeline, Q119_SQL),
     "q120_pca_whiten": (q120_pca_whiten, None),
     "q121_vocab_coverage": (q121_vocab_coverage, Q121_SQL),
+    "q122_shard_export_wide": (q122_shard_export_wide, Q122_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
 }
 

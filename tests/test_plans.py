@@ -608,3 +608,15 @@ def test_pack_assemble_two_exchanges_no_global_sort(spark, sf_dir):
     assert len(ex) <= 2
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_takeordered_and_broadcast(spark, sf_dir):
+    """q121: the top-1000 vocab must be a TakeOrdered over the token
+    aggregate (nothing vocabulary-sized on the driver, no global sort) and
+    must come back as a broadcast — the corpus-side pass joins it without
+    shuffling wide rows."""
+    plan = plan_of(QUERY_REGISTRY["q121_vocab_coverage"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "BatchEvalPython" not in plan
