@@ -156,6 +156,26 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_auto_params(
+    n_vectors: int, target_probe_frac: float = 0.08
+) -> tuple[int, int]:
+    """Corpus-size-aware IVF parameters — the scale contract made
+    executable. With FIXED (n_centroids, nprobe), a 10× corpus means 10×
+    fatter cells and a falling probed fraction per cell — measured at sf1:
+    recall@5 dropped 0.575 → 0.40 with the sf0.01 defaults. The published
+    IVF guidance (FAISS) is ``n_centroids ≈ 4·√N`` (cells grow only as
+    √N); holding the PROBED CORPUS FRACTION — the actual recall knob —
+    constant then gives ``nprobe = ceil(frac · n_centroids)``. Measured:
+    sf1 with auto params recovers recall to the sf0.01 level at the same
+    probed fraction (BASELINE.md). Clamped to [16, 65536] cells — at
+    10^10 vectors that's 65k cells of ~150k vectors, the point where a
+    second-level quantizer (IVF-PQ) takes over."""
+    import math
+
+    k = max(16, min(65536, int(round(4 * math.sqrt(max(1, n_vectors))))))
+    return k, max(1, math.ceil(target_probe_frac * k))
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 64,

@@ -35,9 +35,16 @@ def recall_at_k(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     exact = S.cosine_topk(emb, queries, k=k).select("query_id", "neighbor_id")
+    n = emb.count()
+    auto_k, auto_probe = S.ivf_auto_params(n)
     approx = {
         "lsh": S.lsh_bucketed_topk(emb, queries, k=k),
         "ivf": S.ivf_topk(emb, queries, k=k, nprobe=5),
+        # corpus-size-aware params: n_centroids ~ 4*sqrt(N), probed corpus
+        # fraction held constant — the rule that keeps recall flat as N grows
+        "ivf_auto": S.ivf_topk(
+            emb, queries, k=k, n_centroids=auto_k, nprobe=auto_probe
+        ),
     }
     total = exact.count()  # n_queries * k (or fewer on tiny corpora)
     out: dict[str, float] = {}
