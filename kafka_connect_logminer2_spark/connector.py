@@ -110,6 +110,81 @@ class LogMinerConnector:
             )
         return self.query
 
+    def start_kafka(
+        self,
+        source_path: str,
+        bootstrap_servers: str,
+        checkpoint_dir: str,
+        meta_dir: str,
+        assembler: str = "apply",
+        stored_offset: int | None = None,
+        current_offset: int | None = None,
+        max_files_per_trigger: int | None = None,
+        trigger_available_now: bool = True,
+        _sink_format: str = "kafka",
+        _query_name: str | None = None,
+    ):
+        """The reference's ACTUAL output shape end to end: mine redo into a
+        stream of (key, value, topic) Kafka records — A18's dynamic
+        per-table routing carried by the topic COLUMN, writer options from
+        the pure ``kafka_writer_options`` builder (acks=all, checkpointed).
+
+        ``_sink_format`` exists because the sandbox has no broker: tests
+        substitute the ``memory`` sink, which receives the IDENTICAL
+        projection the Kafka sink would serialize — the transport contract
+        stays pinned value-by-value while only the wire format is mocked
+        (reference: OracleSourceTask2.java:300 SourceRecord emission)."""
+        from pyspark.sql import functions as F
+
+        from .operators.envelope import kafka_records
+        from .streaming.pipeline import (
+            cdc_stream,
+            kafka_writer_options,
+            read_redo_stream_files,
+        )
+
+        self.resolved = resolve_start_scn(self.config, stored_offset, current_offset)
+        write_run_manifest(self.spark, self.config, meta_dir, self.resolved.scn)
+        self._listener = StatusListener(self.spark, self.config, meta_dir)
+        self._listener.register()
+
+        stream = read_redo_stream_files(self.spark, source_path, max_files_per_trigger)
+        if self.resolved.scn:
+            stream = stream.filter(F.col("scn") > self.resolved.scn)
+        envelope = cdc_stream(stream, self.config, assembler=assembler)
+        # heartbeats ride the SAME record stream with their re-topiced name
+        # (LogMinerThread2.java:207) — the re-topic is an inline conditional,
+        # not split_heartbeat's two-branch split: both branches of a split
+        # would reference the one stateful assembly ("multiple
+        # applyInPandasWithStates" is rejected on a streaming plan), and the
+        # Kafka sink routes per row by the topic column anyway
+        if self.config.heartbeat_table:
+            is_hb = F.col("TABLE_NAME") == F.lit(self.config.heartbeat_table)
+            envelope = envelope.withColumn(
+                "topic",
+                F.when(
+                    is_hb,
+                    F.concat_ws(".", F.col("topic"), F.lit(self.config.name.upper())),
+                ).otherwise(F.col("topic")),
+            )
+        recs = kafka_records(envelope, self.config)
+
+        writer = recs.writeStream
+        if _sink_format == "kafka":
+            writer = writer.format("kafka").options(
+                **kafka_writer_options(self.config, bootstrap_servers, checkpoint_dir)
+            )
+        else:
+            writer = writer.format(_sink_format).option(
+                "checkpointLocation", checkpoint_dir
+            )
+            if _query_name:
+                writer = writer.queryName(_query_name)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        self.query = writer.start()
+        return self.query
+
     def run_cm_batch(self, redo, registry: SchemaRegistry, owner: str, table: str):
         """The CM fork (Oracle <19c, OracleSourceTask2.java:207-214):
         COMMITTED_DATA_ONLY input needs no assembly — filters → parse →

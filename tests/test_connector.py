@@ -124,3 +124,40 @@ def test_connector_cm_fork_matches_batch(spark, sf_dir):
     a = sorted((r.SCN, r.data["C_CUSTKEY"]) for r in cm.collect())
     b = sorted((r.SCN, r.data["C_CUSTKEY"]) for r in want.collect())
     assert a == b and len(a) > 0
+
+
+def test_connector_kafka_sink_routes_by_topic_column(spark, sf_dir, tmp_path):
+    """start_kafka drives the reference's ACTUAL output shape end to end:
+    redo stream → assembly → envelope → (key, value, topic) records, with
+    A18's per-table routing carried by the topic column. Brokerless: the
+    memory sink receives the identical projection the Kafka sink would
+    serialize — every record must land under ORCL.TPCH.CUSTOMER with a
+    change-identity key and the 11-field envelope value."""
+    tmp = str(tmp_path)
+    redo = redo_inserts_from_customer(spark, sf_dir)
+    path = _stage(spark, redo, tmp)
+
+    conn = LogMinerConnector(PROPS, spark)
+    q = conn.start_kafka(
+        path,
+        bootstrap_servers="broker1:9092",
+        checkpoint_dir=f"{tmp}/ckpt",
+        meta_dir=f"{tmp}/meta",
+        max_files_per_trigger=1,
+        _sink_format="memory",
+        _query_name="kafka_mock_sink",
+    )
+    assert q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM kafka_mock_sink").collect()
+    conn.stop()
+
+    want = run_cdc_batch(redo).count()
+    assert len(rows) == want > 0
+    assert {r["topic"] for r in rows} == {"ORCL.TPCH.CUSTOMER"}
+    k = json.loads(rows[0]["key"])
+    assert k["owner"] == "TPCH" and k["table"] == "CUSTOMER"
+    v = json.loads(rows[0]["value"])
+    assert v["OPERATION"] in ("INSERT", "UPDATE", "DELETE")
+    assert v["CONNECTOR"] == "logminer"
+    # the run manifest + status log fire for this mode too (A20/A21)
+    assert spark.read.parquet(f"{tmp}/meta/runs").count() == 1
