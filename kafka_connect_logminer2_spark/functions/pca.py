@@ -76,12 +76,13 @@ def gram_stats(
     return gram, s, n
 
 
-def fit_pca(
-    embeddings: DataFrame, k: int, vec_col: str = "embedding"
+def fit_pca_from_stats(
+    gram: np.ndarray, s: np.ndarray, n: int, k: int
 ) -> dict[str, np.ndarray]:
-    """The PCA model: mean vector, top-k components (rows, sign-pinned),
-    their eigenvalues, and the total variance. Driver state is O(d²)."""
-    gram, s, n = gram_stats(embeddings, vec_col)
+    """Fit from the (gram, sum, count) sufficient statistics — the shared
+    core of the one-shot fit and the incrementally-maintained streaming
+    state (streaming/model_stats.py): the statistics are ADDITIVE, so a
+    model over a growing corpus never needs the corpus re-scanned."""
     mean = s / n
     cov = gram / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -98,6 +99,15 @@ def fit_pca(
         "evals": np.maximum(evals[order], 0.0),
         "total_var": float(np.maximum(evals, 0.0).sum()),
     }
+
+
+def fit_pca(
+    embeddings: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict[str, np.ndarray]:
+    """The PCA model: mean vector, top-k components (rows, sign-pinned),
+    their eigenvalues, and the total variance. Driver state is O(d²)."""
+    gram, s, n = gram_stats(embeddings, vec_col)
+    return fit_pca_from_stats(gram, s, n, k)
 
 
 def pca_project(

@@ -4827,6 +4827,64 @@ UNION ALL SELECT '06_shards', count(*), CAST(sum(sig) AS BIGINT) FROM shards
 """
 
 
+def cdc16_streaming_model_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained MODEL sufficient statistics
+    (streaming/model_stats.py): the embedding corpus streamed in 3
+    micro-batches, each folding its additive (Gram, Σx, N) into versioned
+    state — the corpus is never re-scanned (the snapshot-MV contract
+    applied to model state; fit_pca_from_stats turns any version into the
+    exact model). The ORACLE is relational: trace(X'X) = Σ x_ij² and the
+    element sum are plain SQL over the same table, so the streamed fold's
+    end state is value-hash checked — the cdc07 pattern for ML statistics.
+    Rounded to 2 dp: float addition order differs between the per-batch
+    folds and DuckDB's single pass (~1e-9 relative)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.model_stats import read_gram_state, write_gram_stats
+
+    emb = load_table(spark, sf, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="cdc16_")
+    try:
+        emb.repartitionByRange(3, "vec_id").write.parquet(f"{tmp}/stage")
+        _os.makedirs(f"{tmp}/vecs")
+        now = _time.time()
+        for i, p in enumerate(sorted(_glob.glob(f"{tmp}/stage/part*"))):
+            dst = f"{tmp}/vecs/f{i}.parquet"
+            _shutil.copy(p, dst)
+            _os.utime(dst, (now + i * 10, now + i * 10))
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/vecs")
+        )
+        q = write_gram_stats(stream, f"{tmp}/state", f"{tmp}/ckpt")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc16: model-stats stream did not finish in 600s")
+        gram, s, n = read_gram_state(spark, f"{tmp}/state")
+        return spark.createDataFrame(
+            [(int(n), round(float(gram.trace()), 2), round(float(s.sum()), 2))],
+            "n_vectors long, gram_trace double, sum_all double",
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC16_SQL = """
+SELECT count(*) AS n_vectors,
+       round(sum(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 2)
+         AS gram_trace,
+       round(sum(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE)), 'sum')), 2) AS sum_all
+FROM embeddings
+"""
+
+
 def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     """PCA over the embedding corpus (functions/pca.py — partial-Gram
     aggregation, driver-side eigh over the d×d covariance, sign-pinned
@@ -5028,6 +5086,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q121_vocab_coverage": (q121_vocab_coverage, Q121_SQL),
     "q122_shard_export_wide": (q122_shard_export_wide, Q122_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
+    "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

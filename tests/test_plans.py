@@ -120,6 +120,7 @@ _SCENARIO_STREAMS = {
     "cdc13_consistent_cut",
     "cdc14_streaming_aggregate",
     "cdc15_change_feed",
+    "cdc16_streaming_model_stats",
     "q115_incremental_agg",
 }
 
