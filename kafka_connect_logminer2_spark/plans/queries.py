@@ -4910,6 +4910,28 @@ def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN over PCA-REDUCED vectors — the dimension-reduction serving path:
+    64-dim corpus projected to 16 dims (4× fewer bytes per vector, 4×
+    cheaper dot products at 100 TB) by the distributed PCA fit
+    (functions/pca.py), then the exact cosine top-k operator runs on the
+    projected column unchanged. No SQL oracle (the eigensolve isn't SQL);
+    quality gate: tests/test_pca.py pins overlap@5 ≥ 0.8 against the
+    full-dim exact top-k on a planted low-rank corpus (the fixture corpus
+    is near-isotropic — var@16 ≈ 0.38 — where NO projection could keep
+    neighbors; real embedding corpora are low-rank, which is why this
+    serving path exists)."""
+    from ..functions import pca as P
+
+    emb = load_table(spark, sf, "embeddings")
+    model = P.fit_pca(emb, k=16)
+    proj = P.pca_project(emb, model).withColumnRenamed("proj", "embedding")
+    queries = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.cosine_topk(proj, queries, k=5)
+
+
 def q121_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary construction + OOV accounting — the tokenizer-prep step
     of a training pipeline: build the global top-1000 token vocabulary
@@ -5085,6 +5107,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q120_pca_whiten": (q120_pca_whiten, None),
     "q121_vocab_coverage": (q121_vocab_coverage, Q121_SQL),
     "q122_shard_export_wide": (q122_shard_export_wide, Q122_SQL),
+    "q123_ann_pca": (q123_ann_pca, None),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
 }
