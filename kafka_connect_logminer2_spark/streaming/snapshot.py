@@ -275,8 +275,17 @@ def read_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> DataFrame | No
             versions[d] = v
     if not versions:
         return None
+    meta = _read_meta(snap_dir)
+    value_cols = (
+        {f["name"] for f in meta["schema"]["fields"]}
+        if meta and meta.get("schema")
+        else set()
+    )
     distinct = set(versions.values())
-    if len(distinct) == 1:
+    # the glob fast path discovers b=/v= as partition columns — a value
+    # schema that ITSELF has a column named b or v would collide (the
+    # N-path read has no discovery, so it is the safe fallback there)
+    if len(distinct) == 1 and not ({"b", "v"} & value_cols):
         # UNIFORM-VERSION FAST PATH (the post-compaction layout): one glob,
         # one FileIndex root, no per-file schema merge. Measured at 1k
         # buckets (BASELINE.md): 3.4 s cold vs 7.9 s for the N-path union —
@@ -292,7 +301,6 @@ def read_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> DataFrame | No
         df = spark.read.option("mergeSchema", "true").parquet(
             *[f"{snap_dir}/{d}/v={v}" for d, v in versions.items()]
         )
-    meta = _read_meta(snap_dir)
     if meta and meta.get("schema"):
         target = StructType.fromJson(meta["schema"])
         df = df.select(

@@ -741,3 +741,42 @@ def test_bucketed_compaction_uniform_version_same_state(spark, sf_dir, tmp_path)
     # idempotent
     assert compact_snapshot_bucketed(spark, snap) == last
     assert _rows(read_snapshot_bucketed(spark, snap)) == before
+
+
+def test_bucketed_read_guards_bv_column_collision(spark, tmp_path):
+    """A value schema that itself contains a column named ``b`` or ``v``
+    must NOT take the glob fast path (hive-style discovery of the b=/v=
+    dirs would collide with the data column); the N-path union has no
+    discovery and reads it fine. Synthetic layout: uniform versions WITH a
+    'v' value column — the collision case on the fast-path trigger."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        _mark_committed,
+        _write_meta,
+        read_snapshot_bucketed,
+    )
+
+    base = str(tmp_path / "snap")
+    tbl = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                    "v": pa.array(["a", "b"])})
+    for b in range(4):
+        d = f"{base}/b={b}/v=3"
+        os.makedirs(d)
+        pq.write_table(tbl, f"{d}/part-0.parquet")
+        open(f"{d}/_SUCCESS", "w").close()
+    _write_meta(base, {
+        "num_buckets": 4,
+        "schema": {"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ]},
+    })
+    _mark_committed(base, 3)
+
+    got = read_snapshot_bucketed(spark, base)
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == sorted([(1, "a"), (2, "b")] * 4)
