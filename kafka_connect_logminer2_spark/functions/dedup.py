@@ -160,20 +160,49 @@ def dup_clusters(
     id1_col: str = "doc_id1",
     id2_col: str = "doc_id2",
     max_iter: int = 20,
+    driver_max_edges: int | None = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id, cluster_id)
     with cluster_id = the component's minimum doc id.
 
-    Iterative min-label propagation (the alternating small-star idea in its
-    simplest form): each round every node adopts the min label among itself
-    and its neighbors; converges in O(component diameter) rounds. Each round
-    is one shuffle (join + groupBy on id); ``localCheckpoint`` truncates the
-    growing lineage so round N doesn't recompute rounds 1..N-1 — without it
-    the plan is exponential. Near-dup components are shallow in practice
-    (dup clusters are cliques-ish), so rounds ≪ ``max_iter``. The remaining
-    driver-side work per round is a single scalar convergence check.
+    SIZE-ADAPTIVE: after a dedup threshold, the pair graph is usually tiny
+    relative to the corpus (edges ∝ true duplicates, not documents) — when
+    it fits the driver (≤ ``driver_max_edges``; 5M edges ≈ 80 MB), a plain
+    union-find resolves components in one pass with zero extra shuffles,
+    replacing rounds of join+groupBy. Above the bound, iterative min-label
+    propagation (the alternating small-star idea in its simplest form):
+    each round every node adopts the min label among itself and its
+    neighbors; converges in O(component diameter) rounds, one shuffle per
+    round, ``localCheckpoint`` truncating the lineage. Identical output by
+    construction (min-label union-find == converged propagation); the skew
+    test and the q38/q118/q119 oracles hold for both paths.
     """
     e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
+    e = e.localCheckpoint(eager=False)  # count + (collect|iterate) reuse it
+    if driver_max_edges is not None and e.count() <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by MIN root — cluster_id is the min member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
+
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint(eager=False)
 

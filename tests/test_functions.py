@@ -234,8 +234,12 @@ def test_dup_clusters_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_id1: long, doc_id2: long"
     )
-    got = {r["doc_id"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    for dme in (5_000_000, 0):  # driver union-find AND distributed paths
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in D.dup_clusters(pairs, driver_max_edges=dme).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_dup_clusters_matches_union_find(spark):
@@ -266,5 +270,9 @@ def test_dup_clusters_matches_union_find(spark):
         expected = {n: find(n) for n in nodes}
 
         pairs = spark.createDataFrame(edges, "doc_id1: long, doc_id2: long")
-        got = {r["doc_id"]: r["cluster_id"] for r in D.dup_clusters(pairs).collect()}
-        assert got == expected, f"seed {seed}"
+        for dme in (5_000_000, 0):  # both paths must equal the ground truth
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in D.dup_clusters(pairs, driver_max_edges=dme).collect()
+            }
+            assert got == expected, f"seed {seed} driver_max_edges={dme}"
