@@ -4679,7 +4679,13 @@ def q119_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     docs for 00-04, bins for 05, shards for 06; checksum pins the exact
     surviving content (char sum / token sum / order signature), so ANY
     drift in ANY stage breaks the value hash. The oracle recomputes the
-    whole pipeline in one SQL chain."""
+    whole pipeline in one SQL chain.
+
+    Production note: the pair stage runs UNCAPPED here because stage 02
+    already removed boilerplate spans — the stop-shingle cap's target; on
+    a corpus where heavy shingles survive span dedup, pass
+    ``max_shingle_freq`` through to jaccard_pairs (q104's production cap,
+    bounded-expansion proof in tests/test_dedup_skew.py)."""
     docs = load_table(spark, sf, "documents")
     raw = docs.select("doc_id", "source", "text", "n_chars")
     n_tok_sp = F.size(F.split(F.lower(F.col("text")), " "))
