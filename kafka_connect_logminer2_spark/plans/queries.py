@@ -3608,9 +3608,15 @@ def shard_ranked(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
     ).select("shard", "h2", "_off")
+    # offsets has ≤ n_shards·65536 rows: broadcast while that bound is
+    # broadcast-sized; at wide shard counts switch to a shuffle join — its
+    # (shard, h2) hash partitioning is EXACTLY what the rank window needs,
+    # so the corpus still crosses the wire once either way
+    if n_shards * 65536 <= 8_000_000:
+        offsets = F.broadcast(offsets)
     w = Window.partitionBy("shard", "h2").orderBy(F.col("doc_id").asc())
     return (
-        sharded.join(F.broadcast(offsets), ["shard", "h2"])
+        sharded.join(offsets, ["shard", "h2"])
         .withColumn("pos", F.row_number().over(w) + F.col("_off"))
         .drop("_off")
     )

@@ -621,3 +621,37 @@ def test_vocab_coverage_takeordered_and_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "BatchEvalPython" not in plan
+
+
+def test_wide_shard_export_shuffle_join_rides_window_partitioning(spark, sf_dir):
+    """q122 (n_shards=256): the offsets table's worst case is
+    256·65536 ≈ 16.7M rows — past the broadcast bound, so the join must go
+    shuffle-side, and its (shard, h2) hash partitioning must be the SAME
+    one the rank window needs: the corpus still crosses the wire exactly
+    once for join+window combined."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.plans.queries import shard_ranked
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def offsets_join_hint(n):
+        lp = (
+            shard_ranked(docs, n_shards=n)
+            .select(F.sum("pos"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return any("strategy=broadcast" in l for l in lp.splitlines() if "Join" in l)
+
+    # wide: NO planning-time broadcast hint — the 16.7M-row worst case must
+    # be left to statistics (at test scale Catalyst/AQE still broadcast the
+    # actually-tiny side, which is them working as designed; the hint is
+    # what would force it at real sizes). Narrow keeps the explicit hint.
+    assert not offsets_join_hint(256)
+    assert offsets_join_hint(8)
+    # either way the join keys are (shard, h2) — identical to the rank
+    # window's partitioning, so join+window cost ONE corpus exchange
+    plan = plan_of(shard_ranked(docs, n_shards=256).select(F.sum("pos")))
+    assert "windowspecdefinition(shard" in plan and "h2" in plan
