@@ -327,22 +327,66 @@ def compact_snapshot_bucketed(spark: SparkSession, snap_dir: str) -> int | None:
     batch, so it can never collide with a future micro-batch id (those are
     strictly increasing past it). History is untouched: older versions
     remain for time travel, and ``v=last`` in every bucket is exactly that
-    bucket's state as of the last committed batch. Idempotent; per-bucket
-    cost is O(bucket), and only stale buckets are rewritten. Returns the
-    uniform version id, or None if there is nothing to compact."""
+    bucket's state as of the last committed batch. Idempotent (a rerun
+    finishes whatever a crash left — half-moved buckets read correctly via
+    the N-path fallback meanwhile, since v=last content equals the old
+    version's). Returns the uniform version id, or None if nothing exists.
+
+    Cost shape: ALL stale buckets rewrite in ONE Spark job (partitioned
+    write into an underscore-prefixed staging dir, then one directory
+    rename per bucket) — the per-bucket-job version measured 0.18 s/bucket
+    of pure driver round-trip at 1k tiny buckets (88 s); the single-job
+    form is bounded by data volume, not bucket count (BASELINE.md)."""
+    import shutil
+
     last = _last_committed_batch(snap_dir)
     if last is None:
         return None
+    stale = []
     for d in sorted(os.listdir(snap_dir)):
         if not d.startswith("b="):
             continue
-        bdir = os.path.join(snap_dir, d)
-        v = latest_version(bdir, below=last + 1)
-        if v is None or v == last:
-            continue
-        spark.read.parquet(f"{bdir}/v={v}").write.mode("overwrite").parquet(
-            f"{bdir}/v={last}"
-        )
+        v = latest_version(os.path.join(snap_dir, d), below=last + 1)
+        if v is not None and v != last:
+            stale.append((d, v))
+    if not stale:
+        return last
+    meta = _read_meta(snap_dir)
+    value_cols = (
+        {f["name"] for f in meta["schema"]["fields"]}
+        if meta and meta.get("schema")
+        else set()
+    )
+    if {"b", "v"} & value_cols:
+        # partition-discovery staging would collide with the value column;
+        # fall back to one job per bucket (correct, just not batched)
+        for d, v in stale:
+            bdir = os.path.join(snap_dir, d)
+            spark.read.parquet(f"{bdir}/v={v}").write.mode("overwrite").parquet(
+                f"{bdir}/v={last}"
+            )
+        return last
+    tmp = os.path.join(snap_dir, "_compact_tmp")  # _-prefixed: readers blind
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.option("basePath", snap_dir)
+        .parquet(*[f"{snap_dir}/{d}/v={v}" for d, v in stale])
+        .drop("v")
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .parquet(tmp)
+    )
+    for d, v in stale:
+        dst = os.path.join(snap_dir, d, f"v={last}")
+        shutil.rmtree(dst, ignore_errors=True)
+        staged = os.path.join(tmp, d)
+        if os.path.isdir(staged):
+            os.replace(staged, dst)
+        else:  # bucket had 0 rows at that version — stage an empty dir
+            os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
     return last
 
 
