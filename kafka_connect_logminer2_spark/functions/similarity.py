@@ -444,6 +444,28 @@ def ivf_query_index(
     )
 
 
+def max_sim_to_set_udf(emat: np.ndarray):
+    """Arrow UDF: per input vector, the max cosine to a FIXED model-sized
+    vector set (rides the closure as one matrix — one NumPy matmul + row
+    max per batch). The semantic-decontamination kernel (q124): the eval
+    slice is the set, the train corpus streams through, nothing
+    corpus-sized ever hits the driver. Sims round to 6 dp before the max
+    so thresholding is bit-identical to a SQL cosine oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    enorm = _safe_norms(emat)
+
+    @pandas_udf("double")
+    def max_sim(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = v @ emat.T
+        sims /= _safe_norms(v)[:, None] * enorm[None, :]
+        np.round(sims, 6, out=sims)
+        return pd.Series(sims.max(axis=1))
+
+    return max_sim
+
+
 def quantize_embeddings_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

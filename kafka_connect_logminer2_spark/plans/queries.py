@@ -4944,6 +4944,63 @@ def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_topk(proj, queries, k=5)
 
 
+def q124_semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic train/eval decontamination — the EMBEDDING-space sibling of
+    q49's n-gram screen (paraphrased eval contamination shares no n-grams
+    but sits next to the eval point in embedding space): flag every train
+    vector whose max cosine to ANY held-out eval vector (vec_id % 499 == 0)
+    clears 0.3 (the fixture corpus is isotropic — measured max-sim p99 is
+    0.30, so the screen genuinely fires; a clustered real corpus would run
+    ~0.8). Plan shape: the eval slice is model-sized and rides into an
+    Arrow UDF closure as one matrix (similarity.py::max_sim_to_set_udf) —
+    per batch ONE NumPy matmul + row max, the corpus never shuffles and
+    nothing corpus-sized hits the driver. Sims round to 6 dp BEFORE the
+    threshold so the flag is bit-identical to the oracle's SQL cosine.
+    Output: per-flag count + id-sum checksum (pins exactly WHICH vectors
+    were flagged)."""
+    import numpy as np
+
+    emb = load_table(spark, sf, "embeddings")
+    eval_rows = sorted(
+        emb.filter(F.col("vec_id") % 499 == 0).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    emat = np.asarray([r[1] for r in eval_rows], dtype=np.float64)
+    eval_ids = sorted(int(r[0]) for r in eval_rows)
+
+    train = emb.filter(~F.col("vec_id").isin(eval_ids))
+    return (
+        train.select(
+            "vec_id",
+            (S.max_sim_to_set_udf(emat)(F.col("embedding")) >= 0.3).alias(
+                "contaminated"
+            ),
+        )
+        .groupBy("contaminated")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+    )
+
+
+Q124_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 499 = 0
+),
+sims AS (
+  SELECT t.vec_id, max({_COS.format(a="t.embedding", b="e.embedding")}) AS msim
+  FROM embeddings t, ev e
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM ev)
+  GROUP BY t.vec_id
+)
+SELECT msim >= 0.3 AS contaminated,
+       count(*) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM sims GROUP BY 1
+"""
+
+
 def q121_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary construction + OOV accounting — the tokenizer-prep step
     of a training pipeline: build the global top-1000 token vocabulary
@@ -5120,6 +5177,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q121_vocab_coverage": (q121_vocab_coverage, Q121_SQL),
     "q122_shard_export_wide": (q122_shard_export_wide, Q122_SQL),
     "q123_ann_pca": (q123_ann_pca, None),
+    "q124_semantic_decontamination": (q124_semantic_decontamination, Q124_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
 }
