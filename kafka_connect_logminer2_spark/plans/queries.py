@@ -3589,6 +3589,42 @@ FROM counted GROUP BY doc_id
 """
 
 
+def two_level_pos(
+    df: DataFrame,
+    group_col: str,
+    prefix_col: str,
+    tie_cols: str | list[str],
+    max_offset_rows: int = 8_000_000,
+) -> DataFrame:
+    """Global 1-based rank within ``group_col`` ordered by (prefix, tie) —
+    WITHOUT a per-group window, whose sort parallelism would be capped at
+    the number of groups (the r2 q111 ceiling). The rank splits at the
+    16-bit-ish ``prefix_col``: row_number within (group, prefix) + the
+    cumulative count of earlier prefixes in the group. The big-data window
+    hashes on (group, prefix) → full cluster width; the offset table
+    (≤ groups·prefix-cardinality rows) broadcasts while small, else joins
+    shuffle-side on exactly the partitioning the window needs. Shared by
+    shard_ranked (q111/q122) and the mixture sampler (q125)."""
+    counts = df.groupBy(group_col, prefix_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.partitionBy(group_col).orderBy(prefix_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+    ).select(group_col, prefix_col, "_off")
+    if max_offset_rows is not None:
+        offsets = F.broadcast(offsets)
+    ties = [tie_cols] if isinstance(tie_cols, str) else tie_cols
+    w = Window.partitionBy(group_col, prefix_col).orderBy(
+        *[F.col(c).asc() for c in ties]
+    )
+    return (
+        df.join(offsets, [group_col, prefix_col])
+        .withColumn("pos", F.row_number().over(w) + F.col("_off"))
+        .drop("_off")
+    )
+
+
 def shard_ranked(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     """(doc_id, n_chars, shard, h2, pos): the per-doc shard assignment and
     1-based global rank within shard, computed with the two-level rank
@@ -3601,24 +3637,15 @@ def shard_ranked(docs: DataFrame, n_shards: int = 8) -> DataFrame:
         knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
         h2.alias("h2"),
     )
-    counts = sharded.groupBy("shard", "h2").agg(F.count(F.lit(1)).alias("_cnt"))
-    woff = Window.partitionBy("shard").orderBy("h2").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
-    ).select("shard", "h2", "_off")
-    # offsets has ≤ n_shards·65536 rows: broadcast while that bound is
-    # broadcast-sized; at wide shard counts switch to a shuffle join — its
-    # (shard, h2) hash partitioning is EXACTLY what the rank window needs,
-    # so the corpus still crosses the wire once either way
-    if n_shards * 65536 <= 8_000_000:
-        offsets = F.broadcast(offsets)
-    w = Window.partitionBy("shard", "h2").orderBy(F.col("doc_id").asc())
-    return (
-        sharded.join(offsets, ["shard", "h2"])
-        .withColumn("pos", F.row_number().over(w) + F.col("_off"))
-        .drop("_off")
+    # offsets worst case is n_shards·65536 rows: broadcast while that is
+    # broadcast-sized; wider, leave the join statistics-driven (its
+    # (shard, h2) shuffle partitioning is what the rank window needs)
+    return two_level_pos(
+        sharded,
+        "shard",
+        "h2",
+        "doc_id",
+        max_offset_rows=8_000_000 if n_shards * 65536 <= 8_000_000 else None,
     )
 
 
@@ -5001,6 +5028,68 @@ FROM sims GROUP BY 1
 """
 
 
+def q125_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quota-based source mixing — the Pile/Dolma-style epoch construction
+    step: each source contributes EXACTLY its quota of documents (here
+    quota_s = 3 + (srcnum mod 5)·4, a deterministic stand-in for target
+    mixture weights), selected as the quota smallest Knuth-hashes of
+    doc_id — reproducible on any engine, stable under repartitioning, and
+    a different slice than any modulo split (rank-based, so quotas are hit
+    EXACTLY — q48/q93's rate-based sampling can only hit them in
+    expectation). The within-source rank uses the same two-level machinery
+    as the shard export (two_level_pos: window on (source, hash-prefix) +
+    broadcast offsets), so selection parallelism is NOT capped at the
+    number of sources — the r2 q111 lesson applied at birth. Output:
+    per-source quota, selected count, selected char sum (id-sum pins the
+    exact membership)."""
+    docs = load_table(spark, sf, "documents")
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(4294967296)) % F.lit(65536) * F.lit(_KNUTH)
+        + F.pmod(
+            F.shiftright(F.pmod(F.col("doc_id"), F.lit(4294967296)), 16)
+            * F.lit(_KNUTH),
+            F.lit(65536),
+        )
+        * F.lit(65536)
+    ) % F.lit(4294967296)
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        h.alias("_h"),
+        F.shiftright(h, 16).alias("_hp"),  # 16-bit prefix of the rank hash
+        (
+            F.lit(3)
+            + F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(5)) * F.lit(4)
+        ).alias("quota"),
+    )
+    ranked = two_level_pos(base, "source", "_hp", ["_h", "doc_id"])
+    sel = ranked.filter(F.col("pos") <= F.col("quota"))
+    return sel.groupBy("source", "quota").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("sel_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+Q125_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         {knuth_bucket_sql("doc_id", 4294967296)} AS h,
+         3 + (CAST(substr(source, 4) AS INT) % 5) * 4 AS quota
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pos
+  FROM base
+)
+SELECT source, quota, count(*) AS n_selected,
+       CAST(sum(n_chars) AS BIGINT) AS sel_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE pos <= quota GROUP BY source, quota
+"""
+
+
 def q121_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary construction + OOV accounting — the tokenizer-prep step
     of a training pipeline: build the global top-1000 token vocabulary
@@ -5178,6 +5267,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q122_shard_export_wide": (q122_shard_export_wide, Q122_SQL),
     "q123_ann_pca": (q123_ann_pca, None),
     "q124_semantic_decontamination": (q124_semantic_decontamination, Q124_SQL),
+    "q125_mixture_sample": (q125_mixture_sample, Q125_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
 }
