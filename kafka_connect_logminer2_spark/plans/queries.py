@@ -27,41 +27,17 @@ from ..sources.redo import (
 )
 from .cdc import cdc_envelope, run_cdc_batch
 
-# --------------------------------------------------------------------------
-# shared deterministic-hash helpers
-# --------------------------------------------------------------------------
-
-_KNUTH = 2654435761  # Knuth's 2^32 golden-ratio multiplier
-
-
-def knuth_bucket(col: F.Column, mod: int) -> F.Column:
-    """``(id * 2654435761) mod 2^32 mod m`` computed WITHOUT int64 overflow:
-    the naive product wraps silently in Spark but errors in DuckDB for
-    id ≳ 3.4e9, breaking the "bit-for-bit on any engine" contract exactly
-    where it matters (shard/split assignment at real corpus sizes). The id
-    is first reduced mod 2^32 (pmod → negatives too), then the product is
-    split 16/16: (lo·K + (hi·K mod 2^16)·2^16) mod 2^32 ≡ (id·K) mod 2^32,
-    with every intermediate < 2^48. Identical values to the naive form
-    wherever the naive form doesn't overflow, so existing oracles agree."""
-    d = F.pmod(col.cast("long"), F.lit(4294967296))
-    lo = d % F.lit(65536)
-    hi = F.shiftright(d, 16)
-    h = F.pmod(
-        lo * F.lit(_KNUTH) + F.pmod(hi * F.lit(_KNUTH), F.lit(65536)) * F.lit(65536),
-        F.lit(4294967296),
-    )
-    return h % F.lit(mod)
-
-
-def knuth_bucket_sql(expr: str, mod: int) -> str:
-    """The DuckDB-side twin of :func:`knuth_bucket` — same 16/16 split,
-    same pmod wrap, value-identical on any BIGINT input."""
-    d = f"((({expr}) % 4294967296 + 4294967296) % 4294967296)"
-    return (
-        f"((({d} % 65536) * {_KNUTH} + "
-        f"(({d} // 65536) * {_KNUTH} % 65536) * 65536) % 4294967296 % {mod})"
-    )
-
+# shared deterministic-hash / two-level-rank / shard-export machinery now
+# lives in functions/sharding.py (re-exported here — oracle twins and all
+# existing imports keep working)
+from ..functions.sharding import (  # noqa: F401
+    _KNUTH,
+    knuth_bucket,
+    knuth_bucket_sql,
+    shard_export,
+    shard_ranked,
+    two_level_pos,
+)
 
 # --------------------------------------------------------------------------
 # §2B relational surface
@@ -3589,94 +3565,6 @@ FROM counted GROUP BY doc_id
 """
 
 
-def two_level_pos(
-    df: DataFrame,
-    group_col: str,
-    prefix_col: str,
-    tie_cols: str | list[str],
-    max_offset_rows: int = 8_000_000,
-) -> DataFrame:
-    """Global 1-based rank within ``group_col`` ordered by (prefix, tie) —
-    WITHOUT a per-group window, whose sort parallelism would be capped at
-    the number of groups (the r2 q111 ceiling). The rank splits at the
-    16-bit-ish ``prefix_col``: row_number within (group, prefix) + the
-    cumulative count of earlier prefixes in the group. The big-data window
-    hashes on (group, prefix) → full cluster width; the offset table
-    (≤ groups·prefix-cardinality rows) broadcasts while small, else joins
-    shuffle-side on exactly the partitioning the window needs. Shared by
-    shard_ranked (q111/q122) and the mixture sampler (q125)."""
-    counts = df.groupBy(group_col, prefix_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    woff = Window.partitionBy(group_col).orderBy(prefix_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
-    ).select(group_col, prefix_col, "_off")
-    if max_offset_rows is not None:
-        offsets = F.broadcast(offsets)
-    ties = [tie_cols] if isinstance(tie_cols, str) else tie_cols
-    w = Window.partitionBy(group_col, prefix_col).orderBy(
-        *[F.col(c).asc() for c in ties]
-    )
-    return (
-        df.join(offsets, [group_col, prefix_col])
-        .withColumn("pos", F.row_number().over(w) + F.col("_off"))
-        .drop("_off")
-    )
-
-
-def shard_ranked(docs: DataFrame, n_shards: int = 8) -> DataFrame:
-    """(doc_id, n_chars, shard, h2, pos): the per-doc shard assignment and
-    1-based global rank within shard, computed with the two-level rank
-    described in :func:`shard_export` — the sort stage runs at full
-    shuffle width regardless of n_shards."""
-    h2 = (F.pmod(F.col("doc_id"), F.lit(65536)) * F.lit(40503)) % F.lit(65536)
-    sharded = docs.select(
-        "doc_id",
-        "n_chars",
-        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
-        h2.alias("h2"),
-    )
-    # offsets worst case is n_shards·65536 rows: broadcast while that is
-    # broadcast-sized; wider, leave the join statistics-driven (its
-    # (shard, h2) shuffle partitioning is what the rank window needs)
-    return two_level_pos(
-        sharded,
-        "shard",
-        "h2",
-        "doc_id",
-        max_offset_rows=8_000_000 if n_shards * 65536 <= 8_000_000 else None,
-    )
-
-
-def shard_export(docs: DataFrame, n_shards: int = 8) -> DataFrame:
-    """Deterministic global shuffle + shard assignment — the training-export
-    step: every doc lands in ``knuth_hash(doc_id) mod n_shards`` and is
-    ordered within its shard by a second multiplicative hash, so the
-    permutation is reproducible bit-for-bit on any engine and stable under
-    repartitioning (no RNG, no seed files). The manifest row per shard
-    carries an order signature (sum of pos·doc_id) that pins the
-    within-shard permutation itself, not just membership.
-
-    SCALE: the within-shard rank is TWO-LEVEL, never a per-shard window.
-    ``row_number() over (shard)`` would cap the sort at n_shards tasks —
-    the one hard parallelism ceiling of the r2 version. Instead the rank
-    key splits into the 16-bit ``h2`` prefix and ``doc_id``:
-    ``pos = row_number() over (shard, h2 order by doc_id)
-          + Σ counts of earlier h2 groups in the shard``.
-    The big-data window hashes on (shard, h2) — up to n_shards·65536
-    well-spread groups, so the sort stage runs at full cluster width —
-    while the offset table is a tiny (≤ n_shards·65536 row) aggregate
-    whose own per-shard cumulative window is driver-trivial and is
-    broadcast back. Identical pos values, no n_shards ceiling; the
-    plan audit pins sort-stage partitions > n_shards."""
-    return shard_ranked(docs, n_shards).groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(F.col("pos") * F.col("doc_id")).alias("order_sig"),
-    )
-
-
 def q111_shard_export(spark: SparkSession, sf: str) -> DataFrame:
     """Training-export sharding manifest (see :func:`shard_export` for the
     scale design) — the oracle recomputes the identical permutation with a
@@ -4719,59 +4607,9 @@ def q119_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     a corpus where heavy shingles survive span dedup, pass
     ``max_shingle_freq`` through to jaccard_pairs (q104's production cap,
     bounded-expansion proof in tests/test_dedup_skew.py)."""
-    docs = load_table(spark, sf, "documents")
-    raw = docs.select("doc_id", "source", "text", "n_chars")
-    n_tok_sp = F.size(F.split(F.lower(F.col("text")), " "))
-    clean = raw.withColumn("n_tok_sp", n_tok_sp).filter(F.col("n_tok_sp") >= 8)
+    from ..functions.corpus import corpus_pipeline
 
-    frac = D.dup_span_stats(clean, span_tokens=8).select("doc_id", "dup_frac")
-    kept = clean.join(frac, "doc_id").filter(F.col("dup_frac") <= 0.5).drop("dup_frac")
-    kept = kept.localCheckpoint(eager=False)  # feeds pair graph + 3 ledgers
-
-    pairs = D.jaccard_pairs(kept, k=3, threshold=0.05)
-    clusters = D.dup_clusters(pairs)
-    labeled = kept.join(clusters, "doc_id", "left").withColumn(
-        "cluster", F.coalesce("cluster_id", "doc_id")
-    )
-    reps = labeled.filter(F.col("doc_id") == F.col("cluster"))
-    train = reps.filter(knuth_bucket(F.col("cluster"), 100) < 90)
-    train = train.withColumn(
-        "n_tok_ws", F.size(F.split(F.trim("text"), r"\s+"))
-    ).localCheckpoint(eager=False)  # feeds packing + sharding + ledger
-
-    wpack = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bins = (
-        train.withColumn(
-            "bin",
-            F.floor(
-                F.coalesce(F.sum("n_tok_ws").over(wpack), F.lit(0)) / F.lit(2048)
-            ),
-        )
-        .groupBy("source", "bin")
-        .agg(F.sum("n_tok_ws").alias("bt"))
-    )
-    shards = shard_export(train.select("doc_id", "n_chars"), n_shards=8)
-
-    def ledger(df: DataFrame, stage: str, checksum: F.Column) -> DataFrame:
-        return df.agg(
-            F.lit(stage).alias("stage"),
-            F.count(F.lit(1)).alias("n_rows"),
-            checksum.cast("long").alias("checksum"),
-        )
-
-    return (
-        ledger(raw, "00_raw", F.sum("n_chars"))
-        .unionByName(ledger(clean, "01_quality", F.sum("n_chars")))
-        .unionByName(ledger(kept, "02_span_dedup", F.sum("n_chars")))
-        .unionByName(ledger(reps, "03_neardup_reps", F.sum("n_chars")))
-        .unionByName(ledger(train, "04_train_split", F.sum("n_chars")))
-        .unionByName(ledger(bins, "05_packed", F.sum("bt")))
-        .unionByName(ledger(shards, "06_shards", F.sum("order_sig")))
-    )
+    return corpus_pipeline(load_table(spark, sf, "documents"))["ledger"]
 
 
 _Q119_GRAM3 = """list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
