@@ -284,6 +284,40 @@ def ivf_topk(
     )
 
 
+def _pack_int8_udf():
+    """array<int> of int8-range values → packed bytes (one per dim) — the
+    4×-smaller on-disk payload for a quantized index."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(arrs: pd.Series) -> pd.Series:
+        return arrs.map(
+            lambda a: np.asarray(a, dtype=np.int8).tobytes()
+        )
+
+    return pack
+
+
+def _unpack_int8_udf(out_type: str = "array<float>"):
+    """packed int8 bytes + scale → reconstructed float vector (q·scale) —
+    the read-side inverse of :func:`_pack_int8_udf`, one NumPy pass per
+    batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(out_type)
+    def unpack(bins: pd.Series, scales: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                (np.frombuffer(b, dtype=np.int8).astype(np.float64) * s).astype(
+                    np.float32
+                )
+                for b, s in zip(bins, scales)
+            ]
+        )
+
+    return unpack
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -291,6 +325,7 @@ def ivf_write_index(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF index: assign every vector to its nearest cell
     and write the corpus PARTITIONED BY cell (``_cell=<c>/`` dirs). This is
@@ -304,15 +339,43 @@ def ivf_write_index(
     it): an index that can only be queried by the driver that built it is
     not persisted. ``ivf_query_index``/``ivf_append_index`` reload it when
     ``cmat`` is not passed, so a fresh session reopens the index with zero
-    ceremony. Returns the centroid matrix for in-process reuse."""
+    ceremony. Returns the centroid matrix for in-process reuse.
+
+    ``quantize=True`` stores each vector's int8 quantization
+    (:func:`quantize_embeddings_int8`) as a PACKED BINARY payload + one
+    scale double instead of the float array — ~4× smaller index bytes, the
+    100 TB serving trade. Cell assignment still runs on the ORIGINAL
+    vectors (quantizing before assigning would move cell boundaries);
+    ``ivf_query_index`` detects the quantized layout and reconstructs
+    ``q·scale`` read-side, so the re-rank math is unchanged up to int8
+    rounding (recall vs the float index measured in tests)."""
     cmat = ivf_centroids(
         embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
     )
-    embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
-    ).write.mode("overwrite").partitionBy("_cell").parquet(index_dir)
+    if quantize:
+        q = quantize_embeddings_int8(embeddings, id_col=id_col, vec_col=vec_col)
+        (
+            embeddings.select(
+                F.col(id_col),
+                _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
+            )
+            .join(
+                q.select(
+                    id_col, "scale", _pack_int8_udf()(F.col("q_int8")).alias("q_bin")
+                ),
+                id_col,
+            )
+            .select(id_col, "scale", "q_bin", "_cell")
+            .write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(index_dir)
+        )
+    else:
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
+        ).write.mode("overwrite").partitionBy("_cell").parquet(index_dir)
     _save_centroids(embeddings.sparkSession, index_dir, cmat)
     return cmat
 
@@ -423,6 +486,10 @@ def ivf_query_index(
     )
     touched = sorted({int(c) for row in order for c in row})
     idx = spark.read.parquet(index_dir).filter(F.col("_cell").isin(touched))
+    if "q_bin" in idx.columns:  # quantized layout: reconstruct q·scale
+        idx = idx.withColumn(
+            vec_col, _unpack_int8_udf()(F.col("q_bin"), F.col("scale"))
+        ).drop("q_bin", "scale")
     scored = idx.join(
         F.broadcast(q),
         F.array_contains(F.col("_probes"), F.col("_cell"))

@@ -507,3 +507,44 @@ def test_ivf_centroid_model_persists_and_reopens(spark, sf_dir, tmp_path):
     ).limit(50)
     ivf_append_index(extra, idx, None)
     assert spark.read.parquet(idx).count() == emb.count() + 50
+
+
+def test_ivf_quantized_index_smaller_and_recall_held(spark, sf_dir, tmp_path):
+    """quantize=True stores packed-int8 payloads: the index must be
+    MATERIALLY smaller on disk and its top-k must agree with the float
+    index almost everywhere (int8 rounding perturbs cosines ~1e-3 — ties
+    may flip, wholesale rank changes may not)."""
+    import os as _os
+
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fidx, qidx = str(tmp_path / "f"), str(tmp_path / "q")
+    ivf_write_index(emb, fidx, n_centroids=16, train_iters=1)
+    ivf_write_index(emb, qidx, n_centroids=16, train_iters=1, quantize=True)
+
+    def du(root):
+        return sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for dp, _, fs in _os.walk(root)
+            for f in fs
+            if not dp.endswith("_model")  # same model both layouts
+        )
+
+    assert du(qidx) < 0.55 * du(fidx), (du(qidx), du(fidx))
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_query_index(spark, fidx, None, queries, k=5, nprobe=4).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_query_index(spark, qidx, None, queries, k=5, nprobe=4).collect()
+    }
+    assert len(full & quant) / len(full) >= 0.9, (len(full & quant), len(full))
