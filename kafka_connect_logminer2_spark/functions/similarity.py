@@ -435,9 +435,33 @@ def ivf_append_index(
     operation, not a side effect of ingest. Queries over the appended
     index are identical to a fresh full build with the same model (tests
     pin this bit-for-bit). ``cmat=None`` reloads the persisted model from
-    ``index_dir/_model`` — the normal cross-session append path."""
+    ``index_dir/_model`` — the normal cross-session append path. Appends
+    MATCH the existing layout: a quantized index (q_bin/scale columns)
+    gets quantized appends — mixing float rows into it would corrupt the
+    read schema silently."""
+    spark = new_embeddings.sparkSession
     if cmat is None:
-        cmat = load_ivf_centroids(new_embeddings.sparkSession, index_dir)
+        cmat = load_ivf_centroids(spark, index_dir)
+    quantized = "q_bin" in spark.read.parquet(index_dir).columns
+    if quantized:
+        q = quantize_embeddings_int8(new_embeddings, id_col=id_col, vec_col=vec_col)
+        (
+            new_embeddings.select(
+                F.col(id_col),
+                _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
+            )
+            .join(
+                q.select(
+                    id_col, "scale", _pack_int8_udf()(F.col("q_int8")).alias("q_bin")
+                ),
+                id_col,
+            )
+            .select(id_col, "scale", "q_bin", "_cell")
+            .write.mode("append")
+            .partitionBy("_cell")
+            .parquet(index_dir)
+        )
+        return
     new_embeddings.select(
         F.col(id_col),
         F.col(vec_col),

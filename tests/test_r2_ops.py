@@ -548,3 +548,29 @@ def test_ivf_quantized_index_smaller_and_recall_held(spark, sf_dir, tmp_path):
         for r in ivf_query_index(spark, qidx, None, queries, k=5, nprobe=4).collect()
     }
     assert len(full & quant) / len(full) >= 0.9, (len(full & quant), len(full))
+
+
+def test_ivf_append_matches_quantized_layout(spark, sf_dir, tmp_path):
+    """Appending to a quantized index must append QUANTIZED rows (a float
+    append would silently corrupt the read schema); queries over the grown
+    index keep working and see every row."""
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        ivf_append_index,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "q")
+    ivf_write_index(emb, idx, n_centroids=16, train_iters=1, quantize=True)
+    extra = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding").limit(40)
+    ivf_append_index(extra, idx, None)
+
+    data = spark.read.parquet(idx)
+    assert set(data.columns) == {"vec_id", "scale", "q_bin", "_cell"}
+    assert data.count() == emb.count() + 40
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_query_index(spark, idx, None, queries, k=5, nprobe=4)
+    assert out.count() == 20
