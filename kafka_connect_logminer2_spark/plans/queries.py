@@ -1879,8 +1879,12 @@ def q57_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     pmi(x,y) = ln( p(xy) / (p(x)p(y)) ) over word bigrams, keeping pairs
     seen >= 5 times. Bigrams come from the zip_with shifted-slice expansion
     (word_ngrams) — no per-element recompute — and both totals ride along
-    as broadcast scalars; two hash aggregates + one join on the unigram
-    key, all partial-aggregated."""
+    as broadcast scalars (1 row each). The unigram sides are VOCABULARY-
+    sized — hundreds of millions of rows at 100 TB — so they carry NO
+    broadcast hint: both are hash-partitioned on the token by their own
+    aggregates, so each join is a single exchange of the (already reduced)
+    bigram side, and Catalyst/AQE still picks broadcast when the vocab is
+    genuinely small (the plan audit pins the absence of a forced hint)."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
     uni = (
@@ -1902,8 +1906,8 @@ def q57_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         bi.filter(F.col("cxy") >= 5)
         .withColumn("x", F.split_part("bigram", F.lit(" "), F.lit(1)))
         .withColumn("y", F.split_part("bigram", F.lit(" "), F.lit(2)))
-        .join(F.broadcast(ux), "x")
-        .join(F.broadcast(uy), "y")
+        .join(ux, "x")
+        .join(uy, "y")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .withColumn(

@@ -9,8 +9,13 @@ Already covered elsewhere in plans/queries.py: Q1 (q01), Q4 (q69), Q13 (q71),
 Q18 (q70), Q22 (q72).
 
 Scale notes (100 TB design stance, applied per query below):
-- supplier/nation/region and filtered part slices are true dimensions →
-  explicit ``F.broadcast``;
+- nation/region (fixed 25/5 rows) are true dimensions → explicit
+  ``F.broadcast``;
+- part/supplier/customer slices grow linearly with scale factor → every
+  hint on them is SIZE-GATED via ``broadcast_if_small`` (operators/
+  hints.py): the hint fires at test/bench scale (plan audits pin the
+  all-broadcast star shape) but past 256 MiB the join falls back to
+  Catalyst's statistics-driven choice instead of OOMing the cluster;
 - customer/orders joins are left unhinted so AQE picks broadcast at small SF
   but falls back to shuffle on a real cluster;
 - aggregate-before-dimension-join wherever the group count is bounded by a
@@ -24,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.hints import broadcast_if_small
 from ..sources.tables import load_table
 
 
@@ -57,7 +63,7 @@ def q73_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "c_nationkey"
     )
     return (
-        l.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(broadcast_if_small(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(ocust, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
@@ -126,7 +132,7 @@ def q75_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "cust_nation"
     )
     return (
-        l.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(broadcast_if_small(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(ocust, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
@@ -182,8 +188,8 @@ def q76_market_share(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "supp_nation")
     vol = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "supp_nation", _rev().alias("volume"))
     )
     return (
@@ -236,8 +242,8 @@ def q77_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     amount = _rev() - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "n_name", amount.alias("amount"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
@@ -307,7 +313,7 @@ def q79_promo_effect(spark: SparkSession, sf: str) -> DataFrame:
     )
     p = load_table(spark, sf, "part").select("p_partkey", "p_type")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -343,7 +349,7 @@ def q80_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -374,12 +380,12 @@ def q81_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .select("p_partkey")
     )
     l = load_table(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    lp = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    lp = l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
     lim = lp.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
     )
     return (
-        lp.join(F.broadcast(lim), F.col("l_partkey") == F.col("lim_partkey"))
+        lp.join(broadcast_if_small(lim), F.col("l_partkey") == F.col("lim_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -418,7 +424,7 @@ def q82_discount_revenue(spark: SparkSession, sf: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return l.join(F.broadcast(p), cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    return l.join(broadcast_if_small(p), cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
 
 
 Q82_SQL = """
@@ -446,8 +452,8 @@ def q83_parts_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
     )
     bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(broadcast_if_small(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -481,7 +487,7 @@ def q84_potential_promo(spark: SparkSession, sf: str) -> DataFrame:
     # scan+join+agg subtree (the naive two-aggregate formulation physically
     # duplicated the whole chain — caught by the plan audit).
     sp = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
@@ -540,7 +546,7 @@ def q85_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .join(l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -578,8 +584,8 @@ def q86_min_acct_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        l.join(F.broadcast(sr), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(broadcast_if_small(sr), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -617,7 +623,7 @@ def q90_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         l.join(
-            o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+            o.join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey")).select(
                 "o_orderkey", "o_orderdate", "o_orderpriority"
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -654,7 +660,7 @@ def q91_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey"
     )
     per_part = (
-        l.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(broadcast_if_small(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
     )

@@ -197,12 +197,46 @@ def test_funnel_two_exchanges(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_pmi_broadcasts_unigram_sides(spark, sf_dir):
-    """q57's unigram/total sides are vocabulary-sized, tiny next to the
-    bigram relation — every join must broadcast."""
-    plan = plan_of(QUERY_REGISTRY["q57_pmi_collocations"][0](spark, sf_dir))
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+def test_pmi_no_forced_vocab_broadcast(spark, sf_dir):
+    """q57's unigram sides are VOCABULARY-sized (hundreds of millions of
+    rows at 100 TB) — a forced broadcast hint on them is a driver/executor
+    OOM at scale. Only the two 1-row totals may carry a hint; the unigram
+    joins stay statistics-driven (AQE still broadcasts them at test scale,
+    which is fine — the hazard is the unconditional hint, not the runtime
+    choice)."""
+    df = QUERY_REGISTRY["q57_pmi_collocations"][0](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly the two scalar totals are hinted — not ux/uy
+    assert logical.count("ResolvedHint") == 2
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_broadcast_if_small_gates_on_catalyst_estimate(spark, sf_dir):
+    """The size-gated hint helper: at fixture scale the hint fires (plan
+    audits downstream rely on the pinned all-broadcast star shape); with a
+    synthetic 1-byte threshold the SAME relation comes back unhinted, so a
+    join against it falls back to Catalyst's statistics-driven choice —
+    the behavior a 20-billion-row part table needs at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.operators.hints import (
+        broadcast_if_small,
+        plan_size_bytes,
+    )
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    assert plan_size_bytes(part) > 0
+    hinted = broadcast_if_small(part)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    over = broadcast_if_small(part, max_bytes=1)
+    assert "ResolvedHint" not in over._jdf.queryExecution().analyzed().toString()
+    # and the gated fallback join is still a legal plan (no hint anywhere)
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    j = l.join(over, F.col("l_partkey") == F.col("p_partkey"))
+    assert "ResolvedHint" not in j._jdf.queryExecution().analyzed().toString()
 
 
 def test_tpch_q74_pure_scan_aggregate(spark, sf_dir):

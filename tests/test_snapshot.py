@@ -561,6 +561,111 @@ def test_bucketed_snapshot_ddl_schema_evolution(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b", 7)}
 
 
+def test_bucketed_compaction_preserves_mixed_ddl_schemas(spark, tmp_path):
+    """Compaction's single-job staging read spans stale buckets at DIFFERENT
+    batch versions; an add-only DDL between those versions leaves mixed
+    parquet file schemas in one read. Without mergeSchema the inferred
+    schema comes from an arbitrary file — a column added by the DDL can be
+    silently dropped from the buckets that carry it, and the loss is then
+    PERSISTED into v=<last> (silent snapshot corruption; null-backfill at
+    read time can't recover a value that was thrown away at write time).
+
+    Fixture: b0 inserts keys 1 (bucket 2) and 11 (bucket 7) pre-DDL; b1
+    adds C_TIER and inserts key 2 (bucket 5) with tier 7; b2 updates key 11
+    only. The stale set is then {bucket 2 @ v0 (no C_TIER in file), bucket
+    5 @ v1 (C_TIER=7)} — exactly the mixed-schema staging read."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+    from kafka_connect_logminer2_spark.streaming.snapshot import (
+        compact_snapshot_bucketed,
+        read_snapshot_bucketed,
+        write_snapshot_bucketed,
+        _last_committed_batch,
+    )
+
+    tmp = str(tmp_path)
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v1 = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+    ]
+    v2 = v1 + [mk("C_TIER", data_type="NUMBER", data_precision=4)]
+    reg = SchemaRegistry()
+    reg.register(v1)
+    reg._loader = lambda o, t: v2 if (o, t) == ("TPCH", "CUSTOMER") else None
+
+    INS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME") values ({k},\'a\')'
+    INS3 = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_TIER")'
+        " values ({k},'b',7)"
+    )
+    UPD = (
+        'update "TPCH"."CUSTOMER" set "C_NAME" = \'z\' '
+        'where "C_CUSTKEY" = 11 and "C_NAME" = \'a\''
+    )
+    # batch 0: pre-DDL inserts → buckets 2 (key 1) and 7 (key 11) at v=0
+    b0 = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=11), row_id="r2"),
+        dict(scn=4, operation="COMMIT", xid="A", commit_scn=4),
+    ]
+    # batch 1: DDL + post-DDL insert key 2 → bucket 5 at v=1 WITH C_TIER
+    b1 = [
+        dict(scn=5, operation="START", xid="D"),
+        dict(scn=6, operation="DDL", xid="D", table_name="CUSTOMER",
+             sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)"),
+        dict(scn=7, operation="COMMIT", xid="D", commit_scn=7),
+        dict(scn=8, operation="START", xid="B"),
+        dict(scn=9, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS3.format(k=2), row_id="r3"),
+        dict(scn=10, operation="COMMIT", xid="B", commit_scn=10),
+    ]
+    # batch 2: update key 11 → bucket 7 fresh at v=2; buckets 2 (pre-DDL
+    # file schema, no C_TIER) and 5 (post-DDL, C_TIER=7) are the stale mix
+    b2 = [
+        dict(scn=11, operation="START", xid="C"),
+        dict(scn=12, operation="UPDATE", xid="C", table_name="CUSTOMER",
+             sql_redo=UPD, row_id="r2"),
+        dict(scn=13, operation="COMMIT", xid="C", commit_scn=13),
+    ]
+    path = _stage_batches(spark, tmp, [b0, b1, b2])
+    q = write_snapshot_bucketed(
+        cdc_stream(
+            read_redo_stream_files(spark, path, max_files_per_trigger=1),
+            default_config(),
+        ),
+        reg, "TPCH", "CUSTOMER", ["C_CUSTKEY"],
+        f"{tmp}/snap", f"{tmp}/ckpt", num_buckets=8,
+    )
+    assert q.awaitTermination(300)
+
+    snap = f"{tmp}/snap"
+    last = _last_committed_batch(snap)
+    # precondition: the stale set must really mix one pre-DDL and one
+    # post-DDL bucket version, with the pre-DDL dir sorting first (the
+    # ordering that makes schema inference pick the C_TIER-less file)
+    versions = {
+        d: latest_version(os.path.join(snap, d), below=last + 1)
+        for d in sorted(os.listdir(snap))
+        if d.startswith("b=")
+    }
+    stale = {d: v for d, v in versions.items() if v != last}
+    assert sorted(stale.items()) == [("b=2", 0), ("b=5", 1)]
+
+    assert compact_snapshot_bucketed(spark, snap) == last
+    got = {
+        r.C_CUSTKEY: (r.C_NAME, r.C_TIER)
+        for r in read_snapshot_bucketed(spark, f"{tmp}/snap").collect()
+    }
+    # key 2's C_TIER=7 must survive compaction — the mergeSchema guard
+    assert got == {1: ("a", None), 2: ("b", 7), 11: ("z", None)}
+
+
 def test_bucketed_snapshot_rejects_num_buckets_change(spark, tmp_path):
     """pmod(xxhash64(pk), N) remaps every key if N changes: resuming an
     existing snapshot dir with a different bucket count must fail fast
