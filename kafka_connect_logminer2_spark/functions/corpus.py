@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from . import dedup as D
-from .sharding import knuth_bucket, shard_export
+from .sharding import knuth_bucket, shard_export, two_level_cumsum
 
 
 def corpus_pipeline(
@@ -68,19 +68,12 @@ def corpus_pipeline(
         .localCheckpoint(eager=False)  # feeds packing + sharding + ledger
     )
 
-    wpack = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # packing cumsum via the exact two-level decomposition — a naive
+    # per-source window would sort each source in ONE task (parallelism =
+    # n_sources at 100 TB); identical bin ids, audited sort width
     bins = (
-        train.withColumn(
-            "bin",
-            F.floor(
-                F.coalesce(F.sum("n_tok_ws").over(wpack), F.lit(0))
-                / F.lit(pack_tokens)
-            ),
-        )
+        two_level_cumsum(train, "source", "doc_id", "n_tok_ws")
+        .withColumn("bin", F.floor(F.col("cum_excl") / F.lit(pack_tokens)))
         .groupBy("source", "bin")
         .agg(F.sum("n_tok_ws").alias("bt"))
     )

@@ -159,7 +159,7 @@ def dup_clusters(
     pairs: DataFrame,
     id1_col: str = "doc_id1",
     id2_col: str = "doc_id2",
-    max_iter: int = 20,
+    max_iter: int = 64,
     driver_max_edges: int | None = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id, cluster_id)
@@ -167,40 +167,47 @@ def dup_clusters(
 
     SIZE-ADAPTIVE: after a dedup threshold, the pair graph is usually tiny
     relative to the corpus (edges ∝ true duplicates, not documents) — when
-    it fits the driver (≤ ``driver_max_edges``; 5M edges ≈ 80 MB), a plain
-    union-find resolves components in one pass with zero extra shuffles,
-    replacing rounds of join+groupBy. Above the bound, iterative min-label
-    propagation (the alternating small-star idea in its simplest form):
-    each round every node adopts the min label among itself and its
-    neighbors; converges in O(component diameter) rounds, one shuffle per
-    round, ``localCheckpoint`` truncating the lineage. Identical output by
-    construction (min-label union-find == converged propagation); the skew
-    test and the q38/q118/q119 oracles hold for both paths.
+    it fits the driver (≤ ``driver_max_edges``), the edge list is collected
+    COLUMNAR (Arrow → two int64 numpy arrays; 5M edges = 80 MB of buffers,
+    never 5M boxed Row objects) and resolved by vectorized min-label
+    propagation with pointer doubling — O(E) numpy work per pass, O(log
+    diameter) passes, zero extra shuffles. Above the bound, the same
+    algorithm distributed: each round every node adopts the min label among
+    itself, its neighbors, AND its label's own label (the shortcutting
+    join), so convergence is O(log diameter) rounds — one extra tiny join
+    per round buys chain graphs that plain neighbor-propagation would need
+    diameter rounds for. Runs TO FIXPOINT; ``max_iter`` (64 ≥ log2 of any
+    representable component) is a safety valve that RAISES rather than
+    silently returning unconverged labels (wrong cluster ids would leak
+    straight into q118's train/eval split). Identical output on both paths
+    (min-label fixpoint == union-find); the skew test, the forced-
+    distributed chain property test, and the q38/q118/q119 oracles hold
+    for both.
     """
     e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
     e = e.localCheckpoint(eager=False)  # count + (collect|iterate) reuse it
     if driver_max_edges is not None and e.count() <= driver_max_edges:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in e.collect():
-            a, b = row["src"], row["dst"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:  # union by MIN root — cluster_id is the min member
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = [(x, find(x)) for x in parent]
+        pdf = e.toPandas()  # Arrow path: columnar, no per-row boxing
+        src = pdf["src"].to_numpy(dtype=np.int64, copy=False)
+        dst = pdf["dst"].to_numpy(dtype=np.int64, copy=False)
+        ids = np.unique(np.concatenate([src, dst])) if len(src) else np.empty(
+            0, dtype=np.int64
+        )
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        # labels[k] = compact index of the minimum-id node reachable so far
+        # (ids is sorted, so min compact index == min doc id)
+        labels = np.arange(len(ids), dtype=np.int64)
+        while True:
+            prev = labels.copy()
+            np.minimum.at(labels, si, labels[di])
+            np.minimum.at(labels, di, labels[si])
+            labels = labels[labels]  # pointer doubling
+            if np.array_equal(labels, prev):
+                break
+        out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[labels]})
         return pairs.sparkSession.createDataFrame(
-            rows, "doc_id long, cluster_id long"
+            out, schema="doc_id long, cluster_id long"
         )
 
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -219,9 +226,23 @@ def dup_clusters(
             .groupBy("id")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+        # shortcutting: label ← label[label]. Every label IS a node id, so
+        # the self-join always resolves; this is what turns O(diameter)
+        # propagation into O(log diameter) — a 10^6-long chain converges in
+        # ~20 rounds instead of 10^6.
+        lab2 = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped.label == lab2._lid, "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("_llabel", "label")).alias("label"),
+            )
             .localCheckpoint(eager=False)
         )
         changed = (
@@ -233,8 +254,14 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} shortcutted rounds — "
+        "a component needs > 2^64-ish diameter, which indicates a bug, "
+        "never silently return wrong cluster ids"
+    )
 
 
 def minhash_neardup_pairs(

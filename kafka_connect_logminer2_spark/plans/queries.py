@@ -36,6 +36,7 @@ from ..functions.sharding import (  # noqa: F401
     knuth_bucket_sql,
     shard_export,
     shard_ranked,
+    two_level_cumsum,
     two_level_pos,
 )
 
@@ -1602,21 +1603,19 @@ FROM per GROUP BY doc_id
 def q51_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing for training: concatenate each source's docs in
     doc_id order and cut 2048-token context windows — bin id is the exclusive
-    running token sum div the budget, a single window cumsum (one shuffle on
-    source, sort within partitions). Deterministic: the packing never changes
-    under re-partitioning, so shard manifests are reproducible."""
+    running token sum div the budget. The running sum is the TWO-LEVEL
+    decomposition (two_level_cumsum): a naive per-source window would sort
+    every document of a source in one task, capping a 100 TB pack at
+    n_sources cores — the same ceiling class the shard rank hit in r2. The
+    decomposition is exact, so bin ids (and this oracle) are unchanged.
+    Deterministic: the packing never changes under re-partitioning, so
+    shard manifests are reproducible."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    binned = toks.withColumn(
-        "bin",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048)),
+    binned = two_level_cumsum(toks, "source", "doc_id", "n_tokens").withColumn(
+        "bin", F.floor(F.col("cum_excl") / F.lit(2048))
     )
     return binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4450,22 +4449,21 @@ def q117_pack_assemble(spark: SparkSession, sf: str) -> DataFrame:
     concatenation order and separator are pinned exactly, not just the bin
     membership. One shuffle on (source, bin): texts travel once, the
     per-bin sort happens on collected structs inside the hash aggregate
-    (array_sort), not as a global sort."""
+    (array_sort), not as a global sort. Binning uses the exact two-level
+    running-sum decomposition (two_level_cumsum) so the sort stage runs at
+    (source, block) width, never one task per source."""
     docs = load_table(spark, sf, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    binned = docs.select(
-        "doc_id",
+    binned = two_level_cumsum(
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        ),
         "source",
-        "text",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
-    ).withColumn(
-        "bin",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048)),
-    )
+        "doc_id",
+        "n_tokens",
+    ).withColumn("bin", F.floor(F.col("cum_excl") / F.lit(2048)))
     packed = binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),

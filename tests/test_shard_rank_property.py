@@ -64,3 +64,46 @@ def test_two_level_rank_equals_global_rank(spark, ids, n_shards):
         int(r.doc_id): (int(r.shard), int(r.pos)) for r in ref.itertuples()
     }
     assert got == expected
+
+
+cum_ids = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        # dense small ids → many rows per block
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=cum_ids, block_size=st.sampled_from([1, 7, 4096]))
+def test_two_level_cumsum_equals_naive_window(spark, ids, block_size):
+    """The packing prefix-sum decomposition (two_level_cumsum) must be
+    EXACT for any distinct int64 order keys — negatives (floor-division
+    blocks), sparse ids (singleton blocks), dense ids (multi-row blocks),
+    and any block size including 1 — matching the naive single-window
+    running sum computed independently in pandas."""
+    from kafka_connect_logminer2_spark.functions.sharding import two_level_cumsum
+
+    rows = [(i, f"src{abs(i) % 3}", abs(i) % 97 + 1) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    got = {
+        r["doc_id"]: r["cum_excl"]
+        for r in two_level_cumsum(
+            df, "source", "doc_id", "v", block_size=block_size
+        ).collect()
+    }
+
+    ref = pd.DataFrame(rows, columns=["doc_id", "source", "v"]).sort_values(
+        ["source", "doc_id"], kind="mergesort"
+    )
+    ref["cum_excl"] = ref.groupby("source")["v"].cumsum() - ref["v"]
+    expected = {int(r.doc_id): int(r.cum_excl) for r in ref.itertuples()}
+    assert got == expected
