@@ -1,4 +1,4 @@
-"""Engine configuration — mirrors the reference's 17-key config surface.
+"""Engine configuration — mirrors the reference's full 19-key config surface.
 
 Reference: OracleSourceConnectorConfig2.java:13-84 (key names kept verbatim,
 dots → underscores in attribute names). Keys that are Oracle-connection
@@ -34,6 +34,7 @@ class EngineConfig:
       dml_types             ← dml.types  csv of INSERT/UPDATE/DELETE
       map_unescaped_strings ← map.unescaped.strings (Issue #71 behavior)
       heartbeat_table       ← heartbeat.table
+      using_cm              ← using.cm (OracleSourceConnectorConfig2.java:30)
     """
 
     name: str = "logminer"
@@ -54,6 +55,11 @@ class EngineConfig:
     dml_types: str = "INSERT,UPDATE,DELETE"
     map_unescaped_strings: bool = True
     heartbeat_table: str = ""
+    # CONTINUOUS_MINE selection (reference OracleSourceConnectorConfig2.java:30,
+    # consumed at OracleSourceTask2.java:127-131): the CM path is taken only
+    # when this is true AND the source DB version predates Oracle 19c's CM
+    # de-support — connector.cm_path_selected owns that fork
+    using_cm: bool = False
 
     # Spark-engine additions (what the reference lacks — SURVEY §7 hard part 6)
     txn_state_timeout_ms: int = 3_600_000  # evict abandoned XIDs after 1 h

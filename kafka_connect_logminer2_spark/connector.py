@@ -43,6 +43,47 @@ class ConfigError(ValueError):
 
 REQUIRED_PROPS = ("db.name", "table.whitelist")  # OracleSourceConnector2.java:23-36
 
+# Oracle 19c de-supported CONTINUOUS_MINE (OracleConnectorSchema.java:65)
+ORA_DESUPPORT_CM_VERSION = 190000
+
+
+def db_version_number(version: str) -> int:
+    """Engine twin of the reference's DB-version probe
+    (OracleConnectorSQL2.java:14: ``select to_number(replace(version,'.',''))
+    from v$instance``): '18.4.0.0.0' → 184000... i.e. digits concatenated.
+    The Spark engine has no live Oracle connection; the caller passes the
+    probed version string through start()."""
+    return int(version.replace(".", ""))
+
+
+def cm_path_selected(config: EngineConfig, db_version: int | None) -> bool:
+    """The reference's fork, verbatim semantics (OracleSourceTask2.java:
+    127-131): the CONTINUOUS_MINE path is taken only when ``using.cm`` is
+    set AND the DB version predates the de-support cut — otherwise the
+    de-support (streaming-assembly) path runs. ``None`` version (no probe
+    available) trusts the config flag alone."""
+    if not config.using_cm:
+        return False
+    return db_version is None or db_version < ORA_DESUPPORT_CM_VERSION
+
+
+class _CompletedBatch:
+    """Query-handle shim for the CM fork: the bounded COMMITTED_DATA_ONLY
+    batch finishes inside start(), so the handle is already terminal —
+    awaitTermination/stop are no-ops with streaming-compatible shapes."""
+
+    def __init__(self) -> None:
+        import uuid
+
+        self.id = uuid.uuid4()
+        self.isActive = False
+
+    def awaitTermination(self, timeout: float | None = None) -> bool:
+        return True
+
+    def stop(self) -> None:
+        return None
+
 
 class LogMinerConnector:
     """Lifecycle wrapper tying config → offset resolution → manifest →
@@ -75,10 +116,19 @@ class LogMinerConnector:
         current_offset: int | None = None,
         max_files_per_trigger: int | None = None,
         scn_range_size: int | None = None,
+        db_version: str | None = None,
     ):
         """Begin mining ``source_path`` (a directory of SCN-ordered redo
         parquet files) into per-table typed sinks under ``out_dir``.
-        Returns the StreamingQuery handle."""
+        Returns the StreamingQuery handle.
+
+        The CM/non-CM fork is CONFIG-DRIVEN, matching the reference
+        (OracleSourceTask2.java:127-131): ``using.cm=true`` plus a DB
+        version below the 19c de-support cut (``db_version`` carries the
+        probed ``v$instance`` version string; None trusts the flag) routes
+        the bounded COMMITTED_DATA_ONLY batch path — no assembly, the
+        input is already commit-ordered — writing the same per-table typed
+        sinks and returning an already-terminal handle."""
         from .streaming.pipeline import cdc_stream, read_redo_stream_files, write_per_table
 
         self.resolved = resolve_start_scn(self.config, stored_offset, current_offset)
@@ -86,6 +136,12 @@ class LogMinerConnector:
         write_run_manifest(self.spark, self.config, meta_dir, self.resolved.scn)
         self._listener = StatusListener(self.spark, self.config, meta_dir)
         self._listener.register()
+
+        if cm_path_selected(
+            self.config, None if db_version is None else db_version_number(db_version)
+        ):
+            self.query = self._run_cm_path(source_path, registry, out_dir)
+            return self.query
 
         stream = read_redo_stream_files(self.spark, source_path, max_files_per_trigger)
         if self.resolved.scn:
@@ -184,6 +240,42 @@ class LogMinerConnector:
             writer = writer.trigger(availableNow=True)
         self.query = writer.start()
         return self.query
+
+    def _run_cm_path(
+        self, source_path: str, registry: SchemaRegistry, out_dir: str
+    ) -> "_CompletedBatch":
+        """The config-selected CM fork inside start(): read the bounded
+        COMMITTED_DATA_ONLY redo directory as a batch, apply the A4
+        skip-replay bound, and land the same per-table typed sinks
+        write_per_table maintains (``out_dir/OWNER.TABLE``)."""
+        from pyspark.sql import functions as F
+
+        from .operators.schema_registry import apply_table_schema
+        from .plans.cdc import cdc_envelope_cm
+
+        redo = self.spark.read.parquet(source_path)
+        if self.resolved.scn:
+            redo = redo.filter(F.col("scn") > self.resolved.scn)
+        envelope = cdc_envelope_cm(redo, self.config)
+        # bounded collect: one row per mined table, never per event
+        tables = [
+            (r["SEG_OWNER"], r["TABLE_NAME"])
+            for r in envelope.select("SEG_OWNER", "TABLE_NAME").distinct().collect()
+        ]
+        for owner, table in sorted(tables):
+            if not registry.ensure(owner, table):
+                continue
+            typed = apply_table_schema(
+                envelope.filter(
+                    (F.col("SEG_OWNER") == owner) & (F.col("TABLE_NAME") == table)
+                ),
+                registry,
+                owner,
+                table,
+                float64_numbers=self.config.float64_numbers,
+            )
+            typed.write.mode("append").parquet(f"{out_dir}/{owner}.{table}")
+        return _CompletedBatch()
 
     def run_cm_batch(self, redo, registry: SchemaRegistry, owner: str, table: str):
         """The CM fork (Oracle <19c, OracleSourceTask2.java:207-214):

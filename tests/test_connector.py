@@ -109,6 +109,84 @@ def test_connector_resume_skips_delivered_scns(spark, sf_dir, tmp_path):
     assert got.agg({"SCN": "min"}).collect()[0][0] > cutoff
 
 
+def test_using_cm_config_key_parses(spark):
+    from kafka_connect_logminer2_spark.config import EngineConfig
+
+    assert EngineConfig.from_connect_map({"using.cm": "true"}).using_cm is True
+    assert EngineConfig.from_connect_map({"using.cm": "false"}).using_cm is False
+    assert EngineConfig().using_cm is False
+
+
+def test_cm_fork_decision_matches_reference():
+    """cm_path_selected mirrors OracleSourceTask2.java:127-131 exactly:
+    CM only when using.cm AND version < 190000 (OracleConnectorSchema.java:
+    65); the version number is the probe SQL's to_number(replace(...))."""
+    from kafka_connect_logminer2_spark.config import EngineConfig
+    from kafka_connect_logminer2_spark.connector import (
+        cm_path_selected,
+        db_version_number,
+    )
+
+    assert db_version_number("18.4.0.0.0") == 184000
+    assert db_version_number("19.0.0.0.0") == 190000
+    on, off = EngineConfig(using_cm=True), EngineConfig(using_cm=False)
+    assert cm_path_selected(on, 184000) is True
+    assert cm_path_selected(on, 190000) is False  # de-supported at 19c
+    assert cm_path_selected(on, None) is True  # no probe → trust the flag
+    assert cm_path_selected(off, 184000) is False
+    assert cm_path_selected(off, None) is False
+
+
+def test_connector_start_using_cm_routes_batch_path(spark, sf_dir, tmp_path):
+    """using.cm=true + pre-19c version: start() itself must route the CM
+    bounded batch (config-driven, not method-selected — the reference's
+    fork is in task start), landing the same per-table typed sink the
+    streaming path writes and returning an already-terminal handle."""
+    tmp = str(tmp_path)
+    redo_cm = redo_cm_inserts_from_customer(spark, sf_dir)
+    os.makedirs(f"{tmp}/redo")
+    redo_cm.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/redo")
+
+    conn = LogMinerConnector({**PROPS, "using.cm": "true"}, spark)
+    q = conn.start(
+        f"{tmp}/redo",
+        customer_registry(),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        db_version="18.4.0.0.0",
+    )
+    assert q.awaitTermination(300) and not q.isActive
+    conn.stop()
+
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    want = run_cdc_batch(redo_inserts_from_customer(spark, sf_dir))
+    a = sorted((r.SCN, r.data["C_CUSTKEY"]) for r in got.collect())
+    b = sorted((r.SCN, r.data["C_CUSTKEY"]) for r in want.collect())
+    assert a == b and len(a) > 0
+
+
+def test_connector_start_using_cm_desupported_version_streams(spark, sf_dir, tmp_path):
+    """using.cm=true but version ≥ 19c: the reference logs CM de-supported
+    and takes the non-CM path — start() must do the same (streaming
+    assembly, real StreamingQuery)."""
+    tmp = str(tmp_path)
+    redo = redo_inserts_from_customer(spark, sf_dir)
+    path = _stage(spark, redo, tmp)
+
+    conn = LogMinerConnector({**PROPS, "using.cm": "true"}, spark)
+    q = conn.start(
+        path,
+        customer_registry(),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        db_version="19.0.0.0.0",
+    )
+    assert q.awaitTermination(300)
+    conn.stop()
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    assert got.count() == run_cdc_batch(redo).count() > 0
+
+
 def test_connector_cm_fork_matches_batch(spark, sf_dir):
     """The CM path (Oracle <19c): no assembly, straight filters → parse →
     envelope → typed — must agree with the non-CM batch pipeline on the
