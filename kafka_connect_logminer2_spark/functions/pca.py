@@ -63,8 +63,12 @@ def gram_stats(
     )
     if not rows:
         raise ValueError("gram_stats: empty embedding corpus")
-    # combine in a deterministic order — float addition is not associative
-    rows = sorted(rows, key=lambda r: (r["n"], r["sums"][0]))
+    # combine in a TOTALLY-ordered sequence — float addition is not
+    # associative, and a partial key like (n, sums[0]) ties for symmetric/
+    # duplicated data, leaving tied partials in nondeterministic collect
+    # order; the full (n, sums, gram) tuple is a total key (two partials
+    # equal on all of it contribute identically, so their order is moot)
+    rows = sorted(rows, key=lambda r: (r["n"], tuple(r["sums"]), tuple(r["gram"])))
     d = len(rows[0]["sums"])
     gram = np.zeros((d, d))
     s = np.zeros(d)

@@ -4712,11 +4712,15 @@ def cdc16_streaming_model_stats(spark: SparkSession, sf: str) -> DataFrame:
     micro-batches, each folding its additive (Gram, Σx, N) into versioned
     state — the corpus is never re-scanned (the snapshot-MV contract
     applied to model state; fit_pca_from_stats turns any version into the
-    exact model). The ORACLE is relational: trace(X'X) = Σ x_ij² and the
-    element sum are plain SQL over the same table, so the streamed fold's
-    end state is value-hash checked — the cdc07 pattern for ML statistics.
-    Rounded to 2 dp: float addition order differs between the per-batch
-    folds and DuckDB's single pass (~1e-9 relative)."""
+    exact model). Two-layer check (the r3-advice fix for the rounding-
+    boundary flake class): (1) the streamed fold is verified IN-QUERY
+    against Spark's own one-pass relational trace/sum at 1e-6 relative
+    tolerance — a wrong fold raises, never silently passes; (2) the
+    CROSS-ENGINE columns are element-quantized integer sums
+    (Σ floor(x²·10⁶ + 0.5) as BIGINT) — integer addition is exact and
+    order-independent, so the oracle can never land on a float rounding
+    boundary (2-dp rounding of an order-dependent float sum could flip at
+    a .xx5 boundary under the ~1e-9 cross-engine drift)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -4745,9 +4749,47 @@ def cdc16_streaming_model_stats(spark: SparkSession, sf: str) -> DataFrame:
             q.stop()
             raise TimeoutError("cdc16: model-stats stream did not finish in 600s")
         gram, s, n = read_gram_state(spark, f"{tmp}/state")
+
+        # layer 1: streamed fold == one-pass relational, at float tolerance
+        sq = F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE)), 0D, (a, v) -> a + v)"
+        )
+        sm = F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), "
+            "0D, (a, v) -> a + v)"
+        )
+        micro_sq = F.expr(
+            "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT)), 0L, (a, v) -> a + v)"
+        )
+        micro_sm = F.expr(
+            "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1000000 + 0.5D) AS BIGINT)), 0L, (a, v) -> a + v)"
+        )
+        ref = emb.agg(
+            F.sum(sq).alias("tr"),
+            F.sum(sm).alias("sa"),
+            F.sum(micro_sq).alias("tr_micro"),
+            F.sum(micro_sm).alias("sa_micro"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        tr_state, sa_state = float(gram.trace()), float(s.sum())
+        for got, want, what in (
+            (tr_state, float(ref["tr"]), "gram trace"),
+            (sa_state, float(ref["sa"]), "element sum"),
+        ):
+            if abs(got - want) > 1e-6 * max(1.0, abs(want)):
+                raise RuntimeError(
+                    f"cdc16: streamed {what} {got} diverged from one-pass {want}"
+                )
+        if int(n) != int(ref["n"]):
+            raise RuntimeError(f"cdc16: streamed n {n} != one-pass {ref['n']}")
+
+        # layer 2: cross-engine columns — exact integer micro-sums
         return spark.createDataFrame(
-            [(int(n), round(float(gram.trace()), 2), round(float(s.sum()), 2))],
-            "n_vectors long, gram_trace double, sum_all double",
+            [(int(n), int(ref["tr_micro"]), int(ref["sa_micro"]))],
+            "n_vectors long, gram_trace_micro long, sum_all_micro long",
         ).localCheckpoint()
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -4755,11 +4797,13 @@ def cdc16_streaming_model_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 CDC16_SQL = """
 SELECT count(*) AS n_vectors,
-       round(sum(list_aggregate(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 2)
-         AS gram_trace,
-       round(sum(list_aggregate(list_transform(embedding,
-              x -> CAST(x AS DOUBLE)), 'sum')), 2) AS sum_all
+       CAST(sum(list_aggregate(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT)), 'sum')) AS BIGINT)
+         AS gram_trace_micro,
+       CAST(sum(list_aggregate(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+              'sum')) AS BIGINT) AS sum_all_micro
 FROM embeddings
 """
 
