@@ -52,9 +52,20 @@ def write_cdc_foreachbatch(
     config: EngineConfig | None = None,
     trigger_available_now: bool = True,
     pending_ttl_batches: int | None = None,
+    _fault_injector=None,
 ):
     """Streaming redo events → per-table typed parquet sinks, assembled at
-    batch speed (see module docstring). Returns the StreamingQuery."""
+    batch speed (see module docstring). Returns the StreamingQuery.
+
+    ``_fault_injector(point, batch_id)`` is a TEST hook invoked at the two
+    crash windows of the carry-over contract — ``after_sink`` (typed sinks
+    written, state not yet) and ``after_state`` (state written, checkpoint
+    not yet committed); raising from it simulates a kill at that instant.
+    The chaos test restarts from the checkpoint and must land byte-equal
+    to the uncrashed run: both windows re-run under the SAME batch_id,
+    re-read the same parent state (latest_version is strictly below
+    batch_id, so a half-written v=<batch_id> is never its own parent), and
+    overwrite their own outputs."""
     config = config or EngineConfig(table_whitelist="TPCH.*", db_name_alias="orcl")
     spark = redo_stream.sparkSession
 
@@ -103,6 +114,8 @@ def write_cdc_foreachbatch(
                     typed.write.mode("overwrite").parquet(
                         f"{out_dir}/{owner}.{table}/batch={batch_id}"
                     )
+                if _fault_injector is not None:
+                    _fault_injector("after_sink", batch_id)
 
                 pending = allrows.join(closed, "xid", "left_anti")
                 if pending_ttl_batches is not None:
@@ -112,6 +125,8 @@ def write_cdc_foreachbatch(
                         F.col("_first_batch") > batch_id - pending_ttl_batches
                     )
                 pending.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+                if _fault_injector is not None:
+                    _fault_injector("after_state", batch_id)
             finally:
                 envelope.unpersist()
         finally:

@@ -229,3 +229,82 @@ def test_fb_ddl_schema_evolution_mid_stream(spark, tmp_path):
     assert rows[1].data["C_NAME"] == "a"
     # the post-DDL row must carry the evolved column, typed
     assert rows[2].data["C_TIER"] == 7
+
+
+def _crash_at(point: str, batch_id: int):
+    """Fault injector raising at one (point, batch) — simulating a kill in
+    that crash window; the StreamingQuery fails and is restarted."""
+
+    def inject(p: str, b: int) -> None:
+        if p == point and b == batch_id:
+            raise RuntimeError(f"injected crash {point}@{b}")
+
+    return inject
+
+
+def _run_fb(spark, path, tmp, injector=None):
+    return write_cdc_foreachbatch(
+        read_redo_stream_files(spark, path, max_files_per_trigger=1),
+        customer_registry(),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        f"{tmp}/state",
+        default_config(),
+        _fault_injector=injector,
+    )
+
+
+def _await_failure(q, timeout=300):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        q.awaitTermination(timeout)
+        raise AssertionError("query should have failed on the injected crash")
+    except StreamingQueryException as e:
+        assert "injected crash" in str(e)
+
+
+def test_fb_chaos_kill_after_state_write_then_restart(spark, sf_dir, tmp_path):
+    """Kill between the carry-over state write and the checkpoint commit
+    (the 'after_state' window): on restart Structured Streaming re-runs the
+    SAME batch_id; the assembler must re-read the parent state STRICTLY
+    below it (never its own half-committed v=<id>) and overwrite its own
+    state + sink outputs — final typed rows byte-equal the batch truth."""
+    tmp = str(tmp_path)
+    redo = redo_inserts_from_customer(spark, sf_dir)
+    path = _stage(spark, redo, tmp, 4)
+
+    _await_failure(_run_fb(spark, path, tmp, _crash_at("after_state", 1)))
+    # the crash window is real: batch 1's state version landed...
+    assert os.path.isdir(f"{tmp}/state/v=1")
+    # ...but the restart re-runs batch 1 (checkpoint never saw it commit)
+    q2 = _run_fb(spark, path, tmp)
+    assert q2.awaitTermination(300)
+
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    assert _typed_rows(got) == _typed_rows(run_cdc_batch(redo))
+    # exactly one sink dir per batch — the re-run overwrote, not duplicated
+    bdirs = os.listdir(f"{tmp}/out/TPCH.CUSTOMER")
+    assert sorted(d for d in bdirs if d.startswith("batch=")) == [
+        "batch=0", "batch=1", "batch=2", "batch=3",
+    ]
+
+
+def test_fb_chaos_kill_after_sink_before_state_then_restart(spark, sf_dir, tmp_path):
+    """Kill between the sink write and the state write (the 'after_sink'
+    window): batch 1's typed output exists but its carry-over state does
+    not — the restart must regenerate BOTH from the parent state, and the
+    final rows still match the batch truth (no loss of the open
+    transactions that were only in the unwritten state)."""
+    tmp = str(tmp_path)
+    redo = redo_inserts_from_customer(spark, sf_dir)
+    path = _stage(spark, redo, tmp, 4)
+
+    _await_failure(_run_fb(spark, path, tmp, _crash_at("after_sink", 1)))
+    assert os.path.isdir(f"{tmp}/out/TPCH.CUSTOMER/batch=1")  # sink landed
+    assert not os.path.isdir(f"{tmp}/state/v=1")  # state did not
+    q2 = _run_fb(spark, path, tmp)
+    assert q2.awaitTermination(300)
+
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    assert _typed_rows(got) == _typed_rows(run_cdc_batch(redo))
