@@ -48,6 +48,36 @@ def annotate_transactions(redo: DataFrame) -> DataFrame:
     )
 
 
+def annotate_transactions_salted(redo: DataFrame, num_salts: int = 16) -> DataFrame:
+    """Skew-tolerant twin of :func:`annotate_transactions` — the route for
+    HOT transactions (one xid carrying a large fraction of the log: bulk
+    loads, batch jobs). The per-xid window puts every row of an xid in ONE
+    task; AQE's skew-join split never fires on this runtime (documented,
+    BASELINE.md), so a 10%-of-events xid is a 10%-of-data straggler task.
+
+    Here the per-xid facts are computed as a hash AGGREGATE — map-side
+    partial combine reduces the hot xid across every input partition, so
+    no task ever holds its full row set — and joined back with
+    operators/skew.salted_join, which spreads the hot xid's ROWS over
+    ``num_salts`` tasks (facts side replicated per salt). Value-identical
+    to the window annotate: per-xid max/conditional-max is the same
+    quantity either way (tests/test_skew_cdc.py pins equality and the
+    task-distribution bound)."""
+    from .skew import salted_join
+
+    is_commit = F.col("operation") == "COMMIT"
+    facts = redo.groupBy("xid").agg(
+        F.max(
+            F.when(is_commit, F.coalesce(F.col("commit_scn"), F.col("scn")))
+        ).alias("_commit_scn"),
+        F.max(F.when(is_commit, F.col("commit_timestamp"))).alias("_commit_ts"),
+        F.max((F.col("operation") == "ROLLBACK").cast("int")).alias("_has_rollback"),
+        F.max(F.coalesce(F.col("csf"), F.lit(False)).cast("int")).alias("_has_csf"),
+        F.max((F.col("rollback") == "1").cast("int")).alias("_has_partial"),
+    )
+    return salted_join(redo, facts, ["xid"], "inner", num_salts)
+
+
 def _repair_partial_rollbacks(dml: DataFrame) -> DataFrame:
     """A16: inside a committed txn, each ``rollback='1'`` row is dropped along
     with its predecessor (the change it undoes), in redo order.
@@ -70,13 +100,20 @@ def _repair_partial_rollbacks(dml: DataFrame) -> DataFrame:
     return marked.filter((F.col("_has_partial") == 0) | ~is_dropped).drop("_next_rb")
 
 
-def assemble_transactions(redo: DataFrame) -> DataFrame:
+def assemble_transactions(redo: DataFrame, skew_salts: int | None = None) -> DataFrame:
     """Bounded-log transaction assembly: returns committed DML rows with
     ``commit_scn``/``commit_timestamp`` stamped, rollback transactions
     discarded, partial-rollback pairs repaired, CSF fragments merged.
 
     Input: redo-event rows (FIXTURES.md §2.1 schema). Output: DMLRow-shaped
     rows (models/DMLRow.java:5-34) ready for parse + envelope projection.
+
+    ``skew_salts``: route the per-xid fact annotation through the salted
+    aggregate+join (:func:`annotate_transactions_salted`) instead of the
+    single-pass window — same values, hot-xid rows spread over that many
+    tasks. Use when one transaction carries a large share of the log
+    (AQE's skew split never fires on this runtime); default None keeps the
+    one-exchange window plan, which is cheaper on balanced logs.
 
     PRECONDITION: each xid identifies at most one transaction in the bounded
     log (Oracle xids are ``usn.slt.sqn`` with a monotone sequence, so this
@@ -85,7 +122,11 @@ def assemble_transactions(redo: DataFrame) -> DataFrame:
     streaming assembler (streaming/transactions.py) handles even that case
     exactly; use it for non-Oracle sources without the uniqueness guarantee.
     """
-    ann = annotate_transactions(redo)
+    ann = (
+        annotate_transactions(redo)
+        if skew_salts is None
+        else annotate_transactions_salted(redo, skew_salts)
+    )
     dml = (
         ann.filter(F.col("operation").isin(*DML_OPS))
         .filter(junk_row_predicate())

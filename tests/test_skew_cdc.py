@@ -1,0 +1,176 @@
+"""CDC assembly under TRANSACTION skew (operators/transactions.py): one
+giant xid carrying ~10% of the log. AQE's skew-join split never fires on
+this runtime (documented, BASELINE.md), so the per-xid window makes that
+xid a 10%-of-data straggler task. annotate_transactions_salted is the
+explicit route: per-xid facts as a partial-combined hash aggregate +
+salted join back — value-identical output, hot rows spread over the salt
+fan-out. These tests pin (a) equality with the window path on realistic
+mixed logs and (b) the task-distribution bound that IS the skew claim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.operators.transactions import (
+    annotate_transactions,
+    annotate_transactions_salted,
+    assemble_transactions,
+)
+from kafka_connect_logminer2_spark.sources.redo import (
+    redo_events_from_rows,
+    redo_inserts_from_customer,
+)
+
+INS = 'insert into "TPCH"."CUSTOMER"("C_CUSTKEY") values ({k})'
+
+
+def _skewed_redo(spark, n_events=120_000, hot_frac=0.10, n_cold_txns=4000):
+    """Synthetic redo log: one 'HOT' xid holds ``hot_frac`` of all DML;
+    the rest spreads evenly over ``n_cold_txns`` committed transactions."""
+    n_hot = int(n_events * hot_frac)
+    n_cold = n_events - n_hot
+    base = (
+        "cast(null as long) as commit_scn",
+        "timestamp_ntz'2026-01-01' as timestamp",
+        "cast(null as timestamp_ntz) as commit_timestamp",
+        "'TPCH' as seg_owner",
+        "'CUSTOMER' as table_name",
+        "'U' as username",
+        "concat('insert into \"TPCH\".\"CUSTOMER\"(\"C_CUSTKEY\") values (', id, ')') as sql_redo",
+        "concat('r', id) as row_id",
+        "false as csf",
+        "'0' as rollback",
+        "0 as rbasqn",
+        "concat('rs', id) as rs_id",
+        "cast(null as string) as info",
+    )
+    hot = spark.range(n_hot).selectExpr(
+        "id + 1 as scn", "'HOT' as xid", "'INSERT' as operation", *base
+    )
+    cold = spark.range(n_cold).selectExpr(
+        f"id + {n_hot + 10} as scn",
+        f"concat('C', id % {n_cold_txns}) as xid",
+        "'INSERT' as operation",
+        *base,
+    )
+    commit_base = (
+        "timestamp_ntz'2026-01-01' as timestamp",
+        "timestamp_ntz'2026-01-01' as commit_timestamp",
+        "cast(null as string) as seg_owner",
+        "cast(null as string) as table_name",
+        "'U' as username",
+        "cast(null as string) as sql_redo",
+        "cast(null as string) as row_id",
+        "false as csf",
+        "'0' as rollback",
+        "0 as rbasqn",
+        "cast(null as string) as rs_id",
+        "cast(null as string) as info",
+    )
+    commits = spark.range(n_cold_txns).selectExpr(
+        f"id + {n_events + 100} as scn",
+        f"id + {n_events + 100} as commit_scn",
+        f"concat('C', id) as xid",
+        "'COMMIT' as operation",
+        *commit_base,
+    ).unionByName(
+        spark.range(1).selectExpr(
+            f"{2 * n_events + 1000} as scn",
+            f"{2 * n_events + 1000} as commit_scn",
+            "'HOT' as xid",
+            "'COMMIT' as operation",
+            *commit_base,
+        )
+    )
+    cols = [
+        "scn", "commit_scn", "xid", "timestamp", "commit_timestamp",
+        "operation", "seg_owner", "table_name", "username", "sql_redo",
+        "row_id", "csf", "rollback", "rbasqn", "rs_id", "info",
+    ]
+    return hot.select(cols).unionByName(cold.select(cols)).unionByName(
+        commits.select(cols)
+    )
+
+
+def _assembled_rows(df):
+    return sorted(
+        (r["scn"], r["xid"], r["commit_scn"], r["operation"], r["row_id"])
+        for r in df.select("scn", "xid", "commit_scn", "operation", "row_id").collect()
+    )
+
+
+def test_salted_assembly_equals_window_on_fixture(spark, sf_dir):
+    """Value identity on the realistic fixture log (commits, multiple
+    tables, per-txn metadata): every committed DML row bit-equal."""
+    redo = redo_inserts_from_customer(spark, sf_dir)
+    a = _assembled_rows(assemble_transactions(redo))
+    b = _assembled_rows(assemble_transactions(redo, skew_salts=16))
+    assert a == b and len(a) > 0
+
+
+def test_salted_assembly_equals_window_on_rollbacks(spark):
+    """Partial-rollback pairs and full rollbacks survive the salted route
+    identically — the repair/discard logic consumes the same facts."""
+    rows = [
+        dict(scn=1, operation="START", xid="A"),
+        dict(scn=2, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=1), row_id="r1"),
+        dict(scn=3, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=2), row_id="r2"),
+        dict(scn=4, operation="INSERT", xid="A", table_name="CUSTOMER",
+             sql_redo=INS.format(k=2), row_id="r2", rollback="1"),
+        dict(scn=5, operation="COMMIT", xid="A", commit_scn=5),
+        dict(scn=6, operation="START", xid="B"),
+        dict(scn=7, operation="INSERT", xid="B", table_name="CUSTOMER",
+             sql_redo=INS.format(k=3), row_id="r3"),
+        dict(scn=8, operation="ROLLBACK", xid="B"),
+    ]
+    redo = redo_events_from_rows(spark, rows)
+    a = _assembled_rows(assemble_transactions(redo))
+    b = _assembled_rows(assemble_transactions(redo, skew_salts=8))
+    assert a == b
+    assert [r[4] for r in a] == ["r1"]  # pair repaired, B discarded
+
+
+def test_salted_route_bounds_hot_xid_task_share(spark):
+    """THE skew claim, measured: with 10% of events in one xid, the window
+    path concentrates ≥ that share in a single task, while the salted
+    route's largest task stays near the balanced share. Row counts per
+    task are the portable proxy for task time (same per-row work)."""
+    redo = _skewed_redo(spark, n_events=60_000, hot_frac=0.10).localCheckpoint()
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # at test scale AQE broadcasts the tiny facts side (no xid shuffle at
+    # all — even better); at 100 TB facts are txn-count-sized and must
+    # shuffle-join, which is the regime the salt exists for — force it
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        def shares(ann):
+            rows = (
+                ann.select("xid", "_commit_scn")
+                .withColumn("p", F.spark_partition_id())
+                .groupBy("p")
+                # keep the annotation column referenced so the window/join
+                # stage under measurement cannot be pruned away
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("_commit_scn"))
+                .collect()
+            )
+            total = sum(r["n"] for r in rows)
+            return max(r["n"] for r in rows) / total
+
+        window_share = shares(annotate_transactions(redo))
+        salted_share = shares(annotate_transactions_salted(redo, num_salts=16))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    assert window_share >= 0.095  # the hot xid IS one straggler task
+    # salted: hot rows split 16 ways on top of the balanced hash spread —
+    # largest task ≤ half the hot share (in practice ≈ 1/32 + hot/16)
+    assert salted_share <= 0.05, (window_share, salted_share)
