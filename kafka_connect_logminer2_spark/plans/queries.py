@@ -3846,6 +3846,31 @@ def q114_ann_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q126_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-SCALE ANN against the persisted IVF index
+    (similarity.ivf_query_index_batch): the query side is a third of the
+    corpus and never leaves the cluster — probes explode to (query, cell)
+    rows and join the index by plain equi-join on _cell, the shape that
+    replaces ivf_query_index's driver collect + broadcast nested-loop when
+    the query set is not driver-sized (all-corpus self-join, batch audit
+    scans). Rows-only: approximate by construction; tests pin row equality
+    with the driver form and the no-nested-loop plan."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="q126_")
+    cmat = S.ivf_write_index(emb, f"{tmp}/index", n_centroids=64, train_iters=2)
+    out = S.ivf_query_index_batch(
+        spark, f"{tmp}/index", cmat, queries_df, k=5, nprobe=5
+    ).localCheckpoint()  # materialize off the temp dir so it can be removed
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def cdc11_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Change-data-feed between snapshot versions (the Delta/Iceberg
     ``table_changes`` contract): diff the SCN-banded history's v0 (inserts
@@ -5166,6 +5191,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q123_ann_pca": (q123_ann_pca, None),
     "q124_semantic_decontamination": (q124_semantic_decontamination, Q124_SQL),
     "q125_mixture_sample": (q125_mixture_sample, Q125_SQL),
+    "q126_ann_ivf_batch": (q126_ann_ivf_batch, None),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
 }

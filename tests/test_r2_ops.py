@@ -574,3 +574,36 @@ def test_ivf_append_matches_quantized_layout(spark, sf_dir, tmp_path):
     )
     out = ivf_query_index(spark, idx, None, queries, k=5, nprobe=4)
     assert out.count() == 20
+
+
+def test_ivf_batch_query_equals_driver_form_no_nested_loop(spark, sf_dir, tmp_path):
+    """The corpus-scale serving form (ivf_query_index_batch): queries stay
+    a DataFrame, probes explode to (query, cell) rows, the probe join is a
+    plain equi-join on _cell. Must be ROW-IDENTICAL to ivf_query_index for
+    the same inputs (same stable-argsort probes, rounding, tie-breaks,
+    self-exclusion), and the plan must contain NO broadcast nested-loop —
+    the exact operator that cannot scale past driver-sized query sets."""
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        ivf_query_index,
+        ivf_query_index_batch,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # a WIDE query set — the regime the batch form exists for
+    queries = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "index")
+    cmat = ivf_write_index(emb, idx, n_centroids=64, train_iters=2)
+
+    batch = ivf_query_index_batch(spark, idx, cmat, queries, k=5, nprobe=5)
+    driver = ivf_query_index(spark, idx, cmat, queries, k=5, nprobe=5)
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, driver.collect()))
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # and the model-reload path serves identically after a driver restart
+    reloaded = ivf_query_index_batch(spark, idx, None, queries, k=5, nprobe=5)
+    assert sorted(map(tuple, reloaded.collect())) == sorted(map(tuple, batch.collect()))
