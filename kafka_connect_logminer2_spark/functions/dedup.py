@@ -306,6 +306,7 @@ def minhash_banded_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     seed: int = 42,
+    star_bucket_size: int | None = None,
 ) -> DataFrame:
     """DataFrame-native banded MinHash near-dup candidates — the direct
     implementation of the classic construction, built to replace the
@@ -330,7 +331,17 @@ def minhash_banded_pairs(
     100 TB and bucketed by (band, key)); candidate generation never touches
     text. Quality is measured, not assumed — tools/minhash_quality.py
     gates pair-recall for BOTH implementations.
-    """
+
+    ``star_bucket_size``: the GIANT-BUCKET guard. A bucket of m documents
+    expands to m(m−1)/2 candidate pairs — one boilerplate page duplicated
+    a million times is a 5·10¹¹-pair array built inside a single row. A
+    bucket that shares a full signature band is almost surely one near-dup
+    group, so for buckets larger than the bound the expansion switches to
+    STAR edges (min id ↔ each other id): O(m) pairs that keep the group
+    CONNECTED — dup_clusters resolves the identical components
+    (tests/test_dedup_skew.py::test_star_buckets) — while the exact
+    pairwise estimates inside oversized buckets are the only thing
+    sacrificed. Default None keeps the exact all-pairs expansion."""
     from pyspark.sql.functions import pandas_udf
 
     assert num_hashes % num_bands == 0, "num_hashes must divide into bands"
@@ -383,7 +394,7 @@ def minhash_banded_pairs(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
     ids = F.col("ids")
-    pair_array = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
@@ -392,6 +403,14 @@ def minhash_banded_pairs(
             ),
         )
     )
+    if star_bucket_size is None:
+        pair_array = all_pairs
+    else:
+        star = F.transform(
+            F.slice(ids, 2, F.size(ids) - 1),
+            lambda y: F.struct(F.element_at(ids, 1).alias("id1"), y.alias("id2")),
+        )
+        pair_array = F.when(F.size(ids) > star_bucket_size, star).otherwise(all_pairs)
     cand = (
         postings.filter(F.size("ids") >= 2)
         .select(F.explode(pair_array).alias("pr"))

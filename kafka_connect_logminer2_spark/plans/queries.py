@@ -3846,6 +3846,115 @@ def q114_ann_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q127_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture sampling — the TOKEN-denominated sibling of
+    q125's doc-quota sampler: each source contributes its deterministic-
+    hash-ordered document prefix until a per-source TOKEN budget is
+    reached (a doc is taken iff the budget is not yet exhausted when it
+    starts — the greedy prefix rule, so budgets are slightly overshot by
+    at most one document, never undershot while docs remain). This is how
+    real mixtures are specified ("2B tokens of web, 500M of code"), and
+    rate-based sampling can only hit token targets in expectation.
+
+    SCALE: the running token sum uses two_level_cumsum — the per-source
+    prefix sum decomposed at order-preserving hash blocks, so selection
+    parallelism is never capped at the source count (the q51/q119 packing
+    fix applied at birth). The order key is the overflow-safe 32-bit Knuth
+    hash — a BIJECTION mod 2^32 (odd multiplier), so ordering ties are
+    impossible for doc_id < 2^32 and the cumsum is engine-deterministic."""
+    docs = load_table(spark, sf, "documents")
+    budget = 2000
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        knuth_bucket(F.col("doc_id"), 4294967296).alias("h"),
+    )
+    cum = two_level_cumsum(
+        base, "source", "h", "n_tok", out_col="cum_excl", block_size=1 << 26
+    )
+    sel = cum.filter(F.col("cum_excl") < budget)
+    return sel.groupBy("source").agg(
+        F.lit(budget).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tok").alias("sel_tokens"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+Q127_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         {{h_sql}} AS h
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM base
+)
+SELECT source, CAST(2000 AS BIGINT) AS budget, count(*) AS n_selected,
+       CAST(sum(n_tok) AS BIGINT) AS sel_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM c WHERE cum < 2000 GROUP BY source
+""".format(h_sql=knuth_bucket_sql("doc_id", 4294967296))
+
+
+def q128_source_precedence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source exact dedup with SOURCE PRECEDENCE — the production
+    form of exact_dedup when the same text appears in multiple crawls/
+    dumps and the pipeline must keep the copy from the most trusted
+    source (lower srcNN = higher priority; doc_id breaks ties). Output:
+    one winner row per distinct text with its duplication footprint
+    (n_copies, n_sources).
+
+    Plan shape: ONE exchange on (fingerprint, text) — the 64-bit
+    fingerprint keeps the shuffle key fixed-width (text rides as payload
+    exactly once, same as exact_dedup) — then the winner row_number and
+    the footprint aggregate both consume that same partitioning; no
+    second wide shuffle, nothing driver-sized."""
+    docs = load_table(spark, sf, "documents")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.substring("source", 4, 10).cast("int").alias("_prio"),
+        T.fingerprint(F.col("text")).alias("_fp"),
+    )
+    w = Window.partitionBy("_fp", "text").orderBy("_prio", "doc_id")
+    wf = Window.partitionBy("_fp", "text")
+    return (
+        pr.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wf))
+        .withColumn(
+            "n_sources", F.size(F.collect_set("source").over(wf)).cast("long")
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "n_copies", "n_sources")
+    )
+
+
+Q128_SQL = """
+WITH pr AS (
+  SELECT doc_id, source, text, CAST(substr(source, 4) AS INT) AS prio
+  FROM documents
+),
+stats AS (
+  SELECT text, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+  FROM pr GROUP BY text
+),
+w AS (
+  SELECT text, doc_id, source,
+         row_number() OVER (PARTITION BY text ORDER BY prio, doc_id) AS rn
+  FROM pr
+)
+SELECT w.doc_id, w.source, s.n_copies, s.n_sources
+FROM w JOIN stats s USING (text) WHERE rn = 1
+"""
+
+
 def q126_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-SCALE ANN against the persisted IVF index
     (similarity.ivf_query_index_batch): the query side is a third of the
@@ -5192,6 +5301,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q124_semantic_decontamination": (q124_semantic_decontamination, Q124_SQL),
     "q125_mixture_sample": (q125_mixture_sample, Q125_SQL),
     "q126_ann_ivf_batch": (q126_ann_ivf_batch, None),
+    "q127_token_budget_mixture": (q127_token_budget_mixture, Q127_SQL),
+    "q128_source_precedence_dedup": (q128_source_precedence_dedup, Q128_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
 }

@@ -101,3 +101,35 @@ def test_pii_scrub_redacts_all_categories(spark):
     assert row["email"] == row["phone"] == row["ssn"] == row["ipv4"] == row["ccnum"] == 1
     assert row["t"] == ("mail <EMAIL> call <PHONE> ssn <SSN> "
                         "ip <IPV4> card <CCNUM> end")
+
+
+def test_star_buckets_preserve_clusters_with_linear_edges(spark):
+    """The giant-bucket guard (minhash_banded_pairs star_bucket_size): a
+    boilerplate page duplicated m times is one LSH bucket expanding to
+    m(m-1)/2 pairs inside a single row. Star mode must (a) cut the edge
+    count to O(m) and (b) leave dup_clusters' components IDENTICAL — the
+    hub keeps the group connected."""
+    from pyspark.sql import Row
+
+    from kafka_connect_logminer2_spark.functions.dedup import (
+        dup_clusters,
+        minhash_banded_pairs,
+    )
+
+    boiler = "all your base are belong to us now and forever " * 4
+    rows = [Row(doc_id=i, text=boiler) for i in range(60)] + [
+        Row(doc_id=1000 + i, text=f"unique document number {i} with words {i*7} {i*13}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows)
+
+    full = minhash_banded_pairs(docs, num_hashes=16, num_bands=4)
+    star = minhash_banded_pairs(docs, num_hashes=16, num_bands=4, star_bucket_size=8)
+    n_full, n_star = full.count(), star.count()
+    # 60 identical docs: all-pairs = 1770 edges; star = 59
+    assert n_full >= 1770 and n_star < 100
+
+    lab = lambda pairs: {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert lab(star) == lab(full)  # identical components, 30x fewer edges
