@@ -684,14 +684,19 @@ def test_unigram_logprob_shuffles_hashes_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_pack_assemble_two_exchanges_no_global_sort(spark, sf_dir):
-    """q117: one exchange on source for the running-token window, one on
-    (source, bin) for the assembly aggregate — the per-bin ordering happens
-    via array_sort inside the hash aggregate, never a rangepartitioning
-    global sort."""
+def test_pack_assemble_two_level_no_global_sort(spark, sf_dir):
+    """q117: the running-token cumsum is the two-level decomposition — the
+    data-relation window partitions on (source, block), never source alone
+    (that single-task-per-source sort was the 100 TB packing ceiling);
+    source-alone windows only over the tiny block-totals table. Per-bin
+    ordering still happens via array_sort inside the hash aggregate, never
+    a rangepartitioning global sort; exchanges stay bounded."""
     plan = plan_of(QUERY_REGISTRY["q117_pack_assemble"][0](spark, sf_dir))
+    for line in plan.splitlines():
+        if "windowspecdefinition(source" in line and "n_tokens" in line:
+            assert "_blk" in line.split("windowspecdefinition")[1][:60]
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert len(ex) <= 2
+    assert len(ex) <= 6
     assert "Exchange rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
 

@@ -239,8 +239,43 @@ def main() -> None:
         df = replicate(docs, m, ["doc_id"], span)
         return shard_export(df.select("doc_id", "n_chars"), n_shards=8)
 
+    def packing_cumsum_op(m):
+        # q51/q117/q119's packing stage: two-level running token sum —
+        # the per-source single-task window would flatline at n_sources
+        # tasks; the block decomposition must grow ~linearly
+        from kafka_connect_logminer2_spark.functions.sharding import two_level_cumsum
+
+        df = replicate(docs, m, ["doc_id"], span)
+        toks = df.select(
+            "doc_id", "source",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+        return two_level_cumsum(toks, "source", "doc_id", "n_tok").groupBy(
+            "source"
+        ).agg(F.sum("cum_excl"))
+
+    def salted_assembly_op(m):
+        # CDC assembly with a 10%-hot xid via the salted route — replicate
+        # keeps the skew fraction constant, growth must stay ~linear
+        from kafka_connect_logminer2_spark.operators.transactions import (
+            assemble_transactions,
+        )
+
+        base_redo = _skew_redo
+        df = replicate(base_redo, m, ["scn"], 100_000_000)
+        return assemble_transactions(df, skew_salts=16)
+
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location("t_skew", "tests/test_skew_cdc.py")
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    _skew_redo = _mod._skewed_redo(spark, n_events=60_000, hot_frac=0.10).localCheckpoint()
+
     ops = {
         "hash_agg": agg_op,
+        "packing_cumsum": packing_cumsum_op,
+        "salted_assembly": salted_assembly_op,
         "shard_export": shard_export_op,
         "exact_dedup": dedup_op,
         "topk_window": window_op,
