@@ -165,6 +165,32 @@ def test_connector_start_using_cm_routes_batch_path(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_connector_cm_path_respects_stored_offset(spark, sf_dir, tmp_path):
+    """A3+A4 on the CM fork: a stored offset must bound the bounded batch
+    exactly like the streaming path — only SCNs beyond it land."""
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/redo")
+    redo_cm_inserts_from_customer(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/redo")
+
+    cutoff = 1500
+    conn = LogMinerConnector({**PROPS, "using.cm": "true"}, spark)
+    q = conn.start(
+        f"{tmp}/redo",
+        customer_registry(),
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        stored_offset=cutoff,
+        db_version="12.2.0.1.0",
+    )
+    assert q.awaitTermination(300)
+    assert conn.resolved.source == "stored" and conn.resolved.scn == cutoff
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    assert got.count() > 0
+    assert got.agg({"SCN": "min"}).collect()[0][0] > cutoff
+
+
 def test_connector_start_using_cm_desupported_version_streams(spark, sf_dir, tmp_path):
     """using.cm=true but version ≥ 19c: the reference logs CM de-supported
     and takes the non-CM path — start() must do the same (streaming
