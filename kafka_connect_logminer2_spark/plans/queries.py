@@ -4956,6 +4956,76 @@ FROM embeddings
 """
 
 
+def cdc17_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus ingestion with HISTORY-WIDE exact dedup
+    (streaming/corpus_ingest.py): the documents table split into 3 arrival
+    batches (doc_id mod 3 — reproducible in SQL, unlike a range split),
+    streamed through the bucketed fingerprint store; a text is accepted
+    only on its FIRST occurrence across all history (batch order, then
+    doc_id). The ORACLE is the relational first-occurrence rule — per
+    batch, accepted count and id-sum pin exactly which documents the
+    persistent seen-set admitted. Per-batch store writes touch only the
+    buckets receiving new fingerprints (O(touched), never O(history))."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.corpus_ingest import read_ingested, write_dedup_ingest
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc17_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            num_buckets=16,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc17: ingest stream did not finish in 600s")
+        out = read_ingested(spark, f"{tmp}/out")
+        return (
+            out.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_accepted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .localCheckpoint()  # materialize off the temp dir
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC17_SQL = """
+WITH t AS (
+  SELECT doc_id, text, doc_id % 3 AS batch FROM documents
+),
+r AS (
+  SELECT batch, doc_id,
+         row_number() OVER (PARTITION BY text ORDER BY batch, doc_id) AS rn
+  FROM t
+)
+SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_accepted,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r WHERE rn = 1 GROUP BY batch
+"""
+
+
 def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     """PCA over the embedding corpus (functions/pca.py — partial-Gram
     aggregation, driver-side eigh over the d×d covariance, sign-pinned
@@ -5305,6 +5375,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q128_source_precedence_dedup": (q128_source_precedence_dedup, Q128_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
+    "cdc17_dedup_ingest": (cdc17_dedup_ingest, CDC17_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
