@@ -298,6 +298,92 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig) MinHash signatures — the shared kernel of
+    :func:`minhash_banded_pairs` and the incremental near-dup ingest
+    (streaming/corpus_ingest.py). Vectorized per Arrow batch: the
+    variable-length shingle-hash arrays are concatenated once and ALL
+    ``num_hashes`` universal hashes ((a_i·x + b_i) mod p over the 64-bit
+    shingle hash) reduce per-document with ``np.minimum.reduceat`` — one
+    H×total matrix op per batch, no per-row Python loop. Deterministic in
+    (k, num_hashes, seed): signatures computed in different batches/runs
+    agree bit-for-bit, which is what makes a PERSISTED signature store
+    comparable across time."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = (1 << 61) - 1  # Mersenne prime; (a*x+b) mod p is a universal family
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, p, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, p, size=num_hashes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def signature(sh: pd.Series) -> pd.Series:
+        arrs = sh.to_numpy()
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+        out = np.full((len(arrs), num_hashes), p, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            concat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs[nz]])
+            # unsigned view keeps (a*x+b) well-defined under int64 wraparound;
+            # mod p afterwards restores the universal-family guarantee
+            vals = (
+                (a[:, None].astype(np.uint64) * concat.astype(np.uint64))
+                + b[:, None].astype(np.uint64)
+            ) % np.uint64(p)
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(vals.astype(np.int64), offsets, axis=1)  # H × n
+            out[nz] = mins.T
+        return pd.Series(list(out))
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return base.select("id", signature(F.col("sh")).alias("sig"))
+
+
+def minhash_band_keys(
+    sigs: DataFrame, num_hashes: int = 16, num_bands: int = 4
+) -> DataFrame:
+    """(id, band, key) banded LSH keys from an (id, sig) signature frame.
+    Band key = xxhash64 over the band's signature slice (hash expressions
+    take arrays natively — pure codegen, no ANSI overflow like a
+    hand-rolled FNV multiply fold would hit)."""
+    assert num_hashes % num_bands == 0, "num_hashes must divide into bands"
+    rows_per_band = num_hashes // num_bands
+    band_key = F.xxhash64(
+        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+    )
+    return (
+        sigs.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"),
+            "sig",
+        )
+        .withColumn("key", band_key)
+        .select("id", "band", "key")
+    )
+
+
+def minhash_agree_frac(s1: F.Column, s2: F.Column, num_hashes: int) -> F.Column:
+    """Fraction of agreeing signature components — the standard unbiased
+    MinHash Jaccard estimator, as a codegen column expression."""
+    agree = F.aggregate(
+        F.zip_with(s1, s2, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(agree / F.lit(num_hashes), 6)
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -342,54 +428,10 @@ def minhash_banded_pairs(
     (tests/test_dedup_skew.py::test_star_buckets) — while the exact
     pairwise estimates inside oversized buckets are the only thing
     sacrificed. Default None keeps the exact all-pairs expansion."""
-    from pyspark.sql.functions import pandas_udf
-
-    assert num_hashes % num_bands == 0, "num_hashes must divide into bands"
-    rows_per_band = num_hashes // num_bands
-    p = (1 << 61) - 1  # Mersenne prime; (a*x+b) mod p is a universal family
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, p, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, p, size=num_hashes, dtype=np.int64)
-
-    @pandas_udf("array<long>")
-    def signature(sh: pd.Series) -> pd.Series:
-        arrs = sh.to_numpy()
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
-        out = np.full((len(arrs), num_hashes), p, dtype=np.int64)
-        nz = lens > 0
-        if nz.any():
-            concat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs[nz]])
-            # unsigned view keeps (a*x+b) well-defined under int64 wraparound;
-            # mod p afterwards restores the universal-family guarantee
-            vals = (
-                (a[:, None].astype(np.uint64) * concat.astype(np.uint64))
-                + b[:, None].astype(np.uint64)
-            ) % np.uint64(p)
-            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=offsets[1:])
-            mins = np.minimum.reduceat(vals.astype(np.int64), offsets, axis=1)  # H × n
-            out[nz] = mins.T
-        return pd.Series(list(out))
-
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sigs = base.select("id", signature(F.col("sh")).alias("sig")).localCheckpoint(
-        eager=False  # barrier: sigs feed band keys AND the pair re-join
-    )
-
-    # band key: one 64-bit key per band = xxhash64 over the band's signature
-    # slice (hash expressions take arrays natively — pure codegen, and no
-    # ANSI overflow like a hand-rolled FNV multiply fold would hit)
-    band_key = F.xxhash64(
-        F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
-    )
-    bands = (
-        sigs.select("id", F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band"), "sig")
-        .withColumn("key", band_key)
-        .select("id", "band", "key")
-    )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
+    ).localCheckpoint(eager=False)  # barrier: feeds band keys AND the re-join
+    bands = minhash_band_keys(sigs, num_hashes=num_hashes, num_bands=num_bands)
     postings = bands.groupBy("band", "key").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
@@ -419,18 +461,15 @@ def minhash_banded_pairs(
     )
     s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("_s1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("_s2"))
-    agree = F.aggregate(
-        F.zip_with("_s1", "_s2", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
         .select(
             F.col("id1").alias("doc_id1"),
             F.col("id2").alias("doc_id2"),
-            F.round(agree / F.lit(num_hashes), 6).alias("jaccard_est"),
+            minhash_agree_frac(F.col("_s1"), F.col("_s2"), num_hashes).alias(
+                "jaccard_est"
+            ),
         )
     )
 

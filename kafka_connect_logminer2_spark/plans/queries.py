@@ -5026,6 +5026,60 @@ FROM r WHERE rn = 1 GROUP BY batch
 """
 
 
+def cdc18_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (streaming/corpus_ingest.py::
+    write_neardup_ingest): the documents table in 3 arrival batches, each
+    accepted doc checked against the persisted banded-signature store —
+    in-batch near-dup clusters keep min-id reps, history collisions verify
+    via stored signatures. Rows-only (MinHash acceptance is approximate —
+    no SQL twin); determinism and the store contract are pinned by
+    tests/test_corpus_ingest.py, and the accepted count is bounded above
+    by cdc17's exact-dedup count by construction."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.corpus_ingest import read_ingested, write_neardup_ingest
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc18_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_neardup_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            threshold=0.5,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc18: near-dup ingest stream did not finish")
+        out = read_ingested(spark, f"{tmp}/out")
+        return (
+            out.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_accepted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     """PCA over the embedding corpus (functions/pca.py — partial-Gram
     aggregation, driver-side eigh over the d×d covariance, sign-pinned
@@ -5376,6 +5430,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
     "cdc17_dedup_ingest": (cdc17_dedup_ingest, CDC17_SQL),
+    "cdc18_neardup_ingest": (cdc18_neardup_ingest, None),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

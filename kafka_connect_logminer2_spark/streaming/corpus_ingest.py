@@ -28,6 +28,14 @@ Scale design (the part that matters at 100 TB of history):
   fingerprint — the history is never scanned in full, never collected,
   never broadcast.
 
+Two acceptance policies share the store machinery:
+* :func:`write_dedup_ingest` — EXACT: first occurrence of a text wins
+  (16-byte md5 fingerprint store);
+* :func:`write_neardup_ingest` — NEAR: a doc is rejected if its MinHash
+  Jaccard estimate against any previously accepted doc reaches the
+  threshold (banded-signature store; candidates by band-key collision,
+  verified against stored signatures — minhash_banded_pairs across time).
+
 Reference: the reference has no corpus surface at all — this extends the
 engine's §2C training-data side (SURVEY §2C dedup family).
 """
@@ -125,6 +133,180 @@ def write_dedup_ingest(
                     new.unpersist()
         finally:
             firsts.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_neardup_ingest(
+    docs_stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    threshold: float = 0.5,
+    num_buckets: int = 16,
+    trigger_available_now: bool = True,
+):
+    """NEAR-dup sibling of :func:`write_dedup_ingest`: a new document is
+    accepted only if its MinHash Jaccard estimate against EVERY previously
+    accepted document is below ``threshold`` — "don't ingest another copy
+    of a page the corpus already has, even lightly edited".
+
+    Per-batch semantics (deterministic, run-order-independent):
+      1. in-batch near-dup clusters (banded MinHash pairs ≥ threshold →
+         connected components) keep one representative per cluster (min
+         id — the same rule as corpus_pipeline stage 03);
+      2. representatives are probed against the HISTORY: band-key
+         collisions against the persisted signature store propose
+         candidates, the stored signatures verify the estimate (the same
+         two-step as minhash_banded_pairs, across time instead of within
+         a frame); any rep at/above threshold is rejected — the history
+         already carries a representative covering it;
+      3. surviving reps land in ``out_dir/batch=<id>``, and their banded
+         signature rows append to the store.
+
+    Store layout/scale: rows (band, key, id, sig) bucketed by
+    ``xxhash64(band, key) mod num_buckets`` under the same versioned
+    ``b=<k>/v=<batch_id>`` retry-idempotent chain as the exact store. The
+    signature is duplicated per band (num_bands × H longs per doc) so the
+    verify step needs NO second join against a separate signature table —
+    the classic space-for-join trade; the probe is one equi-join on
+    (band, key) against only the TOUCHED buckets. Signatures are
+    deterministic in (k, num_hashes, seed) (minhash_signatures), so
+    signatures written in batch 0 are bit-comparable in batch 1000.
+    """
+    from ..functions.dedup import (
+        dup_clusters,
+        minhash_agree_frac,
+        minhash_band_keys,
+        minhash_banded_pairs,
+        minhash_signatures,
+    )
+
+    spark = docs_stream.sparkSession
+    bucket_of = F.pmod(F.xxhash64(F.col("band"), F.col("key")), F.lit(num_buckets)).cast(
+        "int"
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            # 1. in-batch: one representative per near-dup cluster
+            pairs = minhash_banded_pairs(
+                batch, text_col, id_col, k=k, num_hashes=num_hashes,
+                num_bands=num_bands, seed=seed,
+            ).filter(F.col("jaccard_est") >= threshold)
+            clusters = dup_clusters(pairs)
+            reps = (
+                batch.join(
+                    clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                        F.col("doc_id").alias(id_col)
+                    ),
+                    id_col,
+                    "left_anti",
+                )
+            )
+            sigs = minhash_signatures(
+                reps, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
+            ).persist()
+            bands = minhash_band_keys(
+                sigs, num_hashes=num_hashes, num_bands=num_bands
+            ).withColumn("_b", bucket_of)
+
+            # 2. probe history: only the buckets this batch's keys land in
+            touched = sorted(
+                r["_b"] for r in bands.select("_b").distinct().collect()
+            )
+            paths, parents = [], {}
+            for b in range(num_buckets):
+                parents[b] = latest_version(f"{store_dir}/b={b}", below=batch_id)
+            for b in touched:
+                if parents[b] is not None:
+                    paths.append(f"{store_dir}/b={b}/v={parents[b]}")
+            if paths:
+                hist = spark.read.option("basePath", store_dir).parquet(*paths)
+                cand = (
+                    bands.join(
+                        hist.select(
+                            "band", "key", F.col("sig").alias("_hsig")
+                        ),
+                        ["band", "key"],
+                    )
+                    .select("id", "_hsig")
+                    .distinct()
+                )
+                rejected = (
+                    cand.join(sigs, "id")
+                    .filter(
+                        minhash_agree_frac(
+                            F.col("sig"), F.col("_hsig"), num_hashes
+                        )
+                        >= threshold
+                    )
+                    .select("id")
+                    .distinct()
+                )
+                accepted_ids = sigs.select("id").join(rejected, "id", "left_anti")
+            else:
+                accepted_ids = sigs.select("id")
+            accepted_ids = accepted_ids.persist()
+            try:
+                # 3. land survivors + append their banded signatures.
+                # Docs shorter than k tokens carry no shingles/signature
+                # (minhash_signatures drops them) — they cannot participate
+                # in MinHash similarity at all, so they are accepted as-is
+                # (exact-dup control for them is write_dedup_ingest's job).
+                no_sig = reps.select(F.col(id_col).alias("id")).join(
+                    sigs.select("id"), "id", "left_anti"
+                )
+                (
+                    batch.join(
+                        accepted_ids.unionByName(no_sig)
+                        .select(F.col("id").alias(id_col)),
+                        id_col,
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{out_dir}/batch={batch_id}")
+                )
+                add = (
+                    bands.join(accepted_ids, "id")
+                    .join(sigs, "id")
+                    .select("band", "key", "id", "sig", "_b")
+                )
+                add = add.persist()
+                add_touched = sorted(
+                    r["_b"] for r in add.select("_b").distinct().collect()
+                )
+                for b in add_touched:
+                    prev = (
+                        spark.read.parquet(f"{store_dir}/b={b}/v={parents[b]}")
+                        if parents[b] is not None
+                        else None
+                    )
+                    rows = add.filter(F.col("_b") == b).drop("_b")
+                    merged = rows if prev is None else prev.select(
+                        "band", "key", "id", "sig"
+                    ).unionByName(rows)
+                    merged.write.mode("overwrite").parquet(
+                        f"{store_dir}/b={b}/v={batch_id}"
+                    )
+                add.unpersist()
+                _mark_committed(store_dir, batch_id)
+            finally:
+                accepted_ids.unpersist()
+                sigs.unpersist()
+        finally:
+            batch.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -142,3 +142,81 @@ def test_ingest_resumes_without_reaccepting(spark, tmp_path):
         (1, "first text"), (2, "second text"), (3, "third text"), (6, "fourth text")
     ]
     assert store_size(spark, f"{tmp}/store") == 4
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog again and again every "
+    "single day without fail in the quiet morning light"
+)
+OTHER = (
+    "completely different subject matter about distributed query engines "
+    "and columnar storage formats for analytical workloads at scale"
+)
+
+
+def _run_near(spark, tmp):
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        write_neardup_ingest,
+    )
+
+    return write_neardup_ingest(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+            f"{tmp}/in"
+        ),
+        f"{tmp}/out",
+        f"{tmp}/store",
+        f"{tmp}/ckpt",
+        threshold=0.5,
+        num_buckets=16,
+    )
+
+
+def test_neardup_ingest_rejects_history_neighbors(spark, tmp_path):
+    """Batch 0 accepts one representative of the in-batch near-dup pair;
+    batch 1's lightly-edited copy is rejected AGAINST THE STORE (no text
+    from batch 0 is re-read), while a genuinely new document and a
+    too-short-to-shingle document are accepted."""
+    tmp = str(tmp_path)
+    b0 = [(1, BASE), (2, BASE + " extra")]
+    b1 = [(10, BASE + " slightly altered"), (11, OTHER), (12, "hi")]
+    _stage(spark, tmp, [b0, b1])
+    q = _run_near(spark, tmp)
+    assert q.awaitTermination(300)
+
+    got = sorted(
+        (r["doc_id"], r["batch"])
+        for r in read_ingested(spark, f"{tmp}/out").select("doc_id", "batch").collect()
+    )
+    assert got == [(1, 0), (11, 1), (12, 1)]
+
+    # store holds signatures only for signature-bearing ACCEPTED docs
+    store = f"{tmp}/store"
+    import os as _os
+
+    v1_buckets = [
+        d
+        for d in _os.listdir(store)
+        if d.startswith("b=") and _os.path.isdir(f"{store}/{d}/v=1")
+    ]
+    # doc 11 contributes 4 band rows → at most 4 buckets rewritten in batch 1
+    assert 1 <= len(v1_buckets) <= 4
+
+
+def test_neardup_ingest_resumes_and_still_rejects(spark, tmp_path):
+    """Restart with a new file: a near-copy of a document accepted in the
+    FIRST run must still be rejected — the persisted signature store IS
+    the memory, bit-comparable across runs."""
+    tmp = str(tmp_path)
+    _stage(spark, tmp, [[(1, BASE)], [(2, OTHER)]])
+    q = _run_near(spark, tmp)
+    assert q.awaitTermination(300)
+
+    _stage(spark, tmp, [[(30, BASE + " appended"), (31, OTHER + " appended"),
+                         (32, "entirely novel content about streaming joins "
+                              "with watermarks and state stores in practice")]],
+           start=2)
+    q2 = _run_near(spark, tmp)
+    assert q2.awaitTermination(300)
+
+    got = sorted(r["doc_id"] for r in read_ingested(spark, f"{tmp}/out").collect())
+    assert got == [1, 2, 32]
