@@ -316,6 +316,33 @@ def write_neardup_ingest(
     return writer.start()
 
 
+def vacuum_store(store_dir: str, keep: int = 2) -> dict[str, list[int]]:
+    """Retention for a bucketed ingest store: vacuum each bucket's version
+    chain down to its ``keep`` newest committed versions (delegates to
+    snapshot.vacuum_versions per ``b=<k>`` dir). Every bucket rewrite
+    carries the FULL bucket content, so old versions exist only for retry
+    re-reads and time travel — without retention a hot bucket's storage
+    grows with batch count, not corpus size.
+
+    ``keep`` must be ≥ 2: a retried batch re-reads the version strictly
+    below its own batch id, so the latest version's PARENT must survive
+    vacuum (keep=1 could delete it while an uncommitted retry target is
+    the latest — silent history loss for that bucket)."""
+    from .snapshot import vacuum_versions
+
+    if keep < 2:
+        raise ValueError("keep must be >= 2 (retry re-reads the parent version)")
+    removed: dict[str, list[int]] = {}
+    if not os.path.isdir(store_dir):
+        return removed
+    for d in sorted(os.listdir(store_dir)):
+        if d.startswith("b="):
+            doomed = vacuum_versions(os.path.join(store_dir, d), keep=keep)
+            if doomed:
+                removed[d] = doomed
+    return removed
+
+
 def read_ingested(spark, out_dir: str) -> DataFrame | None:
     """All accepted documents across batches (``batch`` partition column),
     or None before the first batch."""

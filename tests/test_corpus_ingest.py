@@ -220,3 +220,57 @@ def test_neardup_ingest_resumes_and_still_rejects(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in read_ingested(spark, f"{tmp}/out").collect())
     assert got == [1, 2, 32]
+
+
+def test_vacuum_store_keeps_membership_and_parent(spark, tmp_path):
+    """Vacuuming the fingerprint store must not change membership (the
+    latest committed version per bucket survives) and must keep each
+    bucket's parent version so a retried batch can still re-read it;
+    keep=1 is rejected for exactly that reason."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import vacuum_store
+
+    tmp = str(tmp_path)
+    # force one bucket through 3 versions: pick three distinct texts that
+    # land in the SAME fingerprint bucket (computed with the store's own
+    # hash), one per batch
+    cand = spark.createDataFrame(
+        [(i, f"candidate text {i}") for i in range(200)], SCHEMA
+    ).select(
+        "text",
+        F.pmod(F.xxhash64(F.unhex(F.md5("text"))), F.lit(16)).alias("b"),
+    )
+    by_bucket: dict[int, list[str]] = {}
+    for r in cand.collect():
+        by_bucket.setdefault(r["b"], []).append(r["text"])
+    same = next(v for v in by_bucket.values() if len(v) >= 3)[:3]
+    batches = [
+        [(1, same[0]), (2, "filler text a")],
+        [(10, same[1]), (11, "filler text b")],
+        [(20, same[2]), (21, "filler text c")],
+    ]
+    _stage(spark, tmp, batches)
+    q = _run(spark, tmp)
+    assert q.awaitTermination(300)
+    store = f"{tmp}/store"
+    before = store_size(spark, store)
+    assert before == 6
+
+    with pytest.raises(ValueError, match="keep"):
+        vacuum_store(store, keep=1)
+
+    removed = vacuum_store(store, keep=2)
+    # the seed buckets rewritten in batches 1/2 had 2-3 versions — some
+    # version must actually have been deleted for this test to bite
+    assert any(removed.values())
+    assert store_size(spark, store) == before
+    # every bucket still has ≥ 1 version, and any bucket with 2+ kept its
+    # parent (latest_version below the max still resolves)
+    from kafka_connect_logminer2_spark.streaming.snapshot import latest_version
+
+    for d in os.listdir(store):
+        if not d.startswith("b="):
+            continue
+        latest = latest_version(f"{store}/{d}")
+        assert latest is not None
