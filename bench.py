@@ -50,6 +50,10 @@ HEADLINE = [
     "q73_local_supplier_volume",
     "q78_returned_items",
     "q119_corpus_pipeline",
+    # r4 additions — totals grow with the suite; per-query timings are the
+    # cross-round comparable unit (BASELINE.md)
+    "q127_token_budget_mixture",
+    "q128_source_precedence_dedup",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
     "cdc06_apply_changes",

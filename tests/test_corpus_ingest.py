@@ -274,3 +274,43 @@ def test_vacuum_store_keeps_membership_and_parent(spark, tmp_path):
             continue
         latest = latest_version(f"{store}/{d}")
         assert latest is not None
+
+
+def test_neardup_ingest_global_invariant_on_fixture(spark, sf_dir, tmp_path):
+    """THE acceptance invariant, checked globally on the real fixture: after
+    ingesting the documents table in 3 batches, NO two accepted documents
+    (across all batches) may estimate at/above the threshold — i.e. the
+    persistent store enforces across batches exactly what
+    minhash_banded_pairs + clustering enforce within one frame. (This is
+    the quality gate backing the rows-only cdc18 registry entry.)"""
+    from kafka_connect_logminer2_spark.functions.dedup import minhash_banded_pairs
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        write_neardup_ingest,
+    )
+
+    tmp = str(tmp_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batches = [
+        [(r["doc_id"], r["text"]) for r in docs.filter(
+            F.pmod("doc_id", F.lit(3)) == i).collect()]
+        for i in range(3)
+    ]
+    _stage(spark, tmp, batches)
+    q = write_neardup_ingest(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+            f"{tmp}/in"
+        ),
+        f"{tmp}/out",
+        f"{tmp}/store",
+        f"{tmp}/ckpt",
+        threshold=0.5,
+    )
+    assert q.awaitTermination(300)
+
+    accepted = read_ingested(spark, f"{tmp}/out").select("doc_id", "text")
+    n_accepted, n_total = accepted.count(), docs.count()
+    assert 0 < n_accepted <= n_total
+    offenders = minhash_banded_pairs(accepted).filter(
+        F.col("jaccard_est") >= 0.5
+    )
+    assert offenders.count() == 0

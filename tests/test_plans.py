@@ -121,6 +121,8 @@ _SCENARIO_STREAMS = {
     "cdc14_streaming_aggregate",
     "cdc15_change_feed",
     "cdc16_streaming_model_stats",
+    "cdc17_dedup_ingest",
+    "cdc18_neardup_ingest",
     "q115_incremental_agg",
 }
 
