@@ -156,6 +156,7 @@ def write_neardup_ingest(
     threshold: float = 0.5,
     num_buckets: int = 16,
     trigger_available_now: bool = True,
+    star_bucket_size: int | None = None,
 ):
     """NEAR-dup sibling of :func:`write_dedup_ingest`: a new document is
     accepted only if its MinHash Jaccard estimate against EVERY previously
@@ -202,9 +203,13 @@ def write_neardup_ingest(
         batch = batch.persist()
         try:
             # 1. in-batch: one representative per near-dup cluster
+            # star_bucket_size forwards the giant-bucket guard: a batch
+            # containing one page duplicated 10^6 times must not build a
+            # 5*10^11-pair array inside a single posting row
             pairs = minhash_banded_pairs(
                 batch, text_col, id_col, k=k, num_hashes=num_hashes,
                 num_bands=num_bands, seed=seed,
+                star_bucket_size=star_bucket_size,
             ).filter(F.col("jaccard_est") >= threshold)
             clusters = dup_clusters(pairs)
             reps = (
