@@ -257,24 +257,44 @@ class LogMinerConnector:
         if self.resolved.scn:
             redo = redo.filter(F.col("scn") > self.resolved.scn)
         envelope = cdc_envelope_cm(redo, self.config)
+        # DDL first: invalidate before this run's DML is typed — the same
+        # ordering contract as write_per_table / _net_changes_for_table
+        # (a stale cached schema would silently drop DDL-added columns)
+        for r in (
+            envelope.filter(F.col("OPERATION") == "DDL")
+            .select("SEG_OWNER", "SRC_TABLE")
+            .distinct()
+            .collect()
+        ):
+            if r["SRC_TABLE"]:
+                registry.invalidate(r["SEG_OWNER"], r["SRC_TABLE"])
         # bounded collect: one row per mined table, never per event
         tables = [
             (r["SEG_OWNER"], r["TABLE_NAME"])
-            for r in envelope.select("SEG_OWNER", "TABLE_NAME").distinct().collect()
+            for r in envelope.filter(F.col("OPERATION") != "DDL")
+            .select("SEG_OWNER", "TABLE_NAME")
+            .distinct()
+            .collect()
         ]
         for owner, table in sorted(tables):
             if not registry.ensure(owner, table):
                 continue
             typed = apply_table_schema(
                 envelope.filter(
-                    (F.col("SEG_OWNER") == owner) & (F.col("TABLE_NAME") == table)
+                    (F.col("OPERATION") != "DDL")
+                    & (F.col("SEG_OWNER") == owner)
+                    & (F.col("TABLE_NAME") == table)
                 ),
                 registry,
                 owner,
                 table,
                 float64_numbers=self.config.float64_numbers,
             )
-            typed.write.mode("append").parquet(f"{out_dir}/{owner}.{table}")
+            # overwrite, not append: a crashed/re-run CM start() with the
+            # same offsets must land byte-identical output, never
+            # duplicate rows (the bounded-batch twin of the streaming
+            # path's retry-idempotent batch=<id> overwrite)
+            typed.write.mode("overwrite").parquet(f"{out_dir}/{owner}.{table}")
         return _CompletedBatch()
 
     def run_cm_batch(self, redo, registry: SchemaRegistry, owner: str, table: str):

@@ -420,14 +420,20 @@ def minhash_banded_pairs(
 
     ``star_bucket_size``: the GIANT-BUCKET guard. A bucket of m documents
     expands to m(m−1)/2 candidate pairs — one boilerplate page duplicated
-    a million times is a 5·10¹¹-pair array built inside a single row. A
-    bucket that shares a full signature band is almost surely one near-dup
-    group, so for buckets larger than the bound the expansion switches to
-    STAR edges (min id ↔ each other id): O(m) pairs that keep the group
-    CONNECTED — dup_clusters resolves the identical components
-    (tests/test_dedup_skew.py::test_star_buckets) — while the exact
-    pairwise estimates inside oversized buckets are the only thing
-    sacrificed. Default None keeps the exact all-pairs expansion."""
+    a million times is a 5·10¹¹-pair array built inside a single row. For
+    buckets larger than the bound the expansion switches to STAR edges
+    (min id ↔ each other id): O(m) pairs that keep the bucket CONNECTED
+    through the hub. CAVEAT (be precise about what is traded): downstream
+    thresholding sees only hub-relative estimates — if hub↔spoke
+    similarity is below the caller's threshold while spoke↔spoke is
+    above it, a component that all-pairs mode would join can split. That
+    regime is rare for oversized buckets (sharing a full signature band
+    already implies high similarity, and near-identical floods — the case
+    the guard exists for — estimate ≈ 1 on every edge, where components
+    are provably identical: tests/test_dedup_skew.py::test_star_buckets);
+    pick band parameters so the single-band collision similarity ≳ the
+    threshold when enabling it. Default None keeps the exact all-pairs
+    expansion."""
     sigs = minhash_signatures(
         docs, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
     ).localCheckpoint(eager=False)  # barrier: feeds band keys AND the re-join

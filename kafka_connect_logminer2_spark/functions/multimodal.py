@@ -172,16 +172,22 @@ def ahash64(arr: "np.ndarray") -> str:
     one-bit change flips everything) fundamentally cannot be."""
     lum = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = lum.shape
-    # 8×8 block means (aspect intentionally ignored — ahash convention):
-    # split rows/cols into 8 contiguous bands and average each cell
-    yb = np.linspace(0, h, 9).round().astype(int)
-    xb = np.linspace(0, w, 9).round().astype(int)
-    g = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            cell = lum[yb[i] : max(yb[i + 1], yb[i] + 1),
-                       xb[j] : max(xb[j + 1], xb[j] + 1)]
-            g[i, j] = cell.mean()
+    if h < 8 or w < 8:
+        # too small for 8 contiguous bands (linspace repeats edges → empty
+        # slices → NaN means → every tiny image hashed identically):
+        # sample the 8×8 grid by nearest pixel instead
+        ys = np.linspace(0, h - 1, 8).round().astype(int)
+        xs = np.linspace(0, w - 1, 8).round().astype(int)
+        g = lum[np.ix_(ys, xs)]
+    else:
+        # 8×8 block means (aspect intentionally ignored — ahash
+        # convention): split rows/cols into 8 contiguous bands, average
+        yb = np.linspace(0, h, 9).round().astype(int)
+        xb = np.linspace(0, w, 9).round().astype(int)
+        g = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                g[i, j] = lum[yb[i] : yb[i + 1], xb[j] : xb[j + 1]].mean()
     bits = (g > g.mean()).ravel()
     return "%016x" % int("".join("1" if b else "0" for b in bits), 2)
 

@@ -99,6 +99,7 @@ def two_level_cumsum(
     block_size: int = 4096,
     offset_rows_bound: int | None = None,
     max_offset_rows: int = 8_000_000,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``value_col`` within ``group_col`` ordered
     by ``order_col`` — the prefix-SUM generalization of :func:`two_level_pos`
@@ -122,8 +123,13 @@ def two_level_cumsum(
     statistics-driven otherwise (the shuffle join lands on the exact
     (group, block) partitioning the window needs anyway).
 
-    Requirements: ``order_col`` numeric and unique within its group (ties
-    would make any running sum nondeterministic); ``block_size`` tunes
+    Requirements: ``order_col`` numeric, and (order_col, *tie_cols) unique
+    within its group — an unbroken tie would make any running sum
+    nondeterministic. ``tie_cols`` extend the within-block ordering only
+    (equal order values land in the same block by construction, so ties
+    never straddle a block boundary); use them when the order key alone
+    can collide — e.g. q127 orders by a 32-bit hash, which repeats past
+    2^32 ids, with doc_id as the tiebreak. ``block_size`` tunes
     offset-table size vs parallelism — at 10^10 docs/source, 4096 gives
     ~2.4M offset rows/source and ~4096-row sort runs."""
     blk = F.floor(F.col(order_col) / F.lit(block_size))
@@ -137,9 +143,9 @@ def two_level_cumsum(
     ).select(group_col, "_blk", "_off")
     if offset_rows_bound is not None and offset_rows_bound <= max_offset_rows:
         offsets = F.broadcast(offsets)
-    w = Window.partitionBy(group_col, "_blk").orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w = Window.partitionBy(group_col, "_blk").orderBy(
+        order_col, *(tie_cols or [])
+    ).rowsBetween(Window.unboundedPreceding, -1)
     return (
         with_blk.join(offsets, [group_col, "_blk"])
         .withColumn(

@@ -60,9 +60,13 @@ def annotate_transactions_salted(redo: DataFrame, num_salts: int = 16) -> DataFr
     no task ever holds its full row set — and joined back with
     operators/skew.salted_join, which spreads the hot xid's ROWS over
     ``num_salts`` tasks (facts side replicated per salt). Value-identical
-    to the window annotate: per-xid max/conditional-max is the same
-    quantity either way (tests/test_skew_cdc.py pins equality and the
-    task-distribution bound)."""
+    to the window annotate for NON-NULL xids: per-xid max/conditional-max
+    is the same quantity either way (tests/test_skew_cdc.py pins equality
+    and the task-distribution bound). PRECONDITION: xid is non-null —
+    Oracle redo guarantees it (usn.slt.sqn); a hypothetical null-xid row
+    would survive the window path (nulls form one window partition) but
+    drop out of this route's inner equi-join (NULL never matches NULL),
+    so route such malformed sources through the default window path."""
     from .skew import salted_join
 
     is_commit = F.col("operation") == "COMMIT"

@@ -3860,8 +3860,10 @@ def q127_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
     prefix sum decomposed at order-preserving hash blocks, so selection
     parallelism is never capped at the source count (the q51/q119 packing
     fix applied at birth). The order key is the overflow-safe 32-bit Knuth
-    hash — a BIJECTION mod 2^32 (odd multiplier), so ordering ties are
-    impossible for doc_id < 2^32 and the cumsum is engine-deterministic."""
+    hash (a bijection mod 2^32 — tie-free below 2^32 ids) WITH doc_id as
+    the explicit tiebreak, so the cumsum stays engine-deterministic even
+    past 2^32 docs/source where the 32-bit hash must repeat (both engines
+    order by (h, doc_id))."""
     docs = load_table(spark, sf, "documents")
     budget = 2000
     base = docs.select(
@@ -3871,7 +3873,8 @@ def q127_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
         knuth_bucket(F.col("doc_id"), 4294967296).alias("h"),
     )
     cum = two_level_cumsum(
-        base, "source", "h", "n_tok", out_col="cum_excl", block_size=1 << 26
+        base, "source", "h", "n_tok", out_col="cum_excl", block_size=1 << 26,
+        tie_cols=["doc_id"],
     )
     sel = cum.filter(F.col("cum_excl") < budget)
     return sel.groupBy("source").agg(
@@ -3891,7 +3894,7 @@ WITH base AS (
 ),
 c AS (
   SELECT source, doc_id, n_tok,
-         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
   FROM base
 )
@@ -4956,26 +4959,24 @@ FROM embeddings
 """
 
 
-def cdc17_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental corpus ingestion with HISTORY-WIDE exact dedup
-    (streaming/corpus_ingest.py): the documents table split into 3 arrival
-    batches (doc_id mod 3 — reproducible in SQL, unlike a range split),
-    streamed through the bucketed fingerprint store; a text is accepted
-    only on its FIRST occurrence across all history (batch order, then
-    doc_id). The ORACLE is the relational first-occurrence rule — per
-    batch, accepted count and id-sum pin exactly which documents the
-    persistent seen-set admitted. Per-batch store writes touch only the
-    buckets receiving new fingerprints (O(touched), never O(history))."""
+def _staged_ingest(spark: SparkSession, sf: str, writer_fn) -> DataFrame:
+    """Shared harness for the ingest scenarios (cdc17/cdc18): stage the
+    documents table as 3 mtime-ordered arrival batches split by
+    doc_id mod 3 (reproducible in SQL, unlike a range split), run the
+    given ingest writer over them, and return per-batch
+    (batch, n_accepted, id_sum) — one copy of the arrival-ordering
+    convention so the exact oracle and its rows-only near-dup twin can
+    never desynchronize."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
     import tempfile
     import time as _time
 
-    from ..streaming.corpus_ingest import read_ingested, write_dedup_ingest
+    from ..streaming.corpus_ingest import read_ingested
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="cdc17_")
+    tmp = tempfile.mkdtemp(prefix="ingest_")
     try:
         _os.makedirs(f"{tmp}/in")
         now = _time.time()
@@ -4986,19 +4987,18 @@ def cdc17_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
             src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
             _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
             _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
-        q = write_dedup_ingest(
+        q = writer_fn(
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in"),
             f"{tmp}/out",
             f"{tmp}/store",
             f"{tmp}/ckpt",
-            num_buckets=16,
         )
         if not q.awaitTermination(600):
             q.stop()
-            raise TimeoutError("cdc17: ingest stream did not finish in 600s")
-        out = read_ingested(spark, f"{tmp}/out")
+            raise TimeoutError("ingest stream did not finish in 600s")
+        out = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store")
         return (
             out.groupBy(F.col("batch").cast("long").alias("batch"))
             .agg(
@@ -5009,6 +5009,26 @@ def cdc17_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def cdc17_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus ingestion with HISTORY-WIDE exact dedup
+    (streaming/corpus_ingest.py): the documents table in 3 arrival batches,
+    streamed through the bucketed md5-fingerprint store; a text is
+    accepted only on its FIRST occurrence across all history (batch order,
+    then doc_id). The ORACLE is the relational first-occurrence rule — per
+    batch, accepted count and id-sum pin exactly which documents the
+    persistent seen-set admitted. Per-batch store writes touch only the
+    buckets receiving NEW fingerprints (O(touched), never O(history))."""
+    from ..streaming.corpus_ingest import write_dedup_ingest
+
+    return _staged_ingest(
+        spark,
+        sf,
+        lambda stream, out, store, ckpt: write_dedup_ingest(
+            stream, out, store, ckpt, num_buckets=16
+        ),
+    )
 
 
 CDC17_SQL = """
@@ -5028,56 +5048,23 @@ FROM r WHERE rn = 1 GROUP BY batch
 
 def cdc18_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental NEAR-dup ingestion (streaming/corpus_ingest.py::
-    write_neardup_ingest): the documents table in 3 arrival batches, each
-    accepted doc checked against the persisted banded-signature store —
-    in-batch near-dup clusters keep min-id reps, history collisions verify
-    via stored signatures. Rows-only (MinHash acceptance is approximate —
-    no SQL twin); determinism and the store contract are pinned by
-    tests/test_corpus_ingest.py, and the accepted count is bounded above
-    by cdc17's exact-dedup count by construction."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile
-    import time as _time
+    write_neardup_ingest): same 3-batch staging as cdc17 (shared
+    _staged_ingest harness), acceptance checked against the persisted
+    banded-signature store — in-batch near-dup clusters keep min-id reps,
+    history collisions verify via stored signatures. Rows-only (MinHash
+    acceptance is approximate — no SQL twin); determinism, the store
+    contract, and the global no-accepted-pair-over-threshold invariant are
+    pinned by tests/test_corpus_ingest.py, and the accepted count is
+    bounded above by cdc17's exact count by construction."""
+    from ..streaming.corpus_ingest import write_neardup_ingest
 
-    from ..streaming.corpus_ingest import read_ingested, write_neardup_ingest
-
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="cdc18_")
-    try:
-        _os.makedirs(f"{tmp}/in")
-        now = _time.time()
-        for i in range(3):
-            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
-                f"{tmp}/s{i}"
-            )
-            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
-            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
-            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
-        q = write_neardup_ingest(
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/in"),
-            f"{tmp}/out",
-            f"{tmp}/store",
-            f"{tmp}/ckpt",
-            threshold=0.5,
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError("cdc18: near-dup ingest stream did not finish")
-        out = read_ingested(spark, f"{tmp}/out")
-        return (
-            out.groupBy(F.col("batch").cast("long").alias("batch"))
-            .agg(
-                F.count(F.lit(1)).alias("n_accepted"),
-                F.sum("doc_id").alias("id_sum"),
-            )
-            .localCheckpoint()
-        )
-    finally:
-        _shutil.rmtree(tmp, ignore_errors=True)
+    return _staged_ingest(
+        spark,
+        sf,
+        lambda stream, out, store, ckpt: write_neardup_ingest(
+            stream, out, store, ckpt, threshold=0.5
+        ),
+    )
 
 
 def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:

@@ -49,8 +49,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .snapshot import _last_committed_batch, _mark_committed, latest_version
 
 def _fp(text_col: str) -> F.Column:
-    """16-byte binary md5 fingerprint of the text."""
-    return F.unhex(F.md5(F.col(text_col)))
+    """16-byte binary md5 fingerprint of the text. NULL text fingerprints
+    as the empty string: md5(NULL) is NULL, which would both crash the
+    touched-bucket sort (None unorderable against ints) and — worse —
+    never match the store's anti-join (NULL != NULL), re-accepting every
+    null-text row forever. Deduping NULL together with '' is the
+    documented contract (both are 'no content')."""
+    return F.unhex(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
 
 
 def _bucket(col: F.Column, num_buckets: int) -> F.Column:
@@ -114,7 +119,14 @@ def write_dedup_ingest(
                     .write.mode("overwrite")
                     .parquet(f"{out_dir}/batch={batch_id}")
                 )
-                for b in touched:
+                # version only buckets that actually GAINED fingerprints —
+                # a duplicate-heavy batch probes many buckets but must not
+                # rewrite them (prev ∪ ∅ copies are pure write
+                # amplification; the r4-review finding)
+                add_touched = sorted(
+                    r["_b"] for r in new.select("_b").distinct().collect()
+                )
+                for b in add_touched:
                     prev = (
                         spark.read.parquet(f"{store_dir}/b={b}/v={parents[b]}")
                         if parents[b] is not None
@@ -348,12 +360,31 @@ def vacuum_store(store_dir: str, keep: int = 2) -> dict[str, list[int]]:
     return removed
 
 
-def read_ingested(spark, out_dir: str) -> DataFrame | None:
+def read_ingested(spark, out_dir: str, store_dir: str | None = None) -> DataFrame | None:
     """All accepted documents across batches (``batch`` partition column),
-    or None before the first batch."""
+    or None before the first batch.
+
+    Pass ``store_dir`` to gate on the store's commit marker: a crash
+    between the output write and the store commit leaves a ``batch=<id>``
+    dir whose dedup state never persisted — with the gate, such torn
+    batches stay invisible until their retry commits (the same
+    marker-bounded visibility read_snapshot_bucketed enforces). Without
+    ``store_dir`` every batch dir is surfaced (the pre-gate behavior,
+    fine for post-hoc analysis of a finished stream)."""
     if not os.path.isdir(out_dir):
         return None
-    dirs = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
+    if store_dir is not None:
+        last = _last_committed_batch(store_dir)
+        if last is None:  # nothing committed yet → nothing visible
+            return None
+    else:
+        last = None
+    dirs = [
+        d
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+        and (last is None or int(d.split("=")[1]) <= last)
+    ]
     if not dirs:
         return None
     return spark.read.option("basePath", out_dir).parquet(

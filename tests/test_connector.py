@@ -165,6 +165,71 @@ def test_connector_start_using_cm_routes_batch_path(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_connector_cm_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    """A re-run CM start() with the same offsets (crash-recovery, manual
+    retry) must land byte-identical sinks — never append duplicates."""
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/redo")
+    redo_cm_inserts_from_customer(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/redo")
+    conn = LogMinerConnector({**PROPS, "using.cm": "true"}, spark)
+    for _ in range(2):
+        q = conn.start(
+            f"{tmp}/redo", customer_registry(), f"{tmp}/out", f"{tmp}/ckpt",
+            db_version="18.4.0.0.0",
+        )
+        assert q.awaitTermination(300)
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER")
+    want = run_cdc_batch(redo_inserts_from_customer(spark, sf_dir))
+    assert got.count() == want.count() > 0  # no duplication across runs
+
+
+def test_connector_cm_ddl_invalidates_before_typing(spark, tmp_path):
+    """DDL-first ordering on the CM fork: an ALTER ADD mid-log must
+    invalidate the cached schema BEFORE the same run's DML is typed, so
+    the new column's values land instead of being silently dropped."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        ColumnMeta,
+        SchemaRegistry,
+    )
+    from kafka_connect_logminer2_spark.sources.redo import redo_events_from_rows
+
+    tmp = str(tmp_path)
+    mk = lambda name, **kw: ColumnMeta("TPCH", "CUSTOMER", name, True, **kw)
+    v1 = [
+        mk("C_CUSTKEY", data_type="NUMBER", data_precision=18),
+        mk("C_NAME", data_type="VARCHAR2", data_length=25),
+    ]
+    v2 = v1 + [mk("C_TIER", data_type="NUMBER", data_precision=4)]
+    reg = SchemaRegistry()
+    reg.register(v1)  # stale pre-DDL schema already cached
+    reg._loader = lambda o, t: v2 if (o, t) == ("TPCH", "CUSTOMER") else None
+
+    INS3 = (
+        'insert into "TPCH"."CUSTOMER"("C_CUSTKEY","C_NAME","C_TIER")'
+        " values (1,'a',7)"
+    )
+    rows = [
+        dict(scn=2, operation="DDL", xid="D", table_name="CUSTOMER",
+             commit_scn=2,
+             sql_redo="alter table TPCH.CUSTOMER add C_TIER number(4)"),
+        dict(scn=3, operation="INSERT", xid="B", table_name="CUSTOMER",
+             commit_scn=4, sql_redo=INS3, row_id="r1"),
+    ]
+    os.makedirs(f"{tmp}/redo")
+    redo_events_from_rows(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/redo"
+    )
+    conn = LogMinerConnector({**PROPS, "using.cm": "true"}, spark)
+    q = conn.start(
+        f"{tmp}/redo", reg, f"{tmp}/out", f"{tmp}/ckpt", db_version="18.4.0.0.0"
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(f"{tmp}/out/TPCH.CUSTOMER").collect()
+    assert [(r.data["C_CUSTKEY"], r.data["C_TIER"]) for r in got] == [(1, 7)]
+
+
 def test_connector_cm_path_respects_stored_offset(spark, sf_dir, tmp_path):
     """A3+A4 on the CM fork: a stored offset must bound the bounded batch
     exactly like the streaming path — only SCNs beyond it land."""

@@ -85,6 +85,27 @@ def test_ahash64_known_pattern_and_resize_invariance():
     assert M.ahash64(M.resize_bilinear(arr, 16)) == "0f0f0f0f0f0f0f0f"
 
 
+def test_ahash64_tiny_images_distinct_and_warning_free():
+    """Regression (r4 review): images with width or height < 8 used to
+    produce empty block slices → NaN means → the SAME all-zero hash for
+    every tiny image (and a flood of numpy warnings). The pixel-sampled
+    fallback must hash distinct tiny contents distinctly, silently."""
+    import warnings
+
+    left_dark = np.zeros((4, 6, 3), dtype=np.uint8)
+    left_dark[:, 3:, :] = 255
+    top_dark = np.zeros((4, 6, 3), dtype=np.uint8)
+    top_dark[2:, :, :] = 255
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        h1, h2 = M.ahash64(left_dark), M.ahash64(top_dark)
+        h3 = M.ahash64(np.full((1, 1, 3), 7, dtype=np.uint8))  # degenerate 1x1
+    assert h1 != h2
+    assert h1 == "0f0f0f0f0f0f0f0f"  # left-dark pattern, same as the 32px case
+    assert h2 == "00000000ffffffff"  # top-dark: first 4 grid rows 0, last 4 set
+    assert h3 == "0000000000000000"  # constant image: no bit above the mean
+
+
 def test_image_stats_features_known_values():
     solid = np.full((8, 8, 3), 128, dtype=np.uint8)
     f = M.image_stats_features(solid)
