@@ -107,3 +107,42 @@ def test_two_level_cumsum_equals_naive_window(spark, ids, block_size):
     ref["cum_excl"] = ref.groupby("source")["v"].cumsum() - ref["v"]
     expected = {int(r.doc_id): int(r.cum_excl) for r in ref.itertuples()}
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    block_size=st.sampled_from([1, 5, 4096]),
+)
+def test_two_level_cumsum_tie_cols_break_order_collisions(spark, n, block_size):
+    """tie_cols contract (the q127 past-2^32 regime in miniature): rows
+    whose ORDER key collides must still cumsum deterministically, ordered
+    by the tie column — matching pandas truth sorted by (order, tie).
+    Every order value is duplicated across two tie ids, so without
+    tie_cols the result would be partition-order-dependent."""
+    from kafka_connect_logminer2_spark.functions.sharding import two_level_cumsum
+
+    rows = []
+    for i in range(n):
+        rows.append((i % 7, i, "g", i + 1))       # (order, tie, group, value)
+        rows.append((i % 7, 1000 + i, "g", 2 * i + 1))
+    df = spark.createDataFrame(rows, "h long, doc_id long, source string, v long")
+    got = {
+        (r["h"], r["doc_id"]): r["cum_excl"]
+        for r in two_level_cumsum(
+            df, "source", "h", "v", block_size=block_size, tie_cols=["doc_id"]
+        ).collect()
+    }
+
+    ref = pd.DataFrame(rows, columns=["h", "doc_id", "source", "v"]).sort_values(
+        ["h", "doc_id"], kind="mergesort"
+    )
+    ref["cum_excl"] = ref["v"].cumsum() - ref["v"]
+    expected = {
+        (int(r.h), int(r.doc_id)): int(r.cum_excl) for r in ref.itertuples()
+    }
+    assert got == expected
