@@ -19,14 +19,29 @@ Scale design (the part that matters at 100 TB of history):
   corpus size (a 64-bit fingerprint would already be ~3 expected
   collisions at 10^10 docs — wrong tool for exact dedup at this scale;
   the in-batch winner rule still tie-breaks on doc id);
-* the store is hash-BUCKETED on the fingerprint: a batch rewrites only
-  the buckets its new fingerprints land in — per-batch store cost is
-  O(touched buckets), not O(history) (the write-amplification fix
-  write_snapshot_bucketed proves for table state, applied to a set);
+* each ``v=<batch_id>`` is an APPEND-ONLY DELTA segment holding only the
+  fingerprints that batch ADDED — per-batch store write cost is
+  O(new fingerprints), never O(history). (The r4 layout rewrote the full
+  bucket per touched version: a batch of random fingerprints touches
+  essentially every bucket, so each nightly batch copied ≈ the whole
+  history forward — the exact write-amplification class the bucketed
+  snapshot fixed for table state, now fixed for the set too.) The read
+  side unions a bucket's committed delta chain; :func:`compact_store`
+  folds a chain back to one segment when it grows long — the Delta-log
+  add-file / checkpoint split, re-expressed on plain parquet;
+* ALL touched buckets' deltas land in ONE partitioned Spark write per
+  batch (staging dir + directory renames), not one job per bucket —
+  driver round-trips stay O(1) in bucket count;
 * the membership probe is one left-anti join of the (small) batch against
-  only the touched buckets' current versions, hash-partitioned on the
+  only the touched buckets' committed deltas, hash-partitioned on the
   fingerprint — the history is never scanned in full, never collected,
-  never broadcast.
+  never broadcast;
+* store parameters are PERSISTED (``_meta.json``, written at creation,
+  validated every batch): resuming with a different ``num_buckets`` would
+  probe the wrong buckets (history misses → duplicates silently
+  re-accepted), a different MinHash ``k/num_hashes/num_bands/seed`` would
+  compare bit-incompatible signatures — both now raise instead, the same
+  guard ``write_snapshot_bucketed`` carries.
 
 Two acceptance policies share the store machinery:
 * :func:`write_dedup_ingest` — EXACT: first occurrence of a text wins
@@ -43,10 +58,18 @@ engine's §2C training-data side (SURVEY §2C dedup family).
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .snapshot import _last_committed_batch, _mark_committed, latest_version
+from .snapshot import (
+    _V_RE,
+    _last_committed_batch,
+    _mark_committed,
+    _read_meta,
+    _write_meta,
+)
+
 
 def _fp(text_col: str) -> F.Column:
     """16-byte binary md5 fingerprint of the text. NULL text fingerprints
@@ -62,6 +85,234 @@ def _bucket(col: F.Column, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
+# ---------------------------------------------------------------------------
+# shared store machinery (one implementation for the exact and near stores —
+# the parent-read/merge/commit sequence used to exist twice and drift)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_meta(store_dir: str, expect: dict) -> None:
+    """Create-or-validate the store's persisted parameters. First call
+    writes ``_meta.json``; every later call (same run, resumed run, or a
+    different pipeline pointed at the same dir) must present identical
+    parameters — a silent mismatch would probe the wrong buckets or
+    compare bit-incompatible signatures, re-accepting duplicates without
+    any error signal."""
+    meta = _read_meta(store_dir)
+    if meta is None:
+        _write_meta(store_dir, expect)
+        return
+    bad = {k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v}
+    if bad:
+        detail = ", ".join(
+            f"{k}: store={s!r} caller={c!r}" for k, (s, c) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"ingest store at {store_dir} was created with different "
+            f"parameters ({detail}); resuming would silently corrupt dedup "
+            "state — use a new store_dir or the original parameters"
+        )
+
+
+def _committed_versions(bucket_dir: str, below: int | None = None) -> list[int]:
+    """All committed (``_SUCCESS``-stamped) delta versions of one bucket,
+    ascending; strictly below ``below`` when given (the chain a retried
+    batch re-reads)."""
+    if not os.path.isdir(bucket_dir):
+        return []
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(bucket_dir)
+        if (m := _V_RE.match(d))
+        and os.path.exists(os.path.join(bucket_dir, d, "_SUCCESS"))
+    ]
+    if below is not None:
+        versions = [v for v in versions if v < below]
+    return sorted(versions)
+
+
+def _store_paths(store_dir: str, buckets, below: int | None = None) -> list[str]:
+    """Every committed delta-segment path of the given buckets (all
+    buckets when ``buckets`` is None) with version < ``below`` — the
+    union-read side of the append-only layout."""
+    if buckets is None:
+        if not os.path.isdir(store_dir):
+            return []
+        buckets = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("b=")
+        )
+    paths = []
+    for b in buckets:
+        bdir = f"{store_dir}/b={b}"
+        paths.extend(f"{bdir}/v={v}" for v in _committed_versions(bdir, below))
+    return paths
+
+
+def _write_delta(delta: DataFrame, store_dir: str, batch_id: int) -> None:
+    """Land one batch's NEW rows as ``b=<k>/v=<batch_id>`` delta segments
+    in ONE partitioned Spark write. ``delta`` must carry an int ``_b``
+    bucket column; only buckets that actually gained rows get a version
+    (empty partitions are never written). Retry-idempotent: a retried
+    batch overwrites its own staging dir and its own ``v=<batch_id>``
+    segments, touching no other version."""
+    staging = os.path.join(store_dir, f"_delta_tmp_{batch_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    delta.write.partitionBy("_b").parquet(staging)
+    for d in os.listdir(staging):
+        if not d.startswith("_b="):
+            continue
+        b = int(d.split("=", 1)[1])
+        dst = os.path.join(store_dir, f"b={b}", f"v={batch_id}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(os.path.join(staging, d), dst)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int | None:
+    """Fold every bucket's committed delta chain into ONE segment at
+    ``v=<last_committed>`` and delete the folded older versions — the
+    checkpoint half of the delta-log layout, and the store's ONLY
+    retention mechanism (a version-count vacuum would delete membership:
+    with append-only deltas, old versions ARE the state). Run it when
+    chains grow long (each probe unions a bucket's whole chain); cadence
+    is a policy call, e.g. nightly or at chain length ≥ N.
+
+    One Spark job rewrites all stale buckets (partitioned staging write +
+    directory renames), so cost is bounded by data volume, not bucket
+    count — same shape as compact_snapshot_bucketed, measured there at
+    87.7 s → 6.9 s for 1k buckets (BASELINE.md).
+
+    Crash-safe and idempotent: the folded segment (a DISTINCT union of
+    the chain) is placed before old versions are deleted, so a crash
+    between the two leaves transient duplicate rows across segments —
+    harmless to every reader (membership anti-join, distinct'd candidate
+    probe, distinct store_size), and the rerun finishes the deletes.
+    Uncommitted versions (a crashed batch's orphan delta above the
+    marker) are never touched; the retry overwrites them. Returns the
+    fold version id, or None for an empty store."""
+    last = _last_committed_batch(store_dir)
+    if last is None:
+        return None
+    stale: dict[int, list[int]] = {}
+    for d in sorted(os.listdir(store_dir)):
+        if not d.startswith("b="):
+            continue
+        b = int(d.split("=", 1)[1])
+        vs = _committed_versions(os.path.join(store_dir, d), below=last + 1)
+        if len(vs) > 1:
+            stale[b] = vs
+    if not stale:
+        return last
+    paths = [f"{store_dir}/b={b}/v={v}" for b, vs in stale.items() for v in vs]
+    staging = os.path.join(store_dir, "_compact_tmp")
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.option("basePath", store_dir)
+        .parquet(*paths)
+        .drop("v")
+        .distinct()  # folds any crash-leftover duplicates while we're here
+        .withColumnRenamed("b", "_b")
+        .write.partitionBy("_b")
+        .parquet(staging)
+    )
+    for b, vs in stale.items():
+        staged = os.path.join(staging, f"_b={b}")
+        if not os.path.isdir(staged):  # defensive: leave this chain as-is
+            continue
+        dst = os.path.join(store_dir, f"b={b}", f"v={last}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(staged, dst)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+        for v in vs:  # delete only after the fold segment is visible
+            if v != last:
+                shutil.rmtree(
+                    os.path.join(store_dir, f"b={b}", f"v={v}"), ignore_errors=True
+                )
+    shutil.rmtree(staging, ignore_errors=True)
+    return last
+
+
+def store_size(spark: SparkSession, store_dir: str) -> int:
+    """Committed seen-set cardinality (distinct fingerprints for the exact
+    store, distinct accepted docs for the signature store) — ONE multi-path
+    Spark job over every committed segment, not a job per bucket."""
+    last = _last_committed_batch(store_dir)
+    if last is None:
+        return 0
+    paths = _store_paths(store_dir, None, below=last + 1)
+    if not paths:
+        return 0
+    df = spark.read.parquet(*paths)
+    key = "fp" if "fp" in df.columns else "id"
+    return df.select(key).distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# exact-dedup ingestion
+# ---------------------------------------------------------------------------
+
+
+def ingest_batch_exact(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> None:
+    """One exact-dedup ingest step (the foreachBatch body, public so batch
+    pipelines and job-count tests can drive it directly): keep the batch's
+    never-seen texts, land them in ``out_dir/batch=<id>``, append their
+    fingerprints as delta segments, then commit. Driver-side job count is
+    O(1) in bucket count: probe collect + output write + one partitioned
+    delta write."""
+    _ensure_meta(store_dir, {"kind": "exact", "num_buckets": num_buckets})
+    fps = batch.withColumn("_fp", _fp(text_col)).withColumn(
+        "_b", _bucket(F.col("_fp"), num_buckets)
+    )
+    # in-batch first-occurrence rule: one candidate row per fingerprint
+    w = Window.partitionBy("_b", "_fp").orderBy(id_col)
+    firsts = (
+        fps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    try:
+        touched = sorted(r["_b"] for r in firsts.select("_b").distinct().collect())
+        paths = _store_paths(store_dir, touched, below=batch_id)
+        if paths:
+            seen = spark.read.parquet(*paths)
+            new = firsts.join(
+                seen.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+            ).persist()
+        else:
+            new = firsts
+        try:
+            (
+                new.drop("_fp", "_b")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/batch={batch_id}")
+            )
+            _write_delta(
+                new.select(F.col("_fp").alias("fp"), "_b"), store_dir, batch_id
+            )
+            _mark_committed(store_dir, batch_id)
+        finally:
+            if new is not firsts:
+                new.unpersist()
+    finally:
+        firsts.unpersist()
+
+
 def write_dedup_ingest(
     docs_stream: DataFrame,
     out_dir: str,
@@ -74,77 +325,21 @@ def write_dedup_ingest(
 ):
     """Stream of documents → ``out_dir/batch=<id>`` containing ONLY the
     never-seen-before documents (first occurrence wins, min ``id_col``
-    inside a batch), with the seen-set folded forward in the bucketed
-    fingerprint store. Returns the StreamingQuery.
+    inside a batch), with the seen-set growing by delta segments in the
+    bucketed fingerprint store. Returns the StreamingQuery.
 
-    Exactly-once: a retried batch re-reads the same parent store versions
-    (largest v strictly below its batch_id per bucket) and overwrites its
-    own ``batch=<id>`` output and ``v=<batch_id>`` store versions; the
+    Exactly-once: a retried batch re-reads the same committed delta chain
+    (versions strictly below its batch_id per bucket) and overwrites its
+    own ``batch=<id>`` output and ``v=<batch_id>`` delta segments; the
     commit marker is written last, so a crash mid-batch is never visible.
     """
     spark = docs_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        fps = batch.withColumn("_fp", _fp(text_col)).withColumn(
-            "_b", _bucket(F.col("_fp"), num_buckets)
+        ingest_batch_exact(
+            spark, batch, batch_id, out_dir, store_dir,
+            id_col=id_col, text_col=text_col, num_buckets=num_buckets,
         )
-        # in-batch first-occurrence rule: one candidate row per fingerprint
-        w = Window.partitionBy("_b", "_fp").orderBy(id_col)
-        firsts = (
-            fps.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .persist()
-        )
-        try:
-            touched = sorted(
-                r["_b"] for r in firsts.select("_b").distinct().collect()
-            )
-            paths = []
-            parents: dict[int, int | None] = {}
-            for b in touched:
-                parents[b] = latest_version(f"{store_dir}/b={b}", below=batch_id)
-                if parents[b] is not None:
-                    paths.append(f"{store_dir}/b={b}/v={parents[b]}")
-            if paths:
-                seen = spark.read.option("basePath", store_dir).parquet(*paths)
-                new = firsts.join(
-                    seen.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
-                ).persist()
-            else:
-                new = firsts
-            try:
-                (
-                    new.drop("_fp", "_b")
-                    .write.mode("overwrite")
-                    .parquet(f"{out_dir}/batch={batch_id}")
-                )
-                # version only buckets that actually GAINED fingerprints —
-                # a duplicate-heavy batch probes many buckets but must not
-                # rewrite them (prev ∪ ∅ copies are pure write
-                # amplification; the r4-review finding)
-                add_touched = sorted(
-                    r["_b"] for r in new.select("_b").distinct().collect()
-                )
-                for b in add_touched:
-                    prev = (
-                        spark.read.parquet(f"{store_dir}/b={b}/v={parents[b]}")
-                        if parents[b] is not None
-                        else None
-                    )
-                    add = new.filter(F.col("_b") == b).select(
-                        F.col("_fp").alias("fp")
-                    )
-                    merged = add if prev is None else prev.unionByName(add)
-                    merged.write.mode("overwrite").parquet(
-                        f"{store_dir}/b={b}/v={batch_id}"
-                    )
-                _mark_committed(store_dir, batch_id)
-            finally:
-                if new is not firsts:
-                    new.unpersist()
-        finally:
-            firsts.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -152,6 +347,139 @@ def write_dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# near-dup ingestion
+# ---------------------------------------------------------------------------
+
+
+def ingest_batch_neardup(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    seed: int = 42,
+    threshold: float = 0.5,
+    num_buckets: int = 16,
+    star_bucket_size: int | None = None,
+) -> None:
+    """One near-dup ingest step (foreachBatch body of
+    :func:`write_neardup_ingest`, public for batch use and job-count
+    tests). Same store mechanics as the exact path — delta-segment write,
+    touched-bucket probe, commit marker — with MinHash acceptance."""
+    from ..functions.dedup import (
+        dup_clusters,
+        minhash_agree_frac,
+        minhash_band_keys,
+        minhash_banded_pairs,
+        minhash_signatures,
+    )
+
+    _ensure_meta(
+        store_dir,
+        {
+            "kind": "neardup",
+            "num_buckets": num_buckets,
+            "k": k,
+            "num_hashes": num_hashes,
+            "num_bands": num_bands,
+            "seed": seed,
+            "threshold": threshold,
+        },
+    )
+    bucket_of = F.pmod(
+        F.xxhash64(F.col("band"), F.col("key")), F.lit(num_buckets)
+    ).cast("int")
+    batch = batch.persist()
+    try:
+        # 1. in-batch: one representative per near-dup cluster.
+        # star_bucket_size forwards the giant-bucket guard: a batch
+        # containing one page duplicated 10^6 times must not build a
+        # 5*10^11-pair array inside a single posting row
+        pairs = minhash_banded_pairs(
+            batch, text_col, id_col, k=k, num_hashes=num_hashes,
+            num_bands=num_bands, seed=seed,
+            star_bucket_size=star_bucket_size,
+        ).filter(F.col("jaccard_est") >= threshold)
+        clusters = dup_clusters(pairs)
+        reps = batch.join(
+            clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+        sigs = minhash_signatures(
+            reps, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
+        ).persist()
+        bands = minhash_band_keys(
+            sigs, num_hashes=num_hashes, num_bands=num_bands
+        ).withColumn("_b", bucket_of)
+
+        # 2. probe history: only the buckets this batch's keys land in
+        touched = sorted(r["_b"] for r in bands.select("_b").distinct().collect())
+        paths = _store_paths(store_dir, touched, below=batch_id)
+        if paths:
+            hist = spark.read.parquet(*paths)
+            cand = (
+                bands.join(
+                    hist.select("band", "key", F.col("sig").alias("_hsig")),
+                    ["band", "key"],
+                )
+                .select("id", "_hsig")
+                .distinct()
+            )
+            rejected = (
+                cand.join(sigs, "id")
+                .filter(
+                    minhash_agree_frac(F.col("sig"), F.col("_hsig"), num_hashes)
+                    >= threshold
+                )
+                .select("id")
+                .distinct()
+            )
+            accepted_ids = sigs.select("id").join(rejected, "id", "left_anti")
+        else:
+            accepted_ids = sigs.select("id")
+        accepted_ids = accepted_ids.persist()
+        try:
+            # 3. land survivors + append their banded signatures.
+            # Docs shorter than k tokens carry no shingles/signature
+            # (minhash_signatures drops them) — they cannot participate
+            # in MinHash similarity at all, so they are accepted as-is
+            # (exact-dup control for them is write_dedup_ingest's job).
+            no_sig = reps.select(F.col(id_col).alias("id")).join(
+                sigs.select("id"), "id", "left_anti"
+            )
+            (
+                batch.join(
+                    accepted_ids.unionByName(no_sig)
+                    .select(F.col("id").alias(id_col)),
+                    id_col,
+                )
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/batch={batch_id}")
+            )
+            _write_delta(
+                bands.join(accepted_ids, "id")
+                .join(sigs, "id")
+                .select("band", "key", "id", "sig", "_b"),
+                store_dir,
+                batch_id,
+            )
+            _mark_committed(store_dir, batch_id)
+        finally:
+            accepted_ids.unpersist()
+            sigs.unpersist()
+    finally:
+        batch.unpersist()
 
 
 def write_neardup_ingest(
@@ -186,144 +514,30 @@ def write_neardup_ingest(
          a frame); any rep at/above threshold is rejected — the history
          already carries a representative covering it;
       3. surviving reps land in ``out_dir/batch=<id>``, and their banded
-         signature rows append to the store.
+         signature rows append to the store as that batch's delta.
 
     Store layout/scale: rows (band, key, id, sig) bucketed by
-    ``xxhash64(band, key) mod num_buckets`` under the same versioned
-    ``b=<k>/v=<batch_id>`` retry-idempotent chain as the exact store. The
-    signature is duplicated per band (num_bands × H longs per doc) so the
-    verify step needs NO second join against a separate signature table —
-    the classic space-for-join trade; the probe is one equi-join on
-    (band, key) against only the TOUCHED buckets. Signatures are
-    deterministic in (k, num_hashes, seed) (minhash_signatures), so
-    signatures written in batch 0 are bit-comparable in batch 1000.
+    ``xxhash64(band, key) mod num_buckets``, append-only delta segments
+    under the same versioned ``b=<k>/v=<batch_id>`` retry-idempotent
+    chain as the exact store. The signature is duplicated per band
+    (num_bands × H longs per doc) so the verify step needs NO second join
+    against a separate signature table — the classic space-for-join
+    trade; the probe is one equi-join on (band, key) against only the
+    TOUCHED buckets' chains. Signatures are deterministic in
+    (k, num_hashes, seed) (minhash_signatures) and those parameters are
+    pinned in ``_meta.json``, so signatures written in batch 0 are
+    bit-comparable in batch 1000 — and a resume that would break that
+    raises instead of silently re-accepting duplicates.
     """
-    from ..functions.dedup import (
-        dup_clusters,
-        minhash_agree_frac,
-        minhash_band_keys,
-        minhash_banded_pairs,
-        minhash_signatures,
-    )
-
     spark = docs_stream.sparkSession
-    bucket_of = F.pmod(F.xxhash64(F.col("band"), F.col("key")), F.lit(num_buckets)).cast(
-        "int"
-    )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.persist()
-        try:
-            # 1. in-batch: one representative per near-dup cluster
-            # star_bucket_size forwards the giant-bucket guard: a batch
-            # containing one page duplicated 10^6 times must not build a
-            # 5*10^11-pair array inside a single posting row
-            pairs = minhash_banded_pairs(
-                batch, text_col, id_col, k=k, num_hashes=num_hashes,
-                num_bands=num_bands, seed=seed,
-                star_bucket_size=star_bucket_size,
-            ).filter(F.col("jaccard_est") >= threshold)
-            clusters = dup_clusters(pairs)
-            reps = (
-                batch.join(
-                    clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-                        F.col("doc_id").alias(id_col)
-                    ),
-                    id_col,
-                    "left_anti",
-                )
-            )
-            sigs = minhash_signatures(
-                reps, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
-            ).persist()
-            bands = minhash_band_keys(
-                sigs, num_hashes=num_hashes, num_bands=num_bands
-            ).withColumn("_b", bucket_of)
-
-            # 2. probe history: only the buckets this batch's keys land in
-            touched = sorted(
-                r["_b"] for r in bands.select("_b").distinct().collect()
-            )
-            paths, parents = [], {}
-            for b in range(num_buckets):
-                parents[b] = latest_version(f"{store_dir}/b={b}", below=batch_id)
-            for b in touched:
-                if parents[b] is not None:
-                    paths.append(f"{store_dir}/b={b}/v={parents[b]}")
-            if paths:
-                hist = spark.read.option("basePath", store_dir).parquet(*paths)
-                cand = (
-                    bands.join(
-                        hist.select(
-                            "band", "key", F.col("sig").alias("_hsig")
-                        ),
-                        ["band", "key"],
-                    )
-                    .select("id", "_hsig")
-                    .distinct()
-                )
-                rejected = (
-                    cand.join(sigs, "id")
-                    .filter(
-                        minhash_agree_frac(
-                            F.col("sig"), F.col("_hsig"), num_hashes
-                        )
-                        >= threshold
-                    )
-                    .select("id")
-                    .distinct()
-                )
-                accepted_ids = sigs.select("id").join(rejected, "id", "left_anti")
-            else:
-                accepted_ids = sigs.select("id")
-            accepted_ids = accepted_ids.persist()
-            try:
-                # 3. land survivors + append their banded signatures.
-                # Docs shorter than k tokens carry no shingles/signature
-                # (minhash_signatures drops them) — they cannot participate
-                # in MinHash similarity at all, so they are accepted as-is
-                # (exact-dup control for them is write_dedup_ingest's job).
-                no_sig = reps.select(F.col(id_col).alias("id")).join(
-                    sigs.select("id"), "id", "left_anti"
-                )
-                (
-                    batch.join(
-                        accepted_ids.unionByName(no_sig)
-                        .select(F.col("id").alias(id_col)),
-                        id_col,
-                    )
-                    .write.mode("overwrite")
-                    .parquet(f"{out_dir}/batch={batch_id}")
-                )
-                add = (
-                    bands.join(accepted_ids, "id")
-                    .join(sigs, "id")
-                    .select("band", "key", "id", "sig", "_b")
-                )
-                add = add.persist()
-                add_touched = sorted(
-                    r["_b"] for r in add.select("_b").distinct().collect()
-                )
-                for b in add_touched:
-                    prev = (
-                        spark.read.parquet(f"{store_dir}/b={b}/v={parents[b]}")
-                        if parents[b] is not None
-                        else None
-                    )
-                    rows = add.filter(F.col("_b") == b).drop("_b")
-                    merged = rows if prev is None else prev.select(
-                        "band", "key", "id", "sig"
-                    ).unionByName(rows)
-                    merged.write.mode("overwrite").parquet(
-                        f"{store_dir}/b={b}/v={batch_id}"
-                    )
-                add.unpersist()
-                _mark_committed(store_dir, batch_id)
-            finally:
-                accepted_ids.unpersist()
-                sigs.unpersist()
-        finally:
-            batch.unpersist()
+        ingest_batch_neardup(
+            spark, batch, batch_id, out_dir, store_dir,
+            id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes,
+            num_bands=num_bands, seed=seed, threshold=threshold,
+            num_buckets=num_buckets, star_bucket_size=star_bucket_size,
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -331,33 +545,6 @@ def write_neardup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
-
-
-def vacuum_store(store_dir: str, keep: int = 2) -> dict[str, list[int]]:
-    """Retention for a bucketed ingest store: vacuum each bucket's version
-    chain down to its ``keep`` newest committed versions (delegates to
-    snapshot.vacuum_versions per ``b=<k>`` dir). Every bucket rewrite
-    carries the FULL bucket content, so old versions exist only for retry
-    re-reads and time travel — without retention a hot bucket's storage
-    grows with batch count, not corpus size.
-
-    ``keep`` must be ≥ 2: a retried batch re-reads the version strictly
-    below its own batch id, so the latest version's PARENT must survive
-    vacuum (keep=1 could delete it while an uncommitted retry target is
-    the latest — silent history loss for that bucket)."""
-    from .snapshot import vacuum_versions
-
-    if keep < 2:
-        raise ValueError("keep must be >= 2 (retry re-reads the parent version)")
-    removed: dict[str, list[int]] = {}
-    if not os.path.isdir(store_dir):
-        return removed
-    for d in sorted(os.listdir(store_dir)):
-        if d.startswith("b="):
-            doomed = vacuum_versions(os.path.join(store_dir, d), keep=keep)
-            if doomed:
-                removed[d] = doomed
-    return removed
 
 
 def read_ingested(spark, out_dir: str, store_dir: str | None = None) -> DataFrame | None:
@@ -390,18 +577,3 @@ def read_ingested(spark, out_dir: str, store_dir: str | None = None) -> DataFram
     return spark.read.option("basePath", out_dir).parquet(
         *[f"{out_dir}/{d}" for d in dirs]
     )
-
-
-def store_size(spark, store_dir: str) -> int:
-    """Committed distinct-fingerprint count (the seen-set cardinality)."""
-    last = _last_committed_batch(store_dir)
-    if last is None:
-        return 0
-    total = 0
-    for d in os.listdir(store_dir):
-        if not d.startswith("b="):
-            continue
-        v = latest_version(f"{store_dir}/{d}", below=last + 1)
-        if v is not None:
-            total += spark.read.parquet(f"{store_dir}/{d}/v={v}").count()
-    return total

@@ -86,11 +86,13 @@ def test_ingest_accepts_exactly_first_occurrences(spark, tmp_path):
     assert per_batch == {1: 0, 2: 0, 11: 1, 20: 2, 22: 2}
 
 
-def test_ingest_rewrites_only_touched_buckets(spark, tmp_path):
-    """The O(touched buckets) write contract: a batch adding few new
-    fingerprints must version only their buckets — untouched buckets keep
-    their old latest version (the 100 TB difference between appending to a
-    set and rewriting it)."""
+def test_ingest_writes_are_deltas_proportional_to_new_fps(spark, tmp_path):
+    """The O(new fingerprints) write contract: a batch adding ONE new
+    fingerprint must write exactly one delta row in exactly one bucket —
+    NOT a copy of the bucket's history (the r4 layout rewrote the full
+    bucket per touched version; at nightly-batch × 10^9-doc scale that
+    copied the whole store forward every night). Untouched buckets gain
+    no version at all."""
     tmp = str(tmp_path)
     many = [(i, f"seed text number {i}") for i in range(64)]
     one = [(100, "the single new document"), (101, "seed text number 3")]
@@ -109,10 +111,14 @@ def test_ingest_rewrites_only_touched_buckets(spark, tmp_path):
         for d in os.listdir(store)
         if d.startswith("b=") and not os.path.isdir(f"{store}/{d}/v=1")
     }
-    # batch 1 carried ONE new fingerprint → at most a couple of buckets
-    # rewritten, and the precondition that most were untouched must hold
-    assert 1 <= len(v1) <= 2, sorted(v1)
+    # batch 1 carried ONE new fingerprint → exactly one bucket versioned
+    assert len(v1) == 1, sorted(v1)
     assert len(v0_only) >= 10
+    # ...and that version is a DELTA holding exactly the one new row, even
+    # though the bucket's batch-0 segment holds several fingerprints
+    (b1,) = v1
+    assert spark.read.parquet(f"{store}/{b1}/v=1").count() == 1
+    assert spark.read.parquet(f"{store}/{b1}/v=0").count() >= 1
     got = sorted(r["doc_id"] for r in read_ingested(spark, f"{tmp}/out").collect())
     assert got == list(range(64)) + [100]
 
@@ -222,19 +228,18 @@ def test_neardup_ingest_resumes_and_still_rejects(spark, tmp_path):
     assert got == [1, 2, 32]
 
 
-def test_vacuum_store_keeps_membership_and_parent(spark, tmp_path):
-    """Vacuuming the fingerprint store must not change membership (the
-    latest committed version per bucket survives) and must keep each
-    bucket's parent version so a retried batch can still re-read it;
-    keep=1 is rejected for exactly that reason."""
-    import pytest
-
-    from kafka_connect_logminer2_spark.streaming.corpus_ingest import vacuum_store
+def test_compact_store_folds_chains_and_keeps_membership(spark, tmp_path):
+    """compact_store must fold every bucket's delta chain into ONE segment
+    without changing membership — and a run AFTER compaction must still
+    reject everything the pre-compaction history had seen (the fold is the
+    store's retention mechanism; losing membership here would silently
+    re-accept history)."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import compact_store
 
     tmp = str(tmp_path)
-    # force one bucket through 3 versions: pick three distinct texts that
-    # land in the SAME fingerprint bucket (computed with the store's own
-    # hash), one per batch
+    # force one bucket through 3 delta versions: pick three distinct texts
+    # that land in the SAME fingerprint bucket (computed with the store's
+    # own hash), one per batch
     cand = spark.createDataFrame(
         [(i, f"candidate text {i}") for i in range(200)], SCHEMA
     ).select(
@@ -256,24 +261,125 @@ def test_vacuum_store_keeps_membership_and_parent(spark, tmp_path):
     store = f"{tmp}/store"
     before = store_size(spark, store)
     assert before == 6
+    # precondition: at least one bucket actually carries a multi-delta chain
+    chains = {
+        d: sorted(
+            int(v.split("=")[1])
+            for v in os.listdir(f"{store}/{d}")
+            if v.startswith("v=")
+        )
+        for d in os.listdir(store)
+        if d.startswith("b=")
+    }
+    assert any(len(vs) > 1 for vs in chains.values()), chains
 
-    with pytest.raises(ValueError, match="keep"):
-        vacuum_store(store, keep=1)
-
-    removed = vacuum_store(store, keep=2)
-    # the seed buckets rewritten in batches 1/2 had 2-3 versions — some
-    # version must actually have been deleted for this test to bite
-    assert any(removed.values())
-    assert store_size(spark, store) == before
-    # every bucket still has ≥ 1 version, and any bucket with 2+ kept its
-    # parent (latest_version below the max still resolves)
-    from kafka_connect_logminer2_spark.streaming.snapshot import latest_version
-
+    fold_v = compact_store(spark, store)
+    assert fold_v == 2  # last committed batch id
+    # every bucket now has exactly one segment; membership unchanged
     for d in os.listdir(store):
         if not d.startswith("b="):
             continue
-        latest = latest_version(f"{store}/{d}")
-        assert latest is not None
+        vs = [v for v in os.listdir(f"{store}/{d}") if v.startswith("v=")]
+        assert len(vs) == 1, (d, vs)
+    assert store_size(spark, store) == before
+    # idempotent: a rerun is a no-op returning the same fold version
+    assert compact_store(spark, store) == fold_v
+    assert store_size(spark, store) == before
+
+    # resume after compaction: history still rejects, new text accepted
+    _stage(spark, tmp, [[(30, same[0]), (31, "filler text b"), (32, "post text")]],
+           start=3)
+    q2 = _run(spark, tmp)
+    assert q2.awaitTermination(300)
+    got = sorted(r["doc_id"] for r in read_ingested(spark, f"{tmp}/out").collect())
+    assert got == [1, 2, 10, 11, 20, 21, 32]
+    assert store_size(spark, store) == before + 1
+
+
+def test_ingest_store_param_guard_raises_on_mismatch(spark, tmp_path):
+    """Resuming a store with different parameters must RAISE, not silently
+    probe the wrong buckets: a num_buckets change remaps fingerprints
+    (history misses → duplicates re-accepted), a MinHash seed change makes
+    stored signatures bit-incompatible. Same guard class as
+    write_snapshot_bucketed's num_buckets resume check."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+        ingest_batch_neardup,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(1, "some text"), (2, "other text")], SCHEMA)
+    ingest_batch_exact(spark, b0, 0, f"{tmp}/out", f"{tmp}/store", num_buckets=16)
+    with pytest.raises(ValueError, match="num_buckets"):
+        ingest_batch_exact(spark, b0, 1, f"{tmp}/out", f"{tmp}/store", num_buckets=8)
+    # unchanged params still work
+    ingest_batch_exact(spark, b0, 1, f"{tmp}/out", f"{tmp}/store", num_buckets=16)
+
+    ingest_batch_neardup(
+        spark, b0, 0, f"{tmp}/out2", f"{tmp}/store2", seed=42, num_buckets=16
+    )
+    with pytest.raises(ValueError, match="seed"):
+        ingest_batch_neardup(
+            spark, b0, 1, f"{tmp}/out2", f"{tmp}/store2", seed=7, num_buckets=16
+        )
+    # the streaming wrapper surfaces the same guard as a stream failure
+    _stage(spark, tmp, [[(5, "stream text")]])
+    q = write_dedup_ingest(
+        spark.readStream.schema(SCHEMA).parquet(f"{tmp}/in"),
+        f"{tmp}/out",
+        f"{tmp}/store",
+        f"{tmp}/ckpt",
+        num_buckets=8,
+    )
+    with pytest.raises(Exception, match="num_buckets"):
+        q.awaitTermination(300)
+
+
+def test_ingest_job_count_constant_in_bucket_count(spark, tmp_path):
+    """Driver-side Spark-job count per ingest batch must be O(1) in bucket
+    count (the store write is ONE partitioned job + renames, not a job per
+    touched bucket), and store_size must be one multi-path job — at 4096
+    buckets a per-bucket loop would be thousands of driver round-trips per
+    batch (measured 0.18 s each on the snapshot path: 88 s → 7 s when
+    batched, BASELINE.md)."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, f"job count probe text {i}") for i in range(64)], SCHEMA
+    )
+
+    def jobs_during(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # same data, 4 vs 64 buckets (64 docs → essentially every bucket
+    # touched in both) — job count must NOT grow with bucket count
+    n4 = jobs_during(
+        "ingest-nb4",
+        lambda: ingest_batch_exact(
+            spark, docs, 0, f"{tmp}/out4", f"{tmp}/store4", num_buckets=4
+        ),
+    )
+    n64 = jobs_during(
+        "ingest-nb64",
+        lambda: ingest_batch_exact(
+            spark, docs, 0, f"{tmp}/out64", f"{tmp}/store64", num_buckets=64
+        ),
+    )
+    assert 0 < n64 <= n4 + 1, (n4, n64)
+    s4 = jobs_during("size-nb4", lambda: store_size(spark, f"{tmp}/store4"))
+    s64 = jobs_during("size-nb64", lambda: store_size(spark, f"{tmp}/store64"))
+    assert 0 < s64 <= s4 + 1, (s4, s64)
 
 
 def test_neardup_ingest_global_invariant_on_fixture(spark, sf_dir, tmp_path):
