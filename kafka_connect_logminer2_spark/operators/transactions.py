@@ -82,6 +82,57 @@ def annotate_transactions_salted(redo: DataFrame, num_salts: int = 16) -> DataFr
     return salted_join(redo, facts, ["xid"], "inner", num_salts)
 
 
+def detect_xid_skew(redo: DataFrame, sample_fraction: float = 0.02, seed: int = 7) -> float:
+    """Estimated share of redo rows held by the HOTTEST single xid, from
+    one cheap pass: a Bernoulli row sample, column-pruned to ``xid``
+    (over a parquet source that is a one-column scan of a sampled subset),
+    partial-combined per-xid counts, then max/total. The estimate drives
+    the auto skew route in :func:`assemble_transactions` — it needs to
+    distinguish "one txn is ~10% of the log" from "balanced", not be
+    exact, so a 2% sample is plenty at any realistic log size (a 10%-hot
+    xid in a 1M-row log appears ~2000 times in the sample; the share
+    estimator's noise is ~1/√2000 ≈ 2% relative). Returns 0.0 for an
+    empty (or fully sampled-out) frame, which routes to the window path.
+
+    Cost note for 100 TB: sampling prunes ROWS after the scan, so this is
+    one extra read of the xid column (~1% of table bytes for a wide redo
+    table). If the redo frame is the output of an expensive upstream
+    compute rather than a source scan, pass an explicit ``skew_salts``
+    instead of auto — sampling cannot skip upstream work."""
+    s = redo.select("xid")
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    row = (
+        s.groupBy("xid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_max"), F.sum("_n").alias("_total"))
+        .first()
+    )
+    if row is None or not row["_total"]:
+        return 0.0
+    return row["_max"] / row["_total"]
+
+
+def resolve_skew_salts(
+    redo: DataFrame,
+    skew_salts: int | str | None,
+    auto_threshold: float = 0.05,
+    auto_salts: int = 16,
+    auto_sample_fraction: float = 0.02,
+) -> int | None:
+    """The route decision of :func:`assemble_transactions`, factored out
+    so the auto policy is directly testable (the assembler's plan is
+    truncated by its materialization barrier, hiding the chosen shape):
+    ``"auto"`` → salt count iff the sampled hottest-xid share reaches the
+    threshold, else the window route; explicit values pass through."""
+    if skew_salts == "auto":
+        share = detect_xid_skew(redo, sample_fraction=auto_sample_fraction)
+        return auto_salts if share >= auto_threshold else None
+    if isinstance(skew_salts, str):
+        raise ValueError(f"skew_salts must be an int, None, or 'auto', got {skew_salts!r}")
+    return skew_salts
+
+
 def _repair_partial_rollbacks(dml: DataFrame) -> DataFrame:
     """A16: inside a committed txn, each ``rollback='1'`` row is dropped along
     with its predecessor (the change it undoes), in redo order.
@@ -104,7 +155,13 @@ def _repair_partial_rollbacks(dml: DataFrame) -> DataFrame:
     return marked.filter((F.col("_has_partial") == 0) | ~is_dropped).drop("_next_rb")
 
 
-def assemble_transactions(redo: DataFrame, skew_salts: int | None = None) -> DataFrame:
+def assemble_transactions(
+    redo: DataFrame,
+    skew_salts: int | str | None = None,
+    auto_threshold: float = 0.05,
+    auto_salts: int = 16,
+    auto_sample_fraction: float = 0.02,
+) -> DataFrame:
     """Bounded-log transaction assembly: returns committed DML rows with
     ``commit_scn``/``commit_timestamp`` stamped, rollback transactions
     discarded, partial-rollback pairs repaired, CSF fragments merged.
@@ -117,7 +174,12 @@ def assemble_transactions(redo: DataFrame, skew_salts: int | None = None) -> Dat
     single-pass window — same values, hot-xid rows spread over that many
     tasks. Use when one transaction carries a large share of the log
     (AQE's skew split never fires on this runtime); default None keeps the
-    one-exchange window plan, which is cheaper on balanced logs.
+    one-exchange window plan, which is cheaper on balanced logs. Pass
+    ``"auto"`` to decide from the data: :func:`detect_xid_skew` samples
+    the xid column and the salted route engages iff the hottest xid's
+    estimated share reaches ``auto_threshold`` (output is value-identical
+    either way, so a borderline estimate can't change results — only the
+    task layout).
 
     PRECONDITION: each xid identifies at most one transaction in the bounded
     log (Oracle xids are ``usn.slt.sqn`` with a monotone sequence, so this
@@ -126,6 +188,9 @@ def assemble_transactions(redo: DataFrame, skew_salts: int | None = None) -> Dat
     streaming assembler (streaming/transactions.py) handles even that case
     exactly; use it for non-Oracle sources without the uniqueness guarantee.
     """
+    skew_salts = resolve_skew_salts(
+        redo, skew_salts, auto_threshold, auto_salts, auto_sample_fraction
+    )
     ann = (
         annotate_transactions(redo)
         if skew_salts is None

@@ -132,6 +132,47 @@ def test_salted_assembly_equals_window_on_rollbacks(spark):
     assert [r[4] for r in a] == ["r1"]  # pair repaired, B discarded
 
 
+def test_auto_route_engages_on_hot_xid_and_matches_window(spark):
+    """skew_salts='auto' must flip to the salted route on the 10%-hot log
+    WITHOUT any manual flag, stay on the cheaper window plan for a
+    balanced log, and produce output value-identical to the explicit
+    window path either way. The route decision is audited via
+    resolve_skew_salts (the assembler's materialization barrier truncates
+    its plan, so the chosen shape isn't visible there); explicit ints and
+    invalid strings are pinned too."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.operators.transactions import (
+        detect_xid_skew,
+        resolve_skew_salts,
+    )
+
+    hot = _skewed_redo(spark, n_events=20_000, hot_frac=0.10).localCheckpoint()
+    balanced = _skewed_redo(spark, n_events=20_000, hot_frac=0.0).localCheckpoint()
+
+    # the detector itself: full-scan share on the hot log ≈ 0.10 (commit
+    # rows dilute it slightly); sampled share must land the same side of
+    # the 5% threshold
+    assert detect_xid_skew(hot, sample_fraction=1.0) > 0.08
+    assert detect_xid_skew(hot, sample_fraction=0.2) > 0.05
+    assert detect_xid_skew(balanced, sample_fraction=1.0) < 0.05
+
+    assert resolve_skew_salts(hot, "auto", auto_sample_fraction=0.2) == 16
+    assert resolve_skew_salts(balanced, "auto", auto_sample_fraction=0.2) is None
+    assert resolve_skew_salts(hot, 8) == 8 and resolve_skew_salts(hot, None) is None
+    with pytest.raises(ValueError, match="auto"):
+        resolve_skew_salts(hot, "always")
+
+    auto_hot = assemble_transactions(hot, skew_salts="auto",
+                                     auto_sample_fraction=0.2)
+    auto_bal = assemble_transactions(balanced, skew_salts="auto",
+                                     auto_sample_fraction=0.2)
+    assert _assembled_rows(auto_hot) == _assembled_rows(assemble_transactions(hot))
+    assert _assembled_rows(auto_bal) == _assembled_rows(
+        assemble_transactions(balanced)
+    )
+
+
 def test_salted_route_bounds_hot_xid_task_share(spark):
     """THE skew claim, measured: with 10% of events in one xid, the window
     path concentrates ≥ that share in a single task, while the salted
