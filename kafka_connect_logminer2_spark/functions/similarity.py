@@ -442,6 +442,20 @@ def ivf_append_index(
     spark = new_embeddings.sparkSession
     if cmat is None:
         cmat = load_ivf_centroids(spark, index_dir)
+    tomb = _load_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        clash = (
+            new_embeddings.select(id_col)
+            .join(tomb.select(id_col).distinct(), id_col, "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"appending ids with live tombstones ({[r[0] for r in clash]}"
+                f"...) to {index_dir}: the tombstone would suppress the new "
+                "row too — run ivf_compact_index first"
+            )
     quantized = "q_bin" in spark.read.parquet(index_dir).columns
     if quantized:
         q = quantize_embeddings_int8(new_embeddings, id_col=id_col, vec_col=vec_col)
@@ -467,6 +481,120 @@ def ivf_append_index(
         F.col(vec_col),
         _cell_assign_udf(cmat)(F.col(vec_col)).alias("_cell"),
     ).write.mode("append").partitionBy("_cell").parquet(index_dir)
+
+
+def _tombstones_dir(index_dir: str) -> str:
+    return f"{index_dir}/_tombstones"
+
+
+def _load_tombstones(spark, index_dir: str, id_col: str, cells=None) -> DataFrame | None:
+    """The live tombstone set as (id, _cell) rows, or None when the index
+    has none. Partitioned by ``_cell``, so a probe restricted to ``cells``
+    prunes the tombstone read exactly like the data read."""
+    import os
+
+    tdir = _tombstones_dir(index_dir)
+    if not os.path.isdir(tdir) or not any(
+        d.startswith("_cell=") for d in os.listdir(tdir)
+    ):
+        return None
+    tomb = spark.read.parquet(tdir)
+    if cells is not None:
+        tomb = tomb.filter(F.col("_cell").isin(list(cells)))
+    return tomb.select(F.col(id_col), F.col("_cell")).distinct()
+
+
+def _apply_tombstones(spark, idx: DataFrame, index_dir: str, id_col: str, cells=None) -> DataFrame:
+    tomb = _load_tombstones(spark, index_dir, id_col, cells)
+    if tomb is None:
+        return idx
+    # anti-join on (id, cell): equi-joinable at any scale; the tombstone
+    # side is deletes-since-last-compaction — small by maintenance policy,
+    # so AQE broadcasts it (no hint: a neglected index with giant
+    # tombstones must still degrade to a shuffle join, not an OOM)
+    return idx.join(tomb, [id_col, "_cell"], "left_anti")
+
+
+def ivf_delete_index(spark, index_dir: str, ids, id_col: str = "vec_id") -> int:
+    """Tombstone-delete vectors from a persisted IVF index — the missing
+    half of incremental maintenance (``ivf_append_index`` grows the index;
+    a dedup-then-index pipeline also REMOVES documents, and a full rebuild
+    per removal batch is the same non-starter as a rebuild per append).
+
+    ``ids``: a DataFrame carrying ``id_col``, or a plain iterable of ids.
+    Mechanics mirror the ingest stores' delta layout: the deleted ids'
+    cells are discovered by a COLUMN-PRUNED scan of the index (id + cell
+    only — the vector payload, ~99% of index bytes, is never read), and
+    (id, _cell) tombstone rows append under ``index_dir/_tombstones``
+    partitioned by cell — underscore-prefixed, so the data read stays
+    blind to them. Every query path anti-joins live tombstones (pruned to
+    its probed cells); :func:`ivf_compact_index` applies them physically.
+    Idempotent: deleting an absent or already-deleted id writes no/extra
+    tombstone rows that the distinct'd read ignores. Returns the number of
+    index rows tombstoned.
+
+    Contract: a tombstone suppresses its id until compaction — re-adding
+    a deleted id is only valid AFTER ``ivf_compact_index`` (the append
+    path enforces this with an explicit raise, because a silent
+    tombstone-eats-new-row would be data loss)."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    hits = (
+        spark.read.parquet(index_dir)
+        .select(id_col, "_cell")
+        .join(ids.select(id_col).distinct(), id_col, "left_semi")
+        .persist()
+    )
+    try:
+        n = hits.count()
+        if n:
+            hits.write.mode("append").partitionBy("_cell").parquet(
+                _tombstones_dir(index_dir)
+            )
+        return n
+    finally:
+        hits.unpersist()
+
+
+def ivf_compact_index(spark, index_dir: str, id_col: str = "vec_id") -> list[int]:
+    """Physically apply tombstones: rewrite ONLY the cells that carry
+    deletions (one partitioned Spark job + directory renames — untouched
+    cells never move), then drop the tombstone set. Query results are
+    IDENTICAL before and after (tests pin equality with a fresh rebuild
+    of the surviving rows); compaction reclaims bytes and restores the
+    append path for re-used ids. Crash-safe: cells are replaced before
+    tombstones are removed, and re-applying a tombstone to an
+    already-clean cell is a no-op, so a rerun finishes the job. Returns
+    the compacted cell ids."""
+    import os
+    import shutil
+
+    tomb = _load_tombstones(spark, index_dir, id_col)
+    if tomb is None:
+        return []
+    cells = sorted(r["_cell"] for r in tomb.select("_cell").distinct().collect())
+    live = _apply_tombstones(
+        spark,
+        spark.read.option("basePath", index_dir).parquet(
+            *[f"{index_dir}/_cell={c}" for c in cells]
+        ),
+        index_dir,
+        id_col,
+        cells,
+    )
+    staging = os.path.join(index_dir, "_compact_tmp")
+    shutil.rmtree(staging, ignore_errors=True)
+    live.write.partitionBy("_cell").parquet(staging)
+    for c in cells:
+        dst = os.path.join(index_dir, f"_cell={c}")
+        staged = os.path.join(staging, f"_cell={c}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.isdir(staged):
+            os.replace(staged, dst)
+        # else: every row of the cell was deleted — the dir stays gone
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(_tombstones_dir(index_dir), ignore_errors=True)
+    return cells
 
 
 def ivf_query_index(
@@ -509,7 +637,13 @@ def ivf_query_index(
         "_qid long, _qvec array<float>, _probes array<int>",
     )
     touched = sorted({int(c) for row in order for c in row})
-    idx = spark.read.parquet(index_dir).filter(F.col("_cell").isin(touched))
+    idx = _apply_tombstones(
+        spark,
+        spark.read.parquet(index_dir).filter(F.col("_cell").isin(touched)),
+        index_dir,
+        id_col,
+        touched,
+    )
     if "q_bin" in idx.columns:  # quantized layout: reconstruct q·scale
         idx = idx.withColumn(
             vec_col, _unpack_int8_udf()(F.col("q_bin"), F.col("scale"))
@@ -580,7 +714,7 @@ def ivf_query_index_batch(
         F.col(vec_col).alias("_qvec"),
         F.explode(probes_of(F.col(vec_col))).alias("_cell"),
     )
-    idx = spark.read.parquet(index_dir)
+    idx = _apply_tombstones(spark, spark.read.parquet(index_dir), index_dir, id_col)
     if "q_bin" in idx.columns:  # quantized layout: reconstruct q·scale
         idx = idx.withColumn(
             vec_col, _unpack_int8_udf()(F.col("q_bin"), F.col("scale"))
