@@ -2,11 +2,23 @@
 DuckDB, compare row count + schema-insensitive sorted value hash — a stand-in
 for the round driver's CORRECTNESS gate so mismatches surface before commit.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [query ...] \
+           [--family PREFIX[,PREFIX...]] [--sample N]
+
+The full registry at sf0.1 takes ~25 min — too slow per-commit. Scope it:
+  --family q1,cdc     only names starting with a listed prefix (touched
+                      families after an operator change)
+  --sample 20         a deterministic (seeded md5-of-name order, no RNG
+                      state) size-N spread across the whole registry — a
+                      cheap canary whose selection is stable run-to-run
+                      but unbiased by registration order
+Explicit positional names compose with both (intersection).
 """
 
 from __future__ import annotations
 
+import argparse
+import hashlib
 import sys
 import time
 
@@ -32,9 +44,39 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def select_names(names: list[str], only: set[str], families: list[str], sample: int | None) -> list[str]:
+    """Apply the scoping flags (intersection semantics), preserving
+    registry order. Sampling sorts by md5(name) — deterministic without
+    touching RNG state, stable run-to-run, uncorrelated with registration
+    order — then restores registry order for readable output."""
+    picked = [n for n in names if not only or n in only]
+    if families:
+        picked = [n for n in picked if any(n.startswith(f) for f in families)]
+    if sample is not None and sample < len(picked):
+        keep = set(
+            sorted(picked, key=lambda n: hashlib.md5(n.encode()).hexdigest())[:sample]
+        )
+        picked = [n for n in picked if n in keep]
+    return picked
+
+
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="explicit query names")
+    ap.add_argument(
+        "--family",
+        action="append",
+        default=[],
+        help="comma-separable name-prefix filter (repeatable), e.g. q1,cdc",
+    )
+    ap.add_argument(
+        "--sample", type=int, default=None, help="deterministic registry-wide sample of N entries"
+    )
+    args = ap.parse_args()
+    sf = args.sf_dir
+    only = set(args.names)
+    families = [f for grp in args.family for f in grp.split(",") if f]
 
     import __spark_entry__ as entrymod
     from kafka_connect_logminer2_spark.session import get_spark
@@ -52,10 +94,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    picked = select_names(list(qs), only, families, args.sample)
+    print(f"-- {len(picked)}/{len(qs)} entries selected")
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    for name in picked:
+        fn = qs[name]
         t0 = time.time()
         try:
             sdf = fn(spark, sf).toPandas()
