@@ -607,6 +607,7 @@ def ivf_query_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index with partition pruning: each query's
     ``nprobe`` nearest cells are computed driver-side (queries are
@@ -617,7 +618,16 @@ def ivf_query_index(
     self-exclusion) — the index is a layout change, not a semantics
     change; tests assert result equality and audit the pruned scan.
     ``cmat=None`` reloads the persisted model from ``index_dir/_model`` —
-    the normal serving path after a driver restart."""
+    the normal serving path after a driver restart.
+
+    ``index_df``: inject an already-assembled (id, vec, _cell) frame in
+    place of the flat-layout read — the hook streaming/ann_ingest.py's
+    merge-on-read reader uses so the versioned/tombstoned index shares
+    this exact probe-order, rounding, and tie-break math instead of
+    duplicating it. The probed-cell filter is still applied here (nested
+    partition dirs prune the same way), but tombstone suppression is the
+    caller's job — a versioned layout's tombstones kill exact (id, cell,
+    version) rows, which this function can't know about."""
     if cmat is None:
         cmat = load_ivf_centroids(spark, index_dir)
     cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
@@ -637,13 +647,16 @@ def ivf_query_index(
         "_qid long, _qvec array<float>, _probes array<int>",
     )
     touched = sorted({int(c) for row in order for c in row})
-    idx = _apply_tombstones(
-        spark,
-        spark.read.parquet(index_dir).filter(F.col("_cell").isin(touched)),
-        index_dir,
-        id_col,
-        touched,
-    )
+    if index_df is not None:
+        idx = index_df.filter(F.col("_cell").isin(touched))
+    else:
+        idx = _apply_tombstones(
+            spark,
+            spark.read.parquet(index_dir).filter(F.col("_cell").isin(touched)),
+            index_dir,
+            id_col,
+            touched,
+        )
     if "q_bin" in idx.columns:  # quantized layout: reconstruct q·scale
         idx = idx.withColumn(
             vec_col, _unpack_int8_udf()(F.col("q_bin"), F.col("scale"))

@@ -5067,6 +5067,85 @@ def cdc18_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cdc19_ann_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN index maintenance (streaming/ann_ingest.py): a
+    3-batch changelog of embedding upserts/deletes — inserts [0,400),
+    deletes [0,50), then updates [50,100) to the vector at vec_id+400 —
+    maintained as the versioned merge-on-read IVF index, then served at
+    FULL probe (nprobe = n_centroids), where IVF top-k is exact. The
+    ORACLE is DuckDB brute-force cosine top-k over the final live set
+    derived relationally — so the value-hash checks the component's MOR
+    semantics end-to-end: exactly-once batch application, delete
+    suppression, update-moves-cells, one-live-row-per-id. The ANN
+    approximation itself (nprobe < k_cells) is gated separately by
+    recall floors (tools/ann_recall.py)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ann_ingest import ann_index_query, ingest_batch_ann
+
+    emb = load_table(spark, sf, "embeddings")
+    b0 = emb.filter(F.col("vec_id") < 200).selectExpr("'I' as op", "vec_id", "embedding")
+    b1 = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+        .selectExpr("'I' as op", "vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 50).selectExpr(
+                "'D' as op", "vec_id", "cast(null as array<float>) as embedding"
+            )
+        )
+    )
+    b2 = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 400 as j", "embedding as e2").alias("b"),
+            F.col("a.vec_id") == F.col("b.j"),
+        )
+        .selectExpr("'U' as op", "a.vec_id as vec_id", "e2 as embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc19_")
+    try:
+        idx = f"{tmp}/index"
+        for i, b in enumerate((b0, b1, b2)):
+            ingest_batch_ann(spark, b, i, idx, n_centroids=8)
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ann_index_query(spark, idx, queries, k=5, nprobe=8)
+        rows = out.collect()  # materialize before the index dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC19_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100 AND vec_id < 400
+  UNION ALL
+  SELECT e.vec_id, e2.embedding
+  FROM embeddings e JOIN embeddings e2 ON e2.vec_id = e.vec_id + 400
+  WHERE e.vec_id >= 50 AND e.vec_id < 100
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+dots AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum') /
+         (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')) *
+          sqrt(list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')))
+         AS cos
+  FROM q JOIN corpus c ON c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INT) AS rank
+FROM dots QUALIFY rank <= 5
+"""
+
+
 def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     """PCA over the embedding corpus (functions/pca.py — partial-Gram
     aggregation, driver-side eigh over the d×d covariance, sign-pinned
@@ -5418,6 +5497,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
     "cdc17_dedup_ingest": (cdc17_dedup_ingest, CDC17_SQL),
     "cdc18_neardup_ingest": (cdc18_neardup_ingest, None),
+    "cdc19_ann_index_maintenance": (cdc19_ann_index_maintenance, CDC19_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
