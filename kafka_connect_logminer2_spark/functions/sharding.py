@@ -33,6 +33,23 @@ def knuth_bucket(col: F.Column, mod: int) -> F.Column:
     return h % F.lit(mod)
 
 
+def md5_bucket(col: F.Column, mod: int) -> F.Column:
+    """STRING → bucket in [0, mod), identical on every engine that has
+    md5: the first 8 hex digits of md5 parsed as a 32-bit int, mod m.
+    The string sibling of :func:`knuth_bucket` (which needs an integer
+    id) — used where the HASH IS THE SEMANTICS and the oracle must land
+    in the same bucket (hashed n-gram features, DSIR importance buckets),
+    not where any fast partitioner would do (use xxhash64 there; md5 is
+    ~3× slower but engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(mod)
+
+
+def md5_bucket_sql(expr: str, mod: int) -> str:
+    """DuckDB twin of :func:`md5_bucket` — same 32-bit prefix, same mod
+    (value-identity pinned by tests/test_knuth_hash.py)."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {mod})"
+
+
 def knuth_bucket_sql(expr: str, mod: int) -> str:
     """The DuckDB-side twin of :func:`knuth_bucket` — same 16/16 split,
     same pmod wrap, value-identical on any BIGINT input."""

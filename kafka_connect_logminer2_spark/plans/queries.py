@@ -34,6 +34,8 @@ from ..functions.sharding import (  # noqa: F401
     _KNUTH,
     knuth_bucket,
     knuth_bucket_sql,
+    md5_bucket,
+    md5_bucket_sql,
     shard_export,
     shard_ranked,
     two_level_cumsum,
@@ -3958,6 +3960,270 @@ FROM w JOIN stats s USING (text) WHERE rn = 1
 """
 
 
+def q129_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Table A1) as one
+    narrow projection — the published document-level heuristics a
+    training-data pipeline runs before anything expensive: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    ('#'/'...') ≤ 0.1, ≥80% of words alphabetic, ≥2 distinct common
+    stopwords, ≤90% bullet lines, ≤30% ellipsis-ending lines. Per-doc
+    boolean flags + the conjunction, all value-hash checked.
+
+    Scale shape: zero shuffles and zero UDFs — every rule is a JVM-side
+    expression over one pass of the text column (mean word length avoids
+    per-word aggregation entirely: with single-space tokens, total word
+    chars = length - (n_words - 1)); at 100 TB this runs at scan speed
+    inside WholeStageCodegen and the filter pushes into the corpus read
+    when used as a predicate."""
+    docs = load_table(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    mean_wl = (F.length("text") - (n_words - F.lit(1))) / n_words
+    n_alpha = F.expr("size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))")
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellipsis = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    n_stop = sum(
+        F.when(padded.contains(f" {s} "), 1).otherwise(0)
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    n_bullet = F.expr(
+        "size(filter(split(text, '\\n'), l -> l like '- %' or l like '* %'))"
+    )
+    n_ell_end = F.expr("size(filter(split(text, '\\n'), l -> l like '%...'))")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("pass_word_count"),
+        ((mean_wl >= 3) & (mean_wl <= 10)).alias("pass_mean_word_len"),
+        (((n_hash + n_ellipsis) / n_words) <= 0.1).alias("pass_symbol_ratio"),
+        ((n_alpha / n_words) >= 0.8).alias("pass_alpha_words"),
+        (F.lit(n_stop) >= 2).alias("pass_stopwords"),
+        ((n_bullet / n_lines) <= 0.9).alias("pass_bullet_lines"),
+        ((n_ell_end / n_lines) <= 0.3).alias("pass_ellipsis_lines"),
+    ).withColumn(
+        "pass_all",
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio")
+        & F.col("pass_alpha_words")
+        & F.col("pass_stopwords")
+        & F.col("pass_bullet_lines")
+        & F.col("pass_ellipsis_lines"),
+    )
+
+
+Q129_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         (length(text) - (len(string_split(text, ' ')) - 1))
+           / len(string_split(text, ' ')) AS mean_wl,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullet,
+         len(list_filter(string_split(text, chr(10)),
+             l -> l LIKE '%...')) AS n_ell_end,
+         (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' be ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' have ') THEN 1 ELSE 0 END
+        + CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END
+         ) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       (mean_wl >= 3 AND mean_wl <= 10) AS pass_mean_word_len,
+       ((n_hash + n_ellipsis) / n_words <= 0.1) AS pass_symbol_ratio,
+       (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS pass_alpha_words,
+       (n_stop >= 2) AS pass_stopwords,
+       (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS pass_bullet_lines,
+       (CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3) AS pass_ellipsis_lines,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_wl >= 3 AND mean_wl <= 10)
+        AND ((n_hash + n_ellipsis) / n_words <= 0.1)
+        AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+        AND (n_stop >= 2)
+        AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9)
+        AND (CAST(n_ell_end AS DOUBLE) / n_lines <= 0.3)) AS pass_all
+FROM d
+"""
+
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, gram) rows: unigrams + '_'-joined bigrams over the
+    lowered single-space tokenization — the hashed-feature input shared
+    by q130. One explode, no UDFs; slice/zip_with keep a 1-token doc at
+    zero bigrams instead of a descending-sequence surprise."""
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat(x, F.lit("_"), y),
+    )
+    return docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("gram")
+    )
+
+
+def q130_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    per-document log importance weights from HASHED n-gram (uni+bi)
+    bucket counts — log p_target(doc) - log p_raw(doc) under bag-of-
+    hashed-ngrams models with add-1 smoothing over B=8192 buckets; target
+    = the English subset, raw = the whole corpus. The sampling step
+    (Gumbel top-k over these weights) is q93/q125's existing machinery —
+    the weights are the new quantity.
+
+    Scale shape: the hash is the SEMANTICS here (resampling must be
+    reproducible anywhere), so grams bucket through the engine-portable
+    md5_bucket, and both bucket-count tables are ≤ B rows — broadcast
+    by construction, so the per-gram weight lookup is shuffle-free; the
+    only exchange is the per-doc rollup. Nothing vocabulary-sized ever
+    exists: B is fixed at any corpus size (that's DSIR's point)."""
+    B = 8192
+    docs = load_table(spark, sf, "documents")
+    g = _doc_grams(docs).withColumn("b", md5_bucket(F.col("gram"), B))
+    raw = g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        g.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = g.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    lw = F.log((F.col("ct") + 1) / (F.col("tt") + B)) - F.log(
+        (F.col("cr") + 1) / (F.col("tr") + B)
+    )
+    return (
+        g.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .na.fill({"ct": 0})
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum(lw), 6).alias("log_weight"),
+        )
+    )
+
+
+Q130_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang, gram,
+         {md5_bucket_sql("gram", 8192)} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+             string_split(lower(text), ' '),
+             list_transform(
+               generate_series(1, len(string_split(lower(text), ' ')) - 1),
+               i -> string_split(lower(text), ' ')[i] || '_' ||
+                    string_split(lower(text), ' ')[i + 1])
+           )) AS gram
+    FROM documents
+  )
+),
+raw AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT count(*) AS tr, count(*) FILTER (WHERE lang = 'en') AS tt FROM g
+)
+SELECT doc_id, count(*) AS n_grams,
+       round(sum(
+         ln((coalesce(ct, 0) + 1) / CAST(tt + 8192 AS DOUBLE))
+         - ln((cr + 1) / CAST(tr + 8192 AS DOUBLE))
+       ), 6) AS log_weight
+FROM g JOIN raw USING (b) LEFT JOIN tgt USING (b), tot
+GROUP BY doc_id
+"""
+
+
+def q131_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram LM scoring — the KenLM-shaped upgrade of
+    q116's unigram filter: train bigram conditionals and unigram
+    fallbacks over the corpus in two aggregations, then score every doc
+    as its mean negative log of 0.7·p(w2|w1) + 0.3·p(w2). The
+    interpolation floor means unseen-bigram docs degrade to their unigram
+    score instead of -inf — the reason CCNet-style filters interpolate.
+
+    Scale shape: bigram pairs explode once; the conditional join keys on
+    (w1, w2) against the bigram-count table and on w1/w2 against the
+    start/unigram tables — all hash equi-joins that shuffle fixed-width
+    token strings, reusable across the two lookups; the corpus-size
+    scalars broadcast. Count tables are vocab-sized (NOT broadcast —
+    vocab grows with the corpus; the planner may still broadcast them at
+    test scale, which is fine either way)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = docs.select(F.explode(toks).alias("w"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cs = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cs"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t"))
+    p_bi = F.col("c2") / F.col("cs")
+    p_uni = F.col("cu") / F.col("t")
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(cs, "w1")
+        .join(cu.withColumnRenamed("w", "w2"), "w2")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(-F.log(0.7 * p_bi + 0.3 * p_uni)) / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+Q131_SQL = """
+WITH pairs AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ')[i] AS w1,
+         string_split(lower(text), ' ')[i + 1] AS w2
+  FROM documents,
+       unnest(generate_series(1, len(string_split(lower(text), ' ')) - 1)) AS t(i)
+),
+uni AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+cs AS (SELECT w1, count(*) AS cs FROM pairs GROUP BY w1),
+cu AS (SELECT w AS w2, count(*) AS cu FROM uni GROUP BY w),
+tot AS (SELECT count(*) AS t FROM uni)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(-ln(0.7 * (CAST(c2 AS DOUBLE) / cs)
+                   + 0.3 * (CAST(cu AS DOUBLE) / t))) / count(*), 6)
+         AS avg_neg_logprob
+FROM pairs JOIN c2 USING (w1, w2) JOIN cs USING (w1) JOIN cu USING (w2), tot
+GROUP BY doc_id
+"""
+
+
 def q126_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-SCALE ANN against the persisted IVF index
     (similarity.ivf_query_index_batch): the query side is a third of the
@@ -5498,6 +5764,9 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc17_dedup_ingest": (cdc17_dedup_ingest, CDC17_SQL),
     "cdc18_neardup_ingest": (cdc18_neardup_ingest, None),
     "cdc19_ann_index_maintenance": (cdc19_ann_index_maintenance, CDC19_SQL),
+    "q129_gopher_rules": (q129_gopher_rules, Q129_SQL),
+    "q130_dsir_importance": (q130_dsir_importance, Q130_SQL),
+    "q131_bigram_logprob": (q131_bigram_logprob, Q131_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -62,3 +62,33 @@ def test_naive_form_really_overflows_in_duckdb():
     con = duckdb.connect()
     with pytest.raises(duckdb.OutOfRangeException):
         con.execute(f"SELECT (x * {K}) % 4294967296 FROM (SELECT CAST(4000000000 AS BIGINT) AS x)").fetchone()
+
+
+def test_md5_bucket_spark_equals_duckdb_and_python(spark):
+    """The STRING bucket twin (md5_bucket / md5_bucket_sql): Spark, DuckDB
+    and a pure-Python md5 must agree on realistic n-gram keys, unicode,
+    and the empty string — the hash IS the semantics for DSIR-style
+    hashed features, so any engine divergence silently re-buckets."""
+    import hashlib
+
+    from kafka_connect_logminer2_spark.functions.sharding import (
+        md5_bucket,
+        md5_bucket_sql,
+    )
+
+    keys = ["", "the", "spark sql", "a_b", "naïve café", "token_42", "…", "x" * 500]
+    mod = 8192
+    want = [int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % mod for k in keys]
+
+    df = spark.createDataFrame([(k,) for k in keys], "s string")
+    got_spark = [
+        r[0] for r in df.select(md5_bucket(F.col("s"), mod)).collect()
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {md5_bucket_sql('?', mod)}", [k]).fetchone()[0]
+        for k in keys
+    ]
+    assert got_duck == want

@@ -747,3 +747,38 @@ def test_wide_shard_export_shuffle_join_rides_window_partitioning(spark, sf_dir)
     # window's partitioning, so join+window cost ONE corpus exchange
     plan = plan_of(shard_ranked(docs, n_shards=256).select(F.sum("pos")))
     assert "windowspecdefinition(shard" in plan and "h2" in plan
+
+
+def test_gopher_rules_scan_speed_no_exchange(spark, sf_dir):
+    """q129 is a pure projection battery: every rule must stay a JVM-side
+    expression in one codegen'd pass over the scan — zero exchanges, zero
+    Python, zero joins. Any Exchange here means a rule grew an aggregation
+    it doesn't need."""
+    plan = plan_of(QUERY_REGISTRY["q129_gopher_rules"][0](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "*(" in plan  # the whole pass is codegen'd (the *(N) stage marker)
+
+
+def test_dsir_count_tables_broadcast(spark, sf_dir):
+    """q130's bucket-count tables are ≤ B rows by construction — the
+    per-gram weight lookups must be broadcast joins, never a sort-merge
+    of the exploded gram stream (which is the corpus × grams-per-doc and
+    must not shuffle for a lookup)."""
+    plan = plan_of(QUERY_REGISTRY["q130_dsir_importance"][0](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bigram_logprob_no_cartesian_no_python(spark, sf_dir):
+    """q131's count-table joins are equi-joins on token keys (vocab-sized
+    sides — SMJ is legitimate there); what must never appear is a
+    cartesian fallback or row-Python in the scoring path."""
+    plan = plan_of(QUERY_REGISTRY["q131_bigram_logprob"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # exactly one conditionless BNLJ is allowed: the broadcast scalar
+    # corpus-total join — never a fallback on the token-key lookups
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan
