@@ -54,6 +54,9 @@ HEADLINE = [
     # cross-round comparable unit (BASELINE.md)
     "q127_token_budget_mixture",
     "q128_source_precedence_dedup",
+    "q129_gopher_rules",
+    "q130_dsir_importance",
+    "q131_bigram_logprob",
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
     "cdc06_apply_changes",

@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+iterative-algorithm member of the training-data family (q33's bpe_tokens
+only APPLIES a regex approximation; a pipeline that ships its own corpus
+ships its own merges).
+
+Spark-first decomposition — the part that matters at 100 TB:
+
+* the corpus is touched ONCE: one shuffle folds it to the distinct-word
+  symbol table (word → char symbols + </w>, count). Everything after is
+  vocab-sized, not corpus-sized — the same collapse real trainers
+  (HuggingFace tokenizers, SentencePiece BPE) rely on, because merge
+  decisions depend only on word *types* weighted by frequency;
+* each merge round is one count-weighted pair aggregation over the word
+  table + one Arrow-batched rewrite of the symbol arrays. Rounds are
+  inherently sequential (merge i+1 counts pairs that merge i created —
+  there is no legal fan-out across rounds), so the scale axis is the
+  vocab-sized table staying distributed, never the round count;
+* lineage is truncated per round (localCheckpoint) — without it round k
+  replays k-1 rewrite UDFs and training goes quadratic in rounds, the
+  classic iterative-Spark trap (same fix as functions/clustering.py).
+
+Determinism: ties on pair count break by (left, right) lexicographic
+ascending — pinned so the differential test against a from-scratch
+pure-Python reference (tests/test_bpe.py) is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+END = "</w>"
+
+
+def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass → (symbols array<string>, n long): distinct
+    lowered whitespace words with counts, each word split to characters
+    with the end-of-word marker appended (the marker keeps word-final
+    merges distinct from word-internal ones — 'e' ending a word is a
+    different symbol than 'e' inside one)."""
+    return (
+        docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.split("w", ""), F.array(F.lit(END))).alias("symbols"),
+            "n",
+        )
+    )
+
+
+def pair_counts(word_table: DataFrame) -> DataFrame:
+    """Count-weighted adjacent-pair frequencies over the symbol table:
+    (left, right, count). All occurrences inside a word count — including
+    overlapping runs ('aaa' contributes (a,a) twice), matching the
+    reference counting rule."""
+    s = F.col("symbols")
+    pairs = F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        word_table.select(F.explode(pairs).alias("p"), "n")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("n").alias("count"))
+    )
+
+
+def _merge_pair_udf(left: str, right: str):
+    """Arrow-batched rewrite: merge every non-overlapping left-to-right
+    (left, right) adjacency into one symbol — the same scan order the
+    pure-Python reference uses, so 'aaa' under merge (a,a) becomes
+    ['aa','a'] in both."""
+    merged = left + right
+
+    @pandas_udf("array<string>")
+    def apply(col: pd.Series) -> pd.Series:
+        out = []
+        for syms in col:
+            res = []
+            i, m = 0, len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return apply
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 32,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns
+    [(left, right, count_at_merge_time)] in merge order. Stops early when
+    the best pair's count falls below ``min_count`` (merging hapax pairs
+    memorizes the corpus instead of compressing it).
+
+    Driver state is O(num_merges): one 3-tuple per round. The word table
+    never collects — the top pair comes back via orderBy(...).limit(1)
+    (a tree-reduced top-1, not a sort of the pair table)."""
+    wt = word_symbol_table(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            pair_counts(wt)
+            .orderBy(F.col("count").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["count"] < min_count:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["count"])
+        merges.append((left, right, cnt))
+        wt = wt.withColumn(
+            "symbols", _merge_pair_udf(left, right)(F.col("symbols"))
+        ).localCheckpoint()
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe",
+) -> DataFrame:
+    """Tokenize with a learned merge list: per word, start from characters
+    + </w> and apply every merge in training order (the standard greedy
+    application). One Arrow UDF over the text column — merges ship to the
+    workers as a closure constant (O(num_merges) bytes, driver-sized by
+    construction)."""
+    seq = [(l, r) for l, r, _ in merges]
+
+    @pandas_udf("array<string>")
+    def tokenize(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            toks: list[str] = []
+            for w in (text or "").lower().split(" "):
+                if not w:
+                    continue
+                syms = list(w) + [END]
+                for left, right in seq:
+                    i, res = 0, []
+                    m = len(syms)
+                    while i < m:
+                        if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                            res.append(left + right)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                toks.extend(syms)
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, tokenize(F.col(text_col)))

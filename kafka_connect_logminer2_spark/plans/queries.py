@@ -4224,6 +4224,103 @@ GROUP BY doc_id
 """
 
 
+def q132_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py): 12 merges
+    learned from the documents corpus, returned as the merge table
+    (rank, left, right, merged, count). The corpus is folded ONCE to the
+    distinct-word symbol table; every round is one count-weighted pair
+    aggregation + one Arrow rewrite of that vocab-sized table — rounds
+    are sequential by the algorithm's nature, the data stays distributed.
+    No SQL oracle (an iterative merge loop isn't one query); the gate is
+    tests/test_bpe.py's exact merge-for-merge differential against an
+    independent pure-Python implementation, plus the vocab-sized-table
+    scale contract."""
+    from ..functions.bpe import train_bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = train_bpe(docs, num_merges=12)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string, count long",
+    )
+
+
+def q133_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality-threshold CALIBRATION — the production form of
+    a fixed quality cutoff (q32): every source/domain gets its own band,
+    because a threshold tuned on web text guts a code or reference
+    corpus. Reports per source the exact p10/p50/p90 of the length proxy
+    (interpolated percentile — Spark and DuckDB share the p·(n-1)
+    convention) and the TRIMMED-BAND membership: keep the middle 80% by
+    integer rank (drop the bottom and top ⌊n/10⌋ by (n_chars, doc_id)
+    order). Membership is decided by INTEGER rank arithmetic, not by
+    comparing against the float thresholds — an interpolated percentile
+    sits within 1 ulp of a data value exactly when n≡1 (mod 10), and a
+    boundary document must not flip between engines (the avg-rounding
+    trap, applied to quantiles).
+
+    Scale shape: one exchange on source (the window), percentiles ride
+    the same partitioning; no collect, no UDF. Skewed sources are real
+    (one domain = half the corpus) — the window is per-source rank, so a
+    hot source is one task: for the known-hot case route through
+    two_level_pos (q111's machinery); documented, not defaulted, since
+    rank-trimming is usually run per-domain where domains are bounded."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.floor(F.col("n") / 10))
+        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
+    )
+    pcts = docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_kept"),
+            F.max("n_chars").alias("max_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .join(pcts, "source")
+        .orderBy("source")
+    )
+
+
+Q133_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+kept AS (
+  SELECT * FROM ranked WHERE rn > n // 10 AND rn <= n - n // 10
+),
+pcts AS (
+  SELECT source,
+         round(quantile_cont(n_chars, 0.1), 6) AS p10,
+         round(quantile_cont(n_chars, 0.5), 6) AS p50,
+         round(quantile_cont(n_chars, 0.9), 6) AS p90
+  FROM documents GROUP BY source
+)
+SELECT source, count(*) AS n_kept,
+       min(n_chars) AS min_kept, max(n_chars) AS max_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum, p10, p50, p90
+FROM kept JOIN pcts USING (source)
+GROUP BY source, p10, p50, p90
+ORDER BY source
+"""
+
+
 def q126_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
     """CORPUS-SCALE ANN against the persisted IVF index
     (similarity.ivf_query_index_batch): the query side is a third of the
@@ -5767,6 +5864,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q129_gopher_rules": (q129_gopher_rules, Q129_SQL),
     "q130_dsir_importance": (q130_dsir_importance, Q130_SQL),
     "q131_bigram_logprob": (q131_bigram_logprob, Q131_SQL),
+    "q132_bpe_train": (q132_bpe_train, None),
+    "q133_quality_calibration": (q133_quality_calibration, Q133_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -265,6 +265,75 @@ def main() -> None:
         df = replicate(base_redo, m, ["scn"], 100_000_000)
         return assemble_transactions(df, skew_salts=16)
 
+    def gopher_rules_op(m):
+        # q129's shape: codegen'd projection battery, zero exchanges —
+        # must be exactly scan-linear
+        from kafka_connect_logminer2_spark.plans.queries import q129_gopher_rules  # noqa: F401
+
+        df = replicate(docs, m, ["doc_id"], span)
+        words = F.split(F.col("text"), " ")
+        n_words = F.size(words)
+        return df.select(
+            "doc_id",
+            ((n_words >= 50) & (n_words <= 100000)).alias("p1"),
+            (((F.length("text") - (n_words - F.lit(1))) / n_words).between(3, 10)).alias("p2"),
+            (F.expr("size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))") / n_words >= 0.8).alias("p3"),
+        ).filter("p1 and p2 and p3")
+
+    def dsir_weights_op(m):
+        # q130's shape: exploded grams bucket via md5, broadcast count
+        # tables (B fixed at any corpus size), one per-doc rollup exchange
+        from kafka_connect_logminer2_spark.functions.sharding import md5_bucket
+        from kafka_connect_logminer2_spark.plans.queries import _doc_grams
+
+        B = 8192
+        df = replicate(docs, m, ["doc_id"], span)
+        g = _doc_grams(df).withColumn("b", md5_bucket(F.col("gram"), B))
+        raw = g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+        tgt = g.filter(F.col("lang") == "en").groupBy("b").agg(
+            F.count(F.lit(1)).alias("ct")
+        )
+        tot = g.agg(
+            F.count(F.lit(1)).alias("tr"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+        )
+        lw = F.log((F.col("ct") + 1) / (F.col("tt") + B)) - F.log(
+            (F.col("cr") + 1) / (F.col("tr") + B)
+        )
+        return (
+            g.join(F.broadcast(raw), "b")
+            .join(F.broadcast(tgt), "b", "left")
+            .na.fill({"ct": 0})
+            .join(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(lw), 6).alias("w"))
+        )
+
+    def bigram_lm_op(m):
+        # q131's shape: pair explode + token-key count joins. Identical
+        # copies keep the vocab (and so the count tables) FIXED while the
+        # scoring stream grows ×m — the join cost must track the stream
+        toks = F.split(F.lower("text"), " ")
+        df = replicate(docs, m, ["doc_id"], span)
+        pairs = df.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.w1", "p.w2")
+        c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        cs = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cs"))
+        return (
+            pairs.join(c2, ["w1", "w2"])
+            .join(cs, "w1")
+            .groupBy("doc_id")
+            .agg(F.sum(-F.log(F.col("c2") / F.col("cs"))).alias("s"))
+        )
+
     import importlib.util as _ilu
 
     _spec = _ilu.spec_from_file_location("t_skew", "tests/test_skew_cdc.py")
@@ -290,6 +359,9 @@ def main() -> None:
         "int8_quantize": quantize_op,
         "dup_span": dup_span_op,
         "semantic_dedup": semantic_dedup_op,
+        "gopher_rules": gopher_rules_op,
+        "dsir_weights": dsir_weights_op,
+        "bigram_lm": bigram_lm_op,
     }
 
     for name, op in ops.items():
