@@ -5730,6 +5730,98 @@ GROUP BY t.source
 """
 
 
+def q134_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional inverted-index PHRASE SEARCH (functions/search.py): per-
+    document exact occurrence counts of a verbatim token phrase — the
+    targeted-decontamination / leakage-audit primitive ("which training
+    documents contain this eval prompt word-for-word?"), where q49's
+    n-gram overlap gives a fuzzy score and this gives exact positional
+    matches.
+
+    Plan shape: posexplode → IN-filter on the phrase's three literals
+    (pushed to the scan; every non-phrase token dies before any
+    exchange) → ONE groupBy(doc_id) with a conditional position-collect
+    per phrase term → JVM-side array_intersect of shifted position
+    arrays. One fixed-width shuffle of phrase-term postings only; the
+    persisted-index variant (phrase_match_counts_indexed over hashed
+    postings) is equality-tested against this path in
+    tests/test_search.py."""
+    from ..functions.search import phrase_match_counts
+
+    docs = load_table(spark, sf, "documents")
+    return phrase_match_counts(docs, ["batch", "merge"]).orderBy("doc_id")
+
+
+Q134_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+),
+m AS (
+  SELECT a.doc_id
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = 'merge'
+  WHERE a.tok = 'batch'
+)
+SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q135_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT heavy-hitter bigrams via Misra-Gries sketch + exact recount
+    (functions/search.py::heavy_hitters_exact) — the boilerplate-n-gram
+    discovery pass (nav bars, cookie banners, license headers) a corpus
+    pipeline runs before stripping repeated spans. The sketch phase
+    bounds the shuffle at capacity × partitions rows instead of the full
+    bigram vocabulary (the thing that does NOT fit through an exchange at
+    100 TB); the recount phase is exact over the guaranteed-superset
+    candidate set, so the final answer is oracle-pairable with a plain
+    GROUP BY / HAVING — an approximate ALGORITHM with an exact ANSWER.
+    Threshold: relative frequency ≥ 1/800 of all bigrams, integer
+    arithmetic on both engines (n * 800 >= total). Bigrams are built
+    with ZERO shuffles — an adjacent-pair array transform inside the
+    projection (no posexplode self-join; at 100 TB a (doc_id, pos)
+    join just to pair neighbors would shuffle the entire token
+    stream)."""
+    from ..functions.search import heavy_hitters_exact
+
+    docs = load_table(spark, sf, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(lower(text), ' '), 1,"
+                " size(split(lower(text), ' ')) - 1),"
+                " (x, i) -> concat(x, ' ', split(lower(text), ' ')[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    bigrams = bigrams.localCheckpoint(eager=False)  # feeds total + both passes
+    total = bigrams.count()
+    return heavy_hitters_exact(bigrams, "bigram", total, denom=800).orderBy("bigram")
+
+
+Q135_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+),
+bigrams AS (
+  SELECT a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+tot AS (SELECT count(*) AS total FROM bigrams)
+SELECT bigram, count(*) AS n
+FROM bigrams, tot
+GROUP BY bigram, total
+HAVING count(*) * 800 >= total
+ORDER BY bigram
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -5866,6 +5958,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q131_bigram_logprob": (q131_bigram_logprob, Q131_SQL),
     "q132_bpe_train": (q132_bpe_train, None),
     "q133_quality_calibration": (q133_quality_calibration, Q133_SQL),
+    "q134_phrase_search": (q134_phrase_search, Q134_SQL),
+    "q135_heavy_hitters": (q135_heavy_hitters, Q135_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
