@@ -36,6 +36,24 @@ def customer_registry() -> SchemaRegistry:
     return reg
 
 
+def customer_orders_registry() -> SchemaRegistry:
+    """Two-table dictionary (CUSTOMER + ORDERS) for multi-table pipelines
+    — the multi-table analog of customer_registry, exercising the same
+    NUMBER ladder on a second table so join-MV maintenance has typed
+    columns on both sides."""
+    reg = customer_registry()
+    mk = lambda name, **kw: ColumnMeta(OWNER, "ORDERS", name, True, **kw)
+    reg.register(
+        [
+            mk("O_ORDERKEY", data_type="NUMBER", data_precision=18),
+            mk("O_CUSTKEY", data_type="NUMBER", data_precision=18),
+            mk("O_ORDERSTATUS", data_type="VARCHAR2", data_length=1),
+            mk("O_TOTALPRICE", data_type="NUMBER", data_precision=12, data_scale=2),
+        ]
+    )
+    return reg
+
+
 def default_config() -> EngineConfig:
     return EngineConfig(
         name="logminer",

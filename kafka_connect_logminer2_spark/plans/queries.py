@@ -5822,6 +5822,121 @@ ORDER BY bigram
 """
 
 
+def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
+    """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
+    tables' changes (customer ∪ orders), so every micro-batch exercises
+    multi-table routing — batch 0 = inserts, 1 = +updates, 2 = +deletes
+    for CUSTOMER and ORDERS simultaneously."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ..sources.redo import (
+        redo_deletes_from_orders,
+        redo_inserts_from_orders,
+        redo_updates_from_orders,
+    )
+    from ..streaming.pipeline import read_redo_stream_files
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    bands = [
+        _redo_input(spark, sf, "ins", redo_inserts_from_customer).unionByName(
+            _redo_input(spark, sf, "o_ins", redo_inserts_from_orders)
+        ),
+        _redo_input(spark, sf, "upd", redo_updates_from_customer)
+        .filter(keysel.isin(0, 1, 2))
+        .unionByName(_redo_input(spark, sf, "o_upd", redo_updates_from_orders)),
+        _redo_input(spark, sf, "del", redo_deletes_from_customer)
+        .filter(keysel.isin(6, 7))
+        .unionByName(_redo_input(spark, sf, "o_del", redo_deletes_from_orders)),
+    ]
+    os.makedirs(f"{tmp}/redo")
+    now = _time.time()
+    for i, band in enumerate(bands):
+        band.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
+        (part,) = glob.glob(f"{tmp}/stage{i}/part*")
+        dst = f"{tmp}/redo/f{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+
+
+def cdc20_join_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained JOIN materialized view
+    (streaming/join_mv.py::write_join_mv): ORDERS ⋈ CUSTOMER on custkey,
+    folded forward per micro-batch from the batch's touched keys only —
+    delta-join maintenance (ΔL⋈R′ ∪ L′⋈ΔR with upsert/delete semantics)
+    over the two-table banded CDC stream: batch 0 inserts both tables,
+    batch 1 updates both (customer acctbal +100 on keysel 0-2; order
+    totalprice +10 on k=0), batch 2 deletes both (customers 6-7 — their
+    orders must LEAVE the MV; orders k=1). Rolled-back inserts (customer
+    k=3, partial-rollback k=4, order k=3) must never have entered. The
+    oracle recomputes the full join from the final relational truths, so
+    any fold drift — a stale right-side row, a resurrected delete, a
+    double-added refresh — breaks the value hash."""
+    import shutil
+    import tempfile
+
+    from ..plans.cdc import customer_orders_registry, default_config
+    from ..streaming.join_mv import read_join_mv, write_join_mv
+    from ..streaming.pipeline import cdc_stream
+
+    tmp = tempfile.mkdtemp(prefix="cdc20_")
+    stream = _stage_banded_redo2(spark, sf, tmp)
+    q = write_join_mv(
+        cdc_stream(stream, default_config()),
+        customer_orders_registry(),
+        "TPCH",
+        "ORDERS",
+        ["O_ORDERKEY"],
+        "O_CUSTKEY",
+        "CUSTOMER",
+        "C_CUSTKEY",
+        f"{tmp}/snap",
+        f"{tmp}/mv",
+        f"{tmp}/ckpt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("cdc20: join-MV stream did not finish within 600s")
+    mv = read_join_mv(spark, f"{tmp}/mv")
+    out = (
+        mv.select(
+            F.col("O_ORDERKEY").alias("o_orderkey"),
+            F.col("O_CUSTKEY").alias("o_custkey"),
+            F.col("O_ORDERSTATUS").alias("o_orderstatus"),
+            F.round(F.col("O_TOTALPRICE"), 2).alias("o_totalprice"),
+            F.col("C_NAME").alias("c_name"),
+            F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+            F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+        ).localCheckpoint()  # materialize off the temp dir before rmtree
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+CDC20_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_name,
+         round(CASE WHEN c_custkey % 10 IN (0, 1, 2)
+                    THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 NOT IN (3, 4, 6, 7)
+),
+ords AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(CASE WHEN o_orderkey % 4 = 0
+                    THEN o_totalprice + 10 ELSE o_totalprice END, 2)
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 4 IN (0, 2)
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       c.c_name, c.c_acctbal, c.c_mktsegment
+FROM ords o JOIN cust c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -5960,6 +6075,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q133_quality_calibration": (q133_quality_calibration, Q133_SQL),
     "q134_phrase_search": (q134_phrase_search, Q134_SQL),
     "q135_heavy_hitters": (q135_heavy_hitters, Q135_SQL),
+    "cdc20_join_mv": (cdc20_join_mv, CDC20_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

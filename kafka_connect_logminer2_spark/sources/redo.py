@@ -259,6 +259,114 @@ def redo_long_txns_from_customer(
     return starts.unionByName(dml).unionByName(commits)
 
 
+def _orders_base(spark: SparkSession, sf_dir: str, band: int, xid_tag: str) -> DataFrame:
+    """Shared ORDERS slice for the two-table join-MV fixture: every 7th
+    order (o_orderkey % 7 == 0 — a modulus coprime to the k-rule modulus 4,
+    so scenario classes stay uniformly populated) with the band SCN base,
+    xid, and row_id columns attached. Bands mirror the customer
+    generators: inserts < updates < deletes in SCN so the banded staging
+    (plans/queries.py::_stage_banded_redo family) can split them into
+    micro-batches."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    bases = {0: 2_000_000, 1: 30_000_000, 2: 60_000_000}
+    base = (F.col("o_orderkey") * 10 + bases[band]).alias("base")
+    xid = F.concat_ws(
+        ".", F.lit(xid_tag), F.col("o_orderkey").cast("string"), F.lit("1")
+    )
+    row_id = F.format_string("AAB%015d", F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("k"),
+        base,
+        xid.alias("xid"),
+        row_id.alias("row_id"),
+    )
+
+
+def redo_inserts_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed INSERT per fixture order; k == o_orderkey % 4 == 3 rolls
+    back (so the join MV must never see those orders). One statement per
+    transaction — the CSF/partial-rollback shapes are covered by the
+    customer generators; this stream exists to drive TWO-TABLE pipelines
+    (multi-table snapshots, incremental join MVs)."""
+    o = _orders_base(spark, sf_dir, 0, "5")
+    ins_sql = F.concat(
+        F.lit(
+            'insert into "TPCH"."ORDERS"("O_ORDERKEY","O_CUSTKEY",'
+            '"O_ORDERSTATUS","O_TOTALPRICE") values ('
+        ),
+        F.col("o_orderkey").cast("string"),
+        F.lit(","),
+        F.col("o_custkey").cast("string"),
+        F.lit(",'"),
+        _esc(F.col("o_orderstatus")),
+        F.lit("',"),
+        F.col("o_totalprice").cast("string"),
+        F.lit(")"),
+    )
+    starts = o.select(*_common(F.col("base"), F.col("xid"), "START"))
+    dml = o.select(
+        *_common(F.col("base") + 1, F.col("xid"), "INSERT",
+                 table=F.lit("ORDERS"), sql=ins_sql, row_id=F.col("row_id"))
+    )
+    commits = o.filter(F.col("k") != 3).select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    rollbacks = o.filter(F.col("k") == 3).select(
+        *_common(F.col("base") + 3, F.col("xid"), "ROLLBACK")
+    )
+    return starts.unionByName(dml).unionByName(commits).unionByName(rollbacks)
+
+
+def redo_updates_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed UPDATE (O_TOTALPRICE += 10) for k == 0 fixture orders,
+    LogMiner-canonical before-image WHERE."""
+    o = _orders_base(spark, sf_dir, 1, "6").filter(F.col("k") == 0)
+    upd_sql = F.concat(
+        F.lit('update "TPCH"."ORDERS" set "O_TOTALPRICE" = '),
+        (F.col("o_totalprice") + 10).cast("string"),
+        F.lit(' where "O_ORDERKEY" = '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(' and "O_TOTALPRICE" = '),
+        F.col("o_totalprice").cast("string"),
+    )
+    starts = o.select(*_common(F.col("base"), F.col("xid"), "START"))
+    updates = o.select(
+        *_common(F.col("base") + 1, F.col("xid"), "UPDATE",
+                 table=F.lit("ORDERS"), sql=upd_sql, row_id=F.col("row_id"))
+    )
+    commits = o.select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    return starts.unionByName(updates).unionByName(commits)
+
+
+def redo_deletes_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed DELETE for k == 1 fixture orders (before-image WHERE)."""
+    o = _orders_base(spark, sf_dir, 2, "7").filter(F.col("k") == 1)
+    del_sql = F.concat(
+        F.lit('delete from "TPCH"."ORDERS" where "O_ORDERKEY" = '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(' and "O_CUSTKEY" = '),
+        F.col("o_custkey").cast("string"),
+    )
+    starts = o.select(*_common(F.col("base"), F.col("xid"), "START"))
+    deletes = o.select(
+        *_common(F.col("base") + 1, F.col("xid"), "DELETE",
+                 table=F.lit("ORDERS"), sql=del_sql, row_id=F.col("row_id"))
+    )
+    commits = o.select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    return starts.unionByName(deletes).unionByName(commits)
+
+
 def redo_events_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Small hand-authored event lists for unit tests."""
     defaults = dict(
