@@ -427,6 +427,127 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+SPECTROGRAM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("dominant_band", IntegerType()),
+        StructField("mel_energies", ArrayType(FloatType())),
+    ]
+)
+
+
+def stft_power(
+    samples: "np.ndarray", n_fft: int = 256, hop: int = 128
+) -> "np.ndarray":
+    """Power spectrogram via short-time FFT — pure numpy (np.fft.rfft),
+    Hann window, stride-tricks framing (no copy): (n_frames, n_fft//2+1)
+    array of |X|². Clips shorter than one frame get a single zero-padded
+    frame so every clip yields at least one row."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, n_fft),
+        strides=(x.strides[0] * hop, x.strides[0]),
+        writeable=False,
+    )
+    win = np.hanning(n_fft)
+    spec = np.fft.rfft(frames * win, axis=1)
+    return (spec.real**2 + spec.imag**2).astype(np.float64)
+
+
+def mel_filterbank(n_mels: int, n_fft: int, rate: int) -> "np.ndarray":
+    """Triangular mel filterbank (HTK convention: mel = 2595·log10(1+f/700))
+    mapping n_fft//2+1 linear bins → n_mels bands; rows sum-normalized so
+    band energies are comparable across n_fft choices."""
+    n_bins = n_fft // 2 + 1
+    mel_max = 2595.0 * np.log10(1.0 + (rate / 2.0) / 700.0)
+    mel_pts = np.linspace(0.0, mel_max, n_mels + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bin_pts = np.floor((n_fft + 1) * hz_pts / rate).astype(int).clip(0, n_bins - 1)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, ctr, hi = bin_pts[m], bin_pts[m + 1], bin_pts[m + 2]
+        for b in range(lo, ctr):
+            if ctr > lo:
+                fb[m, b] = (b - lo) / (ctr - lo)
+        for b in range(ctr, hi):
+            if hi > ctr:
+                fb[m, b] = (hi - b) / (hi - ctr)
+        if hi == lo:  # degenerate narrow band at low rates
+            fb[m, lo] = 1.0
+    norm = fb.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return fb / norm
+
+
+def mel_band_energies(
+    samples: "np.ndarray",
+    rate: int,
+    n_mels: int = 8,
+    n_fft: int = 256,
+    hop: int = 128,
+) -> list[float]:
+    """Per-clip log-mel descriptor: STFT power → mel filterbank → mean
+    over frames → log10(1+e). The n_mels-dim analog of audio_features
+    with actual frequency content (a 440 Hz tone and a 4 kHz tone get
+    identical RMS but different mel vectors)."""
+    p = stft_power(samples, n_fft, hop)
+    fb = mel_filterbank(n_mels, n_fft, rate)
+    e = (p @ fb.T).mean(axis=0)
+    return [round(float(v), 6) for v in np.log10(1.0 + e)]
+
+
+def extract_spectrogram_features(
+    media: DataFrame, n_mels: int = 8, n_fft: int = 256, hop: int = 128
+) -> DataFrame:
+    """mapInPandas STFT/log-mel extraction for audio rows — the signal-
+    level upgrade of extract_audio_features (which reports time-domain
+    stats only). Real kernel for RIFF/PCM-16 WAV payloads; non-decodable
+    payloads are DROPPED here (a frequency descriptor of a sha stub is
+    noise, not a feature — the stub path lives in extract_audio_features
+    where the oracle needs it). Iterator-of-batches shape: one numpy FFT
+    pass per clip, Arrow both ways, nothing driver-sized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_frames", "dominant_band",
+                    "mel_energies")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                wav = decode_audio(b"" if p is None else bytes(p))
+                if wav is None:
+                    continue
+                rate, samples = wav
+                spec = stft_power(samples, n_fft, hop)
+                mel = mel_band_energies(samples, rate, n_mels, n_fft, hop)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(spec.shape[0])
+                out["dominant_band"].append(int(np.argmax(mel)))
+                out["mel_energies"].append(mel)
+            if not out["media_id"]:
+                continue  # all rows undecodable: an empty object-dtype
+                # frame breaks Arrow's list<float> conversion — yield nothing
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "dominant_band": pd.Series(out["dominant_band"], dtype="int32"),
+                    "mel_energies": out["mel_energies"],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=SPECTROGRAM_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into (media_id,
     frame_ts) rows from metadata only — the payload column is pruned out of
@@ -494,6 +615,26 @@ def wav_payload(
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def audio_fixture(spark, n: int = 48) -> DataFrame:
+    """Deterministic synthetic AUDIO media table: real PCM-16 WAV sine
+    payloads sweeping 8 frequencies (400..3900 Hz at 8 kHz), so
+    spectrogram features have known ground truth (clip i's dominant
+    energy sits at freq 400+500·(i%8))."""
+    rows = []
+    for i in range(n):
+        freq = 400.0 + 500.0 * (i % 8)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "audio",
+                "mime": "audio/wav",
+                "payload": wav_payload(rate=8000, seconds=0.25, freq=freq),
+                "meta_json": '{"freq_hz": %d}' % int(freq),
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def media_fixture(spark, n: int = 64) -> DataFrame:

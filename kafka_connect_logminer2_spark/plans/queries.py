@@ -5822,6 +5822,37 @@ ORDER BY bigram
 """
 
 
+def q136_audio_spectrogram(spark: SparkSession, sf: str) -> DataFrame:
+    """STFT/log-mel audio featurization (functions/multimodal.py::
+    extract_spectrogram_features): pure-numpy Hann-windowed rfft power
+    spectrogram → HTK mel filterbank → per-clip log-mel descriptor, run
+    as iterator-of-batches mapInPandas over real PCM-16 WAV payloads (the
+    audio_fixture sine sweep). Per-band rollup: clip count, mean peak-band
+    energy. No oracle — an FFT is not SQL-expressible; the kernel is
+    gated by numpy ground-truth tests instead (sine at f must dominate
+    the band containing f, frame-count formula, filterbank partition —
+    tests/test_multimodal_kernels.py::TestSpectrogram)."""
+    from ..functions import multimodal as M
+
+    media = M.audio_fixture(spark, n=96)
+    feats = M.extract_spectrogram_features(media)
+    return (
+        feats.select(
+            "media_id",
+            "dominant_band",
+            F.element_at(F.col("mel_energies"), F.col("dominant_band") + 1).alias(
+                "peak_e"
+            ),
+        )
+        .groupBy("dominant_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("peak_e"), 4).alias("avg_peak_energy"),
+        )
+        .orderBy("dominant_band")
+    )
+
+
 def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
     """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
     tables' changes (customer ∪ orders), so every micro-batch exercises
@@ -6076,6 +6107,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q134_phrase_search": (q134_phrase_search, Q134_SQL),
     "q135_heavy_hitters": (q135_heavy_hitters, Q135_SQL),
     "cdc20_join_mv": (cdc20_join_mv, CDC20_SQL),
+    "q136_audio_spectrogram": (q136_audio_spectrogram, None),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

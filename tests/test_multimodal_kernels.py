@@ -188,3 +188,84 @@ def test_spark_resize_real_payload_roundtrips(spark):
     assert arr is not None and arr.shape == (8, 16, 3)
     expected = M.resize_bilinear(M.decode_image(M.ppm_payload(64, 32)), 16)
     assert np.array_equal(arr, expected)
+
+
+class TestSpectrogram:
+    """Numpy ground-truth gates for the STFT/mel kernels (q136's
+    correctness story — an FFT has no SQL oracle)."""
+
+    def test_frame_count_formula(self):
+        x = np.zeros(1000)
+        assert M.stft_power(x, n_fft=256, hop=128).shape == (
+            1 + (1000 - 256) // 128,
+            129,
+        )
+
+    def test_short_clip_zero_pads_to_one_frame(self):
+        assert M.stft_power(np.ones(10), n_fft=64, hop=32).shape == (1, 33)
+
+    def test_sine_peaks_at_expected_bin(self):
+        rate, n_fft = 8000, 256
+        for freq in (400.0, 1000.0, 3000.0):
+            t = np.arange(4000) / rate
+            x = np.sin(2 * np.pi * freq * t)
+            p = M.stft_power(x, n_fft=n_fft, hop=128).mean(axis=0)
+            assert abs(int(np.argmax(p)) - round(freq * n_fft / rate)) <= 1, freq
+
+    def test_parseval_energy_scale(self):
+        # windowed-frame FFT power must track time-domain energy: for a
+        # full-scale sine, total spectral power ≈ N/2 · mean(win²·x²)-ish;
+        # we check proportionality between two amplitudes (4× power for 2×)
+        rate = 8000
+        t = np.arange(4000) / rate
+        p1 = M.stft_power(np.sin(2 * np.pi * 500 * t), 256, 128).sum()
+        p2 = M.stft_power(2 * np.sin(2 * np.pi * 500 * t), 256, 128).sum()
+        assert p2 == pytest.approx(4 * p1, rel=1e-9)
+
+    def test_filterbank_rows_normalized_and_cover(self):
+        fb = M.mel_filterbank(8, 256, 8000)
+        assert fb.shape == (8, 129)
+        assert np.allclose(fb.sum(axis=1), 1.0)
+        assert (fb >= 0).all()
+        # centers strictly increase in frequency
+        centers = fb.argmax(axis=1)
+        assert all(a < b for a, b in zip(centers, centers[1:]))
+
+    def test_sine_dominates_band_containing_freq(self):
+        rate, n_fft, n_mels = 8000, 256, 8
+        fb = M.mel_filterbank(n_mels, n_fft, rate)
+        for freq in (400.0, 900.0, 1900.0, 3400.0):
+            t = np.arange(2000) / rate
+            mel = M.mel_band_energies(np.sin(2 * np.pi * freq * t), rate)
+            got = int(np.argmax(mel))
+            freq_bin = round(freq * n_fft / rate)
+            expect = int(np.argmax(fb[:, freq_bin]))
+            assert got == expect, (freq, got, expect)
+
+    def test_spark_extract_drops_undecodable_and_matches_local(self, spark):
+        wav = M.wav_payload(rate=8000, seconds=0.25, freq=1900.0)
+        rows = [
+            (0, "audio", "audio/wav", bytearray(wav), "{}"),
+            (1, "audio", "audio/wav", bytearray(b"not audio at all"), "{}"),
+            (2, "image", "image/ppm", bytearray(M.ppm_payload(4, 4)), "{}"),
+        ]
+        media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+        out = M.extract_spectrogram_features(media).collect()
+        assert [r["media_id"] for r in out] == [0]  # stub + image dropped
+        r = out[0]
+        rate, samples = M.decode_audio(wav)
+        assert r["sample_rate"] == 8000
+        local = M.mel_band_energies(samples, rate)
+        assert np.allclose(r["mel_energies"], local, atol=1e-4)  # float32 storage
+        assert r["dominant_band"] == int(np.argmax(local))
+        assert r["n_frames"] == M.stft_power(samples).shape[0]
+
+    def test_audio_fixture_sweep_recovers_frequencies(self, spark):
+        # end-to-end: the q136 fixture's 8 frequencies must land in 8
+        # distinct dominant bands in increasing order
+        feats = M.extract_spectrogram_features(M.audio_fixture(spark, n=16))
+        rows = {r["media_id"]: r["dominant_band"] for r in feats.collect()}
+        bands = [rows[i] for i in range(8)]
+        assert all(a <= b for a, b in zip(bands, bands[1:]))
+        assert len(set(bands)) >= 6  # distinct except possible edge merges
+        assert bands == [rows[i + 8] for i in range(8)]  # deterministic
