@@ -1,0 +1,128 @@
+"""Graph operators over DataFrame edge lists — degree/strength profiles
+and PageRank power iteration. Corpus-curation relevance: link-graph
+centrality is a standard web-crawl quality signal (rank domains/pages
+before sampling training documents), and the TPC-H customer–supplier
+bipartite graph (who buys through whom, via lineitem ⋈ orders) gives the
+fixtures a real multi-edge weighted graph to run it on.
+
+Scale design:
+- Edges are the ONLY large state. They are built once, weighted
+  (multi-edges pre-aggregated so the per-iteration join moves one row per
+  (src, dst), not one per original lineitem), and persisted partitioned
+  by ``src`` — every iteration's join then reuses the same hash
+  partitioning for the edge side; only the (node, rank) table (2 narrow
+  columns) reshuffles per iteration.
+- Ranks never leave the cluster: contributions are an edges ⋈ ranks join
+  + groupBy(dst) partial-aggregated sum. The only driver-side values per
+  iteration are two scalars (dangling mass, optional L1 delta) — k×8
+  bytes, never O(nodes).
+- Lineage is cut with localCheckpoint every few iterations (iterative
+  DataFrame plans otherwise grow exponentially in optimizer time — the
+  classic Spark power-iteration trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrize a weighted edge list (src, dst, weight): union the
+    reversed edges and re-aggregate so parallel a→b / b→a pairs fold."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return (
+        edges.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node degree profile of a DIRECTED weighted edge list: out/in
+    degree (distinct neighbors) and out/in strength (summed weights).
+    Two partial-aggregated exchanges (one per direction) + an outer merge
+    on node; nothing wider than (node, 4 numbers) ever shuffles."""
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("weight").alias("out_strength"),
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("weight").alias("in_strength"),
+    )
+    return (
+        out.join(inn, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("out_strength", F.lit(0)).alias("out_strength"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("in_strength", F.lit(0)).alias("in_strength"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted PageRank by power iteration on a directed edge list
+    (src, dst, weight): rank' = (1−d)/n + d·(Σ_in rank·w/strength_out +
+    dangling_mass/n). Returns (node, rank), Σ rank = 1.
+
+    Contract notes: transition weights are row-normalized by out-STRENGTH
+    (weighted random walk); dangling nodes (no out-edges) teleport
+    uniformly — their mass is the per-iteration scalar collect. Fixed
+    iteration count keeps the op deterministic (same plan every run);
+    convergence-based stopping would read the L1 delta scalar instead.
+    Ground truth: dense numpy power iteration on the same matrix
+    (tests/test_graph.py), same role as k-means/PCA's NumPy-truth gates —
+    iterative linear algebra has no SQL oracle."""
+    edges = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # edge side: normalize once, partition once, reuse every iteration
+    out_s = edges.groupBy("src").agg(F.sum("weight").alias("_s"))
+    trans = (
+        edges.join(out_s, "src")
+        .select("src", "dst", (F.col("weight") / F.col("_s")).alias("p"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    has_out = trans.select(F.col("src").alias("node")).distinct()
+    for i in range(n_iter):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")  # narrow 2-col anti-join;
+            # sizing left to AQE — has_out is O(nodes), not broadcast-safe
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("_c"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("_c", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()  # cut the iterative lineage
+    return ranks

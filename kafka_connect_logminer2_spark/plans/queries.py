@@ -5853,6 +5853,80 @@ def q136_audio_spectrogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer→supplier weighted edge list from lineitem ⋈ orders — the
+    fixtures' real bipartite graph. Node ids are disambiguated
+    numerically (customer = 2k, supplier = 2k+1) so both partitions
+    share one integer node space (no string concat in the shuffle key).
+    Multi-edges fold to one weighted row BEFORE anything iterates over
+    the graph."""
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def q137_graph_degree(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree/strength profile of the trade graph (functions/graph.py::
+    degree_stats over _trade_edges): per-customer distinct suppliers +
+    line volume, per-supplier distinct customers + line volume, merged on
+    the shared node space. Two partial-aggregated exchanges + one outer
+    merge; the canonical prelude every graph-analytics pipeline runs
+    (degree histograms drive hub/spam cutoffs before centrality)."""
+    from ..functions.graph import degree_stats
+
+    return degree_stats(_trade_edges(spark, sf)).orderBy("node")
+
+
+Q137_SQL = """
+WITH edges AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, count(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+outs AS (
+  SELECT src AS node, count(*) AS out_degree, sum(weight) AS out_strength
+  FROM edges GROUP BY src
+),
+ins AS (
+  SELECT dst AS node, count(*) AS in_degree, sum(weight) AS in_strength
+  FROM edges GROUP BY dst
+)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_degree, 0) AS out_degree,
+       CAST(COALESCE(out_strength, 0) AS BIGINT) AS out_strength,
+       COALESCE(in_degree, 0) AS in_degree,
+       CAST(COALESCE(in_strength, 0) AS BIGINT) AS in_strength
+FROM outs o FULL OUTER JOIN ins i ON o.node = i.node
+ORDER BY node
+"""
+
+
+def q138_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank on the undirected trade graph (functions/
+    graph.py::pagerank, 10 power iterations, d=0.85): link-graph
+    centrality as a corpus-curation quality signal, run on the fixtures'
+    customer–supplier graph. Top-20 hubs by rank. No SQL oracle —
+    iterative linear algebra; the kernel is gated by a dense-numpy
+    power-iteration equality test and invariants (Σrank=1, uniform graph
+    ⇒ uniform ranks) in tests/test_graph.py."""
+    from ..functions.graph import pagerank, undirected
+
+    ranks = pagerank(undirected(_trade_edges(spark, sf)), n_iter=10)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
 def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
     """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
     tables' changes (customer ∪ orders), so every micro-batch exercises
@@ -6108,6 +6182,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q135_heavy_hitters": (q135_heavy_hitters, Q135_SQL),
     "cdc20_join_mv": (cdc20_join_mv, CDC20_SQL),
     "q136_audio_spectrogram": (q136_audio_spectrogram, None),
+    "q137_graph_degree": (q137_graph_degree, Q137_SQL),
+    "q138_pagerank": (q138_pagerank, None),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
