@@ -5927,6 +5927,52 @@ def q138_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q139_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key (functions/layout.py::zorder_key):
+    bit-interleave (o_custkey, o_orderkey) with the magic-mask spreading
+    schedule — 5 JVM bitwise expressions per dimension, no UDF — and roll
+    up per 1024-key block (count, min/max key, id checksum) so the oracle
+    value-hashes the ENTIRE key computation bit-for-bit (zorder_key_sql
+    emits identical arithmetic for DuckDB). The layout payoff — files
+    prunable in BOTH dimensions from footer stats — is measured in
+    tests/test_layout.py::test_zorder_prunes_both_dimensions against a
+    single-column-sorted layout."""
+    from ..functions.layout import zorder_key
+
+    o = load_table(spark, sf, "orders")
+    z = o.select(
+        "o_orderkey", zorder_key(["o_custkey", "o_orderkey"]).alias("zkey")
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 10).alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+            F.sum("o_orderkey").alias("id_sum"),
+        )
+        .orderBy("block")
+    )
+
+
+def _q139_sql() -> str:
+    from ..functions.layout import zorder_key_sql
+
+    z = zorder_key_sql(["o_custkey", "o_orderkey"])
+    return f"""
+WITH keys AS (
+  SELECT o_orderkey, {z} AS zkey FROM orders
+)
+SELECT zkey >> 10 AS block, count(*) AS n,
+       min(zkey) AS zmin, max(zkey) AS zmax,
+       CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+FROM keys GROUP BY block ORDER BY block
+"""
+
+
+Q139_SQL = _q139_sql()
+
+
 def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
     """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
     tables' changes (customer ∪ orders), so every micro-batch exercises
@@ -6184,6 +6230,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q136_audio_spectrogram": (q136_audio_spectrogram, None),
     "q137_graph_degree": (q137_graph_degree, Q137_SQL),
     "q138_pagerank": (q138_pagerank, None),
+    "q139_zorder_key": (q139_zorder_key, Q139_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
