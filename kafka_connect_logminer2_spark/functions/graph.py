@@ -99,28 +99,33 @@ def pagerank(
     nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    has_out = trans.select(F.col("src").alias("node")).distinct()
+    has_out = trans.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
     for i in range(n_iter):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")  # narrow 2-col anti-join;
-            # sizing left to AQE — has_out is O(nodes), not broadcast-safe
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling mass rides the plan as a broadcast 1-row aggregate —
+        # NO per-iteration driver collect, so the whole span between two
+        # checkpoints is one lazy plan (k iterations ⇒ ~k/checkpoint_every
+        # jobs, not 2k): the fixed dangling-node set's current rank sum.
+        d_mass = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         contribs = (
             trans.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("_c"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .join(F.broadcast(d_mass))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("_c", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
