@@ -60,6 +60,11 @@ HEADLINE = [
     "cdc01_insert_roundtrip",
     "cdc02_update_images",
     "cdc06_apply_changes",
+    # r5 additions
+    "q134_phrase_search",
+    "q135_heavy_hitters",
+    "q137_graph_degree",
+    "q139_zorder_key",
 ]
 
 

@@ -341,6 +341,62 @@ def main() -> None:
     _spec.loader.exec_module(_mod)
     _skew_redo = _mod._skewed_redo(spark, n_events=60_000, hot_frac=0.10).localCheckpoint()
 
+    def phrase_search_op(m):
+        from kafka_connect_logminer2_spark.functions.search import (
+            phrase_match_counts,
+        )
+
+        return phrase_match_counts(
+            replicate(docs, m, ["doc_id"], span), ["batch", "merge"]
+        )
+
+    def heavy_hitters_op(m):
+        from kafka_connect_logminer2_spark.functions.search import (
+            heavy_hitters_exact,
+        )
+
+        d = replicate(docs, m, ["doc_id"], span)
+        bigrams = d.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(split(lower(text), ' '), 1,"
+                    " size(split(lower(text), ' ')) - 1),"
+                    " (x, i) -> concat(x, ' ', split(lower(text), ' ')[i + 1]))"
+                )
+            ).alias("bigram")
+        ).localCheckpoint(eager=False)
+        return heavy_hitters_exact(bigrams, "bigram", bigrams.count(), denom=800)
+
+    def graph_degree_op(m):
+        from kafka_connect_logminer2_spark.functions.graph import degree_stats
+
+        li = replicate(lineitem, m, ["l_orderkey"], span_li)
+        edges = li.select(
+            (F.col("l_orderkey") % 10000 * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        return degree_stats(edges)
+
+    def pagerank_op(m):
+        # 3 iterations — the probe measures per-iteration edge-join growth,
+        # not convergence
+        from kafka_connect_logminer2_spark.functions.graph import pagerank
+
+        li = replicate(lineitem, m, ["l_orderkey"], span_li)
+        edges = li.select(
+            (F.col("l_orderkey") % 10000 * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        return pagerank(edges, n_iter=3)
+
+    def zorder_op(m):
+        from kafka_connect_logminer2_spark.functions.layout import zorder_key
+
+        li = replicate(lineitem, m, ["l_orderkey"], span_li)
+        return li.select(
+            zorder_key(["l_partkey", "l_orderkey"]).alias("z")
+        ).groupBy(F.shiftright("z", 20)).count()
+
     ops = {
         "hash_agg": agg_op,
         "packing_cumsum": packing_cumsum_op,
@@ -362,6 +418,11 @@ def main() -> None:
         "gopher_rules": gopher_rules_op,
         "dsir_weights": dsir_weights_op,
         "bigram_lm": bigram_lm_op,
+        "phrase_search": phrase_search_op,
+        "heavy_hitters": heavy_hitters_op,
+        "graph_degree": graph_degree_op,
+        "pagerank3": pagerank_op,
+        "zorder_key": zorder_op,
     }
 
     for name, op in ops.items():
