@@ -4096,6 +4096,10 @@ def q130_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     B = 8192
     docs = load_table(spark, sf, "documents")
     g = _doc_grams(docs).withColumn("b", md5_bucket(F.col("gram"), B))
+    # four consumers (raw, target, totals, per-doc rollup) — materialize
+    # the md5-hashed gram explode once instead of re-running it per branch
+    # (md5 per gram × 4 passes was the measured hot spot: 2.7 s → ~1 s)
+    g = g.drop("gram").localCheckpoint(eager=False)
     raw = g.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         g.filter(F.col("lang") == "en")
@@ -4180,7 +4184,10 @@ def q131_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    uni = docs.select(F.explode(toks).alias("w"))
+    # three consumers of the pair explode (c2, cs, rescore) and two of the
+    # unigram explode — materialize each once (q130's measured lesson)
+    pairs = pairs.localCheckpoint(eager=False)
+    uni = docs.select(F.explode(toks).alias("w")).localCheckpoint(eager=False)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cs = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cs"))
     cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))

@@ -782,3 +782,70 @@ def test_bigram_logprob_no_cartesian_no_python(spark, sf_dir):
     # corpus-total join — never a fallback on the token-key lookups
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_phrase_search_single_posting_exchange(spark, sf_dir):
+    """q134's matcher: the only hash exchange is the groupBy(doc_id) over
+    phrase-term postings (plus the final sort's range exchange); and the
+    conjunctive contains() prefilter must sit in the scan stage's data
+    filters, BEFORE the generate multiplies rows."""
+    from kafka_connect_logminer2_spark.functions.search import phrase_match_counts
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(phrase_match_counts(docs, ["batch", "merge"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Contains" in plan
+    # prefilter evaluates pre-explode: Filter with Contains appears below
+    # Generate in the tree (Generate listed before its child's Filter)
+    assert "Generate" in plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """q135 phase 2: the candidate set joins broadcast (left_semi BHJ) —
+    a shuffled semi-join would defeat the sketch's purpose — and the
+    sketch phase is Arrow mapInPandas, not a row Python UDF."""
+    plan = plan_of(QUERY_REGISTRY["q135_heavy_hitters"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_graph_degree_partial_aggs_no_udf(spark, sf_dir):
+    """q137: both direction rollups partial-aggregate before their
+    exchange; pure JVM (no Python)."""
+    plan = plan_of(QUERY_REGISTRY["q137_graph_degree"][0](spark, sf_dir))
+    assert "partial_" in plan
+    assert "Python" not in plan
+
+
+def test_zorder_key_jvm_only_single_agg_exchange(spark, sf_dir):
+    """q139: the Morton key is pure JVM bitwise arithmetic — no UDF of
+    any kind — and the block rollup is one partial-agg'd hash exchange
+    (plus the orderBy range exchange)."""
+    plan = plan_of(QUERY_REGISTRY["q139_zorder_key"][0](spark, sf_dir))
+    assert "Python" not in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_join_mv_step_broadcasts_touched_keys(spark, sf_dir):
+    """cdc20's fold: the touched-key sets drive broadcast joins against
+    the MV/base relations — the per-batch cost contract is O(changed
+    keys), and a sort-merge join against the base would re-sort the whole
+    MV every batch."""
+    from kafka_connect_logminer2_spark.streaming.join_mv import join_mv_step
+
+    l0 = spark.createDataFrame([(1, 10, 5.0)], "o long, ck long, price double")
+    r0 = spark.createDataFrame([(10, "a")], "c long, name string")
+    base = join_mv_step(None, l0, r0, None, None, ["o"], "ck", "c").localCheckpoint()
+    tl = spark.createDataFrame([(1,)], "o long")
+    out = join_mv_step(base, l0, r0, tl, None, ["o"], "ck", "c")
+    plan = plan_of(out)
+    # the touched-key prunes (anti on the base, semi on the left snapshot)
+    # must be broadcast builds; the refresh ⋈ dim join's strategy is
+    # rightly data-dependent (a big dim SHOULD sort-merge) so it is not
+    # constrained here
+    assert "BroadcastHashJoin [o#" in plan or "BroadcastHashJoin [o`" in plan
+    assert "LeftAnti, BuildRight" in plan
+    assert "LeftSemi, BuildRight" in plan
