@@ -5980,6 +5980,104 @@ FROM keys GROUP BY block ORDER BY block
 Q139_SQL = _q139_sql()
 
 
+def cdc21_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming corpus drift monitor (streaming/drift.py): the documents
+    table arrives as 3 micro-batches (doc_id mod 3 — the shared ingest
+    staging convention) and every batch's hashed-token distribution is
+    scored as add-1-smoothed KL against the full-corpus reference
+    histogram (B=256 md5 buckets — bounded state at any vocabulary). The
+    ORACLE recomputes each batch's KL in closed-form SQL over the same
+    md5 buckets, so the whole measurement pipeline — bucketing, smoothing,
+    the per-batch fold, commit visibility — is value-hash checked, not
+    just row-counted."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.drift import read_drift_metrics, write_drift_monitor
+
+    B = 256
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc21_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_drift_monitor(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            docs,
+            f"{tmp}/metrics",
+            f"{tmp}/ckpt",
+            n_buckets=B,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc21: drift stream did not finish within 600s")
+        m = read_drift_metrics(spark, f"{tmp}/metrics")
+        return m.select(
+            "batch_id", "n_docs", "n_tokens", F.round("kl", 8).alias("kl")
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC21_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % 3 AS batch_id, doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+bt AS (
+  SELECT batch_id, {md5_bucket_sql("tok", 256)} AS bucket, count(*) AS cb
+  FROM toks GROUP BY 1, 2
+),
+rt AS (
+  SELECT {md5_bucket_sql("tok", 256)} AS bucket, count(*) AS cr
+  FROM toks GROUP BY 1
+),
+grid AS (
+  SELECT b.batch_id, g.bucket
+  FROM (SELECT DISTINCT batch_id FROM toks) b, range(256) g(bucket)
+),
+j AS (
+  SELECT g.batch_id, g.bucket,
+         COALESCE(bt.cb, 0) AS cb, COALESCE(rt.cr, 0) AS cr
+  FROM grid g
+  LEFT JOIN bt ON bt.batch_id = g.batch_id AND bt.bucket = g.bucket
+  LEFT JOIN rt ON rt.bucket = g.bucket
+),
+tot AS (
+  SELECT batch_id, sum(cb) AS nb, (SELECT sum(cr) FROM rt) AS nr
+  FROM j GROUP BY batch_id
+),
+nd AS (
+  SELECT doc_id % 3 AS batch_id, count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT CAST(j.batch_id AS BIGINT) AS batch_id,
+       CAST(nd.n_docs AS BIGINT) AS n_docs,
+       CAST(t.nb AS BIGINT) AS n_tokens,
+       round(sum(
+         ((j.cb + 1.0) / (t.nb + 256)) *
+         ln(((j.cb + 1.0) / (t.nb + 256)) / ((j.cr + 1.0) / (t.nr + 256)))
+       ), 8) AS kl
+FROM j JOIN tot t ON t.batch_id = j.batch_id
+JOIN nd ON nd.batch_id = j.batch_id
+GROUP BY j.batch_id, nd.n_docs, t.nb
+ORDER BY batch_id
+"""
+
+
 def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
     """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
     tables' changes (customer ∪ orders), so every micro-batch exercises
@@ -6238,6 +6336,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q137_graph_degree": (q137_graph_degree, Q137_SQL),
     "q138_pagerank": (q138_pagerank, None),
     "q139_zorder_key": (q139_zorder_key, Q139_SQL),
+    "cdc21_drift_monitor": (cdc21_drift_monitor, CDC21_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
