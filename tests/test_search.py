@@ -178,3 +178,70 @@ class TestMisraGries:
         total = df.count()
         out = heavy_hitters_exact(df, "item", total, denom=8, capacity=8).collect()
         assert {(r["item"], r["n"]) for r in out} == {("a", 37)}
+
+
+# ---------------------------------------------------------------------------
+# property tests vs independent python references
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ALPHABET = ["aa", "bb", "cc"]
+_doc = st.lists(st.sampled_from(_ALPHABET), min_size=0, max_size=12)
+
+
+def _phrase_count_py(tokens: list[str], phrase: list[str]) -> int:
+    k = len(phrase)
+    return sum(1 for i in range(len(tokens) - k + 1) if tokens[i : i + k] == phrase)
+
+
+class TestPhraseProperty:
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(_doc, min_size=1, max_size=6),
+        st.lists(st.sampled_from(_ALPHABET), min_size=1, max_size=3),
+    )
+    def test_matches_python_reference(self, spark, docs_tokens, phrase):
+        docs = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(docs_tokens)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(docs, phrase).collect()
+        }
+        want = {
+            i: c
+            for i, t in enumerate(docs_tokens)
+            if (c := _phrase_count_py(t, phrase)) > 0
+        }
+        assert got == want
+
+
+class TestHeavyHittersProperty:
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=300
+        ),
+        st.integers(min_value=2, max_value=20),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_exact_for_any_multiset_and_partitioning(
+        self, spark, items, denom, n_parts
+    ):
+        df = spark.createDataFrame([(x,) for x in items], "item string").repartition(
+            n_parts
+        )
+        total = len(items)
+        got = {
+            (r["item"], r["n"])
+            for r in heavy_hitters_exact(df, "item", total, denom=denom).collect()
+        }
+        want = {
+            (k, c) for k, c in Counter(items).items() if c * denom >= total
+        }
+        assert got == want
