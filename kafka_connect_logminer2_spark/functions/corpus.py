@@ -37,8 +37,10 @@ def corpus_pipeline(
     removed boilerplate, the cap's usual target."""
     raw = docs.select("doc_id", "source", "text", "n_chars")
     n_tok_sp = F.size(F.split(F.lower(F.col("text")), " "))
-    clean = raw.withColumn("n_tok_sp", n_tok_sp).filter(
-        F.col("n_tok_sp") >= min_tokens
+    clean = (
+        raw.withColumn("n_tok_sp", n_tok_sp)
+        .filter(F.col("n_tok_sp") >= min_tokens)
+        .localCheckpoint(eager=False)  # feeds span stats + kept join + ledger
     )
 
     frac = D.dup_span_stats(clean, span_tokens=span_tokens).select(
@@ -61,7 +63,9 @@ def corpus_pipeline(
     labeled = kept.join(clusters, "doc_id", "left").withColumn(
         "cluster", F.coalesce("cluster_id", "doc_id")
     )
-    reps = labeled.filter(F.col("doc_id") == F.col("cluster"))
+    reps = labeled.filter(F.col("doc_id") == F.col("cluster")).localCheckpoint(
+        eager=False
+    )  # feeds train + ledger (the kept⋈clusters join runs once, not twice)
     train = (
         reps.filter(knuth_bucket(F.col("cluster"), 100) < train_pct)
         .withColumn("n_tok_ws", F.size(F.split(F.trim("text"), r"\s+")))
