@@ -192,15 +192,20 @@ def heavy_hitters_exact(
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counter: dict = {}
         for b in batches:
-            vc = b[col].value_counts()
+            vc = b["_h"].value_counts()
             counter = _mg_fold(counter, vc.index.to_list(), vc.to_list(), cap)
-        yield pd.DataFrame({col: list(counter.keys())})
+        yield pd.DataFrame({"_h": pd.Series(list(counter.keys()), dtype="int64")})
 
-    candidates = (
-        items.select(col).mapInPandas(sketch, schema=f"{col} string").distinct()
-    )
+    # sketch over the 64-bit item hash, not the item itself: Arrow moves
+    # 8-byte ints instead of strings (the measured sf1 hot spot) and the
+    # dict folds ints. Collisions only ADD mass to a hash slot, so the
+    # slot count ≥ every colliding item's count — the superset guarantee
+    # is preserved; phase 2 recounts by the REAL item value, so collisions
+    # cannot corrupt the final answer, only admit an extra candidate.
+    hashed = items.withColumn("_h", F.xxhash64(col))
+    candidates = hashed.select("_h").mapInPandas(sketch, schema="_h long").distinct()
     return (
-        items.join(F.broadcast(candidates), col, "left_semi")
+        hashed.join(F.broadcast(candidates), "_h", "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") * denom >= F.lit(total))

@@ -5795,12 +5795,16 @@ def q135_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.search import heavy_hitters_exact
 
     docs = load_table(spark, sf, "documents")
+    # bind the token array ONCE per row — a lambda that re-references
+    # split(lower(text)) re-splits the text per ELEMENT (O(tokens²) per
+    # doc; 26.5 s → 3.6 s for the sf1 bigram pass)
     bigrams = docs.select(
+        F.split(F.lower("text"), " ").alias("_a")
+    ).select(
         F.explode(
             F.expr(
-                "transform(slice(split(lower(text), ' '), 1,"
-                " size(split(lower(text), ' ')) - 1),"
-                " (x, i) -> concat(x, ' ', split(lower(text), ' ')[i + 1]))"
+                "transform(slice(_a, 1, size(_a) - 1),"
+                " (x, i) -> concat(x, ' ', _a[i + 1]))"
             )
         ).alias("bigram")
     )

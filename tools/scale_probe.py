@@ -356,12 +356,11 @@ def main() -> None:
         )
 
         d = replicate(docs, m, ["doc_id"], span)
-        bigrams = d.select(
+        bigrams = d.select(F.split(F.lower("text"), " ").alias("_a")).select(
             F.explode(
                 F.expr(
-                    "transform(slice(split(lower(text), ' '), 1,"
-                    " size(split(lower(text), ' ')) - 1),"
-                    " (x, i) -> concat(x, ' ', split(lower(text), ' ')[i + 1]))"
+                    "transform(slice(_a, 1, size(_a) - 1),"
+                    " (x, i) -> concat(x, ' ', _a[i + 1]))"
                 )
             ).alias("bigram")
         ).localCheckpoint(eager=False)
