@@ -6082,6 +6082,70 @@ ORDER BY batch_id
 """
 
 
+def q140_session_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-scoped event-sequence mining: the first-order Markov
+    transition matrix of event types (user-journey modeling / curriculum
+    signals) — within each 30-min-gap session (q15's convention), count
+    every consecutive (from_type → to_type) pair and its conditional
+    probability. Transitions never cross a session boundary.
+
+    Scale shape: ONE exchange on user_id serves the session numbering,
+    the lead() pairing, and nothing else (all three window passes share
+    the partitioning); the transition rollup is a partial-agg'd exchange
+    on a |types|² key space (bounded), and the per-from normalization
+    rides a window over that tiny aggregate. Events text/props never
+    shuffle."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0)
+    s = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_s", F.coalesce(gap, F.lit(0)))
+        .withColumn("session_id", F.sum("new_s").over(w))
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = s.withColumn("to_type", F.lead("event_type").over(ws)).filter(
+        F.col("to_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wf), 6))
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q140_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM numbered
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+
 def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
     """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
     tables' changes (customer ∪ orders), so every micro-batch exercises
@@ -6341,6 +6405,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q138_pagerank": (q138_pagerank, None),
     "q139_zorder_key": (q139_zorder_key, Q139_SQL),
     "cdc21_drift_monitor": (cdc21_drift_monitor, CDC21_SQL),
+    "q140_session_transitions": (q140_session_transitions, Q140_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
