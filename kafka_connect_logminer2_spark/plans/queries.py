@@ -6146,6 +6146,49 @@ FROM counts ORDER BY from_type, to_type
 """
 
 
+def q141_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-ITEM weighted sampling without replacement (Efraimidis–
+    Spirakis): draw k=400 documents with inclusion odds ∝ n_chars — the
+    quality-weighted subsample primitive that per-SOURCE mixing
+    (q93/q125) can't express. Each item gets key = ln(u_i)/w_i with u_i a
+    DETERMINISTIC hash-uniform (Knuth bucket of doc_id over 2^20), and
+    the k largest keys are the sample — reproducible on any engine, no
+    RNG state. Keys are rounded to 9 decimals before ranking with doc_id
+    as the tiebreak, so a last-ulp ln() difference between engines cannot
+    reorder the boundary.
+
+    Scale shape: the key is a scan-side expression; selection is one
+    global top-k (TakeOrdered — k·partitions merge, no full sort, no
+    shuffle of text). Weighted-sampling-without-replacement over 100 TB
+    is exactly this: one pass, k survivors."""
+    docs = load_table(spark, sf, "documents")
+    u = (knuth_bucket(F.col("doc_id"), 1 << 20) + 1) / F.lit(float((1 << 20) + 1))
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(400)
+        .orderBy("doc_id")
+    )
+
+
+def _q141_sql() -> str:
+    from ..functions.sharding import knuth_bucket_sql
+
+    u = f"(({knuth_bucket_sql('doc_id', 1 << 20)}) + 1) / {float((1 << 20) + 1)}"
+    return f"""
+SELECT doc_id, source, n_chars, es_key FROM (
+  SELECT doc_id, source, n_chars,
+         round(ln({u}) / n_chars, 9) AS es_key
+  FROM documents
+  ORDER BY es_key DESC, doc_id LIMIT 400
+) ORDER BY doc_id
+"""
+
+
+Q141_SQL = _q141_sql()
+
+
 def _stage_banded_redo2(spark: SparkSession, sf: str, tmp: str) -> DataFrame:
     """Two-table variant of _stage_banded_redo: each SCN band carries BOTH
     tables' changes (customer ∪ orders), so every micro-batch exercises
@@ -6406,6 +6449,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q139_zorder_key": (q139_zorder_key, Q139_SQL),
     "cdc21_drift_monitor": (cdc21_drift_monitor, CDC21_SQL),
     "q140_session_transitions": (q140_session_transitions, Q140_SQL),
+    "q141_weighted_sample": (q141_weighted_sample, Q141_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
