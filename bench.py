@@ -65,6 +65,8 @@ HEADLINE = [
     "q135_heavy_hitters",
     "q137_graph_degree",
     "q139_zorder_key",
+    "q140_session_transitions",
+    "q141_weighted_sample",
 ]
 
 
