@@ -552,3 +552,182 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id1", "doc_id2", "hamming")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local-fingerprinting algorithm): hash every k-word gram, slide
+    a window of ``w`` consecutive gram hashes, keep the MINIMUM hash of
+    each window, distinct per doc → (doc_id, fp).
+
+    Why next to dup_span_stats: span dedup keeps EVERY distinct window (a
+    (doc_id, span_hash) row per window), so its exchange is O(tokens) rows
+    per doc. Winnowing's guarantee — any shared run of w+k-1 tokens yields
+    ≥1 shared fingerprint — holds at expected density 2/(w+1), so the
+    shuffled relation is ~(w+1)/2× smaller for the same detection floor;
+    at 100 TB that factor is the difference between a posting join that
+    fits and one that doesn't.
+
+    Determinism across engines: gram hashes are the 32-bit md5 prefix
+    (sharding.md5_bucket — DuckDB twin md5_bucket_sql), so the min-of-
+    window selection is bit-identical in the oracle; xxhash64 would be
+    cheaper but has no cross-engine twin, and this hash runs once per gram.
+
+    Plan shape: the gram-hash array is bound to a column BEFORE the window
+    transform references it (a lambda referencing an un-bound outer
+    expression re-evaluates it per element — the O(tokens²) trap measured
+    in q135); the per-window ``slice`` then reads the bound array, O(w)
+    per window. Docs with fewer than k+w-1 tokens emit no fingerprints.
+    """
+    from .sharding import md5_bucket
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_ngrams(toks, k), lambda g: md5_bucket(g, 1 << 32)
+        ).alias("_h"),
+    )
+    return (
+        hashed.filter(F.size("_h") >= w)
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(_h) - {w - 1}),"
+                        f" j -> array_min(slice(_h, j, {w})))"
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints, with
+    ``overlap`` = shared / min(|fpA|, |fpB|) — the MOSS plagiarism-candidate
+    report over :func:`winnow_fingerprints`.
+
+    Same posting-list expansion as jaccard_pairs (one shuffle of the
+    (doc, fp) relation, pairs built inside the posting row, ``max_fp_freq``
+    drops boilerplate fingerprints) — but over the winnowed ~2/(w+1)
+    density instead of every shingle."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w)
+    fps = fps.localCheckpoint(eager=False)  # two consumers: sizes + postings
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    postings = fps.groupBy("fp").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    if max_fp_freq is not None:
+        postings = postings.filter(F.size("ids") <= max_fp_freq)
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    inter = (
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .select(
+            F.col("id1").alias("doc_id1"),
+            F.col("id2").alias("doc_id2"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least(F.col("sz1"), F.col("sz2")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+def containment_pairs(
+    query_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC cross-corpus near-dup: for each query doc, every corpus
+    doc whose shingle CONTAINMENT C = |S(q) ∩ S(c)| / |S(q)| reaches the
+    threshold — "is this incoming document substantially contained in
+    something the corpus already has?".
+
+    Why not Jaccard: a short doc pasted verbatim inside a long one has
+    tiny Jaccard (union is dominated by the long doc) but containment ≈ 1
+    — the subset-copy case doc-level symmetric dedup is blind to
+    (Broder 1997 distinguishes resemblance from containment for exactly
+    this reason). The denominator is the QUERY side only, so the score is
+    directional: C(q→c) ≈ 1, C(c→q) small.
+
+    Plan shape: both sides reduce to (id, shingle-hash) relations; ONE
+    equi-join on the 8-byte hash (corpus side never re-keys per query),
+    group to (q, c, inter), divide by the query's array length (no second
+    aggregation — shingles() emits distinct per doc). ``max_shingle_freq``
+    caps posting fan-out on the corpus side the same way jaccard_pairs
+    does, here as a count-window filter before the join."""
+    q = query_docs.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
+            "arr"
+        ),
+    ).localCheckpoint(eager=False)
+    qsz = q.select("q_id", F.size("arr").cast("long").alias("q_sz"))
+    qsh = q.select("q_id", F.explode("arr").alias("h"))
+    csh = corpus_docs.select(
+        F.col(id_col).alias("c_id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    if max_shingle_freq is not None:
+        from pyspark.sql import Window
+
+        csh = csh.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        ).filter(F.col("_n") <= max_shingle_freq).drop("_n")
+    inter = (
+        qsh.join(csh, "h")
+        .groupBy("q_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(qsz, "q_id")
+        .withColumn(
+            "containment", F.round(F.col("n_shared") / F.col("q_sz"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("corpus_id"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            "containment",
+        )
+    )

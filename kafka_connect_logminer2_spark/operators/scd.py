@@ -1,0 +1,89 @@
+"""SCD Type-2 dimension history from a typed CDC change stream.
+
+apply_changes (operators/merge.py) folds changes into CURRENT state —
+SCD-1, the connector consumer's default. A warehouse dimension needs the
+HISTORY: one row per version of each key with its validity interval
+[valid_from, valid_to) in commit-SCN order, the open version flagged
+current. This operator derives that history from the same typed change
+rows the merge path consumes (Kimball's type-2 slowly-changing dimension,
+driven by log-based CDC instead of batch diffs).
+
+Semantics:
+* every committed INSERT or UPDATE opens a version at its COMMIT_SCN;
+* a version closes at the NEXT change of the same key (update, delete, or
+  re-insert) — ``valid_to`` = that change's COMMIT_SCN, NULL while open;
+* a DELETE closes the last version and emits no row of its own; a later
+  re-INSERT of the key starts a fresh version whose values must NOT
+  inherit anything from before the tombstone (same generation rule as
+  net_changes);
+* UPDATE after-images carry only SET+WHERE columns (LogMiner contract),
+  so each version's full image is the last non-null value per column
+  within its generation — the merge window, kept per-version instead of
+  collapsed to the latest.
+
+Scale shape: ONE exchange on the key columns serves every window pass
+(generation cumsum, per-generation value merge, next-change lead) — the
+same single-shuffle discipline as net_changes; history length per key is
+bounded by that key's change count, never by table size. No collects, no
+joins.
+
+Reference: the reference connector stops at emitting per-change Kafka
+records (OracleSourceTask2.java poll loop); versioned-dimension
+construction is a downstream-consumer concern it leaves unaddressed —
+this closes that gap engine-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def scd2_history(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Typed change stream for ONE table (output of apply_table_schema) →
+    SCD-2 version rows: pk columns, merged value columns, ``valid_from``,
+    ``valid_to`` (long commit SCNs, valid_to NULL = open) and
+    ``is_current``."""
+    value_cols = [f.name for f in typed.schema["data"].dataType.fields]
+    non_pk = [c for c in value_cols if c not in pk_cols]
+
+    # DELETE rows carry the key only in the before-image
+    key_exprs = [
+        F.coalesce(F.col(f"data.{c}"), F.col(f"before.{c}")).alias(c) for c in pk_cols
+    ]
+    ev = typed.select(
+        *key_exprs,
+        F.col("OPERATION").alias("_op"),
+        F.col("COMMIT_SCN").cast("long").alias("_cscn"),
+        F.col("SCN").cast("long").alias("_scn"),
+        *[F.col(f"data.{c}").alias(c) for c in non_pk],
+    )
+
+    w_cum = (
+        Window.partitionBy(*pk_cols)
+        .orderBy("_cscn", "_scn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn(
+        "_gen", F.sum((F.col("_op") == "DELETE").cast("int")).over(w_cum)
+    )
+    w_merge = (
+        Window.partitionBy(*pk_cols, "_gen")
+        .orderBy("_cscn", "_scn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = Window.partitionBy(*pk_cols).orderBy("_cscn", "_scn")
+    versions = ev.select(
+        *pk_cols,
+        "_op",
+        F.col("_cscn").alias("valid_from"),
+        # the NEXT change of this key (any op, any generation) closes this
+        # version — computed before deletes are dropped so a tombstone
+        # still closes the version it kills
+        F.lead("_cscn").over(w_next).alias("valid_to"),
+        *[F.last(F.col(c), ignorenulls=True).over(w_merge).alias(c) for c in non_pk],
+    )
+    return (
+        versions.filter(F.col("_op") != "DELETE")
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_op")
+    )

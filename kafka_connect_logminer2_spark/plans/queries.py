@@ -6304,6 +6304,239 @@ FROM ords o JOIN cust c ON o.o_custkey = c.c_custkey
 """
 
 
+def q142_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint pair detection (MOSS, Schleimer et al. 2003):
+    doc pairs sharing ≥2 winnowed min-hash fingerprints, scored by
+    shared / min(|fpA|, |fpB|). See functions/dedup.py::winnow_fingerprints
+    for the guarantee and the ~2/(w+1)-density scale argument — the
+    shuffled posting relation is ~3× smaller than q110's every-window
+    relation for the same shared-run detection floor. The gram hash is the
+    32-bit md5 prefix, so the oracle recomputes the SAME min-of-window
+    selections bit-for-bit."""
+    return D.winnow_pairs(
+        load_table(spark, sf, "documents"), k=4, w=5, min_shared=2
+    ).orderBy("doc_id1", "doc_id2")
+
+
+Q142_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+hashes AS (
+  SELECT doc_id, list_transform(
+    list_transform(generate_series(1, len(t) - 3),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM toks WHERE len(t) >= 4
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(h) - 4),
+                               j -> list_min(h[j:j+4]))) AS fp
+  FROM hashes WHERE len(h) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared * 1.0 / least(s1.sz, s2.sz), 6) AS overlap
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id1
+JOIN sizes s2 ON s2.doc_id = doc_id2
+WHERE n_shared >= 2
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q143_quality_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality gate (functions/expectations.py): nine
+    constraint metrics over lineitem in ONE aggregation pass + the
+    foreign-key containment check as its own anti-join report, unioned.
+    The suite intentionally contains a FAILING check — the synthetic
+    (l_orderkey, l_linenumber) pair is not unique — so the oracle pins
+    failure reporting, not just green paths."""
+    from ..functions.expectations import (
+        accepted_values,
+        completeness,
+        expectation_report,
+        referential_report,
+        row_count,
+        uniqueness,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    checks = [
+        ("accepted_l_returnflag", accepted_values("l_returnflag", ["A", "N", "R"]), 1, 1),
+        ("completeness_l_returnflag", completeness("l_returnflag"), 1, 1),
+        ("completeness_l_shipdate", completeness("l_shipdate"), 1, 1),
+        ("max_l_discount", F.max("l_discount"), None, 0.1),
+        ("mean_l_tax", F.avg("l_tax"), 0, 0.09),
+        ("min_l_extendedprice", F.min("l_extendedprice"), 0, None),
+        ("min_l_quantity", F.min("l_quantity"), 1, None),
+        ("row_count", row_count(), 1, None),
+        ("uniqueness_order_line", uniqueness("l_orderkey", "l_linenumber"), 1, 1),
+    ]
+    fk = referential_report(
+        li, "l_orderkey", load_table(spark, sf, "orders"), "o_orderkey",
+        "fk_lineitem_orders",
+    )
+    return expectation_report(li, checks).unionByName(fk).orderBy("check_name")
+
+
+Q143_SQL = """
+WITH m AS (
+  SELECT count(*) * 1.0 AS row_count,
+         avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp_ship,
+         avg(CASE WHEN l_returnflag IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp_rf,
+         count(DISTINCT (l_orderkey, l_linenumber)) * 1.0 / count(*) AS uniq,
+         min(l_quantity) AS min_qty,
+         max(l_discount) AS max_disc,
+         min(l_extendedprice) AS min_price,
+         avg(CASE WHEN l_returnflag IS NULL THEN NULL
+                  WHEN l_returnflag IN ('A', 'N', 'R') THEN 1.0
+                  ELSE 0.0 END) AS acc_rf,
+         avg(l_tax) AS mean_tax
+  FROM lineitem
+),
+fk AS (
+  SELECT count(*) * 1.0 AS orphans FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT * FROM (
+  SELECT 'accepted_l_returnflag' AS check_name, round(acc_rf, 6) AS metric,
+         round(acc_rf, 6) >= 1 AND round(acc_rf, 6) <= 1 AS passed FROM m
+  UNION ALL
+  SELECT 'completeness_l_returnflag', round(comp_rf, 6),
+         round(comp_rf, 6) = 1 FROM m
+  UNION ALL
+  SELECT 'completeness_l_shipdate', round(comp_ship, 6),
+         round(comp_ship, 6) = 1 FROM m
+  UNION ALL
+  SELECT 'max_l_discount', round(max_disc, 6), round(max_disc, 6) <= 0.1 FROM m
+  UNION ALL
+  SELECT 'mean_l_tax', round(mean_tax, 6),
+         round(mean_tax, 6) >= 0 AND round(mean_tax, 6) <= 0.09 FROM m
+  UNION ALL
+  SELECT 'min_l_extendedprice', round(min_price, 6),
+         round(min_price, 6) >= 0 FROM m
+  UNION ALL
+  SELECT 'min_l_quantity', round(min_qty, 6), round(min_qty, 6) >= 1 FROM m
+  UNION ALL
+  SELECT 'row_count', round(row_count, 6), round(row_count, 6) >= 1 FROM m
+  UNION ALL
+  SELECT 'uniqueness_order_line', round(uniq, 6), round(uniq, 6) = 1 FROM m
+  UNION ALL
+  SELECT 'fk_lineitem_orders', round(orphans, 6), orphans = 0 FROM fk
+) ORDER BY check_name
+"""
+
+
+def q144_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus CONTAINMENT screen (functions/dedup.py::
+    containment_pairs): incoming documents (sources ≥ 'src5'
+    lexicographically — src5..src9) probed against the existing corpus
+    (the other 15 sources); a query doc is flagged when ≥30% of its
+    3-gram shingles appear in one corpus doc. The asymmetric denominator
+    catches subset-copies symmetric Jaccard (q19) is blind to."""
+    docs = load_table(spark, sf, "documents")
+    return D.containment_pairs(
+        docs.filter(F.col("source") >= "src5"),
+        docs.filter(F.col("source") < "src5"),
+        threshold=0.3,
+    ).orderBy("query_id", "corpus_id")
+
+
+Q144_SQL = """
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    list_transform(
+      generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+      i -> string_split(lower(text), ' ')[i] || ' ' ||
+           string_split(lower(text), ' ')[i+1] || ' ' ||
+           string_split(lower(text), ' ')[i+2])
+  )) AS s FROM documents
+),
+q AS (SELECT doc_id, s FROM sh WHERE source >= 'src5'),
+c AS (SELECT doc_id, s FROM sh WHERE source < 'src5'),
+qsz AS (SELECT doc_id, count(*) AS sz FROM q GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS corpus_id, count(*) AS n_shared
+  FROM q JOIN c ON q.s = c.s GROUP BY 1, 2
+)
+SELECT query_id, corpus_id, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared * 1.0 / qsz.sz, 6) AS containment
+FROM inter JOIN qsz ON qsz.doc_id = query_id
+WHERE round(n_shared * 1.0 / qsz.sz, 6) >= 0.3
+ORDER BY query_id, corpus_id
+"""
+
+
+def cdc22_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension history built from the CDC change stream
+    (operators/scd.py::scd2_history) — cdc06's exact scenario (inserts all
+    but rolled-back k∈{3,4}; updates k∈{0,1,2} add 100 to acctbal;
+    deletes k∈{6,7}) rendered as VERSION rows with [valid_from, valid_to)
+    commit-SCN intervals instead of collapsed SCD-1 state. The fixture's
+    deterministic SCN scheme (insert commit = key*10+1003, update commit
+    = key*10+9000003, delete commit = key*10+18000003) makes the full
+    interval table relationally derivable, so the oracle pins interval
+    endpoints, version images (update after-images carry only SET+WHERE
+    columns — nationkey/mktsegment must merge from the INSERT version),
+    tombstone closure, and current flags."""
+    from ..operators.scd import scd2_history
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+    typed = run_cdc_batch(ins.unionByName(upd).unionByName(dele))
+    hist = scd2_history(typed, ["C_CUSTKEY"])
+    return hist.select(
+        F.col("C_CUSTKEY").alias("c_custkey"),
+        F.col("C_NAME").alias("c_name"),
+        F.col("C_NATIONKEY").alias("c_nationkey"),
+        F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+        F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")
+
+
+CDC22_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         c_custkey % 10 AS k
+  FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+),
+v1 AS (
+  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+         c_mktsegment,
+         c_custkey * 10 + 1003 AS valid_from,
+         CASE WHEN k IN (0, 1, 2) THEN c_custkey * 10 + 9000003
+              WHEN k IN (6, 7) THEN c_custkey * 10 + 18000003
+              ELSE NULL END AS valid_to,
+         k NOT IN (0, 1, 2, 6, 7) AS is_current
+  FROM base
+),
+v2 AS (
+  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100, 2),
+         c_mktsegment,
+         c_custkey * 10 + 9000003, CAST(NULL AS BIGINT), TRUE
+  FROM base WHERE k IN (0, 1, 2)
+)
+SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+ORDER BY c_custkey, valid_from
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -6450,6 +6683,10 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc21_drift_monitor": (cdc21_drift_monitor, CDC21_SQL),
     "q140_session_transitions": (q140_session_transitions, Q140_SQL),
     "q141_weighted_sample": (q141_weighted_sample, Q141_SQL),
+    "q142_winnow_pairs": (q142_winnow_pairs, Q142_SQL),
+    "q143_quality_expectations": (q143_quality_expectations, Q143_SQL),
+    "q144_containment_dedup": (q144_containment_dedup, Q144_SQL),
+    "cdc22_scd2_history": (cdc22_scd2_history, CDC22_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
