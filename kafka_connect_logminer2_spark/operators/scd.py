@@ -87,3 +87,44 @@ def scd2_history(typed: DataFrame, pk_cols: list[str]) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("_op")
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_time: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: enrich each fact row with the dimension VERSION
+    that was valid at the fact's time — ``valid_from <= fact_time <
+    valid_to`` (open versions match everything from valid_from on). The
+    companion read of :func:`scd2_history`: as-of enrichment that is
+    reproducible for any historical fact, where joining the CURRENT
+    dimension would silently rewrite history.
+
+    Scale shape: because a key's versions partition time (scd2_history
+    intervals never overlap), at most ONE version matches per fact — so
+    this is a plain hash equi-join on the key with the interval predicate
+    as a post-join filter, NOT a window pass or a range join: one
+    exchange each side, broadcastable when the dimension is small,
+    AQE-skew-splittable when a hot key isn't. A generic interval join
+    (q39) can't assume non-overlap and pays accordingly.
+
+    ``how='left'`` keeps facts with no valid version at their time
+    (dimension columns null) — the auditable "fact before its dimension
+    existed / after it was deleted" case; 'inner' drops them."""
+    dcols = [c for c in dim_history.columns if c not in ("valid_from", "valid_to", "is_current")]
+    d = dim_history.select(
+        F.col(dim_key).alias("_dk"),
+        *[F.col(c) for c in dcols if c != dim_key],
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (F.col("_dk") == facts[fact_key])
+        & (F.col("valid_from") <= facts[fact_time])
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > facts[fact_time]))
+    )
+    return facts.join(d, cond, how).drop("_dk", "valid_from", "valid_to")

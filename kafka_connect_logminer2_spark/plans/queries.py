@@ -6474,6 +6474,24 @@ ORDER BY query_id, corpus_id
 """
 
 
+def _scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
+    """cdc06's change scenario (inserts minus rolled-back k∈{3,4}; updates
+    k∈{0,1,2}; deletes k∈{6,7}) rendered as SCD-2 version rows — shared by
+    cdc22 (the history itself) and q145 (the point-in-time read)."""
+    from ..operators.scd import scd2_history
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+    typed = run_cdc_batch(ins.unionByName(upd).unionByName(dele))
+    return scd2_history(typed, ["C_CUSTKEY"])
+
+
 def cdc22_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD Type-2 dimension history built from the CDC change stream
     (operators/scd.py::scd2_history) — cdc06's exact scenario (inserts all
@@ -6486,18 +6504,7 @@ def cdc22_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     endpoints, version images (update after-images carry only SET+WHERE
     columns — nationkey/mktsegment must merge from the INSERT version),
     tombstone closure, and current flags."""
-    from ..operators.scd import scd2_history
-
-    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
-    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
-    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
-        keysel.isin(0, 1, 2)
-    )
-    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
-        keysel.isin(6, 7)
-    )
-    typed = run_cdc_batch(ins.unionByName(upd).unionByName(dele))
-    hist = scd2_history(typed, ["C_CUSTKEY"])
+    hist = _scd2_customer_history(spark, sf)
     return hist.select(
         F.col("C_CUSTKEY").alias("c_custkey"),
         F.col("C_NAME").alias("c_name"),
@@ -6534,6 +6541,163 @@ v2 AS (
 )
 SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 ORDER BY c_custkey, valid_from
+"""
+
+
+def q145_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time fact enrichment (operators/scd.py::pit_join): every
+    order, stamped with a synthetic observation SCN of
+    12,000,000 + o_orderkey (strictly between the fixture's update
+    commits ≈9.0M and delete commits ≥18.0M), left-joined to the version
+    of its customer that was valid AT that SCN. So k∈{0,1,2} orders see
+    the post-update acctbal, k∈{6,7} orders see the insert version even
+    though a later delete CLOSES it (interval matching, not is_current),
+    and k∈{3,4} orders — customers whose insert rolled back — match
+    nothing (null dimension columns, counted). Rolled up per customer-key
+    decile so the 10-row result pins version selection, interval
+    closure, and missing-dimension handling at once."""
+    from ..operators.scd import pit_join
+
+    hist = _scd2_customer_history(spark, sf)
+    facts = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.lit(12_000_000) + F.col("o_orderkey")).alias("obs_scn"),
+    )
+    joined = pit_join(facts, hist, "o_custkey", "C_CUSTKEY", "obs_scn")
+    return (
+        joined.groupBy((F.col("o_custkey") % 10).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("C_ACCTBAL").isNull().cast("long")).alias("n_unmatched"),
+            F.round(F.sum("C_ACCTBAL"), 2).alias("sum_acctbal"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy("k")
+    )
+
+
+Q145_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_custkey % 10 AS k
+  FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
+),
+hist AS (
+  SELECT c_custkey,
+         round(c_acctbal, 2) AS c_acctbal,
+         c_custkey * 10 + 1003 AS valid_from,
+         CASE WHEN k IN (0, 1, 2) THEN c_custkey * 10 + 9000003
+              WHEN k IN (6, 7) THEN c_custkey * 10 + 18000003
+              ELSE NULL END AS valid_to
+  FROM base
+  UNION ALL
+  SELECT c_custkey, round(c_acctbal + 100, 2),
+         c_custkey * 10 + 9000003, CAST(NULL AS BIGINT)
+  FROM base WHERE k IN (0, 1, 2)
+),
+facts AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         12000000 + o_orderkey AS obs_scn
+  FROM orders
+)
+SELECT o_custkey % 10 AS k,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN h.c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       round(sum(h.c_acctbal), 2) AS sum_acctbal,
+       round(sum(o_totalprice), 2) AS sum_totalprice
+FROM facts f
+LEFT JOIN hist h
+  ON h.c_custkey = f.o_custkey
+ AND h.valid_from <= f.obs_scn
+ AND (h.valid_to IS NULL OR h.valid_to > f.obs_scn)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def cdc23_expectation_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming data-quality gate (streaming/expectations.py): the
+    documents table arrives as 3 batches (doc_id mod 3, the cdc17/18
+    arrival convention); each batch is verified by the one-pass
+    expectation suite and lands whole or is quarantined whole. The
+    ``max_id_residue`` check (max(doc_id % 3) ≤ 1) passes for batches 0
+    and 1 and fails batch 2 BY CONSTRUCTION, so the oracle pins the gate
+    decision relationally: accepted = documents with doc_id % 3 ≤ 1; the
+    realistic checks (completeness, positive length) pass everywhere.
+    Output: per accepted batch, row count + id/char sums (the quarantined
+    batch must be absent)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.expectations import read_gated, write_expectation_gate
+    from ..functions.expectations import completeness
+
+    def writer(stream, out, store, ckpt):
+        return write_expectation_gate(
+            stream,
+            checks=[
+                ("completeness_text", completeness("text"), 1, 1),
+                ("max_id_residue", F.max(F.pmod("doc_id", F.lit(3))), 0, 1),
+                ("min_len", F.min(F.length("text")), 1, None),
+            ],
+            out_dir=out,
+            quarantine_dir=f"{store}/quarantine",
+            metrics_dir=f"{store}/metrics",
+            checkpoint_dir=ckpt,
+        )
+
+    # same staging harness as cdc17/18 but reading the gated output
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc23_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = writer(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc23: gate stream did not finish in 600s")
+        out = read_gated(spark, f"{tmp}/out", f"{tmp}/store/metrics")
+        return (
+            out.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.length("text")).alias("char_sum"),
+            )
+            .orderBy("batch")
+            .localCheckpoint()  # materialize off the temp dir
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC23_SQL = """
+SELECT doc_id % 3 AS batch,
+       count(*) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS char_sum
+FROM documents
+WHERE doc_id % 3 <= 1
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -6687,6 +6851,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q143_quality_expectations": (q143_quality_expectations, Q143_SQL),
     "q144_containment_dedup": (q144_containment_dedup, Q144_SQL),
     "cdc22_scd2_history": (cdc22_scd2_history, CDC22_SQL),
+    "q145_pit_join": (q145_pit_join, Q145_SQL),
+    "cdc23_expectation_gate": (cdc23_expectation_gate, CDC23_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

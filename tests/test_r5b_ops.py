@@ -284,3 +284,135 @@ class TestSCD2:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestExpectationGate:
+    def _run(self, spark, tmp, checks, docs_rows):
+        import glob
+        import os
+        import shutil
+        import time
+
+        from kafka_connect_logminer2_spark.streaming.expectations import (
+            write_expectation_gate,
+        )
+
+        docs = spark.createDataFrame(docs_rows)
+        os.makedirs(f"{tmp}/in", exist_ok=True)
+        now = time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/s{i}")
+            src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+            shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+            os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_expectation_gate(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            checks=checks,
+            out_dir=f"{tmp}/out",
+            quarantine_dir=f"{tmp}/qr",
+            metrics_dir=f"{tmp}/metrics",
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        assert q.awaitTermination(300)
+
+    def test_quarantine_and_metrics(self, spark, tmp_path):
+        import os
+
+        from kafka_connect_logminer2_spark.streaming.expectations import (
+            read_gate_metrics,
+            read_gated,
+        )
+
+        tmp = str(tmp_path)
+        rows = [Row(doc_id=i, text=f"doc {i}") for i in range(30)]
+        self._run(
+            spark,
+            tmp,
+            [("max_res", F.max(F.pmod("doc_id", F.lit(3))), 0, 1)],
+            rows,
+        )
+        assert sorted(os.listdir(f"{tmp}/out")) == ["batch=0", "batch=1"]
+        assert os.listdir(f"{tmp}/qr") == ["batch=2"]
+        m = read_gate_metrics(spark, f"{tmp}/metrics").collect()
+        assert [r["accepted"] for r in m] == [True, True, False]
+        g = read_gated(spark, f"{tmp}/out", f"{tmp}/metrics")
+        assert g.count() == 20
+        assert set(r["batch"] for r in g.select("batch").distinct().collect()) == {0, 1}
+
+    def test_report_is_commit_marker(self, spark, tmp_path):
+        # a batch dir without its metrics segment must stay invisible
+        import os
+        import shutil
+
+        from kafka_connect_logminer2_spark.streaming.expectations import read_gated
+
+        tmp = str(tmp_path)
+        rows = [Row(doc_id=i, text=f"doc {i}") for i in range(30)]
+        self._run(
+            spark, tmp, [("rows", F.count(F.lit(1)).cast("double"), 1, None)], rows
+        )
+        shutil.rmtree(f"{tmp}/metrics/v=1")
+        g = read_gated(spark, f"{tmp}/out", f"{tmp}/metrics")
+        assert set(r["batch"] for r in g.select("batch").distinct().collect()) == {0, 2}
+        assert os.path.isdir(f"{tmp}/out/batch=1")  # data present, just gated
+
+
+class TestPITJoin:
+    def _hist(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(K=1, V="v1", valid_from=10, valid_to=20, is_current=False),
+                Row(K=1, V="v2", valid_from=20, valid_to=None, is_current=True),
+                Row(K=2, V="x1", valid_from=10, valid_to=30, is_current=False),
+            ],
+            "K long, V string, valid_from long, valid_to long, is_current boolean",
+        )
+
+    def test_version_selection(self, spark):
+        from kafka_connect_logminer2_spark.operators.scd import pit_join
+
+        facts = spark.createDataFrame(
+            [
+                Row(fk=1, t=15),   # inside v1
+                Row(fk=1, t=20),   # boundary: v2 opens AT 20
+                Row(fk=1, t=99),   # open version v2
+                Row(fk=2, t=30),   # key 2's only version closed AT 30 -> no match
+                Row(fk=2, t=5),    # before key 2 existed -> no match
+                Row(fk=9, t=15),   # unknown key -> no match
+            ],
+            "fk long, t long",
+        )
+        out = {
+            (r["fk"], r["t"]): r["V"]
+            for r in pit_join(facts, self._hist(spark), "fk", "K", "t").collect()
+        }
+        assert out[(1, 15)] == "v1"
+        assert out[(1, 20)] == "v2"
+        assert out[(1, 99)] == "v2"
+        assert out[(2, 30)] is None
+        assert out[(2, 5)] is None
+        assert out[(9, 15)] is None
+        assert len(out) == 6  # left join keeps every fact exactly once
+
+    def test_inner_drops_unmatched(self, spark):
+        from kafka_connect_logminer2_spark.operators.scd import pit_join
+
+        facts = spark.createDataFrame([Row(fk=2, t=5)], "fk long, t long")
+        assert pit_join(facts, self._hist(spark), "fk", "K", "t", how="inner").count() == 0
+
+    def test_plan_is_hash_join_not_bnlj(self, spark):
+        from kafka_connect_logminer2_spark.operators.scd import pit_join
+
+        facts = spark.createDataFrame([Row(fk=1, t=15)], "fk long, t long")
+        plan = (
+            pit_join(facts, self._hist(spark), "fk", "K", "t")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
