@@ -67,6 +67,10 @@ HEADLINE = [
     "q139_zorder_key",
     "q140_session_transitions",
     "q141_weighted_sample",
+    "q142_winnow_pairs",
+    "q143_quality_expectations",
+    "q144_containment_dedup",
+    "q145_pit_join",
 ]
 
 

@@ -396,6 +396,102 @@ def main() -> None:
             zorder_key(["l_partkey", "l_orderkey"]).alias("z")
         ).groupBy(F.shiftright("z", 20)).count()
 
+    def winnow_op(m):
+        # rotated-alphabet copies (see jaccard_op): textually disjoint, so
+        # the probe measures fingerprint+posting growth, not real-pair blowup
+        alpha = "etaoinshr"
+        out = docs
+        for i in range(1, m):
+            rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+            out = out.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + i * span).withColumn(
+                    "text", F.translate("text", alpha, rot)
+                )
+            )
+        return D.winnow_pairs(out, min_shared=2)
+
+    def containment_op(m):
+        # the serving shape: the query batch stays FIXED while the corpus
+        # history grows xm (rotated copies) — probe cost must track the
+        # corpus posting volume, never corpus x query
+        alpha = "etaoinshr"
+        q = docs.filter(F.col("source") >= "src5")
+        corpus = docs.filter(F.col("source") < "src5")
+        out = corpus
+        for i in range(1, m):
+            rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+            out = out.unionByName(
+                corpus.withColumn("doc_id", F.col("doc_id") + i * span).withColumn(
+                    "text", F.translate("text", alpha, rot)
+                )
+            )
+        return D.containment_pairs(q, out, threshold=0.3)
+
+    def expectations_op(m):
+        # q143's shape: every metric in ONE agg pass — must be scan-linear
+        # at any check count
+        from kafka_connect_logminer2_spark.functions.expectations import (
+            accepted_values,
+            completeness,
+            expectation_report,
+            row_count,
+            uniqueness,
+        )
+
+        df = replicate(lineitem, m, ["l_orderkey"], span_li)
+        return expectation_report(
+            df,
+            [
+                ("acc_rf", accepted_values("l_returnflag", ["A", "N", "R"]), 1, 1),
+                ("comp_ship", completeness("l_shipdate"), 1, 1),
+                ("max_disc", F.max("l_discount"), None, 0.1),
+                ("mean_tax", F.avg("l_tax"), 0, 0.09),
+                ("min_qty", F.min("l_quantity"), 1, None),
+                ("rows", row_count(), 1, None),
+                ("uniq", uniqueness("l_orderkey", "l_linenumber"), 1, 1),
+            ],
+        )
+
+    def scd2_pit_op(m):
+        # cdc22/q145's shape: synthetic 1-2 changes per key -> history ->
+        # point-in-time join back to the facts; one key exchange for the
+        # windows + one hash join, both must grow ~linearly
+        from kafka_connect_logminer2_spark.operators.scd import (
+            pit_join,
+            scd2_history,
+        )
+
+        o = replicate(
+            load_table(spark, sf_dir, "orders"), m, ["o_orderkey"], span_li
+        )
+        null_img = F.expr("CAST(NULL AS struct<K: BIGINT, V: DOUBLE>)")
+        ins = o.select(
+            F.lit("INSERT").alias("OPERATION"),
+            (F.col("o_orderkey") * 10).alias("COMMIT_SCN"),
+            (F.col("o_orderkey") * 10).alias("SCN"),
+            F.struct(
+                F.col("o_orderkey").alias("K"), F.col("o_totalprice").alias("V")
+            ).alias("data"),
+            null_img.alias("before"),
+        )
+        upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.lit("UPDATE").alias("OPERATION"),
+            (F.col("o_orderkey") * 10 + 5).alias("COMMIT_SCN"),
+            (F.col("o_orderkey") * 10 + 5).alias("SCN"),
+            F.struct(
+                F.col("o_orderkey").alias("K"),
+                (F.col("o_totalprice") + 1).alias("V"),
+            ).alias("data"),
+            null_img.alias("before"),
+        )
+        hist = scd2_history(ins.unionByName(upd), ["K"])
+        facts = o.select(
+            "o_orderkey", (F.col("o_orderkey") * 10 + 7).alias("t")
+        )
+        return pit_join(facts, hist, "o_orderkey", "K", "t").groupBy(
+            F.col("V").isNull()
+        ).count()
+
     ops = {
         "hash_agg": agg_op,
         "packing_cumsum": packing_cumsum_op,
@@ -422,9 +518,16 @@ def main() -> None:
         "graph_degree": graph_degree_op,
         "pagerank3": pagerank_op,
         "zorder_key": zorder_op,
+        "winnow_pairs": winnow_op,
+        "containment": containment_op,
+        "expectations": expectations_op,
+        "scd2_pit": scd2_pit_op,
     }
 
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     for name, op in ops.items():
+        if only is not None and name not in only:
+            continue
         op(1).count()  # warm
         times = {}
         for m in MULTIPLIERS:
