@@ -6701,6 +6701,93 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def cdc24_search_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained inverted index with deletion
+    (streaming/search_index.py): documents arrive as 3 batches (doc_id
+    mod 3); docs with doc_id % 7 == 0 are then tombstoned (dedup kill /
+    takedown); the "batch merge" phrase search must return the truth over
+    the SURVIVING corpus — identical merge-on-read (tombstone anti-join)
+    and after physical compaction (postings removed, tombstones dropped),
+    which the function asserts before returning. The oracle recomputes
+    the phrase count relationally over documents minus the deleted ids,
+    so a stale posting, a resurrected delete, or a lost batch all break
+    the value hash."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.search_index import (
+        compact_search_index,
+        delete_docs,
+        search_phrase,
+        write_search_index,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc24_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_search_index(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/idx",
+            f"{tmp}/ckpt",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc24: index stream did not finish in 600s")
+        delete_docs(
+            spark,
+            f"{tmp}/idx",
+            docs.filter(F.pmod("doc_id", F.lit(7)) == 0).select("doc_id"),
+            batch_id=3,
+        )
+        phrase = ["batch", "merge"]
+        before = search_phrase(spark, f"{tmp}/idx", phrase).orderBy("doc_id")
+        before_rows = before.collect()
+        compact_search_index(spark, f"{tmp}/idx")
+        after = search_phrase(spark, f"{tmp}/idx", phrase).orderBy("doc_id")
+        after_rows = after.collect()
+        if before_rows != after_rows:
+            raise AssertionError(
+                "cdc24: compaction changed the search answer "
+                f"({len(before_rows)} vs {len(after_rows)} rows)"
+            )
+        return spark.createDataFrame(
+            after_rows, "doc_id long, n_matches long"
+        ).orderBy("doc_id")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC24_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+),
+m AS (
+  SELECT a.doc_id
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = 'merge'
+  WHERE a.tok = 'batch' AND a.doc_id % 7 != 0
+)
+SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -6853,6 +6940,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc22_scd2_history": (cdc22_scd2_history, CDC22_SQL),
     "q145_pit_join": (q145_pit_join, Q145_SQL),
     "cdc23_expectation_gate": (cdc23_expectation_gate, CDC23_SQL),
+    "cdc24_search_index_maintenance": (cdc24_search_index_maintenance, CDC24_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
