@@ -6788,6 +6788,65 @@ SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL via
+    hll_sketch_agg/hll_union_agg): per-source distinct-text sketches —
+    the tiny persisted "sketch table" a warehouse maintains per
+    partition/day — rolled up to the GLOBAL distinct estimate by sketch
+    UNION, never by re-scanning the corpus. The pattern that makes
+    distinct-count dashboards O(partitions) instead of O(data) at 100 TB:
+    the corpus is read once to build sketches; every coarser grouping
+    after that is algebra over ~2 KB blobs.
+
+    No SQL oracle (DuckDB cannot reproduce the DataSketches binary);
+    the correctness gates live in tests/test_r5b_ops.py: the union-path
+    global estimate must match the direct whole-corpus sketch estimate to
+    <1% (the union keeps a wider HLL_8 register encoding, so it is not
+    bit-identical — measured 502 vs 501 at sf0.001), and both must be
+    within 5% of the exact distinct count."""
+    docs = load_table(spark, sf, "documents")
+    sketches = docs.groupBy("source").agg(
+        F.hll_sketch_agg("text", F.lit(12)).alias("sk")
+    ).persist()
+    per_source = sketches.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("est")
+    )
+    global_row = (
+        sketches.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("__all__").alias("source"),
+            F.hll_sketch_estimate("sk").cast("long").alias("est"),
+        )
+    )
+    return per_source.unionByName(global_row).orderBy("source")
+
+
+def q147_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002) — the
+    privacy screen a training-data release runs next to PII scrubbing
+    (q106): every (c_nationkey, c_mktsegment) equivalence class with its
+    size, flagged ``suppress`` when the class is smaller than k=10 (rows
+    a k-anonymous release must drop or generalize). One hash aggregate
+    on the quasi-identifier tuple — the class table is |QI-combinations|
+    rows, never data-sized."""
+    c = load_table(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("suppress", F.col("class_size") < 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+Q147_SQL = """
+SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+       count(*) < 10 AS suppress
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -6941,6 +7000,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q145_pit_join": (q145_pit_join, Q145_SQL),
     "cdc23_expectation_gate": (cdc23_expectation_gate, CDC23_SQL),
     "cdc24_search_index_maintenance": (cdc24_search_index_maintenance, CDC24_SQL),
+    "q146_sketch_rollup": (q146_sketch_rollup, None),
+    "q147_k_anonymity": (q147_k_anonymity, Q147_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
