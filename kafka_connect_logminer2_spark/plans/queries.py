@@ -6847,6 +6847,77 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def cdc25_streaming_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """cdc22's SCD2 history maintained CONTINUOUSLY (streaming/scd2.py):
+    the same mixed change scenario staged as SCN-ordered files, read one
+    file per micro-batch, folded incrementally — new version rows as
+    append-only bucketed deltas, cross-batch version closure as tiny
+    patch segments, cross-batch value inheritance through the SEED event.
+    The final merge-on-read history must equal the one-shot relational
+    derivation (CDC22_SQL) — so a missed closure, a resurrected delete,
+    or a lost inherited column all break the value hash. Incremental ==
+    batch is the correctness claim of the whole history-MV path."""
+    import glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..plans.cdc import customer_registry, default_config
+    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
+    from ..streaming.scd2 import read_scd2, write_scd2
+
+    keysel = F.split(F.col("xid"), "\\.").getItem(1).cast("long") % 10
+    ins = _redo_input(spark, sf, "ins", redo_inserts_from_customer)
+    upd = _redo_input(spark, sf, "upd", redo_updates_from_customer).filter(
+        keysel.isin(0, 1, 2)
+    )
+    dele = _redo_input(spark, sf, "del", redo_deletes_from_customer).filter(
+        keysel.isin(6, 7)
+    )
+    redo = ins.unionByName(upd).unionByName(dele)
+
+    tmp = tempfile.mkdtemp(prefix="cdc25_")
+    try:
+        redo.orderBy("scn").repartitionByRange(4, "scn").write.parquet(f"{tmp}/stage")
+        _os.makedirs(f"{tmp}/redo")
+        now = _time.time()
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/stage/part*"))):
+            dst = f"{tmp}/redo/f{i}.parquet"
+            shutil.copy(p, dst)
+            _os.utime(dst, (now + i * 10, now + i * 10))
+        stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+        q = write_scd2(
+            cdc_stream(stream, default_config()),
+            customer_registry(),
+            "TPCH",
+            "CUSTOMER",
+            ["C_CUSTKEY"],
+            f"{tmp}/hist",
+            f"{tmp}/ckpt",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc25: scd2 stream did not finish within 600s")
+        hist = read_scd2(spark, f"{tmp}/hist")
+        return (
+            hist.select(
+                F.col("C_CUSTKEY").alias("c_custkey"),
+                F.col("C_NAME").alias("c_name"),
+                F.col("C_NATIONKEY").alias("c_nationkey"),
+                F.round(F.col("C_ACCTBAL"), 2).alias("c_acctbal"),
+                F.col("C_MKTSEGMENT").alias("c_mktsegment"),
+                "valid_from",
+                "valid_to",
+                "is_current",
+            )
+            .orderBy("c_custkey", "valid_from")
+            .localCheckpoint()  # materialize off the temp dir
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7002,6 +7073,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc24_search_index_maintenance": (cdc24_search_index_maintenance, CDC24_SQL),
     "q146_sketch_rollup": (q146_sketch_rollup, None),
     "q147_k_anonymity": (q147_k_anonymity, Q147_SQL),
+    "cdc25_streaming_scd2": (cdc25_streaming_scd2, CDC22_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -1,0 +1,141 @@
+"""Continuously-maintained SCD2 history (streaming/scd2.py): for ANY
+split of a change stream into micro-batches, the folded store must equal
+the one-shot scd2_history derivation; plus store mechanics (retry
+idempotence, compaction identity, param guard, O(batch) write bound)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from kafka_connect_logminer2_spark.operators.scd import scd2_history
+from kafka_connect_logminer2_spark.streaming.scd2 import (
+    compact_scd2,
+    read_scd2,
+    scd2_batch_step,
+)
+
+SCHEMA = (
+    "OPERATION string, COMMIT_SCN long, SCN long, "
+    "data struct<K: long, V: string, W: string>, "
+    "before struct<K: long, V: string, W: string>"
+)
+
+
+def _typed(spark, rows):
+    """(op, cscn, scn, key, v, w) -> typed-change frame."""
+    data = [
+        Row(
+            OPERATION=op,
+            COMMIT_SCN=cscn,
+            SCN=scn,
+            data=Row(K=None, V=None, W=None) if op == "DELETE" else Row(K=k, V=v, W=w),
+            before=Row(K=k, V=None, W=None) if op == "DELETE" else None,
+        )
+        for (op, cscn, scn, k, v, w) in rows
+    ]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+# a history with every interesting transition: plain chains, delete +
+# re-insert (tombstone generation), update-only columns, multi-change keys
+CHANGES = [
+    ("INSERT", 10, 1, 1, "a1", "w1"),
+    ("INSERT", 10, 1, 2, "b1", "x1"),
+    ("INSERT", 12, 2, 3, "c1", "y1"),
+    ("UPDATE", 20, 3, 1, "a2", None),      # W must inherit w1
+    ("DELETE", 25, 4, 2, None, None),
+    ("UPDATE", 30, 5, 3, "c2", None),
+    ("INSERT", 35, 6, 2, "b2", None),      # post-tombstone: W must be NULL
+    ("UPDATE", 40, 7, 1, None, "w2"),      # V must inherit a2
+    ("DELETE", 45, 8, 3, None, None),
+]
+
+
+def _key(r):
+    return (r["K"], r["valid_from"], r["valid_to"], r["V"], r["W"], r["is_current"])
+
+
+def _batch_truth(spark):
+    return sorted(
+        _key(r) for r in scd2_history(_typed(spark, CHANGES), ["K"]).collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "splits",
+    [
+        [9],            # everything in one batch
+        [3, 3, 3],      # even thirds
+        [1] * 9,        # one change per batch (maximal cross-batch closure)
+        [5, 1, 3],      # uneven
+    ],
+)
+def test_any_batch_split_equals_oneshot(spark, tmp_path, splits):
+    store = str(tmp_path / "hist")
+    i = 0
+    for b, n in enumerate(splits):
+        scd2_batch_step(
+            spark, _typed(spark, CHANGES[i : i + n]), b, store, ["K"], num_buckets=4
+        )
+        i += n
+    got = sorted(_key(r) for r in read_scd2(spark, store).collect())
+    assert got == _batch_truth(spark)
+
+
+def test_compact_identity_and_patch_drop(spark, tmp_path):
+    store = str(tmp_path / "hist")
+    for b in range(9):
+        scd2_batch_step(
+            spark, _typed(spark, CHANGES[b : b + 1]), b, store, ["K"], num_buckets=4
+        )
+    before = sorted(_key(r) for r in read_scd2(spark, store).collect())
+    assert os.path.isdir(f"{store}/_closes")  # cross-batch closures existed
+    compact_scd2(spark, store)
+    after = sorted(_key(r) for r in read_scd2(spark, store).collect())
+    assert after == before
+    assert not os.path.isdir(f"{store}/_closes")
+    for d in os.listdir(store):
+        if d.startswith("b="):
+            assert len([x for x in os.listdir(f"{store}/{d}") if x.startswith("v=")]) == 1
+
+
+def test_retry_overwrites_own_segments(spark, tmp_path):
+    store = str(tmp_path / "hist")
+    scd2_batch_step(spark, _typed(spark, CHANGES[:5]), 0, store, ["K"], num_buckets=4)
+    scd2_batch_step(spark, _typed(spark, CHANGES[5:]), 1, store, ["K"], num_buckets=4)
+    state = sorted(_key(r) for r in read_scd2(spark, store).collect())
+    # retry batch 1 byte-identically
+    scd2_batch_step(spark, _typed(spark, CHANGES[5:]), 1, store, ["K"], num_buckets=4)
+    assert sorted(_key(r) for r in read_scd2(spark, store).collect()) == state
+
+
+def test_param_guard(spark, tmp_path):
+    store = str(tmp_path / "hist")
+    scd2_batch_step(spark, _typed(spark, CHANGES[:3]), 0, store, ["K"], num_buckets=4)
+    with pytest.raises(ValueError, match="different"):
+        scd2_batch_step(spark, _typed(spark, CHANGES[3:]), 1, store, ["K"], num_buckets=8)
+
+
+def test_write_bound_is_batch_not_history(spark, tmp_path):
+    # growing history, constant-size batches: per-batch NEW-row bytes must
+    # not grow with history size (append-only deltas, patches tiny)
+    store = str(tmp_path / "hist")
+    sizes = []
+    for b in range(6):
+        rows = [
+            ("INSERT", 100 * b + 10, 1, 1000 * b + i, f"v{b}", f"w{b}")
+            for i in range(50)
+        ]
+        scd2_batch_step(spark, _typed(spark, rows), b, store, ["K"], num_buckets=4)
+        n = 0
+        for root, _, files in os.walk(store):
+            n += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet") and f"/v={b}" in root + "/"
+            )
+        sizes.append(n)
+    assert max(sizes) < 2 * min(sizes)  # flat, not growing with history
