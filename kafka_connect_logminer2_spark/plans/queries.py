@@ -6918,6 +6918,50 @@ def cdc25_streaming_scd2(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q148_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series bar aggregation (OHLC candles): per (event_type, hour),
+    the OPEN (value at the earliest event), HIGH, LOW, CLOSE (latest) and
+    event count — the order-dependent rollup family (first/last by time)
+    that plain min/max aggregates can't express. Open/close ride
+    min_by/max_by over a single engine-portable sort key
+    (epoch-micros·10⁶ + event_id — unique, so the selection is
+    deterministic in both engines); the whole answer is ONE partial-agg'd
+    hash aggregate — no window pass, no sort, which is the difference
+    between a shuffle of |bars| rows and a full-data sort at 100 TB."""
+    events = load_table(spark, sf, "events")
+    skey = (
+        F.col("ts").cast("timestamp").cast("double").cast("long") * 1_000_000
+        + F.col("event_id")
+    )
+    return (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+        )
+        .agg(
+            F.round(F.min_by("value", skey), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", skey), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )
+
+
+Q148_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS bar_hour,
+       round(arg_min(value, epoch(ts)::BIGINT * 1000000 + event_id), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, epoch(ts)::BIGINT * 1000000 + event_id), 6) AS close,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7074,6 +7118,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q146_sketch_rollup": (q146_sketch_rollup, None),
     "q147_k_anonymity": (q147_k_anonymity, Q147_SQL),
     "cdc25_streaming_scd2": (cdc25_streaming_scd2, CDC22_SQL),
+    "q148_ohlc_bars": (q148_ohlc_bars, Q148_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
