@@ -173,28 +173,39 @@ def _write_delta(delta: DataFrame, store_dir: str, batch_id: int) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def compact_store(spark: SparkSession, store_dir: str) -> int | None:
-    """Fold every bucket's committed delta chain into ONE segment at
-    ``v=<last_committed>`` and delete the folded older versions — the
-    checkpoint half of the delta-log layout, and the store's ONLY
-    retention mechanism (a version-count vacuum would delete membership:
-    with append-only deltas, old versions ARE the state). Run it when
-    chains grow long (each probe unions a bucket's whole chain); cadence
-    is a policy call, e.g. nightly or at chain length ≥ N.
+def compact_chains(
+    spark: SparkSession,
+    store_dir: str,
+    bucket_expr: F.Column,
+    fold=None,
+    force_single: bool = False,
+    cleanup_dirs: tuple[str, ...] = (),
+) -> int | None:
+    """THE shared compaction skeleton for every bucketed delta-chain store
+    (ingest fingerprint/signature stores, the inverted index, the SCD2
+    history): fold each bucket's committed chain into ONE segment at
+    ``v=<last_committed>``, delete the folded older versions, remove
+    ``cleanup_dirs`` (consumed overlays: tombstones, close patches).
+    Single implementation so the three stores' crash/rename/idempotence
+    logic cannot drift (the duplicated-merge hazard class the r4 review
+    flagged for the ingest stores themselves).
 
-    One Spark job rewrites all stale buckets (partitioned staging write +
-    directory renames), so cost is bounded by data volume, not bucket
-    count — same shape as compact_snapshot_bucketed, measured there at
-    87.7 s → 6.9 s for 1k buckets (BASELINE.md).
+    ``bucket_expr`` recomputes the bucket id from row CONTENT — segments
+    are read as leaf dirs withOUT partition-column inference, because
+    Spark's case-insensitive resolution would let the lowercase partition
+    column ``v`` shadow a user value column ``V`` (bitten once, in the
+    SCD2 store). Same hash → same bucket, so recomputation is exact.
 
-    Crash-safe and idempotent: the folded segment (a DISTINCT union of
-    the chain) is placed before old versions are deleted, so a crash
-    between the two leaves transient duplicate rows across segments —
-    harmless to every reader (membership anti-join, distinct'd candidate
-    probe, distinct store_size), and the rerun finishes the deletes.
-    Uncommitted versions (a crashed batch's orphan delta above the
-    marker) are never touched; the retry overwrites them. Returns the
-    fold version id, or None for an empty store."""
+    ``fold`` maps the unioned chain DataFrame (with ``_b``) to its folded
+    form — default DISTINCT (also absorbs crash-leftover duplicate rows);
+    stores with merge-on-read overlays pass a fold that applies them
+    physically and set ``force_single`` so even 1-segment chains rewrite.
+
+    Crash-safe and idempotent: fold segments are placed before old
+    versions are deleted; a crash in between leaves transient duplicates
+    that every reader tolerates and the rerun removes. Uncommitted
+    versions above the marker are never touched. Returns the fold
+    version, or None for an empty store."""
     last = _last_committed_batch(store_dir)
     if last is None:
         return None
@@ -204,29 +215,33 @@ def compact_store(spark: SparkSession, store_dir: str) -> int | None:
             continue
         b = int(d.split("=", 1)[1])
         vs = _committed_versions(os.path.join(store_dir, d), below=last + 1)
-        if len(vs) > 1:
+        if len(vs) > 1 or (force_single and len(vs) == 1):
             stale[b] = vs
     if not stale:
+        for d in cleanup_dirs:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
         return last
-    paths = [f"{store_dir}/b={b}/v={v}" for b, vs in stale.items() for v in vs]
+    paths = []
+    for b, vs in stale.items():
+        for v in vs:
+            p = f"{store_dir}/b={b}/v={v}"
+            # fold segments of fully-emptied buckets hold only _SUCCESS
+            if any(f.endswith(".parquet") for f in os.listdir(p)):
+                paths.append(p)
     staging = os.path.join(store_dir, "_compact_tmp")
     shutil.rmtree(staging, ignore_errors=True)
-    (
-        spark.read.option("basePath", store_dir)
-        .parquet(*paths)
-        .drop("v")
-        .distinct()  # folds any crash-leftover duplicates while we're here
-        .withColumnRenamed("b", "_b")
-        .write.partitionBy("_b")
-        .parquet(staging)
-    )
+    if paths:
+        df = spark.read.parquet(*paths).withColumn("_b", bucket_expr)
+        df = fold(df) if fold is not None else df.distinct()
+        df.write.partitionBy("_b").parquet(staging)
     for b, vs in stale.items():
         staged = os.path.join(staging, f"_b={b}")
-        if not os.path.isdir(staged):  # defensive: leave this chain as-is
-            continue
         dst = os.path.join(store_dir, f"b={b}", f"v={last}")
         shutil.rmtree(dst, ignore_errors=True)
-        os.replace(staged, dst)
+        if os.path.isdir(staged):
+            os.replace(staged, dst)
+        else:  # chain folded to nothing -> empty (marker-only) segment
+            os.makedirs(dst, exist_ok=True)
         with open(os.path.join(dst, "_SUCCESS"), "w"):
             pass
         for v in vs:  # delete only after the fold segment is visible
@@ -235,7 +250,29 @@ def compact_store(spark: SparkSession, store_dir: str) -> int | None:
                     os.path.join(store_dir, f"b={b}", f"v={v}"), ignore_errors=True
                 )
     shutil.rmtree(staging, ignore_errors=True)
+    for d in cleanup_dirs:
+        shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
     return last
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int | None:
+    """Fold the ingest store's delta chains (see :func:`compact_chains`)
+    — the checkpoint half of the delta-log layout, and the store's ONLY
+    retention mechanism (a version-count vacuum would delete membership:
+    with append-only deltas, old versions ARE the state). Run it when
+    chains grow long; cadence is a policy call, e.g. nightly or at chain
+    length ≥ N. The bucket id is recomputed from row content per the
+    store's persisted kind (exact: xxhash64(fp); near: xxhash64(band,
+    key)) — identical to the write-side expression."""
+    meta = _read_meta(store_dir) or {}
+    nb = meta.get("num_buckets", 16)
+    if meta.get("kind") == "neardup":
+        bucket_expr = F.pmod(
+            F.xxhash64(F.col("band"), F.col("key")), F.lit(nb)
+        ).cast("int")
+    else:
+        bucket_expr = _bucket(F.col("fp"), nb)
+    return compact_chains(spark, store_dir, bucket_expr)
 
 
 def store_size(spark: SparkSession, store_dir: str) -> int:

@@ -277,59 +277,29 @@ def read_scd2(spark: SparkSession, store_dir: str) -> DataFrame | None:
 
 def compact_scd2(spark: SparkSession, store_dir: str) -> int | None:
     """Fold every bucket's chain to one segment with close patches applied
-    PHYSICALLY, then drop the consumed patch segments. One partitioned
-    write. Returns the fold version, or None on an empty store."""
+    PHYSICALLY, then drop the consumed patch segments — the shared
+    :func:`~.corpus_ingest.compact_chains` skeleton with a patch-apply
+    fold. With patches pending, even single-segment chains rewrite.
+    Returns the fold version, or None on an empty store."""
+    from .corpus_ingest import compact_chains
+    from .snapshot import _read_meta
+
     last = _last_committed_batch(store_dir)
     if last is None:
         return None
-    from .snapshot import _read_meta
-
-    pk_cols = (_read_meta(store_dir) or {}).get("pk_cols")
+    meta = _read_meta(store_dir) or {}
+    pk_cols = meta.get("pk_cols")
+    nb = meta.get("num_buckets", 16)
     closes = _read_closes(spark, store_dir, below=last + 1)
-    stale: dict[int, list[int]] = {}
-    for d in sorted(os.listdir(store_dir)):
-        if not d.startswith("b="):
-            continue
-        b = int(d.split("=", 1)[1])
-        vs = _committed_versions(os.path.join(store_dir, d), below=last + 1)
-        if len(vs) > 1 or (closes is not None and len(vs) == 1):
-            stale[b] = vs
-    if not stale:
-        shutil.rmtree(os.path.join(store_dir, "_closes"), ignore_errors=True)
-        return last
-    paths = []
-    for b, vs in stale.items():
-        for v in vs:
-            p = f"{store_dir}/b={b}/v={v}"
-            if any(f.endswith(".parquet") for f in os.listdir(p)):
-                paths.append(p)
-    staging = os.path.join(store_dir, "_compact_tmp")
-    shutil.rmtree(staging, ignore_errors=True)
-    if paths:
-        # leaf-dir read (no partition-column inference, see _read_rows);
-        # the bucket id is recomputed from the pk — same hash, same mod
-        meta = _read_meta(store_dir) or {}
-        nb = meta.get("num_buckets", 16)
-        folded = spark.read.parquet(*paths).withColumn(
-            "_b", _bucket_of(pk_cols, nb)
-        )
-        folded = _apply_closes(folded, closes, pk_cols).distinct()
-        folded.write.partitionBy("_b").parquet(staging)
-    for b, vs in stale.items():
-        staged = os.path.join(staging, f"_b={b}")
-        dst = os.path.join(store_dir, f"b={b}", f"v={last}")
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.isdir(staged):
-            os.replace(staged, dst)
-        else:
-            os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
-        for v in vs:
-            if v != last:
-                shutil.rmtree(
-                    os.path.join(store_dir, f"b={b}", f"v={v}"), ignore_errors=True
-                )
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(os.path.join(store_dir, "_closes"), ignore_errors=True)
-    return last
+
+    def fold(df):
+        return _apply_closes(df, closes, pk_cols).distinct()
+
+    return compact_chains(
+        spark,
+        store_dir,
+        _bucket_of(pk_cols, nb),
+        fold=fold,
+        force_single=closes is not None,
+        cleanup_dirs=("_closes",),
+    )

@@ -180,62 +180,29 @@ def search_phrase(
 def compact_search_index(spark: SparkSession, index_dir: str) -> int | None:
     """Fold every bucket's delta chain to one segment at the last
     committed version, applying tombstones PHYSICALLY (the deleted docs'
-    postings leave the index), then drop the consumed tombstone segments.
-    One partitioned Spark write for all stale buckets. Returns the fold
-    version, or None for an empty index."""
+    postings leave the index), then drop the consumed tombstone segments
+    — the shared :func:`~..streaming.corpus_ingest.compact_chains`
+    skeleton with a tombstone-anti-join fold. With tombstones pending,
+    even single-segment chains rewrite (their dead postings must leave).
+    Returns the fold version, or None for an empty index."""
+    from .corpus_ingest import compact_chains
+    from .snapshot import _read_meta
+
     last = _last_committed_batch(index_dir)
     if last is None:
         return None
+    nb = (_read_meta(index_dir) or {}).get("num_buckets", 16)
     tomb = _committed_tombstones(spark, index_dir, below=last + 1)
-    stale: dict[int, list[int]] = {}
-    for d in sorted(os.listdir(index_dir)):
-        if not d.startswith("b="):
-            continue
-        b = int(d.split("=", 1)[1])
-        vs = _committed_versions(os.path.join(index_dir, d), below=last + 1)
-        # with tombstones pending, even a single-segment bucket must fold
-        # (its dead postings have to leave); without, only chains > 1
-        if len(vs) > 1 or (tomb is not None and len(vs) == 1):
-            stale[b] = vs
-    if not stale:
-        return last
-    paths = []
-    for b, vs in stale.items():
-        for v in vs:
-            p = f"{index_dir}/b={b}/v={v}"
-            if any(f.endswith(".parquet") for f in os.listdir(p)):
-                paths.append(p)
-    staging = os.path.join(index_dir, "_compact_tmp")
-    shutil.rmtree(staging, ignore_errors=True)
-    if not paths:  # every stale bucket already empty: nothing to fold
-        shutil.rmtree(os.path.join(index_dir, "_tomb"), ignore_errors=True)
-        return last
-    folded = (
-        spark.read.option("basePath", index_dir)
-        .parquet(*paths)
-        .drop("v")
-        .distinct()
-        .withColumnRenamed("b", "_b")
+
+    def fold(df):
+        df = df.distinct()
+        return df if tomb is None else df.join(tomb, "doc_id", "left_anti")
+
+    return compact_chains(
+        spark,
+        index_dir,
+        F.pmod(F.col("h"), F.lit(nb)).cast("int"),
+        fold=fold,
+        force_single=tomb is not None,
+        cleanup_dirs=("_tomb",),
     )
-    if tomb is not None:
-        folded = folded.join(tomb, "doc_id", "left_anti")
-    folded.write.partitionBy("_b").parquet(staging)
-    for b, vs in stale.items():
-        staged = os.path.join(staging, f"_b={b}")
-        dst = os.path.join(index_dir, f"b={b}", f"v={last}")
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.isdir(staged):
-            os.replace(staged, dst)
-        else:  # bucket fully tombstoned away -> empty fold segment
-            os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
-        for v in vs:
-            if v != last:
-                shutil.rmtree(
-                    os.path.join(index_dir, f"b={b}", f"v={v}"), ignore_errors=True
-                )
-    shutil.rmtree(staging, ignore_errors=True)
-    # tombstones are now physically applied everywhere below the marker
-    shutil.rmtree(os.path.join(index_dir, "_tomb"), ignore_errors=True)
-    return last
