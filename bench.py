@@ -71,6 +71,8 @@ HEADLINE = [
     "q143_quality_expectations",
     "q144_containment_dedup",
     "q145_pit_join",
+    "q147_k_anonymity",
+    "q148_ohlc_bars",
 ]
 
 

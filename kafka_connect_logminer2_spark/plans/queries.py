@@ -6962,6 +6962,75 @@ ORDER BY 1, 2
 """
 
 
+def q149_dup_rate_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus duplication-rate ESTIMATE by deterministic sub-sampling —
+    the "measure before you dedup" pass that decides whether the full
+    near-dup job is worth its shuffle: hash a p=0.3 fraction of docs into
+    a sample (knuth bucket — engine-portable, repartition-stable), run
+    EXACT trigram-Jaccard pairs (≥0.5) inside the sample only, scale the
+    pair count by 1/p² (a pair survives sampling iff both endpoints do).
+    Cost is p² of the full pair job — at p=0.01 on 100 TB that is 10⁻⁴ of
+    the posting-join work for an unbiased estimate of the duplication
+    level. One row: corpus size, sample size, sampled pairs, scaled
+    estimate."""
+    docs = load_table(spark, sf, "documents")
+    sample = docs.filter(knuth_bucket(F.col("doc_id"), 100) < 30)
+    pairs = D.jaccard_pairs(sample, k=3, threshold=0.5)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_sample = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs_sample"))
+    return (
+        n_docs.crossJoin(n_sample)
+        .crossJoin(n_pairs)
+        .select(
+            "n_docs",
+            "n_sample",
+            "n_pairs_sample",
+            F.round(F.col("n_pairs_sample") / F.lit(0.09), 2).alias(
+                "est_total_pairs"
+            ),
+        )
+    )
+
+
+def _q149_sql() -> str:
+    from ..functions.sharding import knuth_bucket_sql
+
+    samp = f"({knuth_bucket_sql('doc_id', 100)}) < 30"
+    return f"""
+WITH sample_docs AS (
+  SELECT doc_id, text FROM documents WHERE {samp}
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+      i -> string_split(lower(text),' ')[i] || ' ' ||
+           string_split(lower(text),' ')[i+1] || ' ' ||
+           string_split(lower(text),' ')[i+2])
+  )) AS shingle FROM sample_docs
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT 1 FROM inter
+  JOIN sizes s1 ON s1.id = id1
+  JOIN sizes s2 ON s2.id = id2
+  WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.5
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM sample_docs) AS n_sample,
+       (SELECT count(*) FROM pairs) AS n_pairs_sample,
+       round((SELECT count(*) FROM pairs) / 0.09, 2) AS est_total_pairs
+"""
+
+
+Q149_SQL = _q149_sql()
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7119,6 +7188,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q147_k_anonymity": (q147_k_anonymity, Q147_SQL),
     "cdc25_streaming_scd2": (cdc25_streaming_scd2, CDC22_SQL),
     "q148_ohlc_bars": (q148_ohlc_bars, Q148_SQL),
+    "q149_dup_rate_estimate": (q149_dup_rate_estimate, Q149_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -139,3 +139,31 @@ def test_write_bound_is_batch_not_history(spark, tmp_path):
             )
         sizes.append(n)
     assert max(sizes) < 2 * min(sizes)  # flat, not growing with history
+
+
+def test_streamed_store_feeds_pit_join(spark, tmp_path):
+    # the streamed history is directly consumable by the point-in-time
+    # join: enrichment over read_scd2 == enrichment over the one-shot
+    # operator output
+    from pyspark.sql import Row
+
+    from kafka_connect_logminer2_spark.operators.scd import pit_join
+
+    store = str(tmp_path / "hist")
+    for b in range(3):
+        scd2_batch_step(
+            spark, _typed(spark, CHANGES[3 * b : 3 * b + 3]), b, store, ["K"],
+            num_buckets=4,
+        )
+    facts = spark.createDataFrame(
+        [Row(fk=k, t=t) for k in (1, 2, 3, 9) for t in (11, 22, 38, 50)],
+        "fk long, t long",
+    )
+    via_store = pit_join(facts, read_scd2(spark, store), "fk", "K", "t")
+    via_batch = pit_join(
+        facts, scd2_history(_typed(spark, CHANGES), ["K"]), "fk", "K", "t"
+    )
+    key = lambda r: (r["fk"], r["t"], r["V"], r["W"])
+    assert sorted(map(key, via_store.collect())) == sorted(
+        map(key, via_batch.collect())
+    )
