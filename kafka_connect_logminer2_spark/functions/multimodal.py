@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -650,6 +651,164 @@ def media_fixture(spark, n: int = 64) -> DataFrame:
                 "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 "payload": payload,
                 "meta_json": '{"duration_s": %d}' % (i * 5 % 60),
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: AVI container (RIFF) — real parse/build kernels
+# ---------------------------------------------------------------------------
+# The container level is where a Spark pipeline actually operates on video:
+# split a clip into frame payloads, sample every Nth, hand each frame to the
+# image kernels. AVI is RIFF (same chunk grammar as the WAV parser above);
+# the frames here are stored uncompressed ('00db') carrying PPM images, so
+# the WHOLE video path — container walk, frame extraction, frame decode,
+# perceptual hash — runs on real bytes with no codec dependency. A real
+# H.264 'mp4' would swap decode_image for a codec call behind the same
+# mapInPandas shape.
+
+
+def avi_payload(frames: list[bytes], fps: int = 10, w: int = 0, h: int = 0) -> bytes:
+    """Minimal spec-valid uncompressed-stream AVI: RIFF('AVI ') with an
+    hdrl (avih + one 'vids' strl) and a movi list of '00db' frame chunks.
+    Deterministic bytes for fixtures; also the writer half of the
+    roundtrip test pinning :func:`parse_avi`."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"\x00" * 4 + struct.pack(
+        "<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0
+    ) + struct.pack("<4H", 0, 0, w, h)
+    strf = struct.pack("<3I2H6I", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> "dict | None":
+    """Walk the RIFF chunk tree of an AVI payload → {"fps", "n_frames",
+    "frames": [bytes, ...]}. Tolerant of unknown chunks (skipped by the
+    size header, the RIFF contract); None on anything that is not an
+    AVI-flavored RIFF. Reads '00db' (uncompressed) and '00dc'
+    (compressed) stream-0 chunks in movi order."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    fps, total = None, None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal fps, total
+        while off + 8 <= end:
+            fourcc = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            data_start = off + 8
+            data_end = min(data_start + size, end)
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_end)
+            elif fourcc == b"avih" and size >= 56:
+                vals = struct.unpack("<14I", buf[data_start : data_start + 56])
+                fps = round(1_000_000 / vals[0]) if vals[0] else None
+                total = vals[4]
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(bytes(buf[data_start:data_end]))
+            off = data_start + size + (size % 2)
+
+    try:
+        walk(payload, 12, len(payload))
+    except struct.error:
+        return None
+    if fps is None:
+        return None
+    return {"fps": fps, "n_frames": total if total is not None else len(frames), "frames": frames}
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_s", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_ahash", StringType()),
+    ]
+)
+
+
+def extract_video_frames(media: DataFrame, every_n_frames: int = 2) -> DataFrame:
+    """The real video path: parse the AVI container, keep every Nth frame,
+    decode each kept frame with the image kernels, emit per-frame
+    dimensions + perceptual average-hash. Unparseable payloads and
+    undecodable frames are skipped (quarantine-upstream contract, same as
+    the spectrogram op). Iterator-of-batches mapInPandas: one container
+    parse per row, frames never materialize as a Spark-side explosion
+    before sampling — at 100 TB of video the (container → sampled frames)
+    fan-out happens inside the Arrow batch, payload column pruned for
+    every non-video row by the filter."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_ts_s",
+                                   "width", "height", "frame_ahash")}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                parsed = parse_avi(bytes(payload)) if payload is not None else None
+                if not parsed or not parsed["fps"]:
+                    continue
+                for idx in range(0, len(parsed["frames"]), every_n_frames):
+                    arr = decode_image(parsed["frames"][idx])
+                    if arr is None:
+                        continue
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_s"].append(idx / parsed["fps"])
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["frame_ahash"].append(ahash64(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ts_s": pd.Series(out["frame_ts_s"], dtype="float64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "frame_ahash": pd.Series(out["frame_ahash"], dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def video_fixture(spark, n: int = 16, frames_per_clip: int = 6, fps: int = 5) -> DataFrame:
+    """Deterministic synthetic AVI clips whose frames are PPM gradients
+    (ppm_payload) — real container bytes, real decodable frames."""
+    rows = []
+    for i in range(n):
+        frames = [
+            ppm_payload(16 + (i % 4) * 4, 12, seed=i * 100 + j)
+            for j in range(frames_per_clip)
+        ]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "video",
+                "mime": "video/avi",
+                "payload": avi_payload(frames, fps=fps, w=16 + (i % 4) * 4, h=12),
+                "meta_json": '{"fps": %d}' % fps,
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

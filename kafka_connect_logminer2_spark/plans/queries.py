@@ -7031,6 +7031,34 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 Q149_SQL = _q149_sql()
 
 
+def q150_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video path (functions/multimodal.py): synthetic AVI clips
+    (RIFF container built by avi_payload, frames = decodable PPM
+    gradients) → parse_avi container walk → every-2nd-frame sampling →
+    image-kernel decode + perceptual average-hash, all inside ONE
+    iterator-of-batches mapInPandas (the container→frames fan-out never
+    explodes Spark-side before sampling). Per-clip rollup: sampled-frame
+    count, distinct perceptual hashes, mean frame timestamp. No SQL
+    oracle (the container bytes aren't SQL-reproducible); the kernels are
+    pinned by tests/test_multimodal_kernels.py::TestAVI (writer↔parser
+    bit-exact roundtrip, stride, hash-vs-direct-decode equality,
+    corrupted-payload skip)."""
+    from ..functions import multimodal as M
+
+    clips = M.video_fixture(spark, n=24, frames_per_clip=6, fps=5)
+    frames = M.extract_video_frames(clips, every_n_frames=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.count_distinct("frame_ahash").alias("n_distinct_hashes"),
+            F.round(F.avg("frame_ts_s"), 6).alias("mean_ts_s"),
+            F.max("width").alias("width"),
+        )
+        .orderBy("media_id")
+    )
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7189,6 +7217,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc25_streaming_scd2": (cdc25_streaming_scd2, CDC22_SQL),
     "q148_ohlc_bars": (q148_ohlc_bars, Q148_SQL),
     "q149_dup_rate_estimate": (q149_dup_rate_estimate, Q149_SQL),
+    "q150_video_frames": (q150_video_frames, None),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

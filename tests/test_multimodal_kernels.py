@@ -269,3 +269,74 @@ class TestSpectrogram:
         assert all(a <= b for a, b in zip(bands, bands[1:]))
         assert len(set(bands)) >= 6  # distinct except possible edge merges
         assert bands == [rows[i + 8] for i in range(8)]  # deterministic
+
+
+class TestAVI:
+    def test_roundtrip_bit_exact(self):
+        from kafka_connect_logminer2_spark.functions.multimodal import (
+            avi_payload,
+            parse_avi,
+            ppm_payload,
+        )
+
+        frames = [ppm_payload(16, 12, seed=j) for j in range(5)]
+        parsed = parse_avi(avi_payload(frames, fps=10, w=16, h=12))
+        assert parsed["fps"] == 10 and parsed["n_frames"] == 5
+        assert [bytes(f) for f in parsed["frames"]] == frames
+
+    def test_rejects_non_avi(self):
+        from kafka_connect_logminer2_spark.functions.multimodal import parse_avi
+
+        assert parse_avi(b"garbage") is None
+        assert parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None  # a WAV, not AVI
+        assert parse_avi(b"") is None
+
+    def test_odd_sized_frames_padded(self):
+        # RIFF pads odd chunk sizes; the payload must come back WITHOUT pad
+        from kafka_connect_logminer2_spark.functions.multimodal import (
+            avi_payload,
+            parse_avi,
+        )
+
+        frames = [b"abc", b"defgh", b"i"]
+        parsed = parse_avi(avi_payload(frames, fps=4))
+        assert [bytes(f) for f in parsed["frames"]] == frames
+
+    def test_spark_frame_extraction(self, spark):
+        from kafka_connect_logminer2_spark.functions.multimodal import (
+            ahash64,
+            decode_image,
+            extract_video_frames,
+            ppm_payload,
+            video_fixture,
+        )
+
+        clips = video_fixture(spark, n=4, frames_per_clip=6, fps=5)
+        out = extract_video_frames(clips, every_n_frames=2).collect()
+        # stride: frames 0,2,4 of each of 4 clips
+        assert sorted(set(r["frame_idx"] for r in out)) == [0, 2, 4]
+        assert len(out) == 12
+        # timestamps follow the container's fps
+        assert all(r["frame_ts_s"] == r["frame_idx"] / 5 for r in out)
+        # hash equals a direct decode of the same synthetic frame
+        r0 = next(r for r in out if r["media_id"] == 1 and r["frame_idx"] == 2)
+        direct = ahash64(decode_image(ppm_payload(20, 12, seed=102)))
+        assert r0["frame_ahash"] == direct and r0["width"] == 20
+
+    def test_corrupt_payload_skipped(self, spark):
+        from pyspark.sql import Row
+
+        from kafka_connect_logminer2_spark.functions.multimodal import (
+            MEDIA_SCHEMA,
+            extract_video_frames,
+            video_fixture,
+        )
+
+        good = video_fixture(spark, n=2, frames_per_clip=4, fps=5)
+        bad = spark.createDataFrame(
+            [{"media_id": 99, "kind": "video", "mime": "video/avi",
+              "payload": b"not an avi at all", "meta_json": "{}"}],
+            schema=MEDIA_SCHEMA,
+        )
+        out = extract_video_frames(good.unionByName(bad)).collect()
+        assert all(r["media_id"] != 99 for r in out) and len(out) == 4
