@@ -7059,6 +7059,50 @@ def q150_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q151_decayed_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decayed engagement counters (feature-store style): per user,
+    Σ value·e^(−λ·age) with age measured back from the corpus max
+    timestamp and λ = ln2 / 7 days (7-day half-life), plus the decayed
+    event count. The standard trick makes this a PLAIN aggregation — no
+    window, no sort: e^(−λ(T−t)) = e^(−λT)·e^(λt), so each row's weight
+    is scan-side and T only scales the final sum (here folded in exactly,
+    with the decayed sums rounded to 6 dp so engine float noise can't
+    break the hash; top-100 users by decayed value, ties broken by id).
+    At 100 TB this is one partial-agg'd exchange on user_id — the naive
+    "order by time per user" formulation would sort the world."""
+    events = load_table(spark, sf, "events")
+    lam = 0.6931471805599453 / (7 * 86400)
+    tmax = events.agg(F.max(F.col("ts").cast("timestamp").cast("double")).alias("T"))
+    e = events.crossJoin(F.broadcast(tmax))
+    w = F.exp(-F.lit(lam) * (F.col("T") - F.col("ts").cast("timestamp").cast("double")))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * w), 6).alias("decayed_value"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("decayed_value").desc(), "user_id")
+        .limit(100)
+    )
+
+
+Q151_SQL = """
+WITH t AS (SELECT max(epoch(ts)) AS T FROM events),
+w AS (
+  SELECT user_id, value,
+         exp(-(0.6931471805599453 / (7 * 86400)) * (t.T - epoch(ts))) AS wt
+  FROM events, t
+)
+SELECT user_id,
+       round(sum(value * wt), 6) AS decayed_value,
+       round(sum(wt), 6) AS decayed_count,
+       count(*) AS n_events
+FROM w GROUP BY user_id
+ORDER BY decayed_value DESC, user_id LIMIT 100
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7218,6 +7262,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q148_ohlc_bars": (q148_ohlc_bars, Q148_SQL),
     "q149_dup_rate_estimate": (q149_dup_rate_estimate, Q149_SQL),
     "q150_video_frames": (q150_video_frames, None),
+    "q151_decayed_counters": (q151_decayed_counters, Q151_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
