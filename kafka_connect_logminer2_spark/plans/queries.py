@@ -7103,6 +7103,78 @@ ORDER BY decayed_value DESC, user_id LIMIT 100
 """
 
 
+def cdc26_decayed_counters_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """q151's decayed counters maintained CONTINUOUSLY
+    (streaming/decayed.py): events arrive as 3 batches (event_id mod 3),
+    each folding additive epoch-domain contributions into O(keys) state;
+    the read projects to a pinned as-of instant with one scalar multiply.
+    The oracle computes the same decayed sums directly over the full
+    events table, so a lost batch, a double-fold, or a weight-domain
+    mix-up breaks the value hash. Streamed == batch for a NONLINEAR
+    time-decay aggregate is the point: the decay factorization is what
+    makes the state additive at all."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.decayed import read_decayed, write_decayed_counters
+
+    events = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="cdc26_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_decayed_counters(
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+            epoch="2024-01-01",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc26: decayed-counter stream did not finish in 600s")
+        out = read_decayed(spark, f"{tmp}/state", as_of_ts="2024-02-01")
+        return (
+            out.select(
+                "user_id",
+                F.round("decayed_value", 6).alias("decayed_value"),
+                F.round("decayed_count", 6).alias("decayed_count"),
+                "n_events",
+            )
+            .orderBy("user_id")
+            .localCheckpoint()  # materialize off the temp dir
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC26_SQL = """
+SELECT user_id,
+       round(sum(value * exp(-(0.6931471805599453 / (7 * 86400))
+                             * (epoch(TIMESTAMP '2024-02-01') - epoch(ts)))), 6)
+         AS decayed_value,
+       round(sum(exp(-(0.6931471805599453 / (7 * 86400))
+                     * (epoch(TIMESTAMP '2024-02-01') - epoch(ts)))), 6)
+         AS decayed_count,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7263,6 +7335,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q149_dup_rate_estimate": (q149_dup_rate_estimate, Q149_SQL),
     "q150_video_frames": (q150_video_frames, None),
     "q151_decayed_counters": (q151_decayed_counters, Q151_SQL),
+    "cdc26_decayed_counters_mv": (cdc26_decayed_counters_mv, CDC26_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

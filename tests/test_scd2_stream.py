@@ -167,3 +167,63 @@ def test_streamed_store_feeds_pit_join(spark, tmp_path):
     assert sorted(map(key, via_store.collect())) == sorted(
         map(key, via_batch.collect())
     )
+
+
+class TestDecayedCounters:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+
+    def test_stream_fold_equals_direct(self, spark, tmp_path):
+        import datetime as dt
+        import math
+
+        from kafka_connect_logminer2_spark.streaming.decayed import (
+            decayed_batch_step,
+            read_decayed,
+        )
+
+        rows = [
+            (i, i % 3, dt.datetime(2024, 1, 1 + i), float(10 * i)) for i in range(9)
+        ]
+        store = str(tmp_path / "state")
+        for b in range(3):
+            decayed_batch_step(
+                spark, self._events(spark, rows[3 * b : 3 * b + 3]), b, store,
+                epoch="2024-01-01",
+            )
+        got = {
+            r["user_id"]: (r["decayed_value"], r["n_events"])
+            for r in read_decayed(spark, store, as_of_ts="2024-02-01").collect()
+        }
+        lam = math.log(2) / (7 * 86400)
+        T = dt.datetime(2024, 2, 1).timestamp()
+        want: dict = {}
+        for i, u, ts, v in rows:
+            dv, n = want.get(u, (0.0, 0))
+            want[u] = (dv + v * math.exp(-lam * (T - ts.timestamp())), n + 1)
+        for u, (dv, n) in want.items():
+            assert got[u][1] == n
+            assert abs(got[u][0] - dv) < 1e-9
+
+    def test_param_guard_and_retry(self, spark, tmp_path):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from kafka_connect_logminer2_spark.streaming.decayed import (
+            decayed_batch_step,
+            read_decayed,
+        )
+
+        rows = [(i, 1, dt.datetime(2024, 1, 2), 5.0) for i in range(4)]
+        store = str(tmp_path / "state")
+        decayed_batch_step(spark, self._events(spark, rows[:2]), 0, store, epoch="2024-01-01")
+        decayed_batch_step(spark, self._events(spark, rows[2:]), 1, store, epoch="2024-01-01")
+        state = {(r["user_id"], r["n_events"]) for r in read_decayed(spark, store).collect()}
+        # a retried batch re-reads the parent BELOW its id -> identical state
+        decayed_batch_step(spark, self._events(spark, rows[2:]), 1, store, epoch="2024-01-01")
+        assert {(r["user_id"], r["n_events"]) for r in read_decayed(spark, store).collect()} == state
+        with _pytest.raises(ValueError, match="different"):
+            decayed_batch_step(spark, self._events(spark, rows[:2]), 2, store, epoch="2025-01-01")
