@@ -131,3 +131,53 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint()  # cut the iterative lineage
     return ranks
+
+
+def triangle_listing(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle listing via DEGREE ORIENTATION (the MapReduce
+    triangle algorithm of Suri & Vassilvitskii 2011): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    build wedges only from each vertex's OUT-neighbors, close them
+    against the oriented edge set. Each triangle appears exactly once as
+    (a → b → c) with a < b < c in the (degree, id) total order.
+
+    Why orientation is THE scale lever: naive wedge-building does
+    Σ deg(v)² work — a single celebrity vertex with degree 10⁷ alone
+    generates 10¹⁴ wedges. Orientation bounds out-degree by the
+    (degree, id) order, so wedge work is Σ outdeg(v)² = O(m^1.5) for ANY
+    degree distribution — skew-proof by construction, no salting needed.
+    Two self-equi-joins on 8-byte keys; no vertex neighborhood is ever
+    collected.
+
+    Input: undirected edges, one row per edge, ``src`` < ``dst``
+    (deduped). Output: (a, b, c) triangle rows in orientation order.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("d1"))
+    o2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("d2"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("b1") < F.col("b2")))
+    )
+    closer = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    return wedges.join(closer, ["b1", "b2"]).select(
+        F.col("a"), F.col("b1").alias("b"), F.col("b2").alias("c")
+    )

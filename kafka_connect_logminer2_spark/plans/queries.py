@@ -7175,6 +7175,65 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q152_triangle_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the part co-occurrence graph (parts appearing
+    in the same order; a 1-in-5 order sample keeps the driver-side oracle
+    cheap at every SF) — the clustering-structure signal (community
+    density, bundle detection) degree/PageRank can't see. Runs
+    functions/graph.py::triangle_listing — degree-oriented wedge join,
+    Σ outdeg² = O(m^1.5) for ANY degree skew, no salting — then rolls up
+    per-vertex participation. The oracle counts the same triangles with
+    the plain ordered 3-way self-join (orientation-independent answer),
+    so the fancy plan is value-hash-pinned to the naive truth. Top-20
+    parts, ties by key."""
+    from ..functions.graph import triangle_listing
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    tris = triangle_listing(edges)
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy(F.col("n_tri").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+Q152_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey % 5 = 0
+),
+e AS (
+  SELECT DISTINCT a.p AS p1, b.p AS p2
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e2.p1 = e1.p2
+  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+verts AS (SELECT unnest([a, b, c]) AS p FROM tri)
+SELECT p AS l_partkey, count(*) AS n_tri
+FROM verts GROUP BY p
+ORDER BY n_tri DESC, l_partkey LIMIT 20
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7336,6 +7395,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q150_video_frames": (q150_video_frames, None),
     "q151_decayed_counters": (q151_decayed_counters, Q151_SQL),
     "cdc26_decayed_counters_mv": (cdc26_decayed_counters_mv, CDC26_SQL),
+    "q152_triangle_parts": (q152_triangle_parts, Q152_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -116,3 +116,23 @@ def corrupt_count(df: DataFrame, corrupt_to: str = "_corrupt") -> int:
         return df.filter(F.col(corrupt_to).isNotNull()).count()
     finally:
         df.unpersist()
+
+
+def read_documents_orc(spark, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC corpus reader — Spark-native columnar alternative when the
+    upstream warehouse exports ORC (Hive-lineage lakes). Same
+    explicit-schema discipline as the JSONL/CSV readers: pass the
+    expected schema so a drifted export fails loudly instead of
+    inferring its way into silently re-typed columns. ORC carries its
+    own schema, so "corrupt records" here are type MISMATCHES — Spark
+    raises on read rather than quarantining rows (binary formats fail
+    whole-file, not per-line; the quarantine contract only applies to
+    the textual formats)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    docs.write.mode("overwrite").orc(path)

@@ -122,3 +122,39 @@ class TestPageRank:
             for r in pagerank(_edges(spark, folded), n_iter=5).collect()
         }
         assert a == b
+
+
+class TestTriangles:
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in pairs], "src long, dst long"
+        )
+
+    def test_known_graph(self, spark):
+        from kafka_connect_logminer2_spark.functions.graph import triangle_listing
+
+        # K4 (4 triangles) plus a pendant and a disconnected edge
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        tris = triangle_listing(self._edges(spark, k4 + [(4, 5), (8, 9)])).collect()
+        got = sorted(tuple(sorted((r["a"], r["b"], r["c"]))) for r in tris)
+        assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+    def test_each_triangle_listed_once_star_skew(self, spark):
+        # hub vertex with high degree: orientation must not duplicate or
+        # drop triangles, and each triangle appears exactly once
+        from kafka_connect_logminer2_spark.functions.graph import triangle_listing
+
+        hub = [(0, i) for i in range(1, 30)]           # star: no triangles
+        ring = [(i, i + 1) for i in range(1, 29)]      # fan: closes 28 triangles
+        tris = triangle_listing(self._edges(spark, hub + ring)).collect()
+        got = sorted(tuple(sorted((r["a"], r["b"], r["c"]))) for r in tris)
+        assert got == [(0, i, i + 1) for i in range(1, 29)]
+        assert len(got) == len(set(got))
+
+    def test_triangle_free(self, spark):
+        from kafka_connect_logminer2_spark.functions.graph import triangle_listing
+
+        bipartite = [(i, 100 + j) for i in range(5) for j in range(5)]
+        assert triangle_listing(self._edges(spark, bipartite)).count() == 0

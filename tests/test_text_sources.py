@@ -97,3 +97,29 @@ def test_corrupt_jsonl_quarantines(spark, tmp_path):
     assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
     bad = df.filter(F.col("_corrupt").isNotNull()).collect()[0]
     assert "not json" in bad["_corrupt"]
+
+
+def test_orc_roundtrip_parity(spark, tmp_path):
+    # parquet -> ORC -> read back: row- and type-exact, and the same
+    # query answers the same over either format
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+    from kafka_connect_logminer2_spark.sources.text_files import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_documents_orc(docs, path)
+    back = read_documents_orc(spark, path, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    q = lambda df: sorted(
+        map(
+            tuple,
+            df.groupBy("source").agg(F.count(F.lit(1)), F.sum("n_chars")).collect(),
+        )
+    )
+    assert q(docs) == q(back)
