@@ -7234,6 +7234,51 @@ ORDER BY n_tri DESC, l_partkey LIMIT 20
 """
 
 
+def q153_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (retailprice
+    MIN-wise, size MAX-wise) — the multi-objective shortlist operator
+    (cheapest-per-capability frontier). The naive formulation is an O(n²)
+    NOT EXISTS self-join; the 2-D plan here is sort + running max: order
+    by (price asc, size desc, key), keep rows whose size strictly exceeds
+    every PRECEDING size (window max over the sort) — O(n log n), one
+    exchange, and the window's sort IS the output order. Dominance here
+    is strict-in-both (price <, size >): equal-(price, size) twins don't
+    dominate each other, and the running-max-with-tie-key formulation
+    reproduces exactly that — pinned by the oracle's NOT EXISTS, which
+    stays naive on purpose (the fancy plan must equal the textbook
+    definition)."""
+    part = load_table(spark, sf, "part")
+    # a row is dominated iff M := max(size over STRICTLY cheaper rows)
+    # strictly exceeds its size. M depends only on the price, so: best
+    # size per distinct price (hash agg), running max over the tiny
+    # price-ordered frame (strict predecessors), broadcast back. The
+    # single global sort touches |distinct prices| rows, never the table.
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("_best"))
+    wp = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_price.withColumn("_prev_best", F.max("_best").over(wp))
+    return (
+        part.join(F.broadcast(frontier.select("p_retailprice", "_prev_best")), "p_retailprice")
+        .filter(
+            F.col("_prev_best").isNull() | (F.col("p_size") >= F.col("_prev_best"))
+        )
+        .select(
+            "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), "p_size"
+        )
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+Q153_SQL = """
+SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice < a.p_retailprice AND b.p_size > a.p_size
+)
+ORDER BY p_retailprice, p_partkey
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7396,6 +7441,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q151_decayed_counters": (q151_decayed_counters, Q151_SQL),
     "cdc26_decayed_counters_mv": (cdc26_decayed_counters_mv, CDC26_SQL),
     "q152_triangle_parts": (q152_triangle_parts, Q152_SQL),
+    "q153_skyline_parts": (q153_skyline_parts, Q153_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
