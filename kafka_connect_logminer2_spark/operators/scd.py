@@ -116,15 +116,18 @@ def pit_join(
     (dimension columns null) — the auditable "fact before its dimension
     existed / after it was deleted" case; 'inner' drops them."""
     dcols = [c for c in dim_history.columns if c not in ("valid_from", "valid_to", "is_current")]
+    # alias the join/interval helper columns to underscored temp names so
+    # the trailing drop removes ONLY the dimension side's copies — a facts
+    # table that itself carries valid_from/valid_to must keep its own
     d = dim_history.select(
         F.col(dim_key).alias("_dk"),
         *[F.col(c) for c in dcols if c != dim_key],
-        "valid_from",
-        "valid_to",
+        F.col("valid_from").alias("_dvf"),
+        F.col("valid_to").alias("_dvt"),
     )
     cond = (
         (F.col("_dk") == facts[fact_key])
-        & (F.col("valid_from") <= facts[fact_time])
-        & (F.col("valid_to").isNull() | (F.col("valid_to") > facts[fact_time]))
+        & (F.col("_dvf") <= facts[fact_time])
+        & (F.col("_dvt").isNull() | (F.col("_dvt") > facts[fact_time]))
     )
-    return facts.join(d, cond, how).drop("_dk", "valid_from", "valid_to")
+    return facts.join(d, cond, how).drop("_dk", "_dvf", "_dvt")

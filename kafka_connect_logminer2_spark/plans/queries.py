@@ -6808,17 +6808,25 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     sketches = docs.groupBy("source").agg(
         F.hll_sketch_agg("text", F.lit(12)).alias("sk")
     ).persist()
-    per_source = sketches.select(
-        "source", F.hll_sketch_estimate("sk").cast("long").alias("est")
-    )
-    global_row = (
-        sketches.agg(F.hll_union_agg("sk").alias("sk"))
-        .select(
-            F.lit("__all__").alias("source"),
-            F.hll_sketch_estimate("sk").cast("long").alias("est"),
+    try:
+        per_source = sketches.select(
+            "source", F.hll_sketch_estimate("sk").cast("long").alias("est")
         )
-    )
-    return per_source.unionByName(global_row).orderBy("source")
+        global_row = (
+            sketches.agg(F.hll_union_agg("sk").alias("sk"))
+            .select(
+                F.lit("__all__").alias("source"),
+                F.hll_sketch_estimate("sk").cast("long").alias("est"),
+            )
+        )
+        # materialize the |sources|+1-row result so the cache can be
+        # released before returning (a leaked persist would pin corpus
+        # partitions for the rest of the session)
+        return (
+            per_source.unionByName(global_row).orderBy("source").localCheckpoint()
+        )
+    finally:
+        sketches.unpersist()
 
 
 def q147_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
@@ -6923,15 +6931,21 @@ def q148_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     the OPEN (value at the earliest event), HIGH, LOW, CLOSE (latest) and
     event count — the order-dependent rollup family (first/last by time)
     that plain min/max aggregates can't express. Open/close ride
-    min_by/max_by over a single engine-portable sort key
-    (epoch-micros·10⁶ + event_id — unique, so the selection is
-    deterministic in both engines); the whole answer is ONE partial-agg'd
-    hash aggregate — no window pass, no sort, which is the difference
-    between a shuffle of |bars| rows and a full-data sort at 100 TB."""
+    min_by/max_by over a single engine-portable sort key: zero-padded
+    exact epoch-MICROseconds concatenated with zero-padded event_id —
+    unique, so the selection is deterministic, and EXACT in both engines
+    (a seconds-domain double→long key diverges cross-engine: Spark's
+    cast truncates while DuckDB's epoch()::BIGINT rounds, so two
+    candidates inside one integer second straddling a .5 fraction would
+    flip the bar). Lexicographic string order == numeric order because
+    both fields are fixed-width; the whole answer is still ONE
+    partial-agg'd hash aggregate — no window pass, no sort, which is the
+    difference between a shuffle of |bars| rows and a full-data sort at
+    100 TB."""
     events = load_table(spark, sf, "events")
-    skey = (
-        F.col("ts").cast("timestamp").cast("double").cast("long") * 1_000_000
-        + F.col("event_id")
+    skey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     return (
         events.groupBy(
@@ -6951,10 +6965,10 @@ def q148_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
 Q148_SQL = """
 SELECT event_type,
        date_trunc('hour', ts) AS bar_hour,
-       round(arg_min(value, epoch(ts)::BIGINT * 1000000 + event_id), 6) AS open,
+       round(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0')), 6) AS open,
        round(max(value), 6) AS high,
        round(min(value), 6) AS low,
-       round(arg_max(value, epoch(ts)::BIGINT * 1000000 + event_id), 6) AS close,
+       round(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0')), 6) AS close,
        count(*) AS n_events
 FROM events
 GROUP BY 1, 2

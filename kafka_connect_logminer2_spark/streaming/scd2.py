@@ -270,6 +270,12 @@ def read_scd2(spark: SparkSession, store_dir: str) -> DataFrame | None:
     rows = _read_rows(spark, store_dir, None, below=last + 1)
     if rows is None:
         return None
+    # a compaction crash between fold-segment placement and old-version
+    # deletion leaves byte-identical duplicate version rows until the
+    # rerun removes them — distinct() makes the read tolerate that window
+    # (the crash-safety contract compact_chains documents); version rows
+    # are unique per (pk, valid_from) so this drops only crash leftovers
+    rows = rows.distinct()
     pk_cols = meta_pk or [rows.columns[0]]
     out = _apply_closes(rows, _read_closes(spark, store_dir, below=last + 1), pk_cols)
     return out.withColumn("is_current", F.col("valid_to").isNull())

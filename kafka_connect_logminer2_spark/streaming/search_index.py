@@ -147,8 +147,16 @@ def read_postings(
     ]
     if not paths:
         return None
-    postings = spark.read.option("basePath", index_dir).parquet(*paths).select(
-        "h", "doc_id", "pos"
+    # distinct(): a compaction crash between fold-segment placement and
+    # old-version deletion leaves byte-identical duplicate postings, which
+    # would double-count phrase n_matches; (h, doc_id, pos) is unique by
+    # construction so this drops only crash leftovers (the crash-safety
+    # contract compact_chains documents)
+    postings = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*paths)
+        .select("h", "doc_id", "pos")
+        .distinct()
     )
     tomb = _committed_tombstones(spark, index_dir, below=last + 1)
     if tomb is not None:
