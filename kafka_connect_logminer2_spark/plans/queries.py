@@ -7120,13 +7120,15 @@ ORDER BY decayed_value DESC, user_id LIMIT 100
 def cdc26_decayed_counters_mv(spark: SparkSession, sf: str) -> DataFrame:
     """q151's decayed counters maintained CONTINUOUSLY
     (streaming/decayed.py): events arrive as 3 batches (event_id mod 3),
-    each folding additive epoch-domain contributions into O(keys) state;
-    the read projects to a pinned as-of instant with one scalar multiply.
-    The oracle computes the same decayed sums directly over the full
-    events table, so a lost batch, a double-fold, or a weight-domain
-    mix-up breaks the value hash. Streamed == batch for a NONLINEAR
-    time-decay aggregate is the point: the decay factorization is what
-    makes the state additive at all."""
+    each landing its per-key epoch-domain contributions as touched-bucket
+    delta segments — O(batch keys) written per batch, no parent read, no
+    join (additivity); the read folds the chain and projects to a pinned
+    as-of instant with per-row epoch rescales. The oracle computes the
+    same decayed sums directly over the full events table, so a lost
+    batch, a double-fold, or a weight-domain mix-up breaks the value
+    hash. Streamed == batch for a NONLINEAR time-decay aggregate is the
+    point: the decay factorization is what makes the state additive at
+    all."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -7155,7 +7157,6 @@ def cdc26_decayed_counters_mv(spark: SparkSession, sf: str) -> DataFrame:
             .parquet(f"{tmp}/in"),
             f"{tmp}/state",
             f"{tmp}/ckpt",
-            epoch="2024-01-01",
         )
         if not q.awaitTermination(600):
             q.stop()
