@@ -73,6 +73,14 @@ HEADLINE = [
     "q145_pit_join",
     "q147_k_anonymity",
     "q148_ohlc_bars",
+    # r6 additions: the r5/r6 families the driver's BENCH should track
+    "q149_dup_rate_estimate",
+    "q150_video_frames",
+    "q151_decayed_counters",
+    "q152_triangle_parts",
+    "q153_skyline_parts",
+    "q154_winnow_capped",
+    "cdc26_decayed_counters_mv",
 ]
 
 

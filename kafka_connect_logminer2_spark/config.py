@@ -64,9 +64,33 @@ class EngineConfig:
     # Spark-engine additions (what the reference lacks — SURVEY §7 hard part 6)
     txn_state_timeout_ms: int = 3_600_000  # evict abandoned XIDs after 1 h
     float64_numbers: bool = True  # reference NUMBER(p,s>0)→FLOAT64 semantics
+    # A15 hot-transaction route (cdc.skew.salts): 'auto' samples the xid
+    # column per batch (~1% of a scan) and switches assembly's fact
+    # annotation to the salted aggregate+join when one xid holds ≥5% of
+    # the log — the measured 5.6→3.2 s win on the 10%-hot fixture
+    # (BASELINE.md). 'off' pins the single-window route; an integer pins
+    # that salt count. Default 'auto': every engine source (redo parquet
+    # dirs, persisted fb carry-over unions) is rescannable, which is the
+    # one precondition sampling needs.
+    cdc_skew_salts: str = "auto"
 
     def dml_type_set(self) -> set[str]:
         return {t.strip().upper() for t in self.dml_types.split(",") if t.strip()}
+
+    def skew_salts_arg(self) -> int | str | None:
+        """``cdc_skew_salts`` → the assemble_transactions argument:
+        'auto' passes through, 'off'/'' → None (window route), digits →
+        that salt count. Anything else raises at config time, not mid-job."""
+        v = self.cdc_skew_salts.strip().lower()
+        if v == "auto":
+            return "auto"
+        if v in ("off", "none", ""):
+            return None
+        if v.isdigit():
+            return int(v)
+        raise ValueError(
+            f"cdc.skew.salts must be 'auto', 'off', or an integer, got {self.cdc_skew_salts!r}"
+        )
 
     @classmethod
     def from_connect_map(cls, props: dict[str, str]) -> "EngineConfig":

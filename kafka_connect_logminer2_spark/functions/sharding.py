@@ -172,6 +172,59 @@ def two_level_cumsum(
     )
 
 
+def two_level_cummax(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cummax_excl",
+    block_width: float = 4096.0,
+    group_col: str | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running MAX of ``value_col`` ordered by ``order_col`` —
+    the max-monoid sibling of :func:`two_level_cumsum` (max is associative,
+    so the identical block decomposition is exact):
+
+      cummax_excl(row) = max( max over earlier blocks,
+                              max over earlier rows of the row's block )
+
+    NULL when the row has no strict predecessor (the first row), which
+    callers use as "nothing can dominate me" (q153). A plain
+    ``max() over (order by x rows unbounded preceding .. -1)`` sorts the
+    WORLD in one task; here the big window hashes on the value-range block
+    ``floor(order / block_width)`` (full cluster width) and only the
+    offset table — one row per non-empty block — sees a global-ordered
+    window, recursively tiny.
+
+    Blocks are VALUE ranges, so ``block_width`` is in the order column's
+    units: pick it so one block's rows fit an executor partition under the
+    data's density (uniform-ish domains: width ≈ domain_span /
+    max(shuffle_partitions, n / target_block_rows)). ``order_col`` must be
+    numeric; (order_col, *tie_cols) must be unique within a group or the
+    running max over ties is nondeterministic — except when, as in q153,
+    every tie carries the same value_col by construction."""
+    gcols = [group_col] if group_col else []
+    blk = F.floor(F.col(order_col) / F.lit(block_width))
+    with_blk = df.withColumn("_blk", blk)
+    totals = with_blk.groupBy(*gcols, "_blk").agg(F.max(value_col).alias("_bm"))
+    woff = (Window.partitionBy(*gcols) if gcols else Window).orderBy(
+        "_blk"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("_off", F.max("_bm").over(woff)).select(
+        *gcols, "_blk", "_off"
+    )
+    w = Window.partitionBy(*gcols, "_blk").orderBy(
+        order_col, *(tie_cols or [])
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        with_blk.join(offsets, [*gcols, "_blk"])
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(w), F.col("_off"))
+        )
+        .drop("_blk", "_off")
+    )
+
+
 def shard_ranked(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     """(doc_id, n_chars, shard, h2, pos): the per-doc shard assignment and
     1-based global rank within shard, computed with the two-level rank

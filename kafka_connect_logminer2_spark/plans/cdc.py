@@ -82,9 +82,9 @@ def cdc_envelope(redo: DataFrame, config: EngineConfig | None = None) -> DataFra
     filtered = redo.filter(
         source_predicate(config.table_whitelist, config.table_blacklist)
     )
-    committed = assemble_transactions(filtered).filter(
-        dml_types_predicate(config.dml_type_set())
-    )
+    committed = assemble_transactions(
+        filtered, skew_salts=config.skew_salts_arg()
+    ).filter(dml_types_predicate(config.dml_type_set()))
     return to_envelope(committed, config)
 
 

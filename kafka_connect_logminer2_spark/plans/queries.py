@@ -6312,7 +6312,12 @@ def q142_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     shuffled posting relation is ~3× smaller than q110's every-window
     relation for the same shared-run detection floor. The gram hash is the
     32-bit md5 prefix, so the oracle recomputes the SAME min-of-window
-    selections bit-for-bit."""
+    selections bit-for-bit.
+
+    This is the EXACT truth pin (q19's role in the Jaccard family);
+    q154_winnow_capped is the production registration — a fingerprint
+    shared by m docs expands to m(m−1)/2 pairs inside ONE posting row,
+    so the uncapped form is for corpora known boilerplate-free."""
     return D.winnow_pairs(
         load_table(spark, sf, "documents"), k=4, w=5, min_shared=2
     ).orderBy("doc_id1", "doc_id2")
@@ -6339,6 +6344,65 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared * 1.0 / least(s1.sz, s2.sz), 6) AS overlap
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id1
+JOIN sizes s2 ON s2.doc_id = doc_id2
+WHERE n_shared >= 2
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def q154_winnow_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION registration of winnowing pair detection: identical
+    to q142 but with ``max_fp_freq`` set, so a fingerprint shared by more
+    than N documents is dropped before pair expansion — q104's stop-shingle
+    cap applied to the MOSS family. Uncapped, one boilerplate fingerprint
+    (a license header, a template footer — exactly what winnowing is used
+    to FIND) in m docs expands to m(m−1)/2 pair structs inside a single
+    posting row: the job's memory/shuffle ceiling on any boilerplate-heavy
+    corpus at 100 TB. The cap bounds every posting's expansion at C(N,2);
+    n_shared/overlap become documented underestimates for pairs whose
+    overlap includes dropped ubiquitous fingerprints (|fp| sizes stay
+    uncapped, q104's convention). The oracle reproduces the cap exactly
+    (HAVING count(*) <= N on the fingerprint relation), so this is
+    value-hash-checked, not rows-only; tests/test_dedup_skew.py proves the
+    bounded-expansion claim on a boilerplate-skew fixture."""
+    return D.winnow_pairs(
+        load_table(spark, sf, "documents"), k=4, w=5, min_shared=2,
+        max_fp_freq=10,
+    ).orderBy("doc_id1", "doc_id2")
+
+
+Q154_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+hashes AS (
+  SELECT doc_id, list_transform(
+    list_transform(generate_series(1, len(t) - 3),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h
+  FROM toks WHERE len(t) >= 4
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(h) - 4),
+                               j -> list_min(h[j:j+4]))) AS fp
+  FROM hashes WHERE len(h) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+capped AS (
+  SELECT * FROM fps WHERE fp IN (
+    SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10
+  )
+),
+inter AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_id1, doc_id2, CAST(n_shared AS BIGINT) AS n_shared,
@@ -7265,14 +7329,25 @@ def q153_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part")
     # a row is dominated iff M := max(size over STRICTLY cheaper rows)
     # strictly exceeds its size. M depends only on the price, so: best
-    # size per distinct price (hash agg), running max over the tiny
-    # price-ordered frame (strict predecessors), broadcast back. The
-    # single global sort touches |distinct prices| rows, never the table.
+    # size per distinct price (hash agg — distributed, output is one row
+    # per distinct price), then the EXCLUSIVE running max over the
+    # price-ordered per-price frame via two_level_cummax: the big window
+    # hashes on price-range blocks (cluster-wide), only the one-row-per-
+    # block offset table sees a globally-ordered window. No single-
+    # partition sort, no broadcast — the frontier joins back on price as
+    # a plain equi-join (AQE broadcasts it when it IS small), so the plan
+    # survives a continuous price domain where |distinct prices| ≈ n.
+    # (For TPC-H money the domain is also discrete cents in [900, 2100]
+    # — ≤ 120 001 distinct — but the plan no longer relies on that.)
+    from ..functions.sharding import two_level_cummax
+
     per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("_best"))
-    wp = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = per_price.withColumn("_prev_best", F.max("_best").over(wp))
+    frontier = two_level_cummax(
+        per_price, "p_retailprice", "_best", out_col="_prev_best",
+        block_width=16.0,
+    )
     return (
-        part.join(F.broadcast(frontier.select("p_retailprice", "_prev_best")), "p_retailprice")
+        part.join(frontier.select("p_retailprice", "_prev_best"), "p_retailprice")
         .filter(
             F.col("_prev_best").isNull() | (F.col("p_size") >= F.col("_prev_best"))
         )
@@ -7441,6 +7516,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q140_session_transitions": (q140_session_transitions, Q140_SQL),
     "q141_weighted_sample": (q141_weighted_sample, Q141_SQL),
     "q142_winnow_pairs": (q142_winnow_pairs, Q142_SQL),
+    "q154_winnow_capped": (q154_winnow_capped, Q154_SQL),
     "q143_quality_expectations": (q143_quality_expectations, Q143_SQL),
     "q144_containment_dedup": (q144_containment_dedup, Q144_SQL),
     "cdc22_scd2_history": (cdc22_scd2_history, CDC22_SQL),

@@ -13,8 +13,19 @@ NAMES = [f"q{i:02d}_thing" for i in range(1, 20)] + ["cdc01_x", "cdc17_ingest"]
 
 
 def test_family_prefix_filter():
-    got = select_names(NAMES, set(), ["q1", "cdc17"], None)
-    assert got == [f"q1{i}_thing" for i in range(0, 10)] + ["cdc17_ingest"]
+    got = select_names(NAMES, set(), ["q15", "cdc17"], None)
+    assert got == ["q15_thing", "cdc17_ingest"]
+
+
+def test_family_digit_boundary():
+    # "q15" must select q15_* only — NOT the 3-digit q150–q159 family
+    # (the r5-verdict housekeeping item); a non-digit family like "cdc"
+    # still selects every cdcNN
+    names = ["q15_sessionize", "q150_video", "q151_decayed", "cdc01_x", "cdc17_y"]
+    assert select_names(names, set(), ["q15"], None) == ["q15_sessionize"]
+    assert select_names(names, set(), ["q150"], None) == ["q150_video"]
+    assert select_names(names, set(), ["cdc"], None) == ["cdc01_x", "cdc17_y"]
+    assert select_names(names, set(), ["q15_"], None) == ["q15_sessionize"]
 
 
 def test_sample_is_deterministic_and_order_preserving():
@@ -28,7 +39,7 @@ def test_sample_is_deterministic_and_order_preserving():
 
 
 def test_flags_intersect():
-    got = select_names(NAMES, {"q11_thing", "cdc01_x", "q03_thing"}, ["q1"], None)
+    got = select_names(NAMES, {"q11_thing", "cdc01_x", "q03_thing"}, ["q11"], None)
     assert got == ["q11_thing"]
-    got2 = select_names(NAMES, set(), ["q1"], 3)
-    assert len(got2) == 3 and all(n.startswith("q1") for n in got2)
+    got2 = select_names(NAMES, set(), ["cdc"], 1)
+    assert len(got2) == 1 and got2[0].startswith("cdc")

@@ -133,3 +133,52 @@ def test_star_buckets_preserve_clusters_with_linear_edges(spark):
         r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
     }
     assert lab(star) == lab(full)  # identical components, 30x fewer edges
+
+
+def test_winnow_cap_bounds_posting_expansion(spark):
+    """q154's claim (the q104 discipline applied to the MOSS family): on a
+    corpus where one boilerplate block appears in 20% of documents, every
+    winnowed fingerprint of the block is a hot posting expanding to
+    C(hot, 2) pairs inside ONE row; max_fp_freq drops those postings so
+    no surviving posting expands past C(cap, 2) — while pairs connected
+    by non-boilerplate fingerprints are untouched."""
+    from kafka_connect_logminer2_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    # boilerplate long enough that several pure-boilerplate windows
+    # survive winnowing (k=4 grams, w=5 windows) with >= min_shared
+    # distinct fingerprints shared by every hot pair
+    boiler = (
+        "terms of service apply to all users of this site always "
+        "and by continuing to browse you accept the cookie policy "
+        "as well as the privacy statement published by the operator "
+    )
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 5 == 0, F.lit(boiler)).otherwise(F.lit("")),
+            F.format_string(
+                "alpha%d bravo%d charlie%d delta%d echo%d foxtrot%d golf%d "
+                "hotel%d india%d juliet%d",
+                *(["id"] * 10),
+            ),
+        ).alias("text"),
+    ).localCheckpoint()
+    hot = N_DOCS * HOT_FRACTION
+
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    posting_sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    expansion = lambda p: int(
+        (p.select(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]) or 0
+    )
+    uncapped = expansion(posting_sizes)
+    capped = expansion(posting_sizes.filter(F.col("n") <= CAP))
+    assert uncapped >= hot * (hot - 1) / 2     # the hot block is quadratic
+    assert capped <= uncapped / 50             # the cap collapses it
+    # and the registered operator's output: boilerplate-only pairs gone
+    pairs = winnow_pairs(docs, k=4, w=5, min_shared=2, max_fp_freq=CAP)
+    assert pairs.count() == 0
+    pairs_uncapped = winnow_pairs(docs, k=4, w=5, min_shared=2)
+    assert pairs_uncapped.count() >= hot * (hot - 1) / 2

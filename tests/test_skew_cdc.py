@@ -215,3 +215,47 @@ def test_salted_route_bounds_hot_xid_task_share(spark):
     # salted: hot rows split 16 ways on top of the balanced hash spread —
     # largest task ≤ half the hot share (in practice ≈ 1/32 + hot/16)
     assert salted_share <= 0.05, (window_share, salted_share)
+
+
+def test_config_threads_skew_route_through_cdc_envelope(spark, monkeypatch):
+    """The measured auto-route win must be reachable from CONFIG alone
+    (r5 verdict #4): cdc.skew.salts parses from the connect map, defaults
+    to 'auto', and cdc_envelope hands exactly the configured route to
+    assemble_transactions (spied — the materialization barrier hides the
+    route in the plan); envelope output is value-identical across routes
+    on the hot fixture."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.config import EngineConfig
+    from kafka_connect_logminer2_spark.plans import cdc as cdc_plans
+
+    # connect-map key → typed knob → assembler argument
+    cfg = EngineConfig.from_connect_map(
+        {"cdc.skew.salts": "8", "table.whitelist": "TPCH.*"}
+    )
+    assert cfg.skew_salts_arg() == 8
+    assert EngineConfig().skew_salts_arg() == "auto"  # the default route
+    assert EngineConfig(cdc_skew_salts="off").skew_salts_arg() is None
+    with pytest.raises(ValueError, match="cdc.skew.salts"):
+        EngineConfig(cdc_skew_salts="always").skew_salts_arg()
+
+    seen = []
+    real = cdc_plans.assemble_transactions
+
+    def spy(redo, skew_salts=None, **kw):
+        seen.append(skew_salts)
+        return real(redo, skew_salts=skew_salts, **kw)
+
+    monkeypatch.setattr(cdc_plans, "assemble_transactions", spy)
+
+    hot = _skewed_redo(spark, n_events=20_000, hot_frac=0.10).localCheckpoint()
+    auto_out = cdc_plans.cdc_envelope(hot, EngineConfig(table_whitelist="TPCH.*"))
+    off_out = cdc_plans.cdc_envelope(
+        hot, EngineConfig(table_whitelist="TPCH.*", cdc_skew_salts="off")
+    )
+    assert seen == ["auto", None]
+    key = lambda df: sorted(
+        (r["SCN"], r["ROW_ID"]) for r in df.select("SCN", "ROW_ID").collect()
+    )
+    a, b = key(auto_out), key(off_out)
+    assert a == b and len(a) > 0

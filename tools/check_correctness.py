@@ -50,8 +50,18 @@ def select_names(names: list[str], only: set[str], families: list[str], sample: 
     touching RNG state, stable run-to-run, uncorrelated with registration
     order — then restores registry order for readable output."""
     picked = [n for n in names if not only or n in only]
+
+    def fam_match(n: str, f: str) -> bool:
+        # digit-boundary prefix: "q15" selects q15_* but NOT q150–q159
+        # (3-digit families exist since r5); "cdc" still selects cdc01…
+        if not n.startswith(f):
+            return False
+        return not (
+            f and f[-1].isdigit() and len(n) > len(f) and n[len(f)].isdigit()
+        )
+
     if families:
-        picked = [n for n in picked if any(n.startswith(f) for f in families)]
+        picked = [n for n in picked if any(fam_match(n, f) for f in families)]
     if sample is not None and sample < len(picked):
         keep = set(
             sorted(picked, key=lambda n: hashlib.md5(n.encode()).hexdigest())[:sample]
