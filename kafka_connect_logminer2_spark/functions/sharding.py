@@ -107,6 +107,23 @@ def two_level_pos(
     )
 
 
+def _blk_or_raise(order_col: str, width, fn_name: str) -> F.Column:
+    """Block id of the order value; a NULL order value raises IN the
+    expression (null-check branch per row, no separate validation job) —
+    the silent alternative is worse: a NULL ``_blk`` never matches the
+    inner equi-join with the offsets table, so the row would just vanish
+    from the output (the r6 ADVICE finding on two_level_cummax)."""
+    return F.when(
+        F.col(order_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{fn_name}: NULL {order_col!r} has no position in a running "
+                "order — filter or impute nulls before calling"
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(F.col(order_col) / F.lit(width)))
+
+
 def two_level_cumsum(
     df: DataFrame,
     group_col: str,
@@ -148,8 +165,14 @@ def two_level_cumsum(
     can collide — e.g. q127 orders by a 32-bit hash, which repeats past
     2^32 ids, with doc_id as the tiebreak. ``block_size`` tunes
     offset-table size vs parallelism — at 10^10 docs/source, 4096 gives
-    ~2.4M offset rows/source and ~4096-row sort runs."""
-    blk = F.floor(F.col(order_col) / F.lit(block_size))
+    ~2.4M offset rows/source and ~4096-row sort runs.
+
+    A NULL order value RAISES at runtime (declaratively — no extra job):
+    NULL has no position in a running order, and the inner block join
+    would otherwise silently DROP the row (floor(NULL) never equi-joins),
+    diverging from the naive global window this claims exact equivalence
+    with. Filter or impute nulls before calling."""
+    blk = _blk_or_raise(order_col, block_size, "two_level_cumsum")
     with_blk = df.withColumn("_blk", blk)
     totals = with_blk.groupBy(group_col, "_blk").agg(F.sum(value_col).alias("_bt"))
     woff = Window.partitionBy(group_col).orderBy("_blk").rowsBetween(
@@ -202,9 +225,11 @@ def two_level_cummax(
     max(shuffle_partitions, n / target_block_rows)). ``order_col`` must be
     numeric; (order_col, *tie_cols) must be unique within a group or the
     running max over ties is nondeterministic — except when, as in q153,
-    every tie carries the same value_col by construction."""
+    every tie carries the same value_col by construction. A NULL order
+    value RAISES (see :func:`_blk_or_raise`) instead of silently dropping
+    the row through the inner block join."""
     gcols = [group_col] if group_col else []
-    blk = F.floor(F.col(order_col) / F.lit(block_width))
+    blk = _blk_or_raise(order_col, block_width, "two_level_cummax")
     with_blk = df.withColumn("_blk", blk)
     totals = with_blk.groupBy(*gcols, "_blk").agg(F.max(value_col).alias("_bm"))
     woff = (Window.partitionBy(*gcols) if gcols else Window).orderBy(

@@ -6995,21 +6995,25 @@ def q148_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
     the OPEN (value at the earliest event), HIGH, LOW, CLOSE (latest) and
     event count — the order-dependent rollup family (first/last by time)
     that plain min/max aggregates can't express. Open/close ride
-    min_by/max_by over a single engine-portable sort key: zero-padded
-    exact epoch-MICROseconds concatenated with zero-padded event_id —
-    unique, so the selection is deterministic, and EXACT in both engines
-    (a seconds-domain double→long key diverges cross-engine: Spark's
-    cast truncates while DuckDB's epoch()::BIGINT rounds, so two
-    candidates inside one integer second straddling a .5 fraction would
-    flip the bar). Lexicographic string order == numeric order because
-    both fields are fixed-width; the whole answer is still ONE
+    min_by/max_by over ONE engine-portable NUMERIC sort key:
+    epoch-MICROseconds · 10¹³ + event_id, computed exactly as
+    decimal(38,0) in Spark and HUGEINT in DuckDB — unique (deterministic
+    selection), exact in both engines (a seconds-domain double→long key
+    diverges: Spark's cast truncates while DuckDB's epoch()::BIGINT
+    rounds), and correct over the FULL domain: pre-1970 timestamps and
+    any event_id < 10¹³ order numerically (the previous lpad-string key
+    broke lexicographic==numeric on a leading '-' and silently truncated
+    event_id ≥ 10¹², the r6 ADVICE finding — and materialized two 32-char
+    strings per row). Range check: |epoch_us| ≤ ~3·10¹⁶ for years
+    1000–2900, ×10¹³ ≈ 3·10²⁹ ≪ 10³⁸. The whole answer is still ONE
     partial-agg'd hash aggregate — no window pass, no sort, which is the
     difference between a shuffle of |bars| rows and a full-data sort at
     100 TB."""
     events = load_table(spark, sf, "events")
-    skey = F.concat(
-        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    skey = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(10_000_000_000_000).cast("decimal(38,0)")
+        + F.col("event_id").cast("decimal(38,0)")
     )
     return (
         events.groupBy(
@@ -7029,10 +7033,10 @@ def q148_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
 Q148_SQL = """
 SELECT event_type,
        date_trunc('hour', ts) AS bar_hour,
-       round(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0')), 6) AS open,
+       round(arg_min(value, epoch_us(ts)::HUGEINT * 10000000000000 + event_id), 6) AS open,
        round(max(value), 6) AS high,
        round(min(value), 6) AS low,
-       round(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0')), 6) AS close,
+       round(arg_max(value, epoch_us(ts)::HUGEINT * 10000000000000 + event_id), 6) AS close,
        count(*) AS n_events
 FROM events
 GROUP BY 1, 2

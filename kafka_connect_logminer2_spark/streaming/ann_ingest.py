@@ -72,7 +72,7 @@ from ..functions.similarity import (
     ivf_query_index,
     load_ivf_centroids,
 )
-from .corpus_ingest import _ensure_meta
+from .corpus_ingest import _empty_rows, _ensure_meta, _note_row_schema
 from .snapshot import _last_committed_batch, _mark_committed
 
 _INTENT = "_compact_intent.json"
@@ -135,7 +135,13 @@ def read_ann_index(
     versions = _committed_data_versions(index_dir, below=below)
     idx = _read_versions(spark, index_dir, versions)
     if idx is None:
-        return None
+        if _last_committed_batch(index_dir) is None:
+            return None  # store never written
+        # committed but data-less (delete-only history, or compaction of a
+        # fully-deleted index): the index EXISTS and is empty — typed, not None
+        idx = _empty_rows(spark, index_dir)
+        if idx is None:
+            return None
     tomb = _read_tombstones(spark, index_dir, versions)
     if tomb is None:
         return idx
@@ -212,6 +218,15 @@ def ingest_batch_ann(
         _ensure_meta(
             index_dir,
             {"kind": "ann_mor", "n_centroids": int(len(cmat)), "dim": int(len(cmat[0]))},
+        )
+        # read shape incl. the _cell/v partition columns basePath infers —
+        # lets read_ann_index answer "empty index", not None, after
+        # delete-only histories
+        _note_row_schema(
+            index_dir,
+            f"{id_col} {batch.schema[id_col].dataType.simpleString()}, "
+            f"{vec_col} {batch.schema[vec_col].dataType.simpleString()}, "
+            "_cell int, v int",
         )
         if not has_model:
             _save_centroids(spark, index_dir, cmat)

@@ -58,6 +58,7 @@ engine's §2C training-data side (SURVEY §2C dedup family).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -114,12 +115,77 @@ def _ensure_meta(store_dir: str, expect: dict) -> None:
         )
 
 
+def _row_ddl(df: DataFrame) -> str:
+    """DDL of a delta frame's STORED row shape (``_b`` is a write-side
+    partition column — it never lands inside the parquet files)."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != "_b"
+    )
+
+
+def _note_row_schema(store_dir: str, ddl: str) -> None:
+    """Persist the segment-row schema as a non-guarded ``_meta.json`` key
+    so readers can synthesize an empty TYPED frame for a store that is
+    COMMITTED but holds no segments (delete-only first batch,
+    tombstone-only index, empty-batch-only stream). "Store never written"
+    (None) and "store written, history currently empty" (empty frame) are
+    different answers, and the stream==batch read contract needs the
+    distinction — the batch twin of each store returns an empty frame,
+    not None, for those histories. Not part of the :func:`_ensure_meta`
+    guard: the schema is derived state, not a resume parameter."""
+    meta = _read_meta(store_dir) or {}
+    if meta.get("row_schema") != ddl:
+        _write_meta(store_dir, {**meta, "row_schema": ddl})
+
+
+def _empty_rows(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The empty typed frame a committed-but-segmentless store reads as,
+    or None when no schema was ever recorded (pre-contract store)."""
+    ddl = (_read_meta(store_dir) or {}).get("row_schema")
+    return None if ddl is None else spark.createDataFrame([], ddl)
+
+
+_OLD_RE = re.compile(r"^_old_v=(\d+)$")
+
+
+def _recover_bucket(bucket_dir: str) -> None:
+    """Finish a fold placement that crashed mid-swap. compact_chains moves
+    the live ``v=<n>`` segment aside to ``_old_v=<n>`` before renaming the
+    fold into place (it never rmtree's live data). If the crash hit between
+    the two renames, the bucket has an ``_old_v=<n>`` and no committed
+    ``v=<n>`` — restore the original so no reader ever loses the segment.
+    If the fold DID land, the aside dir is invisible garbage (``_old_v=``
+    does not match ``_V_RE``) that compaction's sweep removes. Idempotent;
+    single-writer stores, so a read-side repair cannot race another."""
+    for d in os.listdir(bucket_dir):
+        m = _OLD_RE.match(d)
+        if not m:
+            continue
+        dst = os.path.join(bucket_dir, f"v={m.group(1)}")
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            shutil.rmtree(dst, ignore_errors=True)  # uncommitted partial fold
+            os.replace(os.path.join(bucket_dir, d), dst)
+
+
 def _committed_versions(bucket_dir: str, below: int | None = None) -> list[int]:
     """All committed (``_SUCCESS``-stamped) delta versions of one bucket,
     ascending; strictly below ``below`` when given (the chain a retried
-    batch re-reads)."""
+    batch re-reads).
+
+    A ``_FOLD``-marked segment (placed by :func:`compact_chains` at the
+    last committed version) REPLACES the bucket's entire older chain, so
+    versions below the newest committed fold are pruned from EVERY read.
+    This closes the compaction crash window structurally: a crash between
+    fold placement and old-version deletion leaves segments that no reader
+    or re-run ever unions with the fold — essential for ADDITIVE folds
+    (the decayed-counter store), where leftover chain segments are not
+    byte-identical no-ops a distinct() could absorb but double-counted
+    contributions, and a re-fold would compound them permanently."""
     if not os.path.isdir(bucket_dir):
         return []
+    _recover_bucket(bucket_dir)
     versions = [
         int(m.group(1))
         for d in os.listdir(bucket_dir)
@@ -128,6 +194,14 @@ def _committed_versions(bucket_dir: str, below: int | None = None) -> list[int]:
     ]
     if below is not None:
         versions = [v for v in versions if v < below]
+    folds = [
+        v
+        for v in versions
+        if os.path.exists(os.path.join(bucket_dir, f"v={v}", "_FOLD"))
+    ]
+    if folds:
+        fmax = max(folds)
+        versions = [v for v in versions if v >= fmax]
     return sorted(versions)
 
 
@@ -201,11 +275,17 @@ def compact_chains(
     stores with merge-on-read overlays pass a fold that applies them
     physically and set ``force_single`` so even 1-segment chains rewrite.
 
-    Crash-safe and idempotent: fold segments are placed before old
-    versions are deleted; a crash in between leaves transient duplicates
-    that every reader tolerates and the rerun removes. Uncommitted
-    versions above the marker are never touched. Returns the fold
-    version, or None for an empty store."""
+    Crash-safe and idempotent, via ``_FOLD`` markers: a fold segment is
+    staged with its markers INSIDE, the live ``v=<last>`` segment is moved
+    aside (never rmtree'd), and one atomic rename makes the fold visible.
+    :func:`_committed_versions` prunes every version below a committed
+    fold, so a crash between placement and old-version deletion leaves
+    segments NO reader or re-fold ever unions with the fold (correct even
+    for additive folds like the decayed counters, where duplicates are not
+    byte-identical no-ops); a crash between the two renames is repaired by
+    :func:`_recover_bucket` on the next read. The sweep below finishes any
+    crashed deletion. Uncommitted versions above the marker are never
+    touched. Returns the fold version, or None for an empty store."""
     last = _last_committed_batch(store_dir)
     if last is None:
         return None
@@ -214,7 +294,23 @@ def compact_chains(
         if not d.startswith("b="):
             continue
         b = int(d.split("=", 1)[1])
-        vs = _committed_versions(os.path.join(store_dir, d), below=last + 1)
+        bdir = os.path.join(store_dir, d)
+        vs = _committed_versions(bdir, below=last + 1)  # runs recovery too
+        # sweep: committed versions hidden by a fold (crashed deletion) and
+        # aside dirs whose fold landed are garbage — remove them here, not
+        # on the read path (reads repair, only compaction deletes)
+        kept = set(vs)
+        for d2 in os.listdir(bdir):
+            if (m := _V_RE.match(d2)) is not None:
+                v = int(m.group(1))
+                if (
+                    v <= last
+                    and v not in kept
+                    and os.path.exists(os.path.join(bdir, d2, "_SUCCESS"))
+                ):
+                    shutil.rmtree(os.path.join(bdir, d2), ignore_errors=True)
+            elif _OLD_RE.match(d2):
+                shutil.rmtree(os.path.join(bdir, d2), ignore_errors=True)
         if len(vs) > 1 or (force_single and len(vs) == 1):
             stale[b] = vs
     if not stale:
@@ -235,20 +331,25 @@ def compact_chains(
         df = fold(df) if fold is not None else df.distinct()
         df.write.partitionBy("_b").parquet(staging)
     for b, vs in stale.items():
+        bdir = os.path.join(store_dir, f"b={b}")
         staged = os.path.join(staging, f"_b={b}")
-        dst = os.path.join(store_dir, f"b={b}", f"v={last}")
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.isdir(staged):
-            os.replace(staged, dst)
-        else:  # chain folded to nothing -> empty (marker-only) segment
-            os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
+        dst = os.path.join(bdir, f"v={last}")
+        if not os.path.isdir(staged):
+            # chain folded to nothing -> empty (marker-only) segment
+            os.makedirs(staged, exist_ok=True)
+        # markers go INSIDE the staged dir so the rename below is the one
+        # atomic commit point — no window where dst exists half-stamped
+        open(os.path.join(staged, "_FOLD"), "w").close()
+        open(os.path.join(staged, "_SUCCESS"), "w").close()
+        old = os.path.join(bdir, f"_old_v={last}")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, old)  # move the live segment aside, never rmtree it
+        os.replace(staged, dst)  # fold becomes visible, committed, atomically
+        shutil.rmtree(old, ignore_errors=True)
         for v in vs:  # delete only after the fold segment is visible
             if v != last:
-                shutil.rmtree(
-                    os.path.join(store_dir, f"b={b}", f"v={v}"), ignore_errors=True
-                )
+                shutil.rmtree(os.path.join(bdir, f"v={v}"), ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     for d in cleanup_dirs:
         shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)

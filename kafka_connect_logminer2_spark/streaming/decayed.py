@@ -38,9 +38,13 @@ ingest stores, the SCD2 history, and the inverted index:
     _meta.json" compaction has a torn state — some buckets rescaled,
     some not, one authoritative epoch — that readers cannot detect.
     With the epoch in-row, mixed-epoch chains are WELL-DEFINED at every
-    instant (each row self-describes its domain), so compaction's
-    implicit re-base to the chain-max epoch inherits compact_chains'
-    existing crash story unchanged.
+    instant (each row self-describes its domain). Compaction crash-safety
+    for this store's ADDITIVE fold comes from compact_chains' ``_FOLD``
+    markers: a committed fold hides the bucket's older versions from
+    every reader and re-run, so leftover segments from a crashed
+    deletion are never double-counted (sum folds have no byte-identical
+    duplicates for a distinct() to absorb — the marker is what makes an
+    additive fold safe).
 
 * parquet ``_SUCCESS`` per segment + batch-level commit markers gate
   visibility; a retried batch overwrites only its own ``v=`` segments
@@ -60,7 +64,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .corpus_ingest import _ensure_meta, _store_paths, _write_delta, compact_chains
+from .corpus_ingest import (
+    _empty_rows,
+    _ensure_meta,
+    _note_row_schema,
+    _store_paths,
+    _write_delta,
+    compact_chains,
+)
 from .snapshot import _last_committed_batch, _mark_committed, _read_meta
 
 _LN2 = 0.6931471805599453
@@ -114,6 +125,11 @@ def decayed_batch_step(
         out_dir,
         {"kind": "decayed", "half_life_s": half_life_s, "key_col": key_col,
          "num_buckets": num_buckets},
+    )
+    _note_row_schema(
+        out_dir,
+        f"{key_col} {batch.schema[key_col].dataType.simpleString()}, "
+        "s_vw double, s_w double, n_events bigint, epoch_s double",
     )
     tsd = F.col(ts_col).cast("timestamp").cast("double")
     tmax = batch.agg(F.max(tsd)).first()[0]
@@ -169,13 +185,19 @@ def write_decayed_counters(
 
 def compact_decayed(spark: SparkSession, out_dir: str) -> int | None:
     """Fold each bucket's delta chain into one segment (compact_chains
-    skeleton — same crash story as every other chain store). The fold
-    normalizes every row to the chain's max epoch (scale factors
-    e^(λ(epoch_s − E_max)) ≤ 1) and groupBy-sums per key — the epoch
-    re-base is implicit and per-row, so a crash mid-fold leaves only
-    the transient duplicates compact_chains already documents (and the
-    read side's groupBy-sum domain stays well-defined because every
-    surviving row still carries its own epoch)."""
+    skeleton). The fold normalizes every row to the chain's max epoch
+    (scale factors e^(λ(epoch_s − E_max)) ≤ 1) and groupBy-sums per key.
+
+    Crash-idempotence of an ADDITIVE fold is the hard case — leftover
+    chain segments are not byte-identical no-ops a distinct() could
+    absorb but double-counted contributions, and a re-fold would compound
+    them. compact_chains' ``_FOLD`` markers close this structurally:
+    every reader and re-run prunes a bucket's versions below its newest
+    committed fold, so a crash between fold placement and old-version
+    deletion can never double-count (test-pinned in
+    tests/test_compaction_crash.py), and the read side's groupBy-sum
+    domain stays well-defined because every surviving row still carries
+    its own epoch."""
     meta = _read_meta(out_dir) or {}
     key_col = meta.get("key_col", "user_id")
     nb = meta.get("num_buckets", 16)
@@ -216,12 +238,18 @@ def read_decayed(
     overflows) — decayed counters are read at-or-after the data."""
     df = _committed_rows(spark, out_dir)
     if df is None:
-        return None
+        # committed but segmentless (empty-batch-only stream): the store
+        # EXISTS with zero keys — an empty typed frame, not None
+        df = _empty_rows(spark, out_dir)
+        if df is None:
+            return None
     meta = _read_meta(out_dir) or {}
     key_col = meta.get("key_col", "user_id")
     lam = _LN2 / meta.get("half_life_s", 7 * 86400)
     if as_of_ts is None:
         emax = df.agg(F.max("epoch_s")).first()[0]
+        if emax is None:  # zero rows: epoch of the empty domain is moot
+            emax = 0.0
         scale = F.exp(F.lit(lam) * (F.col("epoch_s") - F.lit(float(emax))))
         return (
             df.groupBy(key_col)

@@ -48,7 +48,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..operators.schema_registry import SchemaRegistry, apply_table_schema
 from .corpus_ingest import (
     _committed_versions,
+    _empty_rows,
     _ensure_meta,
+    _note_row_schema,
     _store_paths,
     _write_delta,
 )
@@ -126,6 +128,18 @@ def scd2_batch_step(
     )
     value_cols = [f.name for f in typed.schema["data"].dataType.fields]
     non_pk = [c for c in value_cols if c not in pk_cols]
+    vtype = {
+        f.name: f.dataType.simpleString()
+        for f in typed.schema["data"].dataType.fields
+    }
+    _note_row_schema(
+        store_dir,
+        ", ".join(
+            [f"{c} {vtype[c]}" for c in pk_cols]
+            + [f"{c} {vtype[c]}" for c in non_pk]
+            + ["valid_from bigint", "valid_to bigint"]
+        ),
+    )
 
     key_exprs = [
         F.coalesce(F.col(f"data.{c}"), F.col(f"before.{c}")).alias(c) for c in pk_cols
@@ -139,6 +153,9 @@ def scd2_batch_step(
     ).withColumn("_b", _bucket_of(pk_cols, num_buckets)).persist()
     try:
         if ev.isEmpty():
+            # an empty batch still COMMITS: an all-empty stream must read
+            # as an empty history (the batch twin's answer), not None
+            _mark_committed(store_dir, batch_id)
             return
         touched = sorted(r["_b"] for r in ev.select("_b").distinct().collect())
         prior = _read_rows(spark, store_dir, touched, below=batch_id)
@@ -269,13 +286,16 @@ def read_scd2(spark: SparkSession, store_dir: str) -> DataFrame | None:
         meta_pk = meta.get("pk_cols")
     rows = _read_rows(spark, store_dir, None, below=last + 1)
     if rows is None:
-        return None
-    # a compaction crash between fold-segment placement and old-version
-    # deletion leaves byte-identical duplicate version rows until the
-    # rerun removes them — distinct() makes the read tolerate that window
-    # (the crash-safety contract compact_chains documents); version rows
-    # are unique per (pk, valid_from) so this drops only crash leftovers
-    rows = rows.distinct()
+        # committed but segmentless (delete-only first batch / all-empty
+        # stream): the history EXISTS and is empty — return it typed, the
+        # same answer the one-shot scd2_history gives for that change set
+        rows = _empty_rows(spark, store_dir)
+        if rows is None:
+            return None
+    # no read-side distinct() needed: _committed_versions prunes every
+    # version below a committed _FOLD segment, so a compaction crash can
+    # no longer surface duplicate version rows (the old crash window this
+    # read used to pay a full extra shuffle to tolerate)
     pk_cols = meta_pk or [rows.columns[0]]
     out = _apply_closes(rows, _read_closes(spark, store_dir, below=last + 1), pk_cols)
     return out.withColumn("is_current", F.col("valid_to").isNull())

@@ -39,11 +39,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.search import phrase_match_counts_indexed, positional_postings
 from .corpus_ingest import (
     _committed_versions,
+    _empty_rows,
     _ensure_meta,
+    _note_row_schema,
+    _row_ddl,
     _store_paths,
     _write_delta,
 )
 from .snapshot import _last_committed_batch, _mark_committed
+
+# canonical postings row shape (positional_postings output) — the fallback
+# row schema for a store whose FIRST committed batch was tombstone-only
+# (delete_docs on a virgin dir records no segments and no _row_ddl)
+_POSTINGS_DDL = "h bigint, doc_id bigint, pos int"
 
 
 def index_batch(
@@ -60,6 +68,7 @@ def index_batch(
     postings = positional_postings(batch, text_col).withColumn(
         "_b", F.pmod(F.col("h"), F.lit(num_buckets)).cast("int")
     )
+    _note_row_schema(index_dir, _row_ddl(postings))
     _write_delta(postings, index_dir, batch_id)
     _mark_committed(index_dir, batch_id)
 
@@ -146,18 +155,22 @@ def read_postings(
         if any(f.endswith(".parquet") for f in os.listdir(p))
     ]
     if not paths:
-        return None
-    # distinct(): a compaction crash between fold-segment placement and
-    # old-version deletion leaves byte-identical duplicate postings, which
-    # would double-count phrase n_matches; (h, doc_id, pos) is unique by
-    # construction so this drops only crash leftovers (the crash-safety
-    # contract compact_chains documents)
-    postings = (
-        spark.read.option("basePath", index_dir)
-        .parquet(*paths)
-        .select("h", "doc_id", "pos")
-        .distinct()
-    )
+        # committed but segmentless (tombstone-only history): the index
+        # EXISTS and is empty — an empty typed postings frame, not None
+        postings = _empty_rows(spark, index_dir)
+        if postings is None:
+            postings = spark.createDataFrame([], _POSTINGS_DDL)
+        postings = postings.select("h", "doc_id", "pos")
+    else:
+        # no read-side distinct(): _committed_versions prunes versions
+        # below a committed _FOLD segment, so a compaction crash can no
+        # longer surface duplicate postings — the full extra shuffle of
+        # the store's largest relation this read used to pay is gone
+        postings = (
+            spark.read.option("basePath", index_dir)
+            .parquet(*paths)
+            .select("h", "doc_id", "pos")
+        )
     tomb = _committed_tombstones(spark, index_dir, below=last + 1)
     if tomb is not None:
         postings = postings.join(tomb, "doc_id", "left_anti")

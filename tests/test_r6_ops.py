@@ -115,3 +115,23 @@ class TestTwoLevelCummax:
             ).collect()
         }
         assert got == naive
+
+    def test_null_order_raises_not_drops(self, spark):
+        """A NULL order value must RAISE, not vanish through the inner
+        block join (the r6 ADVICE finding): the naive global window keeps
+        the row in its null-first/last position, so silent dropping would
+        break the claimed exact equivalence."""
+        import pytest
+
+        df = spark.createDataFrame(
+            [Row(o=1.0, v=3), Row(o=None, v=9), Row(o=2.0, v=1)],
+            "o double, v int",
+        )
+        with pytest.raises(Exception, match="NULL 'o' has no position"):
+            two_level_cummax(df, "o", "v", block_width=4.0).collect()
+
+        from kafka_connect_logminer2_spark.functions.sharding import two_level_cumsum
+
+        df2 = df.withColumn("g", F.lit(1))
+        with pytest.raises(Exception, match="NULL 'o' has no position"):
+            two_level_cumsum(df2, "g", "o", "v", block_size=4).collect()

@@ -107,7 +107,11 @@ def test_compact_idempotent_and_fully_deleted_bucket(spark, tmp_path):
     delete_docs(spark, f"{tmp}/idx",
                 spark.createDataFrame([Row(doc_id=i) for i, _ in DOCS]), batch_id=1)
     compact_search_index(spark, f"{tmp}/idx")
-    assert read_postings(spark, f"{tmp}/idx") is None  # everything deleted
+    # everything deleted: the index EXISTS and is empty — an empty TYPED
+    # frame, never None (None means "store never written")
+    emptied = read_postings(spark, f"{tmp}/idx")
+    assert emptied is not None and emptied.count() == 0
+    assert set(emptied.columns) == {"h", "doc_id", "pos"}
     # second compact is a no-op, search over the empty store is empty
     compact_search_index(spark, f"{tmp}/idx")
     assert search_phrase(spark, f"{tmp}/idx", ["alpha"], num_buckets=2).count() == 0

@@ -259,3 +259,35 @@ def test_config_threads_skew_route_through_cdc_envelope(spark, monkeypatch):
     )
     a, b = key(auto_out), key(off_out)
     assert a == b and len(a) > 0
+
+
+def test_auto_route_detection_memoized_per_input(spark, monkeypatch):
+    """The auto route pays detect_xid_skew ONCE per distinct input plan
+    (r6 verdict #2/#4): repeated resolve_skew_salts over the same frame —
+    bench reruns, multi-table fan-out over one redo frame — hit the
+    application-scoped route cache; a different input still detects."""
+    from kafka_connect_logminer2_spark.operators import transactions as tx
+
+    calls = []
+    real = tx.detect_xid_skew
+
+    def spy(redo, sample_fraction=0.02, seed=7):
+        calls.append(1)
+        return real(redo, sample_fraction=sample_fraction, seed=seed)
+
+    monkeypatch.setattr(tx, "detect_xid_skew", spy)
+
+    hot = _skewed_redo(spark, n_events=5_000, hot_frac=0.10).localCheckpoint()
+    balanced = _skewed_redo(spark, n_events=5_000, hot_frac=0.0).localCheckpoint()
+
+    r1 = tx.resolve_skew_salts(hot, "auto")
+    r2 = tx.resolve_skew_salts(hot, "auto")
+    assert len(calls) == 1  # second call is a cache hit
+    assert r1 == r2 == 16  # hot input routes salted, stably
+
+    r3 = tx.resolve_skew_salts(balanced, "auto")
+    assert len(calls) == 2  # distinct input -> fresh detection
+    assert r3 is None
+    # a different policy is a different cache key, not a stale hit
+    r4 = tx.resolve_skew_salts(hot, "auto", auto_threshold=0.9)
+    assert len(calls) == 3 and r4 is None
