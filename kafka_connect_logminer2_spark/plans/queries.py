@@ -7373,6 +7373,36 @@ ORDER BY p_retailprice, p_partkey
 """
 
 
+def q155_quality_gates(spark: SparkSession, sf: str) -> DataFrame:
+    """The approximate operators' quality gates AS DATA (functions/
+    quality_gates.py): one row per measured invariant — MinHash banded
+    candidate recall + estimator MAE, recall@5 of every ANN path vs the
+    exact brute force, HLL union-vs-direct relative error, BPE
+    merge-for-merge reference equality — each with its bound and a
+    measured ``pass``. The oracle states the expected outcome (every
+    gate passes), so a regression in ANY gate — previously visible only
+    in pytest — now flips this entry's value hash in the driver's
+    correctness diff (r6 verdict item #2)."""
+    from ..functions.quality_gates import quality_gate_rows
+
+    return quality_gate_rows(spark, sf)
+
+
+Q155_SQL = """
+SELECT * FROM (VALUES
+  ('ann_ivf_auto_recall_at_5', CAST(0.30 AS DOUBLE), TRUE),
+  ('ann_ivf_recall_at_5',      CAST(0.30 AS DOUBLE), TRUE),
+  ('ann_lsh_recall_at_5',      CAST(0.30 AS DOUBLE), TRUE),
+  ('bpe_reference_equality',   CAST(1.00 AS DOUBLE), TRUE),
+  ('hll_union_rel_error',      CAST(0.02 AS DOUBLE), TRUE),
+  ('hll_union_vs_exact_rel_error', CAST(0.05 AS DOUBLE), TRUE),
+  ('minhash_banded_estimate_mae', CAST(0.12 AS DOUBLE), TRUE),
+  ('minhash_banded_pair_recall',  CAST(0.80 AS DOUBLE), TRUE)
+) AS t(gate, bound, pass)
+ORDER BY gate
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7537,6 +7567,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc26_decayed_counters_mv": (cdc26_decayed_counters_mv, CDC26_SQL),
     "q152_triangle_parts": (q152_triangle_parts, Q152_SQL),
     "q153_skyline_parts": (q153_skyline_parts, Q153_SQL),
+    "q155_quality_gates": (q155_quality_gates, Q155_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -492,6 +492,32 @@ def main() -> None:
             F.col("V").isNull()
         ).count()
 
+    def skyline_op(m):
+        # q153's shape in the regime that killed the r5 plan: each copy
+        # jitters prices by a distinct sub-cent offset, so |distinct
+        # prices| grows ~linearly with the data (continuous domain — no
+        # small dimension to broadcast, no single-partition window to
+        # hide in). Cost must track the per-price hash agg + block-local
+        # windows, i.e. stay ~linear.
+        from kafka_connect_logminer2_spark.functions.sharding import (
+            two_level_cummax,
+        )
+
+        p = load_table(spark, sf_dir, "part")
+        out = p
+        for i in range(1, m):
+            out = out.unionByName(
+                p.withColumn("p_partkey", F.col("p_partkey") + i * span)
+                .withColumn("p_retailprice", F.col("p_retailprice") + i * 0.0001)
+            )
+        per_price = out.groupBy("p_retailprice").agg(F.max("p_size").alias("_best"))
+        frontier = two_level_cummax(
+            per_price, "p_retailprice", "_best", out_col="_pb", block_width=16.0
+        )
+        return out.join(
+            frontier.select("p_retailprice", "_pb"), "p_retailprice"
+        ).filter(F.col("_pb").isNull() | (F.col("p_size") >= F.col("_pb")))
+
     ops = {
         "hash_agg": agg_op,
         "packing_cumsum": packing_cumsum_op,
@@ -522,6 +548,7 @@ def main() -> None:
         "containment": containment_op,
         "expectations": expectations_op,
         "scd2_pit": scd2_pit_op,
+        "skyline_frontier": skyline_op,
     }
 
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
