@@ -80,6 +80,7 @@ HEADLINE = [
     "q152_triangle_parts",
     "q153_skyline_parts",
     "q154_winnow_capped",
+    "q156_video_neardup",
     "cdc26_decayed_counters_mv",
 ]
 

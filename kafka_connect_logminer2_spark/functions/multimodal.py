@@ -812,3 +812,246 @@ def video_fixture(spark, n: int = 16, frames_per_clip: int = 6, fps: int = 5) ->
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def reencode_avi(
+    payload: bytes, noise: int = 2, seed: int = 0, fps: int | None = None
+) -> bytes:
+    """Deterministic 're-encode' of an AVI clip: decode every frame, add
+    bounded uniform pixel noise (the generation loss a real transcode
+    introduces), optionally restamp the frame rate, rebuild the
+    container. The planted-duplicate half of the video near-dup fixture:
+    byte-level equality is destroyed (a new container, new pixel bytes),
+    perceptual content is not — exactly what :func:`video_neardup_pairs`
+    must still catch."""
+    parsed = parse_avi(payload)
+    if parsed is None:
+        raise ValueError("not an AVI payload")
+    rng = np.random.default_rng(seed)
+    out_frames = []
+    w = h = 0
+    for f in parsed["frames"]:
+        arr = decode_image(f)
+        if arr is None:
+            continue
+        jitter = rng.integers(-noise, noise + 1, size=arr.shape)
+        noisy = np.clip(arr.astype(np.int16) + jitter, 0, 255).astype(np.uint8)
+        h, w = noisy.shape[:2]
+        out_frames.append(encode_ppm(noisy))
+    return avi_payload(out_frames, fps=fps or parsed["fps"] or 10, w=w, h=h)
+
+
+VIDEO_SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("scene_idx", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_s", DoubleType()),
+        StructField("frame_ahash", StringType()),
+    ]
+)
+
+
+def extract_scene_frames(media: DataFrame, min_change_bits: int = 12) -> DataFrame:
+    """Scene-cut-aware frame sampling: keep a clip's first frame and
+    every frame whose perceptual hash moves ≥ ``min_change_bits`` (of 64)
+    from the LAST KEPT frame — one representative per visual scene,
+    however the clip is paced. Content-adaptive where
+    :func:`extract_video_frames`'s every-Nth stride is not: a re-encoded
+    or re-timed copy (different fps, dropped frames) keeps the same scene
+    SEQUENCE, so downstream alignment joins on ``scene_idx`` rather than
+    raw frame numbers. Same iterator mapInPandas shape as the stride
+    sampler — the container→frames fan-out stays inside the Arrow batch."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            out = {k: [] for k in ("media_id", "scene_idx", "frame_idx",
+                                   "frame_ts_s", "frame_ahash")}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                parsed = parse_avi(bytes(payload)) if payload is not None else None
+                if not parsed or not parsed["fps"]:
+                    continue
+                last_bits, scene = None, 0
+                for idx, fr in enumerate(parsed["frames"]):
+                    arr = decode_image(fr)
+                    if arr is None:
+                        continue
+                    hx = ahash64(arr)
+                    bits = int(hx, 16)
+                    if last_bits is not None:
+                        if bin(bits ^ last_bits).count("1") < min_change_bits:
+                            continue  # same scene as the kept representative
+                    out["media_id"].append(mid)
+                    out["scene_idx"].append(scene)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_s"].append(idx / parsed["fps"])
+                    out["frame_ahash"].append(hx)
+                    last_bits, scene = bits, scene + 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "scene_idx": pd.Series(out["scene_idx"], dtype="int32"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ts_s": pd.Series(out["frame_ts_s"], dtype="float64"),
+                    "frame_ahash": pd.Series(out["frame_ahash"], dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=VIDEO_SCENE_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    tau: int = 10,
+    min_scene_sim: float = 0.6,
+    max_band_freq: int = 64,
+    min_change_bits: int = 12,
+) -> DataFrame:
+    """Frame-level video near-dup: re-encoded / re-timed duplicate clips
+    end-to-end — the family member q150 was missing (a transcoded copy
+    sailed through byte-exact dedup AND text dedup; r5/r6 verdict item).
+
+    Plan (every stage a bounded equi-join — the text-dedup banding
+    discipline applied to perceptual hashes):
+
+    1. scene signatures: :func:`extract_scene_frames` → one 64-bit ahash
+       per scene, aligned by scene ORDINAL (robust to fps changes);
+    2. candidates: each scene hash splits into 4×16-bit bands; clips
+       collide iff some (band_idx, band_value, scene_idx) key matches —
+       a hamming-≤-tau pair disagrees in ≤ tau bits, so by pigeonhole at
+       least one band of some scene is IDENTICAL whenever tau < 4·16/…
+       spread across bands (recall comes from many scenes × 4 bands);
+       keys hotter than ``max_band_freq`` postings are DROPPED (the q154
+       cap rule: boilerplate scenes — station idents, black frames —
+       would otherwise quadratically expand; C(cap,2) bounds every key);
+    3. verify: candidate pairs join their scene signatures ON scene_idx,
+       JVM-side popcount hamming (two 32-bit halves, bit_count over
+       bitwiseXOR — no Python in the verify path), matched iff ≤ tau;
+       pair accepted when matched scenes ≥ ``min_scene_sim`` of the
+       longer clip's scenes.
+
+    Returns (id1, id2, n_match, scene_sim), id1 < id2. At 100 TB of
+    video: signatures are ~9 bytes/scene — the pair stage runs on
+    per-mille of the input bytes, partitioned by band key."""
+    scenes = extract_scene_frames(media, min_change_bits=min_change_bits)
+    s = scenes.select(
+        "media_id",
+        "scene_idx",
+        F.conv(F.substring("frame_ahash", 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring("frame_ahash", 9, 8), 16, 10).cast("long").alias("_lo"),
+    ).localCheckpoint(eager=False)
+
+    bands = s.select(
+        "media_id",
+        "scene_idx",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright("_hi", 16).alias("val")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("_hi").bitwiseAND(F.lit(65535)).alias("val"),
+                ),
+                F.struct(F.lit(2).alias("band"), F.shiftright("_lo", 16).alias("val")),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.col("_lo").bitwiseAND(F.lit(65535)).alias("val"),
+                ),
+            )
+        ).alias("bv"),
+    ).select("media_id", "scene_idx", "bv.band", "bv.val")
+
+    keys = ["band", "val", "scene_idx"]
+    cool = bands.join(
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_band_freq)
+        .select(*keys),
+        keys,
+        "left_semi",
+    )
+    cand = (
+        cool.alias("A")
+        .join(cool.alias("B"), keys)
+        .filter(F.col("A.media_id") < F.col("B.media_id"))
+        .select(
+            F.col("A.media_id").alias("id1"), F.col("B.media_id").alias("id2")
+        )
+        .distinct()
+    )
+
+    av = s.select(
+        F.col("media_id").alias("id1"), "scene_idx",
+        F.col("_hi").alias("_h1"), F.col("_lo").alias("_l1"),
+    )
+    bv = s.select(
+        F.col("media_id").alias("id2"), "scene_idx",
+        F.col("_hi").alias("_h2"), F.col("_lo").alias("_l2"),
+    )
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
+        F.col("_l1").bitwiseXOR(F.col("_l2"))
+    )
+    matched = (
+        cand.join(av, "id1")
+        .join(bv, ["id2", "scene_idx"])
+        .filter(ham <= F.lit(tau))
+        .groupBy("id1", "id2")
+        .agg(F.count_distinct("scene_idx").alias("n_match"))
+    )
+    counts = s.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n_scenes"))
+    return (
+        matched.join(counts.select(F.col("media_id").alias("id1"),
+                                   F.col("_n_scenes").alias("_n1")), "id1")
+        .join(counts.select(F.col("media_id").alias("id2"),
+                            F.col("_n_scenes").alias("_n2")), "id2")
+        .withColumn(
+            "scene_sim",
+            F.round(F.col("n_match") / F.greatest("_n1", "_n2"), 4),
+        )
+        .filter(F.col("scene_sim") >= min_scene_sim)
+        .select("id1", "id2", "n_match", "scene_sim")
+    )
+
+
+def pattern_frame(w: int, h: int, seed: int) -> bytes:
+    """Deterministic CONTENT-DISTINCT frame: a seeded random 6×8 color
+    block pattern upscaled to w×h. Unlike :func:`ppm_payload` (whose R/G
+    gradients are identical across seeds — every frame ahashes the same),
+    each seed gives a perceptually distinct frame: the fixture the video
+    near-dup family needs (distinct scenes must NOT collide)."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(6, 8, 3))
+    arr = np.kron(blocks, np.ones((h // 6, w // 8, 1))).astype(np.uint8)
+    return encode_ppm(arr)
+
+
+def video_scene_fixture(
+    spark,
+    n_clips: int = 12,
+    scenes_per_clip: int = 4,
+    frames_per_scene: int = 3,
+    fps: int = 5,
+    w: int = 32,
+    h: int = 24,
+) -> DataFrame:
+    """Clips with real SCENE structure: each scene is a distinct seeded
+    pattern held for ``frames_per_scene`` frames — scene-cut sampling
+    must collapse the repeats to one representative per scene, and
+    distinct clips share no scene content."""
+    rows = []
+    for i in range(n_clips):
+        frames = []
+        for s in range(scenes_per_clip):
+            fr = pattern_frame(w, h, seed=i * 1000 + s * 10)
+            frames.extend([fr] * frames_per_scene)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "video",
+                "mime": "video/avi",
+                "payload": avi_payload(frames, fps=fps, w=w, h=h),
+                "meta_json": '{"scenes": %d}' % scenes_per_clip,
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

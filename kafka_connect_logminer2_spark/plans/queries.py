@@ -7403,6 +7403,54 @@ ORDER BY gate
 """
 
 
+def q156_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-level video near-dup END-TO-END (the family member the
+    r5/r6 verdicts flagged missing): scene-cut-aware frame sampling →
+    per-scene perceptual ahash → 4×16-bit band candidates with the q154
+    boilerplate cap → scene-aligned JVM popcount-hamming verify
+    (functions/multimodal.py::video_neardup_pairs). The fixture plants
+    the truth: 12 scene-structured clips + re-encodes of clips 0–3
+    (pixel noise + doubled fps — new bytes, same content). The oracle
+    pins EXACTLY the planted pairs, so this is precision AND recall 1.0
+    as a value hash: a transcoded duplicate slipping through (missed
+    row) or a false collision between distinct clips (extra row) both
+    break it."""
+    from ..functions import multimodal as M
+
+    base = M.video_scene_fixture(spark, n_clips=12)
+    dup_rows = []
+    for r in base.collect():
+        if r["media_id"] < 4:
+            dup_rows.append(
+                {
+                    "media_id": 100 + r["media_id"],
+                    "kind": "video",
+                    "mime": "video/avi",
+                    "payload": M.reencode_avi(
+                        bytes(r["payload"]), noise=2, seed=int(r["media_id"]), fps=10
+                    ),
+                    "meta_json": r["meta_json"],
+                }
+            )
+    media = base.unionByName(spark.createDataFrame(dup_rows, schema=M.MEDIA_SCHEMA))
+    return (
+        M.video_neardup_pairs(media)
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    )
+
+
+Q156_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 100::BIGINT),
+  (1::BIGINT, 101::BIGINT),
+  (2::BIGINT, 102::BIGINT),
+  (3::BIGINT, 103::BIGINT)
+) AS t(id1, id2)
+ORDER BY id1, id2
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7568,6 +7616,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q152_triangle_parts": (q152_triangle_parts, Q152_SQL),
     "q153_skyline_parts": (q153_skyline_parts, Q153_SQL),
     "q155_quality_gates": (q155_quality_gates, Q155_SQL),
+    "q156_video_neardup": (q156_video_neardup, Q156_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -1,0 +1,80 @@
+"""Frame-level video near-dup (functions/multimodal.py:
+extract_scene_frames + video_neardup_pairs): a re-encoded duplicate clip
+(new container bytes, pixel noise, different fps) must be found, distinct
+clips must not collide, scene-cut sampling must collapse repeated frames,
+and the boilerplate band cap must bound a shared-intro hot key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.functions import multimodal as M
+
+
+def _with_reencodes(spark, base, ids, noise=2, fps=10):
+    rows = {r["media_id"]: r for r in base.collect()}
+    dup = [
+        {
+            "media_id": 100 + i,
+            "kind": "video",
+            "mime": "video/avi",
+            "payload": M.reencode_avi(bytes(rows[i]["payload"]), noise=noise,
+                                      seed=i, fps=fps),
+            "meta_json": rows[i]["meta_json"],
+        }
+        for i in ids
+    ]
+    return base.unionByName(spark.createDataFrame(dup, schema=M.MEDIA_SCHEMA))
+
+
+def test_scene_cut_sampling_collapses_repeats(spark):
+    clips = M.video_scene_fixture(spark, n_clips=3, scenes_per_clip=4,
+                                  frames_per_scene=3)
+    sc = M.extract_scene_frames(clips)
+    counts = {r["media_id"]: r["n"] for r in
+              sc.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    # 12 frames per clip, 4 visual scenes -> exactly 4 representatives
+    assert counts == {0: 4, 1: 4, 2: 4}
+    # representatives keep the FIRST frame of each scene (indices 0,3,6,9)
+    idx = sorted(r["frame_idx"] for r in sc.filter(F.col("media_id") == 0).collect())
+    assert idx == [0, 3, 6, 9]
+
+
+def test_reencoded_duplicate_found_distinct_clips_not(spark):
+    base = M.video_scene_fixture(spark, n_clips=10)
+    media = _with_reencodes(spark, base, ids=[0, 1, 2], noise=2, fps=10)
+    got = sorted((r["id1"], r["id2"]) for r in
+                 M.video_neardup_pairs(media).collect())
+    assert got == [(0, 100), (1, 101), (2, 102)]  # recall AND precision 1.0
+
+
+def test_heavier_noise_still_matches(spark):
+    base = M.video_scene_fixture(spark, n_clips=4)
+    media = _with_reencodes(spark, base, ids=[0], noise=6, fps=3)
+    got = sorted((r["id1"], r["id2"]) for r in
+                 M.video_neardup_pairs(media).collect())
+    assert (0, 100) in got
+
+
+def test_boilerplate_band_cap_bounds_expansion(spark):
+    """20 clips share an identical intro scene (station-ident shape): the
+    intro's band keys exceed the cap and are dropped, so the shared scene
+    alone creates NO candidate pairs — expansion stays bounded under
+    boilerplate skew (the q154 rule applied to video)."""
+    intro = M.pattern_frame(32, 24, seed=777)
+    rows = []
+    for i in range(20):
+        frames = [intro] * 3 + [M.pattern_frame(32, 24, seed=i * 991 + 5)] * 3
+        rows.append({
+            "media_id": i, "kind": "video", "mime": "video/avi",
+            "payload": M.avi_payload(frames, fps=5, w=32, h=24),
+            "meta_json": "{}",
+        })
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.video_neardup_pairs(media, max_band_freq=8)
+    assert out.count() == 0
+    # without the cap the shared intro proposes all C(20,2) candidates and
+    # the verify stage still rejects them (1 of 2 scenes < 0.6) — the cap
+    # is about bounding the JOIN, not rescuing precision
+    uncapped = M.video_neardup_pairs(media, max_band_freq=10_000)
+    assert uncapped.count() == 0
