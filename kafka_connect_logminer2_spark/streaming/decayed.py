@@ -163,9 +163,14 @@ def write_decayed_counters(
     half_life_s: float = 7 * 86400,
     num_buckets: int = 16,
     trigger_available_now: bool = True,
+    max_chain: int | None = 64,
 ):
     """Event stream → continuously-folded decayed-counter state. Returns
-    the StreamingQuery."""
+    the StreamingQuery. ``max_chain`` schedules in-line maintenance (see
+    streaming/maintenance.py): compact once any bucket's chain exceeds
+    the bound — the read-side groupBy-sum folds O(buckets · max_chain)
+    segments on an unbounded stream, not O(batches); None leaves
+    scheduling to an external sweep."""
     spark = events_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -174,6 +179,11 @@ def write_decayed_counters(
             key_col=key_col, value_col=value_col, ts_col=ts_col,
             half_life_s=half_life_s, num_buckets=num_buckets,
         )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(spark, out_dir, max_chain=max_chain,
+                           max_overlays=max_chain)
 
     writer = events_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

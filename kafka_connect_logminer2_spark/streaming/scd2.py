@@ -235,10 +235,17 @@ def write_scd2(
     config=None,
     num_buckets: int = 16,
     trigger_available_now: bool = True,
+    max_chain: int | None = 64,
 ):
     """Maintain ``store_dir`` as the continuously-folded SCD2 history of
     ``owner.table`` implied by the committed envelope stream. Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``max_chain`` schedules store maintenance in-line (r6 verdict #6): a
+    listdir-cheap check after each batch compacts once any bucket's chain
+    (or the pending close-patch overlay) exceeds the bound, so a
+    long-running stream's read cost stays O(buckets · max_chain) segments
+    instead of O(batches). None disables (external scheduler owns it)."""
     spark = envelope_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -263,6 +270,11 @@ def write_scd2(
         scd2_batch_step(
             spark, typed, batch_id, store_dir, pk_cols, num_buckets=num_buckets
         )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(spark, store_dir, max_chain=max_chain,
+                           max_overlays=max_chain)
 
     writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

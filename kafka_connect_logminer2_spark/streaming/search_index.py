@@ -80,9 +80,14 @@ def write_search_index(
     text_col: str = "text",
     num_buckets: int = 16,
     trigger_available_now: bool = True,
+    max_chain: int | None = 64,
 ):
     """Stream of documents → continuously-maintained positional index.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. ``max_chain`` schedules in-line
+    maintenance (see streaming/maintenance.py): compact once any bucket
+    chain or the tombstone overlay exceeds the bound — read cost stays
+    O(buckets · max_chain) segments on an unbounded stream; None leaves
+    scheduling to an external sweep."""
     spark = doc_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -90,6 +95,11 @@ def write_search_index(
             spark, batch, batch_id, index_dir,
             text_col=text_col, num_buckets=num_buckets,
         )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(spark, index_dir, max_chain=max_chain,
+                           max_overlays=max_chain)
 
     writer = doc_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,98 @@
+"""Store-maintenance lifecycle (streaming/maintenance.py): a long stream's
+chains must stay BOUNDED because compaction triggers itself — the r6
+verdict #6 gap (every store had a compactor, nothing scheduled it). The
+writer loop here is exactly what the streaming writers run per batch:
+batch_step -> maintain_store(max_chain)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+
+from kafka_connect_logminer2_spark.streaming.decayed import (
+    decayed_batch_step,
+    read_decayed,
+)
+from kafka_connect_logminer2_spark.streaming.maintenance import (
+    chain_stats,
+    maintain_store,
+    maintain_stores,
+    needs_maintenance,
+)
+from kafka_connect_logminer2_spark.streaming.search_index import (
+    delete_docs,
+    index_batch,
+    read_postings,
+)
+
+
+def _events(spark, batch_no, n=40):
+    t0 = datetime(2024, 1, 1) + timedelta(hours=batch_no)
+    return spark.createDataFrame(
+        [
+            Row(user_id=(batch_no * 7 + i) % 25, value=1.0 + i % 3,
+                ts=t0 + timedelta(minutes=i))
+            for i in range(n)
+        ],
+        "user_id long, value double, ts timestamp",
+    )
+
+
+def _max_chain(store):
+    return chain_stats(store)["max_chain"]
+
+
+def test_long_stream_chains_stay_bounded_and_values_exact(spark, tmp_path):
+    """20 batches with max_chain=4 vs an unmaintained twin: the maintained
+    store's longest chain stays ≤ 4 (the twin's grows ~20), and the read
+    is value-identical — compaction changed cost, never content."""
+    kept = str(tmp_path / "kept")
+    wild = str(tmp_path / "wild")
+    for b in range(20):
+        batch = _events(spark, b)
+        decayed_batch_step(spark, batch, b, kept, num_buckets=4)
+        maintain_store(spark, kept, max_chain=4, max_overlays=4)
+        decayed_batch_step(spark, batch, b, wild, num_buckets=4)
+    assert _max_chain(wild) >= 15  # the unmaintained twin really grew
+    assert _max_chain(kept) <= 4
+
+    k = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
+         for r in read_decayed(spark, kept, as_of_ts="2024-01-02 00:00:00").collect()}
+    w = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
+         for r in read_decayed(spark, wild, as_of_ts="2024-01-02 00:00:00").collect()}
+    assert k == w and len(k) == 25
+
+
+def test_overlay_trigger_compacts_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta doc {i}") for i in range(30)]
+    )
+    index_batch(spark, docs, 0, idx, num_buckets=4)
+    for b in range(1, 11):  # ten tiny deletes -> overlay pileup
+        delete_docs(spark, idx,
+                    spark.createDataFrame([Row(doc_id=b)]), batch_id=b)
+    assert chain_stats(idx)["overlays"] == 10
+    assert needs_maintenance(idx, max_chain=8, max_overlays=8)
+    assert maintain_store(spark, idx, max_chain=8, max_overlays=8) is not None
+    assert chain_stats(idx)["overlays"] == 0  # consumed physically
+    ids = {r["doc_id"] for r in read_postings(spark, idx).collect()}
+    assert ids == set(range(30)) - set(range(1, 11))
+
+
+def test_noop_below_bounds_and_unknown_kind_untouched(spark, tmp_path):
+    dec = str(tmp_path / "dec")
+    decayed_batch_step(spark, _events(spark, 0), 0, dec, num_buckets=4)
+    assert maintain_store(spark, dec, max_chain=8) is None  # short chain: no-op
+
+    alien = str(tmp_path / "alien")
+    os.makedirs(f"{alien}/b=0/v=0")
+    for v in range(20):
+        os.makedirs(f"{alien}/b=0/v={v}", exist_ok=True)
+        open(f"{alien}/b=0/v={v}/_SUCCESS", "w").close()
+    assert maintain_store(spark, alien, max_chain=2) is None  # no meta: refuse
+
+    res = maintain_stores(spark, [dec, alien], max_chain=2)
+    assert res[alien] is None
