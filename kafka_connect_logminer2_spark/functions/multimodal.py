@@ -902,6 +902,92 @@ def extract_scene_frames(media: DataFrame, min_change_bits: int = 12) -> DataFra
     )
 
 
+def scene_signatures(media: DataFrame, min_change_bits: int = 12) -> DataFrame:
+    """Compact per-scene signature frame ``(media_id, scene_idx, _hi,
+    _lo)``: the 64-bit perceptual ahash of each scene representative as
+    two 32-bit halves (longs), the shape every downstream stage — band
+    keys, popcount hamming — consumes JVM-side. ~9 bytes of signature per
+    scene; 100 TB of video reduce to per-mille-scale signature relations
+    after this one decode pass."""
+    return extract_scene_frames(media, min_change_bits=min_change_bits).select(
+        "media_id",
+        "scene_idx",
+        F.conv(F.substring("frame_ahash", 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring("frame_ahash", 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+
+
+def scene_band_rows(sigs: DataFrame) -> DataFrame:
+    """Each scene signature → 4×16-bit band rows ``(media_id, scene_idx,
+    band, val)`` — the LSH candidate keys (two hamming-close hashes agree
+    exactly on ≥1 band whenever their ≤tau differing bits don't cover all
+    four bands of every scene)."""
+    return sigs.select(
+        "media_id",
+        "scene_idx",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright("_hi", 16).alias("val")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("_hi").bitwiseAND(F.lit(65535)).alias("val"),
+                ),
+                F.struct(F.lit(2).alias("band"), F.shiftright("_lo", 16).alias("val")),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.col("_lo").bitwiseAND(F.lit(65535)).alias("val"),
+                ),
+            )
+        ).alias("bv"),
+    ).select("media_id", "scene_idx", "bv.band", "bv.val")
+
+
+def scene_pair_verify(
+    cand: DataFrame,
+    sa: DataFrame,
+    sb: DataFrame,
+    tau: int = 10,
+    min_scene_sim: float = 0.6,
+) -> DataFrame:
+    """Verify candidate clip pairs ``(id1, id2)`` against their scene
+    signatures: scenes align by ordinal, a scene matches iff the popcount
+    hamming of the two hashes ≤ ``tau`` (bit_count over bitwiseXOR on the
+    32-bit halves — no Python), the pair passes iff matched scenes cover
+    ``min_scene_sim`` of the LONGER clip. ``sa``/``sb`` are
+    scene_signatures frames for the id1 and id2 sides (the same frame for
+    within-set dedup, batch-vs-history for the ingest store)."""
+    av = sa.select(
+        F.col("media_id").alias("id1"), "scene_idx",
+        F.col("_hi").alias("_h1"), F.col("_lo").alias("_l1"),
+    )
+    bv = sb.select(
+        F.col("media_id").alias("id2"), "scene_idx",
+        F.col("_hi").alias("_h2"), F.col("_lo").alias("_l2"),
+    )
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
+        F.col("_l1").bitwiseXOR(F.col("_l2"))
+    )
+    matched = (
+        cand.join(av, "id1")
+        .join(bv, ["id2", "scene_idx"])
+        .filter(ham <= F.lit(tau))
+        .groupBy("id1", "id2")
+        .agg(F.count_distinct("scene_idx").alias("n_match"))
+    )
+    ca = sa.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n1"))
+    cb = sb.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n2"))
+    return (
+        matched.join(ca.select(F.col("media_id").alias("id1"), "_n1"), "id1")
+        .join(cb.select(F.col("media_id").alias("id2"), "_n2"), "id2")
+        .withColumn(
+            "scene_sim",
+            F.round(F.col("n_match") / F.greatest("_n1", "_n2"), 4),
+        )
+        .filter(F.col("scene_sim") >= min_scene_sim)
+        .select("id1", "id2", "n_match", "scene_sim")
+    )
+
+
 def video_neardup_pairs(
     media: DataFrame,
     tau: int = 10,
@@ -935,33 +1021,10 @@ def video_neardup_pairs(
     Returns (id1, id2, n_match, scene_sim), id1 < id2. At 100 TB of
     video: signatures are ~9 bytes/scene — the pair stage runs on
     per-mille of the input bytes, partitioned by band key."""
-    scenes = extract_scene_frames(media, min_change_bits=min_change_bits)
-    s = scenes.select(
-        "media_id",
-        "scene_idx",
-        F.conv(F.substring("frame_ahash", 1, 8), 16, 10).cast("long").alias("_hi"),
-        F.conv(F.substring("frame_ahash", 9, 8), 16, 10).cast("long").alias("_lo"),
-    ).localCheckpoint(eager=False)
-
-    bands = s.select(
-        "media_id",
-        "scene_idx",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.shiftright("_hi", 16).alias("val")),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.col("_hi").bitwiseAND(F.lit(65535)).alias("val"),
-                ),
-                F.struct(F.lit(2).alias("band"), F.shiftright("_lo", 16).alias("val")),
-                F.struct(
-                    F.lit(3).alias("band"),
-                    F.col("_lo").bitwiseAND(F.lit(65535)).alias("val"),
-                ),
-            )
-        ).alias("bv"),
-    ).select("media_id", "scene_idx", "bv.band", "bv.val")
-
+    s = scene_signatures(media, min_change_bits=min_change_bits).localCheckpoint(
+        eager=False
+    )
+    bands = scene_band_rows(s)
     keys = ["band", "val", "scene_idx"]
     cool = bands.join(
         bands.groupBy(*keys)
@@ -980,38 +1043,7 @@ def video_neardup_pairs(
         )
         .distinct()
     )
-
-    av = s.select(
-        F.col("media_id").alias("id1"), "scene_idx",
-        F.col("_hi").alias("_h1"), F.col("_lo").alias("_l1"),
-    )
-    bv = s.select(
-        F.col("media_id").alias("id2"), "scene_idx",
-        F.col("_hi").alias("_h2"), F.col("_lo").alias("_l2"),
-    )
-    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
-        F.col("_l1").bitwiseXOR(F.col("_l2"))
-    )
-    matched = (
-        cand.join(av, "id1")
-        .join(bv, ["id2", "scene_idx"])
-        .filter(ham <= F.lit(tau))
-        .groupBy("id1", "id2")
-        .agg(F.count_distinct("scene_idx").alias("n_match"))
-    )
-    counts = s.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n_scenes"))
-    return (
-        matched.join(counts.select(F.col("media_id").alias("id1"),
-                                   F.col("_n_scenes").alias("_n1")), "id1")
-        .join(counts.select(F.col("media_id").alias("id2"),
-                            F.col("_n_scenes").alias("_n2")), "id2")
-        .withColumn(
-            "scene_sim",
-            F.round(F.col("n_match") / F.greatest("_n1", "_n2"), 4),
-        )
-        .filter(F.col("scene_sim") >= min_scene_sim)
-        .select("id1", "id2", "n_match", "scene_sim")
-    )
+    return scene_pair_verify(cand, s, s, tau=tau, min_scene_sim=min_scene_sim)
 
 
 def pattern_frame(w: int, h: int, seed: int) -> bytes:

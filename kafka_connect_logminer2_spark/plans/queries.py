@@ -7451,6 +7451,64 @@ ORDER BY id1, id2
 """
 
 
+def cdc27_video_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental video-corpus ingestion (streaming/video_ingest.py) —
+    q156's near-dup machinery made HISTORY-WIDE: batch 0 lands clips 0–5
+    plus an in-batch re-encode of clip 0 (id 50, min-id cluster rule
+    rejects it); batch 1 brings new clips 6–7 plus re-encodes of clips
+    1–2 (ids 101/102) — rejected against the PERSISTED key/signature
+    stores, not a rescan of batch 0. The oracle pins exactly the
+    accepted (batch, media_id) set: a duplicate slipping past the
+    history probe (extra row) or a distinct clip falsely rejected
+    (missing row) both break the value hash."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..functions import multimodal as M
+    from ..streaming.video_ingest import ingest_batch_video, read_video_ingested
+
+    allc = M.video_scene_fixture(spark, n_clips=8)
+    rows = {r["media_id"]: r for r in allc.collect()}
+
+    def re_enc(i, new_id, fps=10):
+        return {
+            "media_id": new_id, "kind": "video", "mime": "video/avi",
+            "payload": M.reencode_avi(bytes(rows[i]["payload"]), noise=2,
+                                      seed=i, fps=fps),
+            "meta_json": rows[i]["meta_json"],
+        }
+
+    b0 = allc.filter("media_id < 6").unionByName(
+        spark.createDataFrame([re_enc(0, 50)], schema=M.MEDIA_SCHEMA)
+    )
+    b1 = allc.filter("media_id >= 6").unionByName(
+        spark.createDataFrame([re_enc(1, 101), re_enc(2, 102)], schema=M.MEDIA_SCHEMA)
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc27_")
+    try:
+        out_dir, store = f"{tmp}/out", f"{tmp}/store"
+        ingest_batch_video(spark, b0, 0, out_dir, store)
+        ingest_batch_video(spark, b1, 1, out_dir, store)
+        return (
+            read_video_ingested(spark, out_dir, store)
+            .select(F.col("batch").cast("int").alias("batch"), "media_id")
+            .orderBy("batch", "media_id")
+            .localCheckpoint()  # materialize before the tempdir vanishes
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC27_SQL = """
+SELECT * FROM (VALUES
+  (0::INTEGER, 0::BIGINT), (0::INTEGER, 1::BIGINT), (0::INTEGER, 2::BIGINT),
+  (0::INTEGER, 3::BIGINT), (0::INTEGER, 4::BIGINT), (0::INTEGER, 5::BIGINT),
+  (1::INTEGER, 6::BIGINT), (1::INTEGER, 7::BIGINT)
+) AS t(batch, media_id)
+ORDER BY batch, media_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7617,6 +7675,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q153_skyline_parts": (q153_skyline_parts, Q153_SQL),
     "q155_quality_gates": (q155_quality_gates, Q155_SQL),
     "q156_video_neardup": (q156_video_neardup, Q156_SQL),
+    "cdc27_video_ingest": (cdc27_video_ingest, CDC27_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -96,6 +96,13 @@ def maintain_store(
         from .ann_ingest import compact_ann_index
 
         return compact_ann_index(spark, store_dir)
+    if kind in ("video_keys", "video_sigs"):
+        from .corpus_ingest import compact_chains
+        from .video_ingest import _key_bucket, _sig_bucket
+
+        nb = (_read_meta(store_dir) or {}).get("num_buckets", 16)
+        expr = _key_bucket(nb) if kind == "video_keys" else _sig_bucket(nb)
+        return compact_chains(spark, store_dir, expr)
     return None
 
 

@@ -1,0 +1,305 @@
+"""Incremental VIDEO corpus ingestion with history-wide near-dup
+rejection — the video twin of :func:`~.corpus_ingest.write_neardup_ingest`
+("a new batch of clips arrives nightly; don't ingest a re-encode of a
+clip the corpus already has"), built on q156's frame-level machinery
+(functions/multimodal.py: scene_signatures / scene_band_rows /
+scene_pair_verify) and the shared delta-chain store.
+
+Two sub-stores under one root, because the probe needs two access paths:
+
+* ``<store>/keys`` — band-key postings ``(band, val, scene_idx,
+  media_id)`` bucketed by ``xxhash64(band, val, scene_idx)``: candidate
+  generation reads ONLY the buckets the batch's own band keys hash into
+  (the touched-bucket discipline — history is never scanned in full);
+* ``<store>/sigs`` — scene signatures ``(media_id, scene_idx, _hi, _lo)``
+  bucketed by ``xxhash64(media_id)``: the verify step fetches ONLY the
+  candidate old clips' signatures (≤ ``num_buckets`` bucket dirs, pruned
+  before any job runs). Splitting keys from signatures avoids the
+  quadratic duplication a banded-signature single store would cost here
+  (a clip has many scenes × 4 bands; carrying the full signature on
+  every band row is O(scenes²) bytes per clip).
+
+Per-batch semantics (deterministic, run-order-independent):
+1. decode once → scene signatures; in-batch near-dup clusters
+   (banded candidates + scene-aligned hamming verify → connected
+   components) keep the min-id representative — the corpus_ingest rule;
+2. representatives probe the HISTORY: batch band keys against the
+   touched key buckets (keys hotter than ``max_band_freq`` on either
+   side are dropped — the q154 boilerplate cap), candidates verified
+   against the stored signatures; a rep at/above ``min_scene_sim`` is
+   rejected (the history already carries a covering clip);
+3. survivors land in ``out_dir/batch=<id>``; their band keys and
+   signatures append as that batch's delta segments. Commit markers
+   gate visibility; retried batches overwrite their own segments.
+
+Clips yielding NO scenes (unparseable container, undecodable frames)
+are accepted as-is — they cannot participate in perceptual similarity;
+byte-exact control for them is write_dedup_ingest's job (the same
+division of labor as the text near store's no-signature rule).
+
+Reference: no equivalent in the reference; §2C training-data surface —
+the dedup family's video member made INCREMENTAL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.dedup import dup_clusters
+from ..functions.multimodal import (
+    scene_band_rows,
+    scene_pair_verify,
+    scene_signatures,
+)
+from .corpus_ingest import (
+    _ensure_meta,
+    _note_row_schema,
+    _row_ddl,
+    _store_paths,
+    _write_delta,
+    compact_chains,
+)
+from .snapshot import _last_committed_batch, _mark_committed, _read_meta
+
+_KEY_COLS = ["band", "val", "scene_idx"]
+
+
+def _keys_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "keys")
+
+
+def _sigs_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "sigs")
+
+
+def _key_bucket(num_buckets: int) -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.col("band"), F.col("val"), F.col("scene_idx")),
+        F.lit(num_buckets),
+    ).cast("int")
+
+
+def _sig_bucket(num_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("media_id")), F.lit(num_buckets)).cast("int")
+
+
+def _capped(bands: DataFrame, max_band_freq: int) -> DataFrame:
+    return bands.join(
+        bands.groupBy(*_KEY_COLS)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_band_freq)
+        .select(*_KEY_COLS),
+        _KEY_COLS,
+        "left_semi",
+    )
+
+
+def ingest_batch_video(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    tau: int = 10,
+    min_scene_sim: float = 0.6,
+    max_band_freq: int = 64,
+    min_change_bits: int = 12,
+    num_buckets: int = 16,
+) -> None:
+    """One video-ingest step (foreachBatch body of
+    :func:`write_video_ingest`, public for batch pipelines and the cdc27
+    registry entry). ``batch``: media rows (media_id, kind, mime,
+    payload, meta_json)."""
+    kd, sd = _keys_dir(store_dir), _sigs_dir(store_dir)
+    _ensure_meta(
+        kd,
+        {"kind": "video_keys", "num_buckets": num_buckets, "tau": tau,
+         "min_scene_sim": min_scene_sim, "min_change_bits": min_change_bits},
+    )
+    _ensure_meta(sd, {"kind": "video_sigs", "num_buckets": num_buckets})
+
+    batch = batch.persist()
+    try:
+        # one decode pass; signatures reused by every stage below
+        sigs = scene_signatures(batch, min_change_bits=min_change_bits)
+        sigs = sigs.localCheckpoint(eager=False)
+        bands = _capped(scene_band_rows(sigs), max_band_freq)
+
+        # 1. in-batch: min-id representative per near-dup cluster
+        cand_in = (
+            bands.alias("A")
+            .join(bands.alias("B"), _KEY_COLS)
+            .filter(F.col("A.media_id") < F.col("B.media_id"))
+            .select(F.col("A.media_id").alias("id1"),
+                    F.col("B.media_id").alias("id2"))
+            .distinct()
+        )
+        pairs = scene_pair_verify(
+            cand_in, sigs, sigs, tau=tau, min_scene_sim=min_scene_sim
+        )
+        clusters = dup_clusters(pairs, id1_col="id1", id2_col="id2")
+        dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("media_id")
+        )
+        rep_sigs = sigs.join(dupes, "media_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+
+        # 2. probe history: touched key buckets -> candidates -> verify
+        # against ONLY the candidates' stored signatures
+        rep_bands = _capped(scene_band_rows(rep_sigs), max_band_freq).withColumn(
+            "_b", _key_bucket(num_buckets)
+        )
+        touched = sorted(r["_b"] for r in rep_bands.select("_b").distinct().collect())
+        key_paths = _store_paths(kd, touched, below=batch_id)
+        if key_paths:
+            hist_keys = spark.read.parquet(*key_paths)
+            hist_keys = _capped(hist_keys.select(*_KEY_COLS, "media_id"),
+                                max_band_freq)
+            cand = (
+                rep_bands.join(
+                    hist_keys.withColumnRenamed("media_id", "_old"), _KEY_COLS
+                )
+                .select(F.col("media_id").alias("id1"), F.col("_old").alias("id2"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            sig_buckets = sorted(
+                r["_sb"]
+                for r in cand.select(
+                    F.pmod(F.xxhash64(F.col("id2")), F.lit(num_buckets))
+                    .cast("int")
+                    .alias("_sb")
+                )
+                .distinct()
+                .collect()
+            )
+            sig_paths = _store_paths(sd, sig_buckets, below=batch_id)
+            if sig_paths:
+                hist_sigs = spark.read.parquet(*sig_paths).join(
+                    cand.select(F.col("id2").alias("media_id")).distinct(),
+                    "media_id",
+                    "left_semi",
+                )
+                rejected = (
+                    scene_pair_verify(
+                        cand, rep_sigs, hist_sigs,
+                        tau=tau, min_scene_sim=min_scene_sim,
+                    )
+                    .select(F.col("id1").alias("media_id"))
+                    .distinct()
+                )
+                accepted_sigs = rep_sigs.join(rejected, "media_id", "left_anti")
+            else:
+                accepted_sigs = rep_sigs
+        else:
+            accepted_sigs = rep_sigs
+        accepted_sigs = accepted_sigs.localCheckpoint(eager=False)
+
+        # 3. land survivors (+ scene-less clips) and append the deltas
+        no_scene = batch.select("media_id").join(
+            sigs.select("media_id").distinct(), "media_id", "left_anti"
+        )
+        accepted_ids = accepted_sigs.select("media_id").distinct().unionByName(
+            no_scene
+        )
+        batch.join(accepted_ids, "media_id").write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        key_delta = scene_band_rows(accepted_sigs).withColumn(
+            "_b", _key_bucket(num_buckets)
+        )
+        _note_row_schema(kd, _row_ddl(key_delta))
+        _write_delta(key_delta.select(*_KEY_COLS, "media_id", "_b"), kd, batch_id)
+        sig_delta = accepted_sigs.withColumn("_b", _sig_bucket(num_buckets))
+        _note_row_schema(sd, _row_ddl(sig_delta))
+        _write_delta(sig_delta, sd, batch_id)
+        _mark_committed(kd, batch_id)
+        _mark_committed(sd, batch_id)
+    finally:
+        batch.unpersist()
+
+
+def write_video_ingest(
+    media_stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    tau: int = 10,
+    min_scene_sim: float = 0.6,
+    max_band_freq: int = 64,
+    min_change_bits: int = 12,
+    num_buckets: int = 16,
+    trigger_available_now: bool = True,
+    max_chain: int | None = 64,
+):
+    """Stream of media rows → accepted-clip batches + maintained
+    key/signature stores. Returns the StreamingQuery."""
+    spark = media_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch_video(
+            spark, batch, batch_id, out_dir, store_dir,
+            tau=tau, min_scene_sim=min_scene_sim,
+            max_band_freq=max_band_freq, min_change_bits=min_change_bits,
+            num_buckets=num_buckets,
+        )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            for d in (_keys_dir(store_dir), _sigs_dir(store_dir)):
+                maintain_store(spark, d, max_chain=max_chain,
+                               max_overlays=max_chain)
+
+    writer = media_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_video_ingested(
+    spark: SparkSession, out_dir: str, store_dir: str | None = None
+) -> DataFrame | None:
+    """Accepted clips across batches (``batch`` partition column); with
+    ``store_dir``, visibility is gated on the key store's commit marker
+    (a crash between the output write and the store commit stays
+    invisible until the retry) — the read_ingested contract."""
+    from .corpus_ingest import read_ingested
+
+    return read_ingested(
+        spark, out_dir, None if store_dir is None else _keys_dir(store_dir)
+    )
+
+
+def compact_video_store(spark: SparkSession, store_dir: str) -> dict[str, int | None]:
+    """Fold both sub-stores' chains (distinct folds — rows are unique by
+    construction); the compact_chains skeleton supplies the fold-marker
+    crash story."""
+    meta = _read_meta(_keys_dir(store_dir)) or {}
+    nb = meta.get("num_buckets", 16)
+    out = {
+        "keys": compact_chains(spark, _keys_dir(store_dir), _key_bucket(nb)),
+        "sigs": compact_chains(spark, _sigs_dir(store_dir), _sig_bucket(nb)),
+    }
+    return out
+
+
+def video_store_size(spark: SparkSession, store_dir: str) -> int:
+    """Committed accepted-clip count (distinct media ids in the signature
+    store) — one multi-path read over the committed chain."""
+    sd = _sigs_dir(store_dir)
+    last = _last_committed_batch(sd)
+    if last is None:
+        return 0
+    paths = [
+        p
+        for p in _store_paths(sd, None, below=last + 1)
+        if any(f.endswith(".parquet") for f in os.listdir(p))
+    ]
+    if not paths:
+        return 0
+    return spark.read.parquet(*paths).select("media_id").distinct().count()

@@ -1,0 +1,109 @@
+"""Incremental video ingestion (streaming/video_ingest.py): history-wide
+re-encode rejection, in-batch min-id cluster rule, retry idempotence,
+commit-marker visibility gating, scene-less acceptance, compaction
+identity — the corpus_ingest contract suite applied to the video store."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.functions import multimodal as M
+from kafka_connect_logminer2_spark.streaming.maintenance import maintain_store
+from kafka_connect_logminer2_spark.streaming.video_ingest import (
+    compact_video_store,
+    ingest_batch_video,
+    read_video_ingested,
+    video_store_size,
+)
+
+
+def _clips(spark, n=8):
+    return M.video_scene_fixture(spark, n_clips=n)
+
+
+def _re_enc(rows, i, new_id, fps=10, noise=2):
+    return {
+        "media_id": new_id, "kind": "video", "mime": "video/avi",
+        "payload": M.reencode_avi(bytes(rows[i]["payload"]), noise=noise,
+                                  seed=i, fps=fps),
+        "meta_json": rows[i]["meta_json"],
+    }
+
+
+def _accepted(spark, out, store):
+    df = read_video_ingested(spark, out, store)
+    return sorted((r["batch"], r["media_id"])
+                  for r in df.select("batch", "media_id").collect())
+
+
+def test_history_rejects_reencodes_accepts_new(spark, tmp_path):
+    allc = _clips(spark)
+    rows = {r["media_id"]: r for r in allc.collect()}
+    b0 = allc.filter("media_id < 6").unionByName(
+        spark.createDataFrame([_re_enc(rows, 0, 50)], schema=M.MEDIA_SCHEMA)
+    )
+    b1 = allc.filter("media_id >= 6").unionByName(
+        spark.createDataFrame([_re_enc(rows, 1, 101), _re_enc(rows, 2, 102)],
+                              schema=M.MEDIA_SCHEMA)
+    )
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest_batch_video(spark, b0, 0, out, store)
+    ingest_batch_video(spark, b1, 1, out, store)
+    assert _accepted(spark, out, store) == [
+        (0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 6), (1, 7)
+    ]
+    assert video_store_size(spark, store) == 8
+
+    # retry of batch 1 overwrites its own segments byte-identically
+    ingest_batch_video(spark, b1, 1, out, store)
+    assert _accepted(spark, out, store) == [
+        (0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 6), (1, 7)
+    ]
+    assert video_store_size(spark, store) == 8
+
+    # compaction folds chains without changing acceptance state
+    res = compact_video_store(spark, store)
+    assert res["keys"] == 1 and res["sigs"] == 1
+    assert video_store_size(spark, store) == 8
+    b2 = spark.createDataFrame([_re_enc(rows, 3, 203, fps=3, noise=4)],
+                               schema=M.MEDIA_SCHEMA)
+    ingest_batch_video(spark, b2, 2, out, store)  # still rejected post-compact
+    assert (2, 203) not in _accepted(spark, out, store)
+
+
+def test_sceneless_clip_accepted_and_gating(spark, tmp_path):
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    junk = spark.createDataFrame(
+        [{"media_id": 9, "kind": "video", "mime": "video/avi",
+          "payload": b"not an avi at all", "meta_json": "{}"}],
+        schema=M.MEDIA_SCHEMA,
+    )
+    ingest_batch_video(spark, junk, 0, out, store)
+    assert _accepted(spark, out, store) == [(0, 9)]  # no scenes: accepted as-is
+
+    # a torn batch (output written, store not committed) stays invisible
+    clips = _clips(spark, n=2)
+    clips.withColumn("batch", F.lit(1)).drop("batch")  # no-op, clarity only
+    clips.write.mode("overwrite").parquet(f"{out}/batch=1")
+    assert _accepted(spark, out, store) == [(0, 9)]
+
+
+def test_maintenance_dispatch_bounds_video_chains(spark, tmp_path):
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    allc = _clips(spark, n=8).collect()
+    for b in range(8):
+        one = spark.createDataFrame([allc[b]], schema=M.MEDIA_SCHEMA)
+        ingest_batch_video(spark, one, b, out, store)
+        for sub in ("keys", "sigs"):
+            maintain_store(spark, os.path.join(store, sub), max_chain=3,
+                           max_overlays=3)
+    for sub in ("keys", "sigs"):
+        sdir = os.path.join(store, sub)
+        for d in os.listdir(sdir):
+            if d.startswith("b="):
+                vs = [v for v in os.listdir(os.path.join(sdir, d))
+                      if v.startswith("v=")]
+                assert len(vs) <= 4, (sub, d, vs)
+    assert video_store_size(spark, store) == 8
