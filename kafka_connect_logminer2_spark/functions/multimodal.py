@@ -1087,3 +1087,89 @@ def video_scene_fixture(
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame, tau: int = 10, max_band_freq: int = 1024
+) -> DataFrame:
+    """Perceptual IMAGE near-dup: re-encoded / noise-degraded duplicate
+    images (format changes included — the decode is format-blind) as
+    ``(id1, id2, hamming)`` pairs, id1 < id2. The single-scene member of
+    the video family: one 64-bit average-hash per image from
+    :func:`extract_image_features`, the same 4×16-bit band candidate join
+    (keys hotter than ``max_band_freq`` dropped — flat-color boilerplate
+    images would otherwise expand quadratically), then one JVM popcount
+    verify. Undecodable payloads carry the deterministic sha256-prefix
+    stub hash, so byte-identical undecodable blobs still pair at
+    hamming 0 while merely similar ones never do (exact-dup semantics —
+    the honest fallback when pixels can't be read)."""
+    sigs = (
+        extract_image_features(media)
+        .select(
+            "media_id",
+            F.lit(0).alias("scene_idx"),
+            F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("_hi"),
+            F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("_lo"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = scene_band_rows(sigs)
+    keys = ["band", "val", "scene_idx"]
+    cool = bands.join(
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_band_freq)
+        .select(*keys),
+        keys,
+        "left_semi",
+    )
+    cand = (
+        cool.alias("A")
+        .join(cool.alias("B"), keys)
+        .filter(F.col("A.media_id") < F.col("B.media_id"))
+        .select(F.col("A.media_id").alias("id1"), F.col("B.media_id").alias("id2"))
+        .distinct()
+    )
+    a = sigs.select(F.col("media_id").alias("id1"),
+                    F.col("_hi").alias("_h1"), F.col("_lo").alias("_l1"))
+    b = sigs.select(F.col("media_id").alias("id2"),
+                    F.col("_hi").alias("_h2"), F.col("_lo").alias("_l2"))
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
+        F.col("_l1").bitwiseXOR(F.col("_l2"))
+    )
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(tau))
+        .select("id1", "id2", "hamming")
+    )
+
+
+def image_neardup_fixture(spark, n: int = 20, planted: int = 4) -> DataFrame:
+    """Content-distinct pattern images 0..n-1 plus ``planted`` duplicates:
+    image i re-encoded to BMP (format change) with ±2 pixel noise as id
+    100+i — byte-unequal, perceptually the same."""
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "media_id": i, "kind": "image", "mime": "image/ppm",
+                "payload": pattern_frame(32, 24, seed=i * 7919 + 13),
+                "meta_json": "{}",
+            }
+        )
+    rng = np.random.default_rng(1234)
+    for i in range(planted):
+        arr = decode_image(rows[i]["payload"])
+        noisy = np.clip(
+            arr.astype(np.int16) + rng.integers(-2, 3, size=arr.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": 100 + i, "kind": "image", "mime": "image/bmp",
+                "payload": bmp_payload(noisy),
+                "meta_json": "{}",
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

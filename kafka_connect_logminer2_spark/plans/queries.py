@@ -7509,6 +7509,34 @@ ORDER BY batch, media_id
 """
 
 
+def q157_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual IMAGE near-dup (functions/multimodal.py::
+    image_neardup_pairs) — the single-scene member of the video family:
+    per-image average-hash → 4×16-bit band candidates (boilerplate cap)
+    → JVM popcount verify. The fixture plants format-changed duplicates
+    (PPM → BMP re-encode with ±2 pixel noise — new bytes, same pixels);
+    the oracle pins exactly the planted pairs, so a duplicate slipping
+    through or a false collision both break the value hash."""
+    from ..functions import multimodal as M
+
+    return (
+        M.image_neardup_pairs(M.image_neardup_fixture(spark))
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    )
+
+
+Q157_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 100::BIGINT),
+  (1::BIGINT, 101::BIGINT),
+  (2::BIGINT, 102::BIGINT),
+  (3::BIGINT, 103::BIGINT)
+) AS t(id1, id2)
+ORDER BY id1, id2
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7676,6 +7704,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q155_quality_gates": (q155_quality_gates, Q155_SQL),
     "q156_video_neardup": (q156_video_neardup, Q156_SQL),
     "cdc27_video_ingest": (cdc27_video_ingest, CDC27_SQL),
+    "q157_image_neardup": (q157_image_neardup, Q157_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -124,6 +124,13 @@ _SCENARIO_STREAMS = {
     "cdc17_dedup_ingest",
     "cdc18_neardup_ingest",
     "q115_incremental_agg",
+    # r7: q155 measures gates driver-side and returns a built LOCAL frame
+    # (plan = LocalTableScan; the measured operators' plans are audited via
+    # their own entries); cdc27 runs the full video-ingest pipeline and
+    # returns a localCheckpoint'd result (bare RDD scan) — Python usage is
+    # audited through tests/test_video_ingest.py + the multimodal suites.
+    "q155_quality_gates",
+    "cdc27_video_ingest",
 }
 
 

@@ -78,3 +78,29 @@ def test_boilerplate_band_cap_bounds_expansion(spark):
     # is about bounding the JOIN, not rescuing precision
     uncapped = M.video_neardup_pairs(media, max_band_freq=10_000)
     assert uncapped.count() == 0
+
+
+def test_image_neardup_planted_and_noise_tolerance(spark):
+    """Image family member: PPM->BMP re-encode with pixel noise pairs with
+    its source at small hamming; distinct pattern images never pair; a
+    heavier-noise copy still lands under tau."""
+    import numpy as np
+
+    media = M.image_neardup_fixture(spark, n=20, planted=4)
+    got = sorted((r["id1"], r["id2"]) for r in M.image_neardup_pairs(media).collect())
+    assert got == [(0, 100), (1, 101), (2, 102), (3, 103)]
+
+    # heavier noise: +-8 per pixel still hamming <= tau for block patterns
+    rows = media.filter("media_id = 5").collect()
+    arr = M.decode_image(bytes(rows[0]["payload"]))
+    rng = np.random.default_rng(99)
+    noisy = np.clip(arr.astype(np.int16) + rng.integers(-8, 9, size=arr.shape),
+                    0, 255).astype(np.uint8)
+    extra = spark.createDataFrame(
+        [{"media_id": 500, "kind": "image", "mime": "image/bmp",
+          "payload": M.bmp_payload(noisy), "meta_json": "{}"}],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got2 = sorted((r["id1"], r["id2"]) for r in
+                  M.image_neardup_pairs(media.unionByName(extra)).collect())
+    assert (5, 500) in got2
