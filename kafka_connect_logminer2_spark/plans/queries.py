@@ -7537,6 +7537,34 @@ ORDER BY id1, id2
 """
 
 
+def q158_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup (functions/multimodal.py::audio_neardup_pairs) —
+    the audio member of the multimodal dedup family: per-time-chunk
+    64-bit band-activity fingerprints (scale-invariant ratio bits) ride
+    the SAME banded candidate join + popcount verify as video scenes.
+    The fixture plants re-masters (0.7× amplitude + seeded noise — new
+    bytes, same spectral structure); the oracle pins exactly the planted
+    pairs: a remaster slipping through or two tonally different clips
+    colliding both break the value hash."""
+    from ..functions import multimodal as M
+
+    return (
+        M.audio_neardup_pairs(M.audio_neardup_fixture(spark))
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
+    )
+
+
+Q158_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 100::BIGINT),
+  (1::BIGINT, 101::BIGINT),
+  (2::BIGINT, 102::BIGINT)
+) AS t(id1, id2)
+ORDER BY id1, id2
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7705,6 +7733,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q156_video_neardup": (q156_video_neardup, Q156_SQL),
     "cdc27_video_ingest": (cdc27_video_ingest, CDC27_SQL),
     "q157_image_neardup": (q157_image_neardup, Q157_SQL),
+    "q158_audio_neardup": (q158_audio_neardup, Q158_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

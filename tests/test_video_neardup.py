@@ -104,3 +104,30 @@ def test_image_neardup_planted_and_noise_tolerance(spark):
     got2 = sorted((r["id1"], r["id2"]) for r in
                   M.image_neardup_pairs(media.unionByName(extra)).collect())
     assert (5, 500) in got2
+
+
+def test_audio_neardup_planted_and_remaster_tolerance(spark):
+    """Audio family member: 0.7x + sigma=0.01 remasters pair exactly;
+    a heavier 0.5x + sigma=0.02 remaster still matches; tonally distinct
+    clips never pair (nearest distinct pair sits at chunk hamming 4,
+    above tau=3 - the measured separation the default encodes)."""
+    import numpy as np
+
+    media = M.audio_neardup_fixture(spark, n=10, planted=3)
+    got = sorted((r["id1"], r["id2"]) for r in M.audio_neardup_pairs(media).collect())
+    assert got == [(0, 100), (1, 101), (2, 102)]
+
+    rows = media.filter("media_id = 4").collect()
+    wav = M.decode_audio(bytes(rows[0]["payload"]))
+    assert wav is not None
+    rate, samples = wav
+    rng = np.random.default_rng(55)
+    heavy = 0.5 * samples + rng.normal(0.0, 0.02, size=samples.shape)
+    extra = spark.createDataFrame(
+        [{"media_id": 400, "kind": "audio", "mime": "audio/wav",
+          "payload": M.wav_from_samples(heavy, rate), "meta_json": "{}"}],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got2 = sorted((r["id1"], r["id2"]) for r in
+                  M.audio_neardup_pairs(media.unionByName(extra)).collect())
+    assert (4, 400) in got2
