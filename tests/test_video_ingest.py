@@ -107,3 +107,56 @@ def test_maintenance_dispatch_bounds_video_chains(spark, tmp_path):
                       if v.startswith("v=")]
                 assert len(vs) <= 4, (sub, d, vs)
     assert video_store_size(spark, store) == 8
+
+
+def test_streaming_writer_matches_batch_steps(spark, tmp_path):
+    """write_video_ingest over a file stream (one staged file per
+    micro-batch) must land exactly the batch-step acceptance set, with
+    maintenance self-scheduled (max_chain) along the way."""
+    import glob
+    import shutil
+    import time
+
+    from kafka_connect_logminer2_spark.streaming.video_ingest import (
+        write_video_ingest,
+    )
+
+    tmp = str(tmp_path)
+    allc = _clips(spark, n=8)
+    rows = {r["media_id"]: r for r in allc.collect()}
+    b0 = allc.filter("media_id < 6").unionByName(
+        spark.createDataFrame([_re_enc(rows, 0, 50)], schema=M.MEDIA_SCHEMA)
+    )
+    b1 = allc.filter("media_id >= 6").unionByName(
+        spark.createDataFrame([_re_enc(rows, 1, 101), _re_enc(rows, 2, 102)],
+                              schema=M.MEDIA_SCHEMA)
+    )
+    os.makedirs(f"{tmp}/in")
+    now = time.time()
+    for i, df in enumerate([b0, b1]):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+        os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+
+    q = write_video_ingest(
+        spark.readStream.schema(M.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in"),
+        f"{tmp}/out",
+        f"{tmp}/store",
+        f"{tmp}/ckpt",
+        max_chain=1,  # force the self-scheduled compaction path
+    )
+    q.awaitTermination(300)
+    got = _accepted(spark, f"{tmp}/out", f"{tmp}/store")
+    assert [m for _, m in got] == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert video_store_size(spark, f"{tmp}/store") == 8
+    # max_chain=1 means every bucket folded after each batch
+    for sub in ("keys", "sigs"):
+        sdir = os.path.join(f"{tmp}/store", sub)
+        for d in os.listdir(sdir):
+            if d.startswith("b="):
+                vs = [v for v in os.listdir(os.path.join(sdir, d))
+                      if v.startswith("v=")]
+                assert len(vs) <= 2, (sub, d, vs)
