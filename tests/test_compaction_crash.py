@@ -184,3 +184,68 @@ def test_fold_swap_crash_restores_live_segment(spark, tmp_path):
         assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
     for dst, src in moved:
         assert os.path.isdir(src) and not os.path.isdir(dst)
+
+
+def test_decayed_compact_crash_at_every_fs_step(spark, tmp_path):
+    """Exhaustive fault injection: crash compaction at the k-th filesystem
+    mutation (rmtree or rename), for EVERY k until a run completes. After
+    each crash the store must read exactly right (fold-marker pruning +
+    read-side recovery), and a clean rerun must converge to the same
+    values — the full crash story of the placement protocol, not just the
+    two hand-picked windows above."""
+    import os as _os
+
+    store = str(tmp_path / "dec")
+    _build_decayed(spark, store)
+    expected = _decayed_state(read_decayed(spark, store))
+
+    real_rmtree, real_replace = shutil.rmtree, _os.replace
+
+    class Budget:
+        def __init__(self, n):
+            self.left = n
+
+        def spend(self):
+            self.left -= 1
+            if self.left == 0:
+                raise RuntimeError("injected crash")
+
+    def check(tag):
+        got = _decayed_state(read_decayed(spark, store))
+        assert got.keys() == expected.keys(), tag
+        for k in expected:
+            assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12), (tag, k)
+            assert got[k][2] == expected[k][2], (tag, k)
+
+    k = 0
+    while True:
+        k += 1
+        assert k < 200, "fault injection never completed a clean run"
+        # rebuild a fresh multi-version store for each crash point
+        shutil.rmtree(store, ignore_errors=True)
+        _build_decayed(spark, store)
+        b = Budget(k)
+
+        def rmtree(*a, **kw):
+            b.spend()
+            return real_rmtree(*a, **kw)
+
+        def replace(*a, **kw):
+            b.spend()
+            return real_replace(*a, **kw)
+
+        corpus_ingest.shutil.rmtree = rmtree
+        corpus_ingest.os.replace = replace
+        try:
+            compact_decayed(spark, store)
+            completed = b.left > 0  # ran out of steps to crash at
+        except RuntimeError:
+            completed = False
+        finally:
+            corpus_ingest.shutil.rmtree = real_rmtree
+            corpus_ingest.os.replace = real_replace
+        check(f"after crash at fs-op {k}")
+        compact_decayed(spark, store)  # clean rerun finishes the job
+        check(f"after rerun (crash was at {k})")
+        if completed:
+            break
