@@ -170,6 +170,68 @@ def quality_gate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = _ref_train_bpe(texts, num_merges=10)
     rows.append(("bpe_reference_equality", 1.0, bool(got == want)))
 
+    # SimHash (q21): PLANTED exact-duplicate pairs (the corpus has no
+    # natural byte-identical texts at sf0.01) must all surface at
+    # hamming 0 — identical token multisets hash identically by
+    # construction, so recall below 1.0 means the signature or the
+    # banded join broke. Recall only: extra near-identical pairs are
+    # legitimate finds, not failures.
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 25)
+    corpus2 = docs.select("doc_id", "text").unionByName(
+        base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    n_dup = base.count()
+    sh = D.simhash_neardup_pairs(corpus2, max_hamming=3).filter(
+        F.col("hamming") == 0
+    )
+    planted = base.select(
+        F.col("doc_id").alias("doc_id1"),
+        (F.col("doc_id") + 1_000_000).alias("doc_id2"),
+    )
+    sh_hits = planted.join(sh, ["doc_id1", "doc_id2"], "left_semi").count()
+    rows.append(
+        ("simhash_exact_dup_recall", 1.0, bool(n_dup > 0 and sh_hits == n_dup))
+    )
+
+    # approx_count_distinct (q26's operator): HLL++ estimate within 5% of
+    # the exact distinct count on the events user population
+    ev = load_table(spark, sf_dir, "events")
+    est, exact_n = (
+        ev.agg(
+            F.approx_count_distinct("user_id").alias("a"),
+            F.count_distinct("user_id").alias("e"),
+        )
+        .first()
+    )
+    acd_err = abs(est - exact_n) / exact_n if exact_n else 1.0
+    rows.append(("approx_distinct_rel_err", 0.05, bool(acd_err < 0.05)))
+
+    # weighted PageRank (q138): on a uniform directed cycle the stationary
+    # distribution is EXACTLY uniform at any damping — a closed-form truth
+    # no power-iteration bug survives
+    from .graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5, 1.0) for i in range(5)], "src long, dst long, weight double"
+    )
+    pr = pagerank(cyc, n_iter=6)
+    pr_err = pr.agg(F.max(F.abs(F.col("rank") - F.lit(0.2)))).first()[0]
+    rows.append(("pagerank_cycle_uniform_err", 1e-9, bool(pr_err < 1e-9)))
+
+    # PCA whitening (q120/q123 preprocessing): the whitened projection's
+    # covariance must be the identity (off-diagonals ~0, variances ~1)
+    from . import pca as P
+
+    emb2 = load_table(spark, sf_dir, "embeddings")
+    model = P.fit_pca(emb2, k=4)
+    proj = P.pca_project(emb2, model, whiten=True).select("proj")
+    import numpy as np
+
+    mat = np.stack([r["proj"] for r in proj.collect()])
+    cov = np.cov(mat, rowvar=False, bias=True)
+    pca_err = float(np.abs(cov - np.eye(4)).max())
+    rows.append(("pca_whiten_cov_identity_err", 1e-4, bool(pca_err < 1e-4)))
+
     return spark.createDataFrame(
         rows, "gate string, bound double, pass boolean"
     ).orderBy("gate")

@@ -7393,11 +7393,15 @@ SELECT * FROM (VALUES
   ('ann_ivf_auto_recall_at_5', CAST(0.30 AS DOUBLE), TRUE),
   ('ann_ivf_recall_at_5',      CAST(0.30 AS DOUBLE), TRUE),
   ('ann_lsh_recall_at_5',      CAST(0.30 AS DOUBLE), TRUE),
+  ('approx_distinct_rel_err',  CAST(0.05 AS DOUBLE), TRUE),
   ('bpe_reference_equality',   CAST(1.00 AS DOUBLE), TRUE),
   ('hll_union_rel_error',      CAST(0.02 AS DOUBLE), TRUE),
   ('hll_union_vs_exact_rel_error', CAST(0.05 AS DOUBLE), TRUE),
   ('minhash_banded_estimate_mae', CAST(0.12 AS DOUBLE), TRUE),
-  ('minhash_banded_pair_recall',  CAST(0.80 AS DOUBLE), TRUE)
+  ('minhash_banded_pair_recall',  CAST(0.80 AS DOUBLE), TRUE),
+  ('pagerank_cycle_uniform_err',  CAST(1e-9 AS DOUBLE), TRUE),
+  ('pca_whiten_cov_identity_err', CAST(1e-4 AS DOUBLE), TRUE),
+  ('simhash_exact_dup_recall',    CAST(1.00 AS DOUBLE), TRUE)
 ) AS t(gate, bound, pass)
 ORDER BY gate
 """

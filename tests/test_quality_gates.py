@@ -18,11 +18,15 @@ EXPECTED_GATES = {
     "ann_ivf_auto_recall_at_5": 0.30,
     "ann_ivf_recall_at_5": 0.30,
     "ann_lsh_recall_at_5": 0.30,
+    "approx_distinct_rel_err": 0.05,
     "bpe_reference_equality": 1.00,
     "hll_union_rel_error": 0.02,
     "hll_union_vs_exact_rel_error": 0.05,
     "minhash_banded_estimate_mae": 0.12,
     "minhash_banded_pair_recall": 0.80,
+    "pagerank_cycle_uniform_err": 1e-9,
+    "pca_whiten_cov_identity_err": 1e-4,
+    "simhash_exact_dup_recall": 1.00,
 }
 
 
