@@ -1102,7 +1102,17 @@ def image_neardup_pairs(
     verify. Undecodable payloads carry the deterministic sha256-prefix
     stub hash, so byte-identical undecodable blobs still pair at
     hamming 0 while merely similar ones never do (exact-dup semantics —
-    the honest fallback when pixels can't be read)."""
+    the honest fallback when pixels can't be read).
+
+    RECALL CONTRACT (pigeonhole over 4 bands): a pair within hamming 3
+    is found DETERMINISTICALLY (≤3 flipped bits cannot touch all four
+    16-bit bands); pairs at hamming 4..tau are found unless the flips
+    spread across every band — rare for real re-encodes, whose flips
+    cluster in the blocks that changed, but not guaranteed. ahash flips
+    ≤2 bits on ±8-noise re-encodes of structured images (test-pinned),
+    so the deterministic regime is the operating one; callers needing a
+    guarantee at larger radii should hash at higher resolution, not
+    widen tau."""
     sigs = (
         extract_image_features(media)
         .select(
@@ -1281,7 +1291,11 @@ def audio_neardup_pairs(
     ``tau`` defaults tighter than the visual paths: band-activity bits
     are sparse and stable (a 0.5×-amplitude σ=0.02 remaster flips ≤2 of
     64, measured), while tonally DIFFERENT clips sharing one tone can
-    sit at hamming 4 — tau=3 separates the two regimes."""
+    sit at hamming 4 — tau=3 separates the two regimes. At tau ≤ 3 the
+    4×16 banding's recall is DETERMINISTIC per chunk (pigeonhole: ≤3
+    flips cannot touch all four bands), so a matching chunk always
+    surfaces as a candidate — no probabilistic miss mode at the
+    default."""
     sigs = extract_audio_chunk_sigs(media, n_chunks=n_chunks).localCheckpoint(
         eager=False
     )
