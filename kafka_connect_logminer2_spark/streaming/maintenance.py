@@ -119,3 +119,37 @@ def maintain_stores(
         d: maintain_store(spark, d, max_chain=max_chain, max_overlays=max_overlays)
         for d in store_dirs
     }
+
+
+def discover_stores(root: str, max_depth: int = 3) -> list[str]:
+    """Every maintainable store under ``root``: a dir carrying
+    ``_meta.json`` with a known ``kind`` (the layouts this module wrote —
+    anything else is refused by :func:`maintain_store` anyway). Bounded
+    shallow walk, so a pipeline's state root can be swept without
+    enumerating its stores by hand:
+    ``maintain_stores(spark, discover_stores(root))``."""
+    kinds = {
+        "exact", "neardup", "postings", "scd2", "decayed", "ann_mor",
+        "video_keys", "video_sigs",
+    }
+    found: list[str] = []
+
+    def walk(d: str, depth: int) -> None:
+        meta = _read_meta(d)
+        if meta is not None and meta.get("kind") in kinds:
+            found.append(d)
+            return  # stores don't nest
+        if depth >= max_depth:
+            return
+        try:
+            entries = sorted(os.listdir(d))
+        except OSError:
+            return
+        for e in entries:
+            p = os.path.join(d, e)
+            if os.path.isdir(p) and not e.startswith(("b=", "v=", "_")):
+                walk(p, depth + 1)
+
+    if os.path.isdir(root):
+        walk(root, 0)
+    return found

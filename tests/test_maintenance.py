@@ -96,3 +96,33 @@ def test_noop_below_bounds_and_unknown_kind_untouched(spark, tmp_path):
 
     res = maintain_stores(spark, [dec, alien], max_chain=2)
     assert res[alien] is None
+
+
+def test_discover_stores_and_sweep_root(spark, tmp_path):
+    """discover_stores finds every maintainable store under a state root
+    (incl. the video store's two sub-stores) and skips non-store dirs; a
+    root sweep then compacts only what needs it."""
+    from kafka_connect_logminer2_spark.streaming.maintenance import (
+        discover_stores,
+    )
+    from kafka_connect_logminer2_spark.functions import multimodal as M
+    from kafka_connect_logminer2_spark.streaming.video_ingest import (
+        ingest_batch_video,
+    )
+
+    root = str(tmp_path / "state")
+    dec = os.path.join(root, "decayed_counters")
+    for b in range(6):
+        decayed_batch_step(spark, _events(spark, b), b, dec, num_buckets=4)
+    vstore = os.path.join(root, "video")
+    clips = M.video_scene_fixture(spark, n_clips=2)
+    ingest_batch_video(spark, clips, 0, os.path.join(root, "video_out"), vstore)
+    os.makedirs(os.path.join(root, "not_a_store", "stuff"))
+
+    found = sorted(discover_stores(root))
+    assert found == sorted(
+        [dec, os.path.join(vstore, "keys"), os.path.join(vstore, "sigs")]
+    )
+    res = maintain_stores(spark, found, max_chain=2)
+    assert res[dec] is not None  # 6-segment chains compacted
+    assert _max_chain(dec) <= 2
