@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.schema_registry import SchemaRegistry, apply_table_schema
 from .corpus_ingest import (
-    _committed_versions,
     _empty_rows,
     _ensure_meta,
     _note_row_schema,

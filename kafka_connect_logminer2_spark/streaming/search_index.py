@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.search import phrase_match_counts_indexed, positional_postings
 from .corpus_ingest import (
-    _committed_versions,
     _empty_rows,
     _ensure_meta,
     _note_row_schema,
