@@ -731,3 +731,89 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLICATION half of span-level exact dedup (Lee et al. 2022):
+    :func:`dup_span_stats` detects boilerplate spans, this REWRITES the
+    corpus without them — every token covered by any ``span_tokens``-gram
+    occurring in ≥ ``min_docs`` distinct documents is dropped, and the
+    survivors reassemble in order. Doc-level dedup keeps one copy of a
+    million boilerplate headers; this removes all of them while keeping
+    the distinct prose around them.
+
+    Plan shape (every stage a hash agg or equi-join, nothing quadratic):
+    grams are built JVM-side (word_ngrams zip_with slices) and hashed to
+    64-bit keys before the frequency exchange — the doc-frequency agg
+    shuffles (h, doc_id) pairs only; frequent-span positions explode to a
+    (doc_id, pos) cover set; survivors are one anti-join over token rows;
+    reassembly is a per-doc sort inside one aggregate (array_sort over
+    collected (pos, tok) structs — the order key rides the data, no
+    window pass). Docs whose every token is covered still appear, with
+    ``n_tokens_after`` 0 and the empty-string signature; docs shorter
+    than ``span_tokens`` carry no grams and pass through verbatim.
+
+    Output: (doc_id, n_tokens_before, n_tokens_after, sig) where sig =
+    md5 of the rebuilt text — engine-portable, so the DuckDB oracle
+    reproduces the REWRITE itself, not just counts (q159)."""
+    toklist = F.split(F.lower(F.col(text_col)), " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toklist).alias("pos", "tok"),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(toklist, span_tokens)).alias("gpos", "gram"),
+    ).select("doc_id", "gpos", F.xxhash64("gram").alias("h"))
+    freq = (
+        grams.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        grams.join(freq, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (span_tokens - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    surv = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = surv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("sig"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toklist).cast("long").alias("n_tokens_before"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens_after"),
+            F.coalesce(F.col("sig"), F.md5(F.lit(""))).alias("sig"),
+        )
+    )

@@ -7569,6 +7569,58 @@ ORDER BY id1, id2
 """
 
 
+def q159_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level boilerplate REMOVAL (Lee et al. 2022 — the application
+    half of q110's detection pass): drop every token covered by an
+    8-gram occurring in ≥2 distinct documents, reassemble the survivors
+    in order (functions/dedup.py::remove_dup_spans). The oracle
+    reproduces the full rewrite relationally — cover-set, anti-join,
+    ordered reassembly — and compares the rebuilt text by md5, so a
+    mis-dropped or mis-ordered token anywhere in the corpus breaks the
+    value hash."""
+    docs = load_table(spark, sf, "documents")
+    return D.remove_dup_spans(docs, span_tokens=8, min_docs=2).orderBy("doc_id")
+
+
+Q159_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+toks AS (
+  SELECT d.doc_id, d.t[r.i] AS tok, r.i AS pos
+  FROM d, LATERAL (SELECT unnest(range(1, len(d.t) + 1)) AS i) r
+),
+g AS (
+  SELECT d.doc_id, r.i AS gpos, array_to_string(d.t[r.i:r.i+7], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(range(1, len(d.t) - 6)) AS i) r
+  WHERE len(d.t) >= 8
+),
+freq AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+  WHERE nd >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+  FROM g JOIN freq USING (gram), LATERAL (SELECT unnest(range(0, 8)) AS o) o
+),
+surv AS (
+  SELECT toks.doc_id, toks.tok, toks.pos FROM toks
+  ANTI JOIN cov ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_tokens_after,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS sig
+  FROM surv GROUP BY doc_id
+)
+SELECT d2.doc_id,
+       len(string_split(lower(d2.text), ' ')) AS n_tokens_before,
+       COALESCE(reb.n_tokens_after, 0) AS n_tokens_after,
+       COALESCE(reb.sig, md5('')) AS sig
+FROM documents d2 LEFT JOIN reb ON d2.doc_id = reb.doc_id
+ORDER BY d2.doc_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7738,6 +7790,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc27_video_ingest": (cdc27_video_ingest, CDC27_SQL),
     "q157_image_neardup": (q157_image_neardup, Q157_SQL),
     "q158_audio_neardup": (q158_audio_neardup, Q158_SQL),
+    "q159_span_removal": (q159_span_removal, Q159_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -182,3 +182,38 @@ def test_winnow_cap_bounds_posting_expansion(spark):
     assert pairs.count() == 0
     pairs_uncapped = winnow_pairs(docs, k=4, w=5, min_shared=2)
     assert pairs_uncapped.count() >= hot * (hot - 1) / 2
+
+
+def test_remove_dup_spans_rewrite(spark):
+    """Planted boilerplate: an 8-token header shared by 3 docs is removed
+    EVERYWHERE (all occurrences, not all-but-one), unique prose survives
+    in order, short docs pass through verbatim, and a fully-boilerplate
+    doc rewrites to the empty signature."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from kafka_connect_logminer2_spark.functions.dedup import remove_dup_spans
+
+    header = "this license header is shared across documents verbatim"  # 8 tokens
+    docs = [
+        (0, f"{header} alpha beta gamma"),
+        (1, f"{header} delta epsilon"),
+        (2, f"zeta eta {header}"),
+        (3, "totally unique text that nobody repeats anywhere at all"),
+        (4, "tiny doc"),          # < 8 tokens: no grams, passes through
+        (5, header),              # nothing but boilerplate
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: r for r in remove_dup_spans(df, min_docs=2).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0]["sig"] == md5("alpha beta gamma")
+    assert got[1]["sig"] == md5("delta epsilon")
+    assert got[2]["sig"] == md5("zeta eta")
+    assert got[3]["sig"] == md5(docs[3][1])      # untouched
+    assert got[3]["n_tokens_after"] == got[3]["n_tokens_before"]
+    assert got[4]["sig"] == md5("tiny doc")      # short doc: verbatim
+    assert got[5]["sig"] == md5("") and got[5]["n_tokens_after"] == 0
