@@ -81,6 +81,7 @@ HEADLINE = [
     "q153_skyline_parts",
     "q154_winnow_capped",
     "q156_video_neardup",
+    "q159_span_removal",
     "cdc26_decayed_counters_mv",
 ]
 

@@ -518,6 +518,25 @@ def main() -> None:
             frontier.select("p_retailprice", "_pb"), "p_retailprice"
         ).filter(F.col("_pb").isNull() | (F.col("p_size") >= F.col("_pb")))
 
+    def span_removal_op(m):
+        # rotated-alphabet copies (see jaccard_op): each copy group keeps
+        # its own internal duplication, so frequent spans AND cover sets
+        # grow ∝ m — the op must stay ~linear (hash aggs + anti-join only)
+        from kafka_connect_logminer2_spark.functions.dedup import (
+            remove_dup_spans,
+        )
+
+        alpha = "etaoinshr"
+        out = docs
+        for i in range(1, m):
+            rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+            out = out.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + i * span).withColumn(
+                    "text", F.translate("text", alpha, rot)
+                )
+            )
+        return remove_dup_spans(out, min_docs=2)
+
     ops = {
         "hash_agg": agg_op,
         "packing_cumsum": packing_cumsum_op,
@@ -549,6 +568,7 @@ def main() -> None:
         "expectations": expectations_op,
         "scd2_pit": scd2_pit_op,
         "skyline_frontier": skyline_op,
+        "span_removal": span_removal_op,
     }
 
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
