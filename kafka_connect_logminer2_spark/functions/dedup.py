@@ -779,9 +779,26 @@ def remove_dup_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("h")
     )
+    covered = grams.join(freq, "h", "left_semi")
+    return _rebuild_without(docs, toks, covered, toklist, id_col, span_tokens)
+
+
+def _rebuild_without(
+    docs: DataFrame,
+    toks: DataFrame,
+    covered_grams: DataFrame,
+    toklist,
+    id_col: str,
+    span_tokens: int,
+) -> DataFrame:
+    """Shared rewrite tail of the span-removal family: explode the
+    condemned gram occurrences ``(doc_id, gpos)`` to their token cover
+    set, anti-join the token rows, reassemble in order inside one
+    aggregate, and left-join back so fully-covered docs keep a row
+    (empty signature) — the (doc_id, n_before, n_after, md5) contract
+    both DuckDB oracles reproduce."""
     covered = (
-        grams.join(freq, "h", "left_semi")
-        .select(
+        covered_grams.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("gpos"), F.col("gpos") + (span_tokens - 1))
@@ -817,3 +834,35 @@ def remove_dup_spans(
             F.coalesce(F.col("sig"), F.md5(F.lit(""))).alias("sig"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """INTRA-document repetition removal, keep-first semantics: a token
+    is dropped iff it is covered by an occurrence of a ``span_tokens``-
+    gram that ALSO occurs earlier in the same document (the first
+    occurrence of every repeated span survives; later copies go). The
+    within-doc sibling of :func:`remove_dup_spans` — Gopher's repetition
+    RATIOS detect this pathology (q129), this rewrites it away. Same
+    plan shape; the only new piece is a per-(doc, gram-hash) min-gpos
+    aggregate (hash agg over 20-byte rows) joined back to mark the
+    non-first occurrences. Same output contract; DuckDB oracle
+    reproduces the rewrite (q160)."""
+    toklist = F.split(F.lower(F.col(text_col)), " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toklist).alias("pos", "tok"),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(toklist, span_tokens)).alias("gpos", "gram"),
+    ).select("doc_id", "gpos", F.xxhash64("gram").alias("h"))
+    first = grams.groupBy("doc_id", "h").agg(F.min("gpos").alias("_first"))
+    repeats = grams.join(first, ["doc_id", "h"]).filter(
+        F.col("gpos") > F.col("_first")
+    )
+    return _rebuild_without(docs, toks, repeats, toklist, id_col, span_tokens)

@@ -7621,6 +7621,62 @@ ORDER BY d2.doc_id
 """
 
 
+def q160_intradoc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition REMOVAL, keep-first semantics
+    (functions/dedup.py::remove_repeated_spans): tokens covered by a
+    NON-FIRST occurrence of an 8-gram repeated within the same document
+    are dropped; the first occurrence and all unique prose survive in
+    order. Gopher's repetition ratios (q129) detect the pathology; this
+    is the rewrite. The oracle reproduces keep-first relationally (min
+    start position per (doc, gram) via a window-free group-join) and
+    compares rebuilt text by md5."""
+    docs = load_table(spark, sf, "documents")
+    return D.remove_repeated_spans(docs, span_tokens=8).orderBy("doc_id")
+
+
+Q160_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+toks AS (
+  SELECT d.doc_id, d.t[r.i] AS tok, r.i AS pos
+  FROM d, LATERAL (SELECT unnest(range(1, len(d.t) + 1)) AS i) r
+),
+g AS (
+  SELECT d.doc_id, r.i AS gpos, array_to_string(d.t[r.i:r.i+7], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(range(1, len(d.t) - 6)) AS i) r
+  WHERE len(d.t) >= 8
+),
+firsts AS (
+  SELECT doc_id, gram, min(gpos) AS first_gpos FROM g GROUP BY 1, 2
+),
+rep AS (
+  SELECT g.doc_id, g.gpos FROM g JOIN firsts
+  ON g.doc_id = firsts.doc_id AND g.gram = firsts.gram
+  WHERE g.gpos > firsts.first_gpos
+),
+cov AS (
+  SELECT DISTINCT rep.doc_id, rep.gpos + o.o AS pos
+  FROM rep, LATERAL (SELECT unnest(range(0, 8)) AS o) o
+),
+surv AS (
+  SELECT toks.doc_id, toks.tok, toks.pos FROM toks
+  ANTI JOIN cov ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_tokens_after,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS sig
+  FROM surv GROUP BY doc_id
+)
+SELECT d2.doc_id,
+       len(string_split(lower(d2.text), ' ')) AS n_tokens_before,
+       COALESCE(reb.n_tokens_after, 0) AS n_tokens_after,
+       COALESCE(reb.sig, md5('')) AS sig
+FROM documents d2 LEFT JOIN reb ON d2.doc_id = reb.doc_id
+ORDER BY d2.doc_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -7791,6 +7847,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q157_image_neardup": (q157_image_neardup, Q157_SQL),
     "q158_audio_neardup": (q158_audio_neardup, Q158_SQL),
     "q159_span_removal": (q159_span_removal, Q159_SQL),
+    "q160_intradoc_repetition": (q160_intradoc_repetition, Q160_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

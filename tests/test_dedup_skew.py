@@ -217,3 +217,35 @@ def test_remove_dup_spans_rewrite(spark):
     assert got[3]["n_tokens_after"] == got[3]["n_tokens_before"]
     assert got[4]["sig"] == md5("tiny doc")      # short doc: verbatim
     assert got[5]["sig"] == md5("") and got[5]["n_tokens_after"] == 0
+
+
+def test_remove_repeated_spans_keep_first(spark):
+    """Keep-first semantics: a doc repeating an 8-token chorus keeps ONE
+    copy; a run of one token collapses to that token; docs without
+    intra-doc repeats are untouched even when they duplicate ANOTHER doc
+    (within-doc scope only)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from kafka_connect_logminer2_spark.functions.dedup import (
+        remove_repeated_spans,
+    )
+
+    chorus = "one two three four five six seven eight"
+    docs = [
+        (0, f"{chorus} bridge part {chorus}"),
+        (1, " ".join(["a"] * 12)),
+        (2, "totally unique words that never repeat inside this doc"),
+        (3, "totally unique words that never repeat inside this doc"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: r for r in remove_repeated_spans(df).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0]["sig"] == md5(f"{chorus} bridge part")
+    assert got[1]["sig"] == md5("a") and got[1]["n_tokens_after"] == 1
+    # cross-doc duplication is q159's job — both copies untouched here
+    assert got[2]["sig"] == md5(docs[2][1]) and got[3]["sig"] == md5(docs[3][1])
