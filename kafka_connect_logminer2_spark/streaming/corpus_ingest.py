@@ -157,16 +157,33 @@ def _recover_bucket(bucket_dir: str) -> None:
     the two renames, the bucket has an ``_old_v=<n>`` and no committed
     ``v=<n>`` — restore the original so no reader ever loses the segment.
     If the fold DID land, the aside dir is invisible garbage (``_old_v=``
-    does not match ``_V_RE``) that compaction's sweep removes. Idempotent;
-    single-writer stores, so a read-side repair cannot race another."""
+    does not match ``_V_RE``) that compaction's sweep removes. Idempotent,
+    and safe to race a LIVE compaction writer's swap: the writer stages
+    its fold with ``_SUCCESS`` inside and renames it in atomically, so
+    ``dst`` only ever transitions absent → committed; if this repair's
+    restore rename loses that race it fails on the now-non-empty ``dst``
+    and the fold's commit marker tells us to stand down (the writer's own
+    swap retries symmetrically — see compact_chains)."""
     for d in os.listdir(bucket_dir):
         m = _OLD_RE.match(d)
         if not m:
             continue
         dst = os.path.join(bucket_dir, f"v={m.group(1)}")
-        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-            shutil.rmtree(dst, ignore_errors=True)  # uncommitted partial fold
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue  # fold landed; the aside dir is compaction's garbage
+        if os.path.isdir(dst):
+            # uncommitted partial at the same version: only a crashed
+            # legacy write — a live writer never exposes this state
+            # (staged renames are atomic and pre-stamped) — clear it
+            shutil.rmtree(dst, ignore_errors=True)
+        try:
             os.replace(os.path.join(bucket_dir, d), dst)
+        except OSError:
+            # lost the race with a live writer landing its fold at dst —
+            # if the fold is committed the aside dir is garbage; anything
+            # else is a real filesystem error
+            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                raise
 
 
 def _committed_versions(bucket_dir: str, below: int | None = None) -> list[int]:
@@ -247,6 +264,14 @@ def _write_delta(delta: DataFrame, store_dir: str, batch_id: int) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _committed_batches(store_dir: str) -> list[int]:
+    """All batch-level commit-marker ids, ascending."""
+    d = os.path.join(store_dir, "_commits")
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(n) for n in os.listdir(d) if n.isdigit())
+
+
 def compact_chains(
     spark: SparkSession,
     store_dir: str,
@@ -254,6 +279,7 @@ def compact_chains(
     fold=None,
     force_single: bool = False,
     cleanup_dirs: tuple[str, ...] = (),
+    protect: int | None = None,
 ) -> int | None:
     """THE shared compaction skeleton for every bucketed delta-chain store
     (ingest fingerprint/signature stores, the inverted index, the SCD2
@@ -285,10 +311,33 @@ def compact_chains(
     byte-identical no-ops); a crash between the two renames is repaired by
     :func:`_recover_bucket` on the next read. The sweep below finishes any
     crashed deletion. Uncommitted versions above the marker are never
-    touched. Returns the fold version, or None for an empty store."""
+    touched. Returns the fold version, or None for an empty store.
+
+    ``protect`` is REQUIRED for any caller that runs while a streaming
+    batch might still be REPLAYED (in-line maintenance inside
+    foreachBatch, or a sweep over a stopped-but-resumable stream's
+    store): versions ``>= protect`` are completely invisible to this
+    compaction — never folded, never swept, never deleted — and the fold
+    lands at the newest committed version STRICTLY BELOW ``protect``.
+    Without it, the fold lands at ``v=<last_committed>``; if Spark then
+    replays that batch (its store commit marker landed but the streaming
+    commit log did not), the retry's ``_write_delta`` would overwrite the
+    fold segment — the entire folded history — and its ``below=<batch>``
+    history read would exclude the fold while the pre-fold versions are
+    already deleted: silent total data loss. With ``protect=<batch_id>``
+    the replayed batch overwrites only its own plain delta segment and
+    its history read still unions the fold. Overlay consumption is
+    scoped the same way: callers apply only overlays below ``protect``
+    to the fold, and cleanup here deletes only those overlay segments,
+    not the whole overlay dir."""
     last = _last_committed_batch(store_dir)
     if last is None:
         return None
+    if protect is not None:
+        eligible = [v for v in _committed_batches(store_dir) if v < protect]
+        if not eligible:
+            return None  # nothing committed strictly below the protected batch
+        last = max(eligible)
     stale: dict[int, list[int]] = {}
     for d in sorted(os.listdir(store_dir)):
         if not d.startswith("b="):
@@ -314,8 +363,7 @@ def compact_chains(
         if len(vs) > 1 or (force_single and len(vs) == 1):
             stale[b] = vs
     if not stale:
-        for d in cleanup_dirs:
-            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+        _cleanup_overlays(store_dir, cleanup_dirs, protect)
         return last
     paths = []
     for b, vs in stale.items():
@@ -343,20 +391,57 @@ def compact_chains(
         open(os.path.join(staged, "_SUCCESS"), "w").close()
         old = os.path.join(bdir, f"_old_v={last}")
         shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(dst):
-            os.replace(dst, old)  # move the live segment aside, never rmtree it
-        os.replace(staged, dst)  # fold becomes visible, committed, atomically
+        # swap, tolerant of a concurrent reader's _recover_bucket: if the
+        # reader restores the aside dir between our two renames, the fold
+        # rename fails on the non-empty dst — re-move it aside and retry
+        # (the reader only restores while no committed fold sits at dst,
+        # so each retry strictly shrinks its window; reads concurrent
+        # with the retries see the intact pre-fold chain)
+        for _ in range(8):
+            if os.path.isdir(dst):
+                os.replace(dst, old)  # move the live segment aside, never rmtree
+            try:
+                os.replace(staged, dst)  # fold lands, committed, atomically
+                break
+            except OSError:
+                continue
+        else:
+            raise OSError(
+                f"compact_chains: could not land fold at {dst} "
+                "(persistent race with concurrent reader repair)"
+            )
         shutil.rmtree(old, ignore_errors=True)
         for v in vs:  # delete only after the fold segment is visible
             if v != last:
                 shutil.rmtree(os.path.join(bdir, f"v={v}"), ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
-    for d in cleanup_dirs:
-        shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+    _cleanup_overlays(store_dir, cleanup_dirs, protect)
     return last
 
 
-def compact_store(spark: SparkSession, store_dir: str) -> int | None:
+def _cleanup_overlays(
+    store_dir: str, cleanup_dirs: tuple[str, ...], protect: int | None
+) -> None:
+    """Drop consumed overlay segments. Unprotected compaction consumed
+    every pending overlay, so the whole dir goes; with ``protect`` only
+    overlays at versions < protect were applied to the fold — later ones
+    (none can exist committed today, but the scoping is the contract)
+    stay pending for merge-on-read."""
+    for d in cleanup_dirs:
+        odir = os.path.join(store_dir, d)
+        if protect is None:
+            shutil.rmtree(odir, ignore_errors=True)
+            continue
+        if not os.path.isdir(odir):
+            continue
+        for seg in os.listdir(odir):
+            if seg.startswith("v=") and int(seg.split("=", 1)[1]) < protect:
+                shutil.rmtree(os.path.join(odir, seg), ignore_errors=True)
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, protect: int | None = None
+) -> int | None:
     """Fold the ingest store's delta chains (see :func:`compact_chains`)
     — the checkpoint half of the delta-log layout, and the store's ONLY
     retention mechanism (a version-count vacuum would delete membership:
@@ -373,7 +458,7 @@ def compact_store(spark: SparkSession, store_dir: str) -> int | None:
         ).cast("int")
     else:
         bucket_expr = _bucket(F.col("fp"), nb)
-    return compact_chains(spark, store_dir, bucket_expr)
+    return compact_chains(spark, store_dir, bucket_expr, protect=protect)
 
 
 def store_size(spark: SparkSession, store_dir: str) -> int:

@@ -182,8 +182,10 @@ def write_decayed_counters(
         if max_chain is not None:
             from .maintenance import maintain_store
 
+            # protect=batch_id: a replayed batch must find its own delta
+            # and the pre-batch history intact (see compact_chains)
             maintain_store(spark, out_dir, max_chain=max_chain,
-                           max_overlays=max_chain)
+                           max_overlays=max_chain, protect=batch_id)
 
     writer = events_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -193,7 +195,9 @@ def write_decayed_counters(
     return writer.start()
 
 
-def compact_decayed(spark: SparkSession, out_dir: str) -> int | None:
+def compact_decayed(
+    spark: SparkSession, out_dir: str, protect: int | None = None
+) -> int | None:
     """Fold each bucket's delta chain into one segment (compact_chains
     skeleton). The fold normalizes every row to the chain's max epoch
     (scale factors e^(λ(epoch_s − E_max)) ≤ 1) and groupBy-sums per key.
@@ -229,7 +233,7 @@ def compact_decayed(spark: SparkSession, out_dir: str) -> int | None:
         )
 
     return compact_chains(
-        spark, out_dir, _key_bucket(key_col, nb), fold=fold
+        spark, out_dir, _key_bucket(key_col, nb), fold=fold, protect=protect
     )
 
 

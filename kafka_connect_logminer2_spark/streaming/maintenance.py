@@ -26,11 +26,24 @@ import os
 from pyspark.sql import SparkSession
 
 from .corpus_ingest import _committed_versions
-from .snapshot import _read_meta
+from .snapshot import _last_committed_batch, _read_meta
 
 # overlay dirs whose pending segments merge-on-read until compaction
 # applies them physically (scd2 close patches, index tombstones)
 _OVERLAY_DIRS = ("_closes", "_tomb", "_tombstones")
+
+
+def _committed_segs(parent: str) -> list[str]:
+    """``v=`` child dirs carrying a ``_SUCCESS`` commit marker — the same
+    committed-only accounting the bucket path gets from
+    ``_committed_versions``, so uncommitted/partial segments can't
+    inflate the stats and trigger compaction spuriously."""
+    return [
+        d
+        for d in os.listdir(parent)
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+    ]
 
 
 def chain_stats(store_dir: str) -> dict:
@@ -44,14 +57,15 @@ def chain_stats(store_dir: str) -> dict:
                 max_chain = max(max_chain, n)
                 total += n
         # ann_mor stores version at the root (v=, no buckets)
-        root_vs = [d for d in os.listdir(store_dir) if d.startswith("v=")]
-        if root_vs and max_chain == 0:
-            max_chain = total = len(root_vs)
+        if max_chain == 0:
+            root_vs = _committed_segs(store_dir)
+            if root_vs:
+                max_chain = total = len(root_vs)
     overlays = 0
     for o in _OVERLAY_DIRS:
         odir = os.path.join(store_dir, o)
         if os.path.isdir(odir):
-            overlays += len([d for d in os.listdir(odir) if d.startswith("v=")])
+            overlays += len(_committed_segs(odir))
     return {"max_chain": max_chain, "total_segments": total, "overlays": overlays}
 
 
@@ -67,32 +81,44 @@ def maintain_store(
     store_dir: str,
     max_chain: int = 8,
     max_overlays: int = 8,
+    protect: int | None = None,
 ) -> int | None:
     """Compact ``store_dir`` iff its chains or overlays exceed the policy
     bounds; no-op (no Spark job, two listdirs) otherwise. Returns the
     fold version when compaction ran, else None. The store's kind comes
     from its own ``_meta.json``; unknown/absent kinds are left alone
-    (never guess a fold over a layout we didn't write)."""
+    (never guess a fold over a layout we didn't write).
+
+    ``protect`` MUST be the current batch id when called in-line from a
+    foreachBatch body (every streaming writer here does): the batch's
+    store commit marker lands before Spark's streaming commit log, so
+    the batch may still be REPLAYED — compaction must leave its version
+    (and everything at or above it) untouched, else the retry's
+    overwrite destroys the fold holding the entire history (see
+    compact_chains). ann_mor compaction is offline-only by design and
+    is skipped when ``protect`` is set."""
     if not needs_maintenance(store_dir, max_chain, max_overlays):
         return None
     kind = (_read_meta(store_dir) or {}).get("kind")
     if kind in ("exact", "neardup"):
         from .corpus_ingest import compact_store
 
-        return compact_store(spark, store_dir)
+        return compact_store(spark, store_dir, protect=protect)
     if kind == "postings":
         from .search_index import compact_search_index
 
-        return compact_search_index(spark, store_dir)
+        return compact_search_index(spark, store_dir, protect=protect)
     if kind == "scd2":
         from .scd2 import compact_scd2
 
-        return compact_scd2(spark, store_dir)
+        return compact_scd2(spark, store_dir, protect=protect)
     if kind == "decayed":
         from .decayed import compact_decayed
 
-        return compact_decayed(spark, store_dir)
+        return compact_decayed(spark, store_dir, protect=protect)
     if kind == "ann_mor":
+        if protect is not None:
+            return None  # offline-only rewrite (no replayable batches)
         from .ann_ingest import compact_ann_index
 
         return compact_ann_index(spark, store_dir)
@@ -102,7 +128,7 @@ def maintain_store(
 
         nb = (_read_meta(store_dir) or {}).get("num_buckets", 16)
         expr = _key_bucket(nb) if kind == "video_keys" else _sig_bucket(nb)
-        return compact_chains(spark, store_dir, expr)
+        return compact_chains(spark, store_dir, expr, protect=protect)
     return None
 
 
@@ -111,14 +137,37 @@ def maintain_stores(
     store_dirs: list[str],
     max_chain: int = 8,
     max_overlays: int = 8,
-) -> dict[str, int | None]:
+    protect_last: bool = False,
+    raise_errors: bool = False,
+) -> dict[str, int | None | Exception]:
     """The nightly sweep: apply :func:`maintain_store` to every store a
     pipeline owns. Per-store isolation — one store's failure does not
-    block the rest (re-raise after the sweep would hide which)."""
-    return {
-        d: maintain_store(spark, d, max_chain=max_chain, max_overlays=max_overlays)
-        for d in store_dirs
-    }
+    block the rest; the failed store's value is its exception (so the
+    caller sees WHICH failed and why). ``raise_errors`` re-raises the
+    first failure after the sweep completes.
+
+    ``protect_last=True`` is for sweeping stores whose writing stream is
+    STOPPED but may later RESUME: the newest store-committed batch may be
+    missing from the stream's own commit log (a crash between the store
+    marker and Spark's checkpoint commit) and would then be replayed, so
+    each store's newest committed batch is excluded from its fold exactly
+    as in-line maintenance excludes the live batch. Leave it False only
+    for quiesced/decommissioned stores where a full fold is wanted."""
+    out: dict[str, int | None | Exception] = {}
+    first: Exception | None = None
+    for d in store_dirs:
+        protect = _last_committed_batch(d) if protect_last else None
+        try:
+            out[d] = maintain_store(
+                spark, d, max_chain=max_chain, max_overlays=max_overlays,
+                protect=protect,
+            )
+        except Exception as e:  # noqa: BLE001 — isolation is the contract
+            out[d] = e
+            first = first or e
+    if raise_errors and first is not None:
+        raise first
+    return out
 
 
 def discover_stores(root: str, max_depth: int = 3) -> list[str]:

@@ -272,8 +272,11 @@ def write_scd2(
         if max_chain is not None:
             from .maintenance import maintain_store
 
+            # protect=batch_id: this batch may still be REPLAYED (store
+            # marker lands before Spark's commit log) — the fold must not
+            # touch its version (see compact_chains)
             maintain_store(spark, store_dir, max_chain=max_chain,
-                           max_overlays=max_chain)
+                           max_overlays=max_chain, protect=batch_id)
 
     writer = envelope_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -312,12 +315,21 @@ def read_scd2(spark: SparkSession, store_dir: str) -> DataFrame | None:
     return out.withColumn("is_current", F.col("valid_to").isNull())
 
 
-def compact_scd2(spark: SparkSession, store_dir: str) -> int | None:
+def compact_scd2(
+    spark: SparkSession, store_dir: str, protect: int | None = None
+) -> int | None:
     """Fold every bucket's chain to one segment with close patches applied
     PHYSICALLY, then drop the consumed patch segments — the shared
     :func:`~.corpus_ingest.compact_chains` skeleton with a patch-apply
     fold. With patches pending, even single-segment chains rewrite.
-    Returns the fold version, or None on an empty store."""
+    Returns the fold version, or None on an empty store.
+
+    ``protect`` (the in-line scheduling contract, see compact_chains):
+    only versions and close patches strictly below it are folded /
+    consumed — safe while batch ``protect`` may still be replayed. Close
+    patches target ``(pk, valid_from)`` rows written strictly before
+    them, so every patch below ``protect`` lands inside the fold; apply
+    is idempotent with the merge-on-read path (same valid_to)."""
     from .corpus_ingest import compact_chains
     from .snapshot import _read_meta
 
@@ -327,7 +339,9 @@ def compact_scd2(spark: SparkSession, store_dir: str) -> int | None:
     meta = _read_meta(store_dir) or {}
     pk_cols = meta.get("pk_cols")
     nb = meta.get("num_buckets", 16)
-    closes = _read_closes(spark, store_dir, below=last + 1)
+    closes = _read_closes(
+        spark, store_dir, below=(last + 1 if protect is None else protect)
+    )
 
     def fold(df):
         return _apply_closes(df, closes, pk_cols).distinct()
@@ -339,4 +353,5 @@ def compact_scd2(spark: SparkSession, store_dir: str) -> int | None:
         fold=fold,
         force_single=closes is not None,
         cleanup_dirs=("_closes",),
+        protect=protect,
     )

@@ -97,8 +97,10 @@ def write_search_index(
         if max_chain is not None:
             from .maintenance import maintain_store
 
+            # protect=batch_id: a replayed batch must find its own delta
+            # and the pre-batch history intact (see compact_chains)
             maintain_store(spark, index_dir, max_chain=max_chain,
-                           max_overlays=max_chain)
+                           max_overlays=max_chain, protect=batch_id)
 
     writer = doc_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -207,7 +209,9 @@ def search_phrase(
     return phrase_match_counts_indexed(postings, phrase, spark=spark)
 
 
-def compact_search_index(spark: SparkSession, index_dir: str) -> int | None:
+def compact_search_index(
+    spark: SparkSession, index_dir: str, protect: int | None = None
+) -> int | None:
     """Fold every bucket's delta chain to one segment at the last
     committed version, applying tombstones PHYSICALLY (the deleted docs'
     postings leave the index), then drop the consumed tombstone segments
@@ -222,7 +226,13 @@ def compact_search_index(spark: SparkSession, index_dir: str) -> int | None:
     if last is None:
         return None
     nb = (_read_meta(index_dir) or {}).get("num_buckets", 16)
-    tomb = _committed_tombstones(spark, index_dir, below=last + 1)
+    # with `protect` (in-line scheduling, see compact_chains) only
+    # tombstones strictly below it are applied and consumed; postings a
+    # possibly-replayed batch wrote at v>=protect are untouched, so its
+    # retry stays byte-idempotent
+    tomb = _committed_tombstones(
+        spark, index_dir, below=(last + 1 if protect is None else protect)
+    )
 
     def fold(df):
         df = df.distinct()
@@ -235,4 +245,5 @@ def compact_search_index(spark: SparkSession, index_dir: str) -> int | None:
         fold=fold,
         force_single=tomb is not None,
         cleanup_dirs=("_tomb",),
+        protect=protect,
     )

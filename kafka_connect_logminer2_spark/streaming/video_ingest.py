@@ -249,9 +249,11 @@ def write_video_ingest(
         if max_chain is not None:
             from .maintenance import maintain_store
 
+            # protect=batch_id: a replayed batch must find its own deltas
+            # and the pre-batch history intact (see compact_chains)
             for d in (_keys_dir(store_dir), _sigs_dir(store_dir)):
                 maintain_store(spark, d, max_chain=max_chain,
-                               max_overlays=max_chain)
+                               max_overlays=max_chain, protect=batch_id)
 
     writer = media_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

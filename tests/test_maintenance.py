@@ -53,7 +53,8 @@ def test_long_stream_chains_stay_bounded_and_values_exact(spark, tmp_path):
     for b in range(20):
         batch = _events(spark, b)
         decayed_batch_step(spark, batch, b, kept, num_buckets=4)
-        maintain_store(spark, kept, max_chain=4, max_overlays=4)
+        # exactly the writers' in-line call: the live batch is protected
+        maintain_store(spark, kept, max_chain=4, max_overlays=4, protect=b)
         decayed_batch_step(spark, batch, b, wild, num_buckets=4)
     assert _max_chain(wild) >= 15  # the unmaintained twin really grew
     assert _max_chain(kept) <= 4
