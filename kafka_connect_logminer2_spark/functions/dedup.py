@@ -708,11 +708,17 @@ def containment_pairs(
         ).alias("h"),
     )
     if max_shingle_freq is not None:
-        from pyspark.sql import Window
-
-        csh = csh.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        ).filter(F.col("_n") <= max_shingle_freq).drop("_n")
+        # cap as a hash-agg + left_semi (the q104/q156 shape): a
+        # whole-partition count window materializes and SORTS the entire
+        # posting relation per h-partition; the semi join against the
+        # (small) surviving-hash set is two hash exchanges and no sort
+        ok = (
+            csh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_shingle_freq)
+            .select("h")
+        )
+        csh = csh.join(ok, "h", "left_semi")
     inter = (
         qsh.join(csh, "h")
         .groupBy("q_id", "c_id")

@@ -547,10 +547,39 @@ WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.01
 
 
 def q20_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates — approximate by construction, so no
-    SQL oracle (rows-only check)."""
-    docs = load_table(spark, sf, "documents")
-    return D.minhash_neardup_pairs(docs, k=3, num_hashes=16, max_jaccard_distance=0.95)
+    """MinHash-LSH near-dup detection with PLANTED truth (the q156 fixture
+    rule, closing the r7 verdict's top item): 24 token-disjoint documents
+    (doc i's words are w<i>_0..59 — zero cross-document shingle overlap by
+    construction) plus a near-duplicate of each (same words minus the
+    last → 3-shingle Jaccard 57/58 ≈ 0.983). The full pyspark.ml path —
+    shingle → HashingTF → MinHashLSH.approxSimilarityJoin (seed 42,
+    functions/dedup.py::minhash_neardup_pairs) — must surface EXACTLY the
+    planted pairs at distance ≤ 0.5: a missed re-encode (recall) or a
+    collision between disjoint docs (precision) both break the value
+    hash. The operator's approximate output over the real corpus stays
+    pytest-gated (tests/test_minhash_quality.py) and recall-pinned in
+    q155/q105."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(F.lit("w"), F.col("doc_id"), F.lit("_"), j),
+    )
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    base = ids.select("doc_id", F.array_join(words, " ").alias("text"))
+    # the dup keeps doc i's words (text built BEFORE the id shift)
+    dups = ids.select(
+        "doc_id", F.array_join(F.slice(words, 1, 59), " ").alias("text")
+    ).select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    pairs = D.minhash_neardup_pairs(
+        base.unionByName(dups), k=3, num_hashes=16, max_jaccard_distance=0.5
+    )
+    return pairs.select("doc_id1", "doc_id2").orderBy("doc_id1", "doc_id2")
+
+
+Q20_SQL = """
+SELECT CAST(range AS BIGINT) AS doc_id1,
+       CAST(range + 100 AS BIGINT) AS doc_id2
+FROM range(24) ORDER BY doc_id1, doc_id2
+"""
 
 
 def q105_minhash_banded(spark: SparkSession, sf: str) -> DataFrame:
@@ -564,9 +593,38 @@ def q105_minhash_banded(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q21_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash signatures — engine-specific hash, rows-only check."""
-    docs = load_table(spark, sf, "documents")
-    return D.simhash64(docs)
+    """SimHash near-dup detection with PLANTED truth (q156 fixture rule):
+    24 token-disjoint documents plus a word-order-permuted twin of each
+    (words reversed — different bytes, IDENTICAL token multiset, so
+    hamming distance is 0 BY CONSTRUCTION: simhash64 votes over distinct
+    tokens). simhash_neardup_pairs (4×16-bit pigeonhole bands + popcount
+    verify, functions/dedup.py:512) must surface exactly the planted
+    pairs at hamming ≤ 3 — disjoint token sets land ~32 bits apart, so an
+    extra pair means the signature or band join collapsed. The raw
+    signature relation over the real corpus stays pytest-gated
+    (tests/test_dedup.py) and recall-pinned in q155
+    (simhash_exact_dup_recall)."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(F.lit("s"), F.col("doc_id"), F.lit("_"), j),
+    )
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    base = ids.select("doc_id", F.array_join(words, " ").alias("text"))
+    dups = ids.select(
+        "doc_id", F.array_join(F.reverse(words), " ").alias("text")
+    ).select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    pairs = D.simhash_neardup_pairs(base.unionByName(dups), max_hamming=3)
+    return pairs.select("doc_id1", "doc_id2", "hamming").orderBy(
+        "doc_id1", "doc_id2"
+    )
+
+
+Q21_SQL = """
+SELECT CAST(range AS BIGINT) AS doc_id1,
+       CAST(range + 100 AS BIGINT) AS doc_id2,
+       0 AS hamming
+FROM range(24) ORDER BY doc_id1, doc_id2
+"""
 
 
 def q22_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -663,12 +721,33 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q26_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL-sketch approximate distinct — engine-specific estimate, rows-only."""
+    """HLL++ approximate distinct, made value-hash-checkable (r7 verdict
+    top item): the estimate itself is engine-specific, so the entry emits
+    the EXACT distinct count (both engines can compute it) alongside a
+    measured accuracy gate — |approx − exact| ≤ 5%·exact — that the
+    oracle pins TRUE. A collapsed or dishonest estimator flips the gate
+    and breaks the value hash; the raw estimate stays visible via q146's
+    sketch rollups and the q155 approx_distinct_rel_err gate."""
     events = load_table(spark, sf, "events")
+    # rsd=0.02: the default sketch's rsd is 5%, which makes a 5% gate a
+    # coin flip (measured 6.7% deviation at sf0.1); at rsd 2% the bound
+    # is a 2.5-sigma margin at every test scale
+    approx = F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+    exact = F.count_distinct("user_id")
     return events.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        exact.alias("n_exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx - exact.cast("double")) <= 0.05 * exact.cast("double"))
+        .alias("approx_within_5pct"),
     )
+
+
+Q26_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+       count(*) AS n_events,
+       TRUE AS approx_within_5pct
+FROM events
+"""
 
 
 def q27_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -887,14 +966,79 @@ FROM documents
 """
 
 
+def _ann_gate_rows(
+    spark: SparkSession, approx: DataFrame, exact: DataFrame, prefix: str, k: int
+) -> DataFrame:
+    """Shared gate-row emission for the approximate ANN entries (q31/q35):
+    recall@k vs the exact brute force plus the structural invariants any
+    top-k answer must satisfy — each as a (metric, bound, pass) row the
+    DuckDB oracle pins TRUE (the q155 pattern, per-entry)."""
+    a = approx.select("query_id", "neighbor_id", "rank").localCheckpoint(
+        eager=False
+    )
+    total = exact.count()
+    hits = a.join(exact, ["query_id", "neighbor_id"], "inner").count()
+    st = a.agg(
+        F.count_distinct("query_id").alias("nq"),
+        F.max("rank").alias("max_rank"),
+        F.min("rank").alias("min_rank"),
+        F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias(
+            "self_hits"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("query_id", "neighbor_id").alias("n_distinct"),
+    ).first()
+    recall = hits / total if total else 0.0
+    rows = [
+        (f"{prefix}_recall_at_{k}", 0.30, bool(recall >= 0.30)),
+        (f"{prefix}_all_queries_answered", 8.0, bool(st["nq"] == 8)),
+        (f"{prefix}_ranks_within_k", float(k),
+         bool(st["min_rank"] >= 1 and st["max_rank"] <= k)),
+        (f"{prefix}_no_self_hits", 0.0, bool(st["self_hits"] == 0)),
+        (f"{prefix}_neighbors_distinct_per_query", 1.0,
+         bool(st["n_distinct"] == st["n_rows"])),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+def _ann_gate_sql(prefix: str, k: int) -> str:
+    return f"""
+SELECT * FROM (VALUES
+  ('{prefix}_all_queries_answered', CAST(8.0 AS DOUBLE), TRUE),
+  ('{prefix}_neighbors_distinct_per_query', CAST(1.0 AS DOUBLE), TRUE),
+  ('{prefix}_no_self_hits', CAST(0.0 AS DOUBLE), TRUE),
+  ('{prefix}_ranks_within_k', CAST({float(k)} AS DOUBLE), TRUE),
+  ('{prefix}_recall_at_{k}', CAST(0.30 AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
+
+
 def q31_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the 100 TB ANN path) — recall < 1 by
-    construction, so rows-only check."""
+    """LSH-bucketed approximate top-k (the 100 TB ANN path), made
+    value-hash-checkable (r7 verdict top item): recall < 1 by
+    construction, so the entry emits MEASURED gates — recall@5 vs the
+    exact brute force (floor 0.30; measured 0.725–0.80 at sf0.01) and
+    the structural top-k invariants (8/8 queries answered, ranks 1..k,
+    no self hits, no duplicate neighbors) — which the oracle pins
+    all-TRUE. A recall collapse or a malformed answer now breaks the
+    value hash; the raw ranked answer stays available via
+    S.lsh_bucketed_topk (pytest: tests/test_ann_recall.py)."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return S.lsh_bucketed_topk(emb, queries_df, k=5)
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    return _ann_gate_rows(
+        spark, S.lsh_bucketed_topk(emb, queries_df, k=5), exact, "ann_lsh", 5
+    )
+
+
+Q31_SQL = _ann_gate_sql("ann_lsh", 5)
 
 
 def q32_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
@@ -999,14 +1143,26 @@ FROM feats GROUP BY 1
 
 
 def q35_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-cell approximate nearest neighbors (the trained-quantizer ANN
-    shape; deterministic sampled centroids stand in for k-means). Recall < 1
-    by construction — rows-only check."""
+    """IVF-cell approximate nearest neighbors (trained coarse quantizer,
+    deterministic hash-sampled + Lloyd-refined centroids), made
+    value-hash-checkable (r7 verdict top item): same gate-row emission as
+    q31 — measured recall@5 vs the exact brute force (floor 0.30) plus
+    the structural top-k invariants — oracle-pinned all-TRUE. The raw
+    ranked answer stays available via S.ivf_topk (pytest:
+    tests/test_ann_recall.py) and the persisted-index form via q114."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return S.ivf_topk(emb, queries_df, k=5, nprobe=5)
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    return _ann_gate_rows(
+        spark, S.ivf_topk(emb, queries_df, k=5, nprobe=5), exact, "ann_ivf", 5
+    )
+
+
+Q35_SQL = _ann_gate_sql("ann_ivf", 5)
 
 
 def q36_cube(spark: SparkSession, sf: str) -> DataFrame:
@@ -7697,13 +7853,13 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q17_text_stats": (q17_text_stats, Q17_SQL),
     "q18_language_id": (q18_language_id, Q18_SQL),
     "q19_jaccard_pairs": (q19_jaccard_pairs, Q19_SQL),
-    "q20_minhash_lsh": (q20_minhash_lsh, None),
-    "q21_simhash": (q21_simhash, None),
+    "q20_minhash_lsh": (q20_minhash_lsh, Q20_SQL),
+    "q21_simhash": (q21_simhash, Q21_SQL),
     "q22_cosine_topk": (q22_cosine_topk, Q22_SQL),
     "q23_embedding_neardup": (q23_embedding_neardup, Q23_SQL),
     "q24_percentiles": (q24_percentiles, Q24_SQL),
     "q25_count_distinct": (q25_count_distinct, Q25_SQL),
-    "q26_approx_distinct": (q26_approx_distinct, None),
+    "q26_approx_distinct": (q26_approx_distinct, Q26_SQL),
     "q27_semi_anti_join": (q27_semi_anti_join, Q27_SQL),
     "q28_rollup": (q28_rollup, Q28_SQL),
     "q29_streaming_window": (q29_streaming_window, Q29_SQL),
@@ -7713,11 +7869,11 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc04_envelope": (cdc04_envelope, CDC04_SQL),
     "cdc05_cm_path": (cdc05_cm_path, CDC05_SQL),
     "q30_doc_fingerprint": (q30_doc_fingerprint, Q30_SQL),
-    "q31_ann_lsh": (q31_ann_lsh, None),
+    "q31_ann_lsh": (q31_ann_lsh, Q31_SQL),
     "q32_quality_filter": (q32_quality_filter, Q32_SQL),
     "q33_bpe_tokens": (q33_bpe_tokens, Q33_SQL),
     "q34_multimodal_features": (q34_multimodal_features, Q34_SQL),
-    "q35_ann_ivf": (q35_ann_ivf, None),
+    "q35_ann_ivf": (q35_ann_ivf, Q35_SQL),
     "q36_cube": (q36_cube, Q36_SQL),
     "q37_asof_join": (q37_asof_join, Q37_SQL),
     "q38_dup_clusters": (q38_dup_clusters, Q38_SQL),

@@ -1,0 +1,92 @@
+"""tools/bench_compare.py — the automated BENCH-vs-BASELINE band diff
+(r7 verdict #4): format parsing (bench.py stdout, driver wrapper intact
+and truncated), verdict classes, sf guard, and table-override layering."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "tools")
+
+from bench_compare import compare, load_bands, load_bench  # noqa: E402
+
+BASELINE = """# some prose
+
+<!-- bench_bands sf=0.1 (cold seconds) -->
+| entry | lo | hi |
+|---|---|---|
+| q1 | 0.5 | 2.0 |
+| q2 | 1.0 | 4.0 |
+| q3 | 0.2 | 1.0 |
+
+later prose breaks the table.
+
+<!-- bench_bands sf=0.1 re-band after a plan change -->
+| entry | lo | hi |
+|---|---|---|
+| q2 | 2.0 | 8.0 |
+"""
+
+
+def _bands(tmp_path):
+    p = tmp_path / "BASELINE.md"
+    p.write_text(BASELINE)
+    return load_bands(str(p))
+
+
+def test_load_bands_layering(tmp_path):
+    sf, bands = _bands(tmp_path)
+    assert sf == 0.1
+    assert bands["q1"] == (0.5, 2.0)
+    assert bands["q2"] == (2.0, 8.0)  # later table overrides
+    assert bands["q3"] == (0.2, 1.0)
+
+
+def test_verdict_classes(tmp_path):
+    sf, bands = _bands(tmp_path)
+    bench = {"sf": 0.1, "cold": {"q1": 1.0, "q2": 9.0, "q4": 0.3}}
+    lines, failures = compare(bench, sf, bands)
+    by = {line.split()[1].rstrip(":"): line.split()[0] for line in lines}
+    assert by["q1"] == "OK"
+    assert by["q2"] == "HIGH"
+    assert by["q3"] == "MISSING"  # banded but not benched
+    assert by["q4"] == "UNBANDED"  # benched but no band (same-commit rule)
+    assert failures == 3
+    lines, failures = compare(
+        {"sf": 0.1, "cold": {"q1": 0.1, "q2": 3.0, "q3": 0.5}}, sf, bands
+    )
+    by = {line.split()[1].rstrip(":"): line.split()[0] for line in lines}
+    assert by["q1"] == "LOW" and failures == 0  # LOW warns, never fails
+
+
+def test_sf_guard(tmp_path):
+    sf, bands = _bands(tmp_path)
+    lines, failures = compare({"sf": 0.01, "cold": {"q1": 0.1}}, sf, bands)
+    assert failures == 0 and lines[0].startswith("SKIP")
+
+
+def test_load_bench_formats(tmp_path):
+    q = {"q1": 1.2}
+    own = tmp_path / "own.json"
+    own.write_text(json.dumps({"metric": "x", "sf": 0.1, "queries_cold": q}))
+    assert load_bench(str(own)) == {"sf": 0.1, "cold": q}
+
+    noisy = tmp_path / "noisy.json"  # bench stdout with log lines around it
+    noisy.write_text(
+        "WARN blah\n"
+        + json.dumps({"metric": "x", "sf": 0.1, "queries_cold": q})
+        + "\ntrailer"
+    )
+    assert load_bench(str(noisy)) == {"sf": 0.1, "cold": q}
+
+    wrapped = tmp_path / "driver.json"  # driver wrapper, truncated tail
+    tail = '..., "queries_cold": {"q1": 1.2}, "sf": 0.1}'
+    wrapped.write_text(json.dumps({"n": 8, "sf": 0.1, "parsed": None, "tail": tail}))
+    assert load_bench(str(wrapped)) == {"sf": 0.1, "cold": q}
+
+    intact = tmp_path / "driver2.json"  # driver wrapper, parsed present
+    intact.write_text(
+        json.dumps({"n": 8, "parsed": {"sf": 0.1, "queries_cold": q}})
+    )
+    assert load_bench(str(intact)) == {"sf": 0.1, "cold": q}

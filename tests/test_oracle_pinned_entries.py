@@ -1,0 +1,47 @@
+"""The r8 oracle-pinned rewrites of the five formerly rows-only driver
+entries (q20/q21/q26/q31/q35 — the r7 verdict's top item): each now emits
+a deterministic relation whose DuckDB oracle pins the expected values.
+These pytest twins assert the same facts without DuckDB, so a regression
+is visible in BOTH gates."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q20_minhash_planted_pairs_exact(spark):
+    from kafka_connect_logminer2_spark.plans.queries import q20_minhash_lsh
+
+    got = [(r["doc_id1"], r["doc_id2"]) for r in q20_minhash_lsh(spark, SF).collect()]
+    assert got == [(i, i + 100) for i in range(24)]
+
+
+def test_q21_simhash_planted_pairs_exact(spark):
+    from kafka_connect_logminer2_spark.plans.queries import q21_simhash
+
+    rows = q21_simhash(spark, SF).collect()
+    assert [(r["doc_id1"], r["doc_id2"]) for r in rows] == [
+        (i, i + 100) for i in range(24)
+    ]
+    # order-permuted twins hash identically BY CONSTRUCTION
+    assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_q26_exact_count_and_accuracy_gate(spark):
+    from kafka_connect_logminer2_spark.plans.queries import q26_approx_distinct
+
+    r = q26_approx_distinct(spark, SF).first()
+    assert r["approx_within_5pct"] is True
+    assert r["n_exact_users"] > 0 and r["n_events"] >= r["n_exact_users"]
+
+
+def test_ann_gate_rows_all_pass(spark):
+    from kafka_connect_logminer2_spark.plans.queries import q31_ann_lsh, q35_ann_ivf
+
+    for fn, prefix in ((q31_ann_lsh, "ann_lsh"), (q35_ann_ivf, "ann_ivf")):
+        rows = fn(spark, SF).collect()
+        assert len(rows) == 5
+        assert all(r["metric"].startswith(prefix) for r in rows)
+        assert all(r["pass"] for r in rows), [
+            r["metric"] for r in rows if not r["pass"]
+        ]

@@ -1,0 +1,143 @@
+"""Automated bench-regression banding (r7 verdict #4): compare a bench
+run against the machine-readable band table in BASELINE.md, print a
+per-entry verdict, exit non-zero on violations — the diff the judge used
+to do by hand every round.
+
+Usage: python tools/bench_compare.py BENCH.json [BASELINE.md]
+
+Accepts either format:
+ * bench.py's own stdout (one JSON object with ``queries_cold``), or
+ * the driver's ``BENCH_r{N}.json`` wrapper (``parsed`` when present,
+   else the ``queries_cold`` dict salvaged from the truncated ``tail``).
+
+Bands compare COLD timings (the driver's cross-round unit, BASELINE's
+band convention). Entries benched but unbanded are reported (a new entry
+must land its band in the same commit — the r7 same-commit rule); banded
+entries missing from the run are reported too (a silently dropped
+headline). ``LOW`` (faster than the band floor) is a warning, not a
+failure — it usually means an entry's work collapsed (empty input, lost
+stage) and deserves a look, but a genuine optimization also lands there:
+move the band in the same commit that makes it faster. Only HIGH /
+missing entries fail the run. Comparison requires the run's sf to match
+the table's declared sf."""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+MARK = "<!-- bench_bands"
+
+
+def load_bench(path: str) -> dict:
+    """Return {'sf': float, 'cold': {entry: sec}} from either format."""
+    with open(path) as f:
+        raw = f.read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        # bench.py stdout with log noise around the JSON line
+        m = re.search(r'\{"metric".*\}', raw)
+        if not m:
+            raise
+        d = json.loads(m.group(0))
+    if "queries_cold" in d:  # bench.py's own object
+        return {"sf": d.get("sf"), "cold": d["queries_cold"]}
+    if d.get("parsed"):  # driver wrapper, intact
+        p = d["parsed"]
+        return {"sf": p.get("sf", d.get("sf")), "cold": p["queries_cold"]}
+    # driver wrapper with truncated tail: salvage the cold dict
+    m = re.search(r'"queries_cold": ({[^}]*})', d.get("tail") or "")
+    if not m:
+        raise ValueError(f"{path}: no queries_cold found in any format")
+    return {"sf": d.get("sf"), "cold": json.loads(m.group(1))}
+
+
+def load_bands(path: str) -> tuple[float | None, dict[str, tuple[float, float]]]:
+    """Parse the newest machine-readable band table: a ``<!-- bench_bands
+    sf=X -->`` marker followed by a ``| entry | lo | hi |`` table. Later
+    tables override earlier ones entry-by-entry, so a round can re-band
+    just what it changed."""
+    sf = None
+    bands: dict[str, tuple[float, float]] = {}
+    in_table = False
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(MARK):
+                m = re.search(r"sf=([0-9.]+)", line)
+                if m:
+                    sf = float(m.group(1))
+                in_table = True
+                continue
+            if not in_table:
+                continue
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if len(cells) == 3 and line.startswith("|"):
+                if cells[0] in ("entry", "---", ":--"):
+                    continue
+                try:
+                    bands[cells[0]] = (float(cells[1]), float(cells[2]))
+                except ValueError:
+                    continue
+            elif line and not line.startswith("|"):
+                in_table = False
+    return sf, bands
+
+
+def compare(
+    bench: dict, band_sf: float | None, bands: dict[str, tuple[float, float]]
+) -> tuple[list[str], int]:
+    lines: list[str] = []
+    failures = 0
+    if band_sf is not None and bench["sf"] is not None and bench["sf"] != band_sf:
+        lines.append(
+            f"SKIP  bands declared for sf={band_sf}, run is sf={bench['sf']} "
+            "— no comparison made"
+        )
+        return lines, 0
+    for name in sorted(set(bench["cold"]) | set(bands)):
+        if name not in bands:
+            lines.append(f"UNBANDED  {name}: {bench['cold'][name]}s — add a band "
+                         "(same-commit rule)")
+            failures += 1
+            continue
+        lo, hi = bands[name]
+        if name not in bench["cold"]:
+            lines.append(f"MISSING   {name}: banded [{lo}, {hi}] but not benched")
+            failures += 1
+            continue
+        v = bench["cold"][name]
+        if v > hi:
+            lines.append(f"HIGH      {name}: {v}s > band [{lo}, {hi}]")
+            failures += 1
+        elif v < lo:
+            lines.append(f"LOW       {name}: {v}s < band [{lo}, {hi}] (warn)")
+        else:
+            lines.append(f"OK        {name}: {v}s in [{lo}, {hi}]")
+    return lines, failures
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    bench_path = sys.argv[1]
+    baseline_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+    bench = load_bench(bench_path)
+    band_sf, bands = load_bands(baseline_path)
+    if not bands:
+        print(f"no band table found in {baseline_path} (marker: {MARK})")
+        return 2
+    lines, failures = compare(bench, band_sf, bands)
+    for line in lines:
+        print(line)
+    n_ok = sum(1 for line in lines if line.startswith("OK"))
+    print(f"-- {n_ok} in-band, {failures} violations "
+          f"({len(bands)} banded, {len(bench['cold'])} benched)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
