@@ -83,6 +83,9 @@ HEADLINE = [
     "q156_video_neardup",
     "q159_span_removal",
     "cdc26_decayed_counters_mv",
+    # r8 additions
+    "cdc28_image_ingest",
+    "cdc29_audio_ingest",
 ]
 
 

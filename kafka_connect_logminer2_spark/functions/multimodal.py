@@ -1089,6 +1089,19 @@ def video_scene_fixture(
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def extract_image_sigs(media: DataFrame) -> DataFrame:
+    """Image rows → one 64-bit perceptual ahash each, in the shared
+    scene-signature shape ``(media_id, scene_idx=0, _hi, _lo)`` — images
+    are single-scene clips to every downstream stage (band keys, popcount
+    verify, the incremental ingest store)."""
+    return extract_image_features(media).select(
+        "media_id",
+        F.lit(0).alias("scene_idx"),
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+
+
 def image_neardup_pairs(
     media: DataFrame, tau: int = 10, max_band_freq: int = 1024
 ) -> DataFrame:
@@ -1113,16 +1126,7 @@ def image_neardup_pairs(
     so the deterministic regime is the operating one; callers needing a
     guarantee at larger radii should hash at higher resolution, not
     widen tau."""
-    sigs = (
-        extract_image_features(media)
-        .select(
-            "media_id",
-            F.lit(0).alias("scene_idx"),
-            F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("_hi"),
-            F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("_lo"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    sigs = extract_image_sigs(media).localCheckpoint(eager=False)
     bands = scene_band_rows(sigs)
     keys = ["band", "val", "scene_idx"]
     cool = bands.join(

@@ -7669,6 +7669,84 @@ ORDER BY batch, media_id
 """
 
 
+def cdc28_image_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IMAGE ingestion (r7 verdict #2): q157's perceptual
+    machinery made HISTORY-WIDE on the modality-generic media store
+    (streaming/video_ingest.py::ingest_batch_image). Batch 0 lands images
+    0–5 plus an in-batch BMP re-encode of image 0 (id 100 — min-id rule
+    rejects it); batch 1 brings new images 6–7 plus re-encodes of images
+    1–2 (ids 101/102) — rejected against the PERSISTED key/signature
+    stores, not a rescan. The oracle pins the accepted (batch, media_id)
+    set exactly."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..functions import multimodal as M
+    from ..streaming.video_ingest import ingest_batch_image, read_image_ingested
+
+    allm = M.image_neardup_fixture(spark, n=8, planted=3)
+    b0 = allm.filter("media_id < 6 or media_id = 100")
+    b1 = allm.filter("media_id in (6, 7, 101, 102)")
+    tmp = tempfile.mkdtemp(prefix="cdc28_")
+    try:
+        out_dir, store = f"{tmp}/out", f"{tmp}/store"
+        ingest_batch_image(spark, b0, 0, out_dir, store)
+        ingest_batch_image(spark, b1, 1, out_dir, store)
+        return (
+            read_image_ingested(spark, out_dir, store)
+            .select(F.col("batch").cast("int").alias("batch"), "media_id")
+            .orderBy("batch", "media_id")
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC28_SQL = """
+SELECT * FROM (VALUES
+  (0::INTEGER, 0::BIGINT), (0::INTEGER, 1::BIGINT), (0::INTEGER, 2::BIGINT),
+  (0::INTEGER, 3::BIGINT), (0::INTEGER, 4::BIGINT), (0::INTEGER, 5::BIGINT),
+  (1::INTEGER, 6::BIGINT), (1::INTEGER, 7::BIGINT)
+) AS t(batch, media_id)
+ORDER BY batch, media_id
+"""
+
+
+def cdc29_audio_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental AUDIO ingestion (r7 verdict #2): q158's chunk
+    fingerprints on the same modality-generic store
+    (streaming/video_ingest.py::ingest_batch_audio). Batch 0 lands clips
+    0–5 plus an in-batch re-master of clip 0 (id 100, 0.7× amplitude +
+    seeded noise — rejected by the min-id rule); batch 1 brings new
+    clips 6–7 plus re-masters of clips 1–2 — rejected against the
+    persisted history. Oracle pins the accepted set exactly."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..functions import multimodal as M
+    from ..streaming.video_ingest import ingest_batch_audio, read_audio_ingested
+
+    allm = M.audio_neardup_fixture(spark, n=8, planted=3)
+    b0 = allm.filter("media_id < 6 or media_id = 100")
+    b1 = allm.filter("media_id in (6, 7, 101, 102)")
+    tmp = tempfile.mkdtemp(prefix="cdc29_")
+    try:
+        out_dir, store = f"{tmp}/out", f"{tmp}/store"
+        ingest_batch_audio(spark, b0, 0, out_dir, store)
+        ingest_batch_audio(spark, b1, 1, out_dir, store)
+        return (
+            read_audio_ingested(spark, out_dir, store)
+            .select(F.col("batch").cast("int").alias("batch"), "media_id")
+            .orderBy("batch", "media_id")
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC29_SQL = CDC28_SQL
+
+
 def q157_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual IMAGE near-dup (functions/multimodal.py::
     image_neardup_pairs) — the single-scene member of the video family:
@@ -8000,6 +8078,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q155_quality_gates": (q155_quality_gates, Q155_SQL),
     "q156_video_neardup": (q156_video_neardup, Q156_SQL),
     "cdc27_video_ingest": (cdc27_video_ingest, CDC27_SQL),
+    "cdc28_image_ingest": (cdc28_image_ingest, CDC28_SQL),
+    "cdc29_audio_ingest": (cdc29_audio_ingest, CDC29_SQL),
     "q157_image_neardup": (q157_image_neardup, Q157_SQL),
     "q158_audio_neardup": (q158_audio_neardup, Q158_SQL),
     "q159_span_removal": (q159_span_removal, Q159_SQL),

@@ -32,6 +32,12 @@ from .snapshot import _last_committed_batch, _read_meta
 # applies them physically (scd2 close patches, index tombstones)
 _OVERLAY_DIRS = ("_closes", "_tomb", "_tombstones")
 
+# the media ingest stores' two-sub-store kinds (video/image/audio share
+# one layout — streaming/video_ingest.py's modality-generic core)
+_MEDIA_KINDS = frozenset(
+    f"{m}_{part}" for m in ("video", "image", "audio") for part in ("keys", "sigs")
+)
+
 
 def _committed_segs(parent: str) -> list[str]:
     """``v=`` child dirs carrying a ``_SUCCESS`` commit marker — the same
@@ -122,12 +128,12 @@ def maintain_store(
         from .ann_ingest import compact_ann_index
 
         return compact_ann_index(spark, store_dir)
-    if kind in ("video_keys", "video_sigs"):
+    if kind in _MEDIA_KINDS:
         from .corpus_ingest import compact_chains
         from .video_ingest import _key_bucket, _sig_bucket
 
         nb = (_read_meta(store_dir) or {}).get("num_buckets", 16)
-        expr = _key_bucket(nb) if kind == "video_keys" else _sig_bucket(nb)
+        expr = _key_bucket(nb) if kind.endswith("_keys") else _sig_bucket(nb)
         return compact_chains(spark, store_dir, expr, protect=protect)
     return None
 
@@ -179,7 +185,7 @@ def discover_stores(root: str, max_depth: int = 3) -> list[str]:
     ``maintain_stores(spark, discover_stores(root))``."""
     kinds = {
         "exact", "neardup", "postings", "scd2", "decayed", "ann_mor",
-        "video_keys", "video_sigs",
+        *_MEDIA_KINDS,
     }
     found: list[str] = []
 

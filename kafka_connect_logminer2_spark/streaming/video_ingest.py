@@ -112,18 +112,107 @@ def ingest_batch_video(
     :func:`write_video_ingest`, public for batch pipelines and the cdc27
     registry entry). ``batch``: media rows (media_id, kind, mime,
     payload, meta_json)."""
-    kd, sd = _keys_dir(store_dir), _sigs_dir(store_dir)
-    _ensure_meta(
-        kd,
-        {"kind": "video_keys", "num_buckets": num_buckets, "tau": tau,
-         "min_scene_sim": min_scene_sim, "min_change_bits": min_change_bits},
+    _ingest_batch_media(
+        spark, batch, batch_id, out_dir, store_dir,
+        sig_fn=lambda b: scene_signatures(b, min_change_bits=min_change_bits),
+        key_kind="video_keys", sig_kind="video_sigs",
+        key_meta={"tau": tau, "min_scene_sim": min_scene_sim,
+                  "min_change_bits": min_change_bits},
+        tau=tau, min_scene_sim=min_scene_sim,
+        max_band_freq=max_band_freq, num_buckets=num_buckets,
     )
-    _ensure_meta(sd, {"kind": "video_sigs", "num_buckets": num_buckets})
+
+
+def ingest_batch_image(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    tau: int = 10,
+    max_band_freq: int = 1024,
+    num_buckets: int = 16,
+) -> None:
+    """Image twin of :func:`ingest_batch_video` (r7 verdict #2 — "don't
+    re-ingest a re-encode" for all three media types): one perceptual
+    ahash per image in the shared scene-signature shape (scene_idx 0),
+    so the SAME two-sub-store probe/verify machinery runs unchanged —
+    a single scene matches iff its hamming ≤ tau, i.e. min_scene_sim
+    degenerates to "the hash matched". Undecodable payloads carry the
+    deterministic stub hash (exact-dup semantics) rather than the
+    no-signature accept path, mirroring image_neardup_pairs."""
+    from ..functions.multimodal import extract_image_sigs
+
+    _ingest_batch_media(
+        spark, batch, batch_id, out_dir, store_dir,
+        sig_fn=extract_image_sigs,
+        key_kind="image_keys", sig_kind="image_sigs",
+        key_meta={"tau": tau},
+        tau=tau, min_scene_sim=0.5,
+        max_band_freq=max_band_freq, num_buckets=num_buckets,
+    )
+
+
+def ingest_batch_audio(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    tau: int = 3,
+    min_chunk_sim: float = 0.75,
+    max_band_freq: int = 1024,
+    n_chunks: int = 4,
+    num_buckets: int = 16,
+) -> None:
+    """Audio twin of :func:`ingest_batch_video`: per-time-chunk 64-bit
+    band-activity fingerprints (chunk ordinal = scene ordinal) ride the
+    same store. tau=3 keeps audio in the deterministic pigeonhole regime
+    (audio_neardup_pairs' contract); undecodable payloads yield no
+    chunks and take the no-signature accept path (byte-exact control is
+    write_dedup_ingest's job)."""
+    from ..functions.multimodal import extract_audio_chunk_sigs
+
+    _ingest_batch_media(
+        spark, batch, batch_id, out_dir, store_dir,
+        sig_fn=lambda b: extract_audio_chunk_sigs(b, n_chunks=n_chunks),
+        key_kind="audio_keys", sig_kind="audio_sigs",
+        key_meta={"tau": tau, "min_chunk_sim": min_chunk_sim,
+                  "n_chunks": n_chunks},
+        tau=tau, min_scene_sim=min_chunk_sim,
+        max_band_freq=max_band_freq, num_buckets=num_buckets,
+    )
+
+
+def _ingest_batch_media(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    sig_fn,
+    key_kind: str,
+    sig_kind: str,
+    key_meta: dict,
+    tau: int,
+    min_scene_sim: float,
+    max_band_freq: int,
+    num_buckets: int,
+) -> None:
+    """The modality-generic ingest step all three media kinds share:
+    ``sig_fn`` maps the batch to the scene-signature shape (media_id,
+    scene_idx, _hi, _lo) — everything after the one decode pass (in-batch
+    min-id clustering, touched-bucket history probe, ordinal-aligned
+    verify, delta append) is identical, so the store semantics cannot
+    drift across modalities."""
+    kd, sd = _keys_dir(store_dir), _sigs_dir(store_dir)
+    _ensure_meta(kd, {"kind": key_kind, "num_buckets": num_buckets, **key_meta})
+    _ensure_meta(sd, {"kind": sig_kind, "num_buckets": num_buckets})
 
     batch = batch.persist()
     try:
         # one decode pass; signatures reused by every stage below
-        sigs = scene_signatures(batch, min_change_bits=min_change_bits)
+        sigs = sig_fn(batch)
         sigs = sigs.localCheckpoint(eager=False)
         bands = _capped(scene_band_rows(sigs), max_band_freq)
 
@@ -237,15 +326,82 @@ def write_video_ingest(
 ):
     """Stream of media rows → accepted-clip batches + maintained
     key/signature stores. Returns the StreamingQuery."""
-    spark = media_stream.sparkSession
-
-    def process_batch(batch: DataFrame, batch_id: int) -> None:
-        ingest_batch_video(
-            spark, batch, batch_id, out_dir, store_dir,
+    return _write_media_ingest(
+        media_stream, out_dir, store_dir, checkpoint_dir,
+        lambda spark, b, bid: ingest_batch_video(
+            spark, b, bid, out_dir, store_dir,
             tau=tau, min_scene_sim=min_scene_sim,
             max_band_freq=max_band_freq, min_change_bits=min_change_bits,
             num_buckets=num_buckets,
-        )
+        ),
+        trigger_available_now, max_chain,
+    )
+
+
+def write_image_ingest(
+    media_stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    tau: int = 10,
+    max_band_freq: int = 1024,
+    num_buckets: int = 16,
+    trigger_available_now: bool = True,
+    max_chain: int | None = 64,
+):
+    """Stream of image rows → accepted batches + maintained stores
+    (cdc28). Returns the StreamingQuery."""
+    return _write_media_ingest(
+        media_stream, out_dir, store_dir, checkpoint_dir,
+        lambda spark, b, bid: ingest_batch_image(
+            spark, b, bid, out_dir, store_dir, tau=tau,
+            max_band_freq=max_band_freq, num_buckets=num_buckets,
+        ),
+        trigger_available_now, max_chain,
+    )
+
+
+def write_audio_ingest(
+    media_stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    tau: int = 3,
+    min_chunk_sim: float = 0.75,
+    max_band_freq: int = 1024,
+    n_chunks: int = 4,
+    num_buckets: int = 16,
+    trigger_available_now: bool = True,
+    max_chain: int | None = 64,
+):
+    """Stream of audio rows → accepted batches + maintained stores
+    (cdc29). Returns the StreamingQuery."""
+    return _write_media_ingest(
+        media_stream, out_dir, store_dir, checkpoint_dir,
+        lambda spark, b, bid: ingest_batch_audio(
+            spark, b, bid, out_dir, store_dir, tau=tau,
+            min_chunk_sim=min_chunk_sim, max_band_freq=max_band_freq,
+            n_chunks=n_chunks, num_buckets=num_buckets,
+        ),
+        trigger_available_now, max_chain,
+    )
+
+
+def _write_media_ingest(
+    media_stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    step,
+    trigger_available_now: bool,
+    max_chain: int | None,
+):
+    """Shared writer: ingest step + protected in-line maintenance on both
+    sub-stores (the write_video_ingest shape)."""
+    spark = media_stream.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        step(spark, batch, batch_id)
         if max_chain is not None:
             from .maintenance import maintain_store
 
@@ -269,12 +425,19 @@ def read_video_ingested(
     """Accepted clips across batches (``batch`` partition column); with
     ``store_dir``, visibility is gated on the key store's commit marker
     (a crash between the output write and the store commit stays
-    invisible until the retry) — the read_ingested contract."""
+    invisible until the retry) — the read_ingested contract. The store
+    layout is modality-agnostic, so this is also the read path for the
+    image/audio stores (aliased below)."""
     from .corpus_ingest import read_ingested
 
     return read_ingested(
         spark, out_dir, None if store_dir is None else _keys_dir(store_dir)
     )
+
+
+# the accepted-output layout is identical across modalities
+read_image_ingested = read_video_ingested
+read_audio_ingested = read_video_ingested
 
 
 def compact_video_store(spark: SparkSession, store_dir: str) -> dict[str, int | None]:

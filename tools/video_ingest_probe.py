@@ -13,8 +13,13 @@ is already a minority of the store, and the fraction shrinks linearly
 as num_buckets grows with the deployment (the same touched-bucket
 discipline as the text ingest stores).
 
-Usage: python tools/video_ingest_probe.py        # BASE=50_000 clips
-       python tools/video_ingest_probe.py 5000   # smaller base
+The store layer is modality-generic (streaming/video_ingest.py's
+_ingest_batch_media), so the probe runs for any of the three media
+kinds; image/audio seed single-scene / 4-chunk signature shapes.
+
+Usage: python tools/video_ingest_probe.py                  # video, BASE=50k
+       python tools/video_ingest_probe.py 5000             # smaller base
+       python tools/video_ingest_probe.py 5000 image,audio # other kinds
 """
 
 from __future__ import annotations
@@ -44,8 +49,37 @@ from kafka_connect_logminer2_spark.streaming.video_ingest import (  # noqa: E402
     _keys_dir,
     _sig_bucket,
     _sigs_dir,
+    ingest_batch_audio,
+    ingest_batch_image,
     ingest_batch_video,
 )
+
+MODALITIES = {
+    # (fixture, ingest fn, key meta, scenes per item)
+    "video": (
+        lambda spark: M.video_scene_fixture(spark, n_clips=8),
+        ingest_batch_video,
+        {"kind": "video_keys", "tau": 10, "min_scene_sim": 0.6,
+         "min_change_bits": 12},
+        "video_sigs",
+        4,
+    ),
+    "image": (
+        lambda spark: M.image_neardup_fixture(spark, n=8, planted=0),
+        ingest_batch_image,
+        {"kind": "image_keys", "tau": 10},
+        "image_sigs",
+        1,
+    ),
+    "audio": (
+        lambda spark: M.audio_neardup_fixture(spark, n=8, planted=0),
+        ingest_batch_audio,
+        {"kind": "audio_keys", "tau": 3, "min_chunk_sim": 0.75,
+         "n_chunks": 4},
+        "audio_sigs",
+        4,
+    ),
+}
 
 MULTIPLIERS = (1, 4, 10)
 NUM_BUCKETS = 256
@@ -65,6 +99,7 @@ def _delta_bytes(store: str, batch_id: int) -> int:
 
 def main() -> None:
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    kinds = (sys.argv[2].split(",") if len(sys.argv) > 2 else ["video"])
     spark = get_spark(
         app_name="video_ingest_probe",
         extra_conf={
@@ -73,25 +108,28 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    batch = M.video_scene_fixture(spark, n_clips=8).localCheckpoint()
+    for kind in kinds:
+        fixture, ingest, key_meta, sig_kind, scenes = MODALITIES[kind]
+        batch = fixture(spark).localCheckpoint()
+        _probe_kind(spark, kind, batch, ingest, key_meta, sig_kind, scenes, base)
+    spark.stop()
+
+
+def _probe_kind(spark, kind, batch, ingest, key_meta, sig_kind, scenes, base):
     for m in MULTIPLIERS:
-        tmp = tempfile.mkdtemp(prefix="video_probe_")
+        tmp = tempfile.mkdtemp(prefix=f"{kind}_probe_")
         try:
             store = os.path.join(tmp, "state")
             kd, sd = _keys_dir(store), _sigs_dir(store)
-            _ensure_meta(
-                kd,
-                {"kind": "video_keys", "num_buckets": NUM_BUCKETS, "tau": 10,
-                 "min_scene_sim": 0.6, "min_change_bits": 12},
-            )
-            _ensure_meta(sd, {"kind": "video_sigs", "num_buckets": NUM_BUCKETS})
+            _ensure_meta(kd, {**key_meta, "num_buckets": NUM_BUCKETS})
+            _ensure_meta(sd, {"kind": sig_kind, "num_buckets": NUM_BUCKETS})
             n_clips = m * base
             # synthetic history: deterministic pseudo-random 64-bit scene
             # hashes (split in halves) — textually impossible to collide
             # with the fixture batch, which is the point: the probe
             # measures store mechanics, not verify outcomes
             sigs = (
-                spark.range(n_clips * SCENES_PER_CLIP)
+                spark.range(n_clips * scenes)
                 .select(
                     (F.col("id") % n_clips + 1_000_000).alias("media_id"),
                     (F.col("id") / n_clips).cast("int").alias("scene_idx"),
@@ -113,7 +151,7 @@ def main() -> None:
             _mark_committed(sd, 0)
 
             t0 = time.time()
-            ingest_batch_video(
+            ingest(
                 spark, batch, 1, os.path.join(tmp, "out"), store,
                 num_buckets=NUM_BUCKETS,
             )
@@ -121,7 +159,7 @@ def main() -> None:
             print(
                 json.dumps(
                     {
-                        "probe": "video_ingest_batch",
+                        "probe": f"{kind}_ingest_batch",
                         "history_clips": n_clips,
                         "batch_clips": 8,
                         "sec": round(dt, 2),
