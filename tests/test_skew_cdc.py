@@ -291,3 +291,41 @@ def test_auto_route_detection_memoized_per_input(spark, monkeypatch):
     # a different policy is a different cache key, not a stale hit
     r4 = tx.resolve_skew_salts(hot, "auto", auto_threshold=0.9)
     assert len(calls) == 3 and r4 is None
+
+
+def test_auto_route_persisted_across_sessions(spark, monkeypatch, tmp_path):
+    """With $SPARK_GRAFT_ROUTE_CACHE set, the auto decision lands in
+    routes.json and a COLD session (simulated by clearing the in-process
+    cache) reuses it without a detection job (r7 verdict #3). Unset, no
+    file appears and behavior is unchanged."""
+    import json
+    import os
+
+    from kafka_connect_logminer2_spark.operators import transactions as tx
+
+    calls = []
+    real = tx.detect_xid_skew
+
+    def spy(redo, sample_fraction=0.02, seed=7):
+        calls.append(1)
+        return real(redo, sample_fraction=sample_fraction, seed=seed)
+
+    monkeypatch.setattr(tx, "detect_xid_skew", spy)
+    monkeypatch.setenv(tx._ROUTE_CACHE_ENV, str(tmp_path / "routes"))
+    hot = _skewed_redo(spark, n_events=5_000, hot_frac=0.10).localCheckpoint()
+
+    assert tx.resolve_skew_salts(hot, "auto") == 16
+    assert len(calls) == 1
+    path = tmp_path / "routes" / "routes.json"
+    assert path.exists() and 16 in json.load(open(path)).values()
+
+    tx._ROUTE_CACHE.clear()  # "new session"
+    assert tx.resolve_skew_salts(hot, "auto") == 16
+    assert len(calls) == 1  # served from the persisted cache
+
+    # disabled -> in-process only, no file writes
+    monkeypatch.delenv(tx._ROUTE_CACHE_ENV)
+    tx._ROUTE_CACHE.clear()
+    os.remove(path)
+    assert tx.resolve_skew_salts(hot, "auto") == 16
+    assert len(calls) == 2 and not path.exists()
