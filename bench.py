@@ -86,6 +86,7 @@ HEADLINE = [
     # r8 additions
     "cdc28_image_ingest",
     "cdc29_audio_ingest",
+    "q161_media_pipeline",
 ]
 
 

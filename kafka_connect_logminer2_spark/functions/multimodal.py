@@ -1024,7 +1024,22 @@ def video_neardup_pairs(
     s = scene_signatures(media, min_change_bits=min_change_bits).localCheckpoint(
         eager=False
     )
-    bands = scene_band_rows(s)
+    return scene_neardup_pairs(
+        s, tau=tau, min_scene_sim=min_scene_sim, max_band_freq=max_band_freq
+    )
+
+
+def scene_neardup_pairs(
+    sigs: DataFrame,
+    tau: int = 10,
+    min_scene_sim: float = 0.6,
+    max_band_freq: int = 64,
+) -> DataFrame:
+    """Stages 2–3 of :func:`video_neardup_pairs` over an ALREADY-DECODED
+    scene-signature frame — factored out so composed pipelines that
+    already hold signatures (media_pipeline's decode stage, the ingest
+    stores) pay the decode pass once, not per consumer."""
+    bands = scene_band_rows(sigs)
     keys = ["band", "val", "scene_idx"]
     cool = bands.join(
         bands.groupBy(*keys)
@@ -1043,7 +1058,7 @@ def video_neardup_pairs(
         )
         .distinct()
     )
-    return scene_pair_verify(cand, s, s, tau=tau, min_scene_sim=min_scene_sim)
+    return scene_pair_verify(cand, sigs, sigs, tau=tau, min_scene_sim=min_scene_sim)
 
 
 def pattern_frame(w: int, h: int, seed: int) -> bytes:
@@ -1358,3 +1373,165 @@ def audio_neardup_fixture(spark, n: int = 10, planted: int = 3) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _decode_stats(media: DataFrame) -> DataFrame:
+    """One decode pass over image/audio rows → ``(media_id, ok,
+    n_pixels, seconds)``: TRUE decodability (decode_image/decode_audio
+    returning None), not the stub fallback the feature extractors use —
+    the quality-gate stage of :func:`media_pipeline` must DROP junk, not
+    hash it. Video decodability is scene count (scene_signatures),
+    derived separately."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "ok": [], "n_pixels": [], "seconds": []}
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                raw = b"" if p is None else bytes(p)
+                px, sec, ok = 0, 0.0, False
+                if kind == "image":
+                    arr = decode_image(raw)
+                    if arr is not None:
+                        ok, px = True, int(arr.shape[0] * arr.shape[1])
+                elif kind == "audio":
+                    wav = decode_audio(raw)
+                    if wav is not None:
+                        rate, samples = wav
+                        ok, sec = True, float(len(samples) / rate)
+                out["media_id"].append(int(mid))
+                out["ok"].append(ok)
+                out["n_pixels"].append(px)
+                out["seconds"].append(sec)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, "media_id long, ok boolean, n_pixels long, seconds double"
+    )
+
+
+def media_pipeline(
+    media: DataFrame,
+    min_image_pixels: int = 256,
+    min_audio_seconds: float = 0.25,
+    min_video_scenes: int = 2,
+    image_tau: int = 10,
+    audio_tau: int = 3,
+    video_tau: int = 10,
+    min_scene_sim: float = 0.6,
+    min_chunk_sim: float = 0.75,
+) -> dict:
+    """THE END-TO-END MULTIMODAL CURATION PIPELINE (q161) — the q119
+    composition pattern for media: every stage is individually green
+    elsewhere (q34/q136 decode, q156/q157/q158 perceptual dedup), but the
+    product is the composition, and stage composition is where schema and
+    survivor-threading drift hides. Stages, each feeding the next's
+    survivors only, PER MODALITY:
+
+      00 raw      → the mixed media frame (kind ∈ image/audio/video)
+      01 decoded  → payload actually decodes (images/audio: the real
+                    decoders, not the stub fallback; video: ≥1 scene) —
+                    junk bytes leave the corpus here
+      02 quality  → modality floors: image ≥ min_image_pixels, audio ≥
+                    min_audio_seconds, video ≥ min_video_scenes
+      03 dedup    → per-modality perceptual near-dup clusters (the
+                    q156/q157/q158 operators), min-id representative kept
+
+    Returns {"ledger": (stage, modality, n_items, id_sum) — the yield
+    ledger a curation run reports, id_sum pinning the exact surviving
+    membership; "survivors": the final (media_id, kind) frame}. At scale
+    every stage is one decode pass + hash aggregates / bounded band
+    joins; the ledger is four tiny aggregates unioned."""
+    from .dedup import dup_clusters
+
+    media = media.select("media_id", "kind", "mime", "payload", "meta_json")
+    stats = _decode_stats(
+        media.filter(F.col("kind").isin("image", "audio"))
+    ).localCheckpoint(eager=False)
+    vid = media.filter(F.col("kind") == "video")
+    # ONE video decode pass: the signatures drive the scene counts here
+    # and the dedup stage below (scene_neardup_pairs)
+    vid_sigs = scene_signatures(vid).localCheckpoint(eager=False)
+    n_scenes = vid_sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_scenes")
+    ).localCheckpoint(eager=False)
+
+    dec_ids = {
+        "image": stats.filter((F.col("ok")) & (F.col("n_pixels") > 0)).join(
+            media.filter(F.col("kind") == "image").select("media_id"),
+            "media_id", "left_semi"),
+        "audio": stats.filter(F.col("ok") & (F.col("seconds") > 0)).join(
+            media.filter(F.col("kind") == "audio").select("media_id"),
+            "media_id", "left_semi"),
+        "video": n_scenes.filter(F.col("n_scenes") >= 1),
+    }
+    qual_ids = {
+        "image": dec_ids["image"].filter(F.col("n_pixels") >= min_image_pixels),
+        "audio": dec_ids["audio"].filter(F.col("seconds") >= min_audio_seconds),
+        "video": dec_ids["video"].filter(F.col("n_scenes") >= min_video_scenes),
+    }
+
+    def survivors(kind: str, pairs_fn) -> DataFrame:
+        kept = media.join(
+            qual_ids[kind].select("media_id"), "media_id", "left_semi"
+        )
+        pairs = pairs_fn(kept)
+        dupes = (
+            dup_clusters(pairs, id1_col="id1", id2_col="id2")
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("media_id"))
+        )
+        return qual_ids[kind].select("media_id").join(
+            dupes, "media_id", "left_anti"
+        )
+
+    dedup_ids = {
+        "image": survivors("image", lambda m: image_neardup_pairs(m, tau=image_tau)),
+        "audio": survivors(
+            "audio",
+            lambda m: audio_neardup_pairs(m, tau=audio_tau,
+                                          min_chunk_sim=min_chunk_sim),
+        ),
+        "video": survivors(
+            "video",
+            lambda m: scene_neardup_pairs(
+                vid_sigs.join(m.select("media_id"), "media_id", "left_semi"),
+                tau=video_tau, min_scene_sim=min_scene_sim,
+            ),
+        ),
+    }
+
+    parts = [
+        media.select(
+            F.lit("00_raw").alias("stage"), F.col("kind").alias("modality"),
+            "media_id",
+        )
+    ]
+    for stage, ids in (("01_decoded", dec_ids), ("02_quality", qual_ids),
+                       ("03_dedup", dedup_ids)):
+        for kind, df in ids.items():
+            parts.append(
+                df.select(
+                    F.lit(stage).alias("stage"), F.lit(kind).alias("modality"),
+                    "media_id",
+                )
+            )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    ledger = (
+        union.groupBy("stage", "modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("media_id").alias("id_sum"),
+        )
+        .orderBy("stage", "modality")
+    )
+    keep = None
+    for kind, df in dedup_ids.items():
+        k = df.select("media_id")
+        keep = k if keep is None else keep.unionByName(k)
+    return {
+        "ledger": ledger,
+        "survivors": media.join(keep, "media_id", "left_semi")
+        .select("media_id", "kind"),
+    }

@@ -7911,6 +7911,92 @@ ORDER BY d2.doc_id
 """
 
 
+def q161_media_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """THE COMPOSED MULTIMODAL CURATION PIPELINE (r7 verdict #7 — the
+    q119 composition pattern for media): decode gate → modality quality
+    floors → per-modality perceptual dedup (q156/q157/q158's operators),
+    emitted as the per-stage yield ledger (stage, modality, n_items,
+    id_sum). The fixture plants every drop reason: junk bytes per
+    modality (undecodable), one below-floor item per modality (8×6 image,
+    0.05 s audio clip, single-scene video), and one perceptual duplicate
+    family per modality (BMP re-encodes, a 0.7× remaster, an fps-changed
+    AVI re-encode) — so the oracle pins the ENTIRE ledger as literals:
+    any stage passing junk, dropping a keeper, or mis-threading survivors
+    changes a count or an id_sum and breaks the value hash."""
+    import numpy as np
+
+    from ..functions import multimodal as M
+
+    img = M.image_neardup_fixture(spark, n=6, planted=2)
+    extra_img = spark.createDataFrame(
+        [
+            {"media_id": 900, "kind": "image", "mime": "image/ppm",
+             "payload": b"junk bytes, not an image", "meta_json": "{}"},
+            {"media_id": 901, "kind": "image", "mime": "image/ppm",
+             "payload": M.pattern_frame(8, 6, seed=4242), "meta_json": "{}"},
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    aud = M.audio_neardup_fixture(spark, n=6, planted=2).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    t = np.arange(int(8000 * 0.05)) / 8000.0
+    extra_aud = spark.createDataFrame(
+        [
+            {"media_id": 1900, "kind": "audio", "mime": "audio/wav",
+             "payload": b"junk bytes, not audio", "meta_json": "{}"},
+            {"media_id": 1901, "kind": "audio", "mime": "audio/wav",
+             "payload": M.wav_from_samples(
+                 0.4 * np.sin(2 * np.pi * 700.0 * t), 8000),
+             "meta_json": "{}"},
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    vid = M.video_scene_fixture(spark, n_clips=4).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    vrows = {r["media_id"]: r for r in vid.collect()}
+    one_scene = M.avi_payload(
+        [M.pattern_frame(32, 24, seed=987)] * 5, fps=5, w=32, h=24
+    )
+    extra_vid = spark.createDataFrame(
+        [
+            {"media_id": 2100, "kind": "video", "mime": "video/avi",
+             "payload": M.reencode_avi(bytes(vrows[2000]["payload"]),
+                                       noise=2, seed=0, fps=10),
+             "meta_json": vrows[2000]["meta_json"]},
+            {"media_id": 2900, "kind": "video", "mime": "video/avi",
+             "payload": b"junk bytes, not a container", "meta_json": "{}"},
+            {"media_id": 2901, "kind": "video", "mime": "video/avi",
+             "payload": one_scene, "meta_json": "{}"},
+        ],
+        schema=M.MEDIA_SCHEMA,
+    )
+    media = img.unionByName(extra_img).unionByName(aud).unionByName(
+        extra_aud
+    ).unionByName(vid).unionByName(extra_vid)
+    return M.media_pipeline(media)["ledger"]
+
+
+Q161_SQL = """
+SELECT * FROM (VALUES
+  ('00_raw',     'audio', 10::BIGINT, 12017::BIGINT),
+  ('00_raw',     'image', 10::BIGINT,  2017::BIGINT),
+  ('00_raw',     'video',  7::BIGINT, 15907::BIGINT),
+  ('01_decoded', 'audio',  9::BIGINT, 10117::BIGINT),
+  ('01_decoded', 'image',  9::BIGINT,  1117::BIGINT),
+  ('01_decoded', 'video',  6::BIGINT, 13007::BIGINT),
+  ('02_quality', 'audio',  8::BIGINT,  8216::BIGINT),
+  ('02_quality', 'image',  8::BIGINT,   216::BIGINT),
+  ('02_quality', 'video',  5::BIGINT, 10106::BIGINT),
+  ('03_dedup',   'audio',  6::BIGINT,  6015::BIGINT),
+  ('03_dedup',   'image',  6::BIGINT,    15::BIGINT),
+  ('03_dedup',   'video',  4::BIGINT,  8006::BIGINT)
+) AS t(stage, modality, n_items, id_sum)
+ORDER BY stage, modality
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8084,6 +8170,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q158_audio_neardup": (q158_audio_neardup, Q158_SQL),
     "q159_span_removal": (q159_span_removal, Q159_SQL),
     "q160_intradoc_repetition": (q160_intradoc_repetition, Q160_SQL),
+    "q161_media_pipeline": (q161_media_pipeline, Q161_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

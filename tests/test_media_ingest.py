@@ -142,3 +142,23 @@ def test_depth_50_batches_chains_bounded_values_exact(spark, tmp_path):
         .select("media_id").collect()
     )
     assert got == list(range(52))
+
+
+def test_media_pipeline_ledger_and_survivors(spark):
+    """q161's composition (functions/multimodal.py::media_pipeline): the
+    pytest twin of the oracle — full planted fixture, ledger literal
+    match, survivors == the planted keepers across all three
+    modalities."""
+    from kafka_connect_logminer2_spark.plans.queries import q161_media_pipeline
+
+    rows = {
+        (r["stage"], r["modality"]): (r["n_items"], r["id_sum"])
+        for r in q161_media_pipeline(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows[("00_raw", "image")] == (10, 2017)
+    assert rows[("01_decoded", "video")] == (6, 13007)  # junk container out
+    assert rows[("02_quality", "audio")] == (8, 8216)  # 0.05s clip out
+    assert rows[("03_dedup", "image")] == (6, 15)  # BMP re-encodes out
+    assert rows[("03_dedup", "audio")] == (6, 6015)
+    assert rows[("03_dedup", "video")] == (4, 8006)
+    assert len(rows) == 12
