@@ -967,7 +967,13 @@ FROM documents
 
 
 def _ann_gate_rows(
-    spark: SparkSession, approx: DataFrame, exact: DataFrame, prefix: str, k: int
+    spark: SparkSession,
+    approx: DataFrame,
+    exact: DataFrame,
+    prefix: str,
+    k: int,
+    n_queries: int = 8,
+    recall_floor: float = 0.30,
 ) -> DataFrame:
     """Shared gate-row emission for the approximate ANN entries (q31/q35):
     recall@k vs the exact brute force plus the structural invariants any
@@ -990,8 +996,9 @@ def _ann_gate_rows(
     ).first()
     recall = hits / total if total else 0.0
     rows = [
-        (f"{prefix}_recall_at_{k}", 0.30, bool(recall >= 0.30)),
-        (f"{prefix}_all_queries_answered", 8.0, bool(st["nq"] == 8)),
+        (f"{prefix}_recall_at_{k}", recall_floor, bool(recall >= recall_floor)),
+        (f"{prefix}_all_queries_answered", float(n_queries),
+         bool(st["nq"] == n_queries)),
         (f"{prefix}_ranks_within_k", float(k),
          bool(st["min_rank"] >= 1 and st["max_rank"] <= k)),
         (f"{prefix}_no_self_hits", 0.0, bool(st["self_hits"] == 0)),
@@ -1003,14 +1010,16 @@ def _ann_gate_rows(
     ).orderBy("metric")
 
 
-def _ann_gate_sql(prefix: str, k: int) -> str:
+def _ann_gate_sql(
+    prefix: str, k: int, n_queries: int = 8, recall_floor: float = 0.30
+) -> str:
     return f"""
 SELECT * FROM (VALUES
-  ('{prefix}_all_queries_answered', CAST(8.0 AS DOUBLE), TRUE),
+  ('{prefix}_all_queries_answered', CAST({float(n_queries)} AS DOUBLE), TRUE),
   ('{prefix}_neighbors_distinct_per_query', CAST(1.0 AS DOUBLE), TRUE),
   ('{prefix}_no_self_hits', CAST(0.0 AS DOUBLE), TRUE),
   ('{prefix}_ranks_within_k', CAST({float(k)} AS DOUBLE), TRUE),
-  ('{prefix}_recall_at_{k}', CAST(0.30 AS DOUBLE), TRUE)
+  ('{prefix}_recall_at_{k}', CAST({recall_floor} AS DOUBLE), TRUE)
 ) AS t(metric, bound, pass)
 ORDER BY metric
 """
@@ -2301,20 +2310,64 @@ def q59_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     deterministic lowest-id init): cluster sizes + mean distance to center.
     Iterative driver-resident-model pattern (functions/clustering.py) — the
     per-iteration shuffle is O(k x dim x partitions) partial sums, never the
-    vectors. Non-SQL-expressible (iterative fixpoint): rows-only check here;
-    tests/test_clustering.py verifies against a NumPy reference run."""
+    vectors. Oracle-checkable since r8 (gate rows): the iterative fixpoint
+    isn't one query, so the entry emits MEASURED invariants — every vector
+    assigned, all 8 clusters used with ids 0..7, non-negative distances,
+    Lloyd monotone descent vs the init assignment, and assignment
+    determinism across repartitionings (the stable-argmin contract) —
+    pinned all-TRUE; the NumPy reference differential stays in
+    tests/test_clustering.py."""
     from kafka_connect_logminer2_spark.functions.clustering import kmeans
 
     emb = load_table(spark, sf, "embeddings")
-    assigned, _, _ = kmeans(emb, k=8, max_iter=10)
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("dist"), 6).alias("mean_dist"),
-        )
-        .orderBy("cluster")
+    n_corpus = emb.count()
+    assigned, cents, _ = kmeans(emb, k=8, max_iter=10)
+    assigned = assigned.localCheckpoint(eager=False)
+    st = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster").alias("k_used"),
+        F.min("dist").alias("min_d"),
+        F.avg("dist").alias("avg_d"),
+        F.min("cluster").alias("cmin"),
+        F.max("cluster").alias("cmax"),
+    ).first()
+    # descent check: the converged objective must not exceed the
+    # lowest-id-init assignment objective (Lloyd monotonicity)
+    init, _, _ = kmeans(emb, k=8, max_iter=0)
+    init_avg = init.agg(F.avg("dist")).first()[0]
+    # determinism across partitionings (stable argmin contract)
+    twin, _, _ = kmeans(emb.repartition(7), k=8, max_iter=10)
+    diff = (
+        assigned.select("vec_id", "cluster")
+        .join(twin.select("vec_id", F.col("cluster").alias("c2")), "vec_id")
+        .filter(F.col("cluster") != F.col("c2"))
+        .count()
     )
+    rows = [
+        ("kmeans_all_vectors_assigned", float(n_corpus),
+         bool(st["n"] == n_corpus)),
+        ("kmeans_all_clusters_used", 8.0,
+         bool(st["k_used"] == 8 and st["cmin"] == 0 and st["cmax"] == 7)),
+        ("kmeans_distances_nonneg", 0.0, bool(st["min_d"] >= 0.0)),
+        ("kmeans_objective_descends", 1.0,
+         bool(st["avg_d"] <= init_avg + 1e-9)),
+        ("kmeans_deterministic_vs_partitioning", 0.0, bool(diff == 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+Q59_SQL = """
+SELECT * FROM (
+  SELECT 'kmeans_all_vectors_assigned' AS metric,
+         CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS bound, TRUE AS pass
+  UNION ALL SELECT 'kmeans_all_clusters_used', CAST(8.0 AS DOUBLE), TRUE
+  UNION ALL SELECT 'kmeans_deterministic_vs_partitioning', CAST(0.0 AS DOUBLE), TRUE
+  UNION ALL SELECT 'kmeans_distances_nonneg', CAST(0.0 AS DOUBLE), TRUE
+  UNION ALL SELECT 'kmeans_objective_descends', CAST(1.0 AS DOUBLE), TRUE
+) ORDER BY metric
+"""
 
 
 def q63_intersect(spark: SparkSession, sf: str) -> DataFrame:
@@ -3987,7 +4040,9 @@ def q114_ann_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     the cell filter into PartitionFilters, so at 100 TB every query scans
     ~nprobe/n_centroids of the corpus instead of all of it. Same math as
     the in-memory q35 (tests assert result equality and audit the pruned
-    file count); rows-only here because recall < 1 by construction."""
+    file count). Oracle-checkable since r8 via the q31/q35 gate-row
+    pattern: measured recall@5 vs the exact brute force plus the
+    structural top-k invariants, oracle-pinned all-TRUE."""
     import shutil
     import tempfile
 
@@ -4001,7 +4056,13 @@ def q114_ann_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         spark, f"{tmp}/index", cmat, queries_df, k=5, nprobe=5
     ).localCheckpoint()  # materialize off the temp dir so it can be removed
     shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    return _ann_gate_rows(spark, out, exact, "ann_part", 5)
+
+
+Q114_SQL = _ann_gate_sql("ann_part", 5)
 
 
 def q127_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
@@ -4399,16 +4460,42 @@ def q132_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     independent pure-Python implementation, plus the vocab-sized-table
     scale contract."""
     from ..functions.bpe import train_bpe
+    from ..functions.quality_gates import _ref_train_bpe
 
     docs = load_table(spark, sf, "documents")
     merges = train_bpe(docs, num_merges=12)
-    return spark.createDataFrame(
-        [
-            (i + 1, left, right, left + right, cnt)
-            for i, (left, right, cnt) in enumerate(merges)
-        ],
-        "rank int, left string, right string, merged string, count long",
+    wellformed = bool(
+        len(merges) == 12
+        and all(cnt >= 2 for _, _, cnt in merges)
+        and all(left and right for left, right, _ in merges)
     )
+    # merge-for-merge reference equality on a fixed corpus slice (the
+    # q155 gate at this entry's own merge depth) — the independent
+    # pure-Python statement of the algorithm must produce the SAME table
+    sub = docs.filter(F.col("doc_id") < 100)
+    texts = [r["text"] for r in sub.select("text").collect()]
+    ref_equal = bool(
+        train_bpe(sub, num_merges=12) == _ref_train_bpe(texts, num_merges=12)
+    )
+    rows = [
+        ("bpe_merge_table_wellformed", 12.0, wellformed),
+        ("bpe_counts_at_least_min_count", 2.0,
+         bool(all(cnt >= 2 for _, _, cnt in merges))),
+        ("bpe_reference_equality_slice", 1.0, ref_equal),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+Q132_SQL = """
+SELECT * FROM (VALUES
+  ('bpe_counts_at_least_min_count', CAST(2.0  AS DOUBLE), TRUE),
+  ('bpe_merge_table_wellformed',    CAST(12.0 AS DOUBLE), TRUE),
+  ('bpe_reference_equality_slice',  CAST(1.0  AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
 
 
 def q133_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
@@ -4491,8 +4578,9 @@ def q126_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
     rows and join the index by plain equi-join on _cell, the shape that
     replaces ivf_query_index's driver collect + broadcast nested-loop when
     the query set is not driver-sized (all-corpus self-join, batch audit
-    scans). Rows-only: approximate by construction; tests pin row equality
-    with the driver form and the no-nested-loop plan."""
+    scans). Oracle-checkable since r8 (the q31/q35 gate-row pattern over
+    the corpus-sized query set); tests additionally pin row equality with
+    the driver form and the no-nested-loop plan."""
     import shutil
     import tempfile
 
@@ -4506,7 +4594,28 @@ def q126_ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
         spark, f"{tmp}/index", cmat, queries_df, k=5, nprobe=5
     ).localCheckpoint()  # materialize off the temp dir so it can be removed
     shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    return _ann_gate_rows(
+        spark, out, exact, "ann_batch", 5, n_queries=queries_df.count()
+    )
+
+
+# the query-count bound is data-derived (a third of the corpus), so the
+# oracle computes it from the same table instead of pinning a literal
+Q126_SQL = """
+SELECT * FROM (
+  SELECT 'ann_batch_all_queries_answered' AS metric,
+         CAST((SELECT count(*) FROM embeddings WHERE vec_id % 3 = 0) AS DOUBLE)
+           AS bound, TRUE AS pass
+  UNION ALL
+  SELECT 'ann_batch_neighbors_distinct_per_query', CAST(1.0 AS DOUBLE), TRUE
+  UNION ALL SELECT 'ann_batch_no_self_hits', CAST(0.0 AS DOUBLE), TRUE
+  UNION ALL SELECT 'ann_batch_ranks_within_k', CAST(5.0 AS DOUBLE), TRUE
+  UNION ALL SELECT 'ann_batch_recall_at_5', CAST(0.30 AS DOUBLE), TRUE
+) ORDER BY metric
+"""
 
 
 def cdc11_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
@@ -5676,25 +5785,62 @@ def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     """PCA over the embedding corpus (functions/pca.py — partial-Gram
     aggregation, driver-side eigh over the d×d covariance, sign-pinned
     components): the SemDeDup whitening/dimension-reduction preprocessing
-    step. Output is the model summary — per component its eigenvalue and
-    cumulative variance-explained — rounded to 6 dp. No SQL oracle (an
-    eigensolver isn't SQL; rows-only here); the quality gates live in
-    tests/test_pca.py: orthonormal components, whitened covariance ≈ I,
-    reconstruction error == discarded eigenvalue mass, determinism."""
+    step. Oracle-checkable since r8 (the gate-row pattern): an
+    eigensolver isn't SQL, so the entry emits the MEASURED model
+    invariants — orthonormal components, determinism across
+    repartitioning, non-increasing non-negative spectrum, non-negative
+    discarded mass, whitened covariance ≈ I (computed as Spark
+    aggregates, never a corpus collect) — which the oracle pins
+    all-TRUE. The full numeric checks stay in tests/test_pca.py."""
+    import numpy as np
+
     from ..functions import pca as P
 
     emb = load_table(spark, sf, "embeddings")
     model = P.fit_pca(emb, k=8)
-    ev = model["evals"]
-    total = model["total_var"] or 1.0
-    cum = 0.0
-    rows = []
-    for i, lam in enumerate(ev):
-        cum += float(lam)
-        rows.append((i, round(float(lam), 6), round(cum / total, 6)))
+    C, ev, total = model["components"], model["evals"], model["total_var"]
+    orth_err = float(np.abs(C @ C.T - np.eye(len(C))).max())
+    twin = P.fit_pca(emb.repartition(7), k=8)
+    det_err = float(np.abs(C - twin["components"]).max())
+    # whitened covariance identity via Spark aggregates (the q155 shape)
+    proj = P.pca_project(emb, model, whiten=True).select("proj")
+    cols = [F.col("proj")[i] for i in range(8)]
+    r = proj.agg(
+        *[F.avg(cols[i]).alias(f"m{i}") for i in range(8)],
+        *[F.avg(cols[i] * cols[j]).alias(f"p{i}{j}")
+          for i in range(8) for j in range(i, 8)],
+    ).first()
+    cov_err = 0.0
+    for i in range(8):
+        for j in range(i, 8):
+            cov_err = max(cov_err, abs(
+                (r[f"p{i}{j}"] - r[f"m{i}"] * r[f"m{j}"]) - (1.0 if i == j else 0.0)
+            ))
+    rows = [
+        ("pca_components_orthonormal", 1e-9, bool(orth_err < 1e-9)),
+        ("pca_deterministic_vs_partitioning", 1e-9, bool(det_err < 1e-9)),
+        ("pca_evals_nonincreasing_nonneg", 1.0,
+         bool(all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+              and float(ev[-1]) >= 0.0)),
+        ("pca_discarded_mass_nonneg", 1.0,
+         bool(float(total) - float(ev.sum()) >= -1e-9)),
+        ("pca_whiten_cov_identity", 1e-4, bool(cov_err < 1e-4)),
+    ]
     return spark.createDataFrame(
-        rows, "component int, eigenvalue double, cum_var_explained double"
-    )
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+Q120_SQL = """
+SELECT * FROM (VALUES
+  ('pca_components_orthonormal',       CAST(1e-9 AS DOUBLE), TRUE),
+  ('pca_deterministic_vs_partitioning',CAST(1e-9 AS DOUBLE), TRUE),
+  ('pca_discarded_mass_nonneg',        CAST(1.0  AS DOUBLE), TRUE),
+  ('pca_evals_nonincreasing_nonneg',   CAST(1.0  AS DOUBLE), TRUE),
+  ('pca_whiten_cov_identity',          CAST(1e-4 AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
 
 
 def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
@@ -5702,12 +5848,16 @@ def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
     64-dim corpus projected to 16 dims (4× fewer bytes per vector, 4×
     cheaper dot products at 100 TB) by the distributed PCA fit
     (functions/pca.py), then the exact cosine top-k operator runs on the
-    projected column unchanged. No SQL oracle (the eigensolve isn't SQL);
-    quality gate: tests/test_pca.py pins overlap@5 ≥ 0.8 against the
-    full-dim exact top-k on a planted low-rank corpus (the fixture corpus
-    is near-isotropic — var@16 ≈ 0.38 — where NO projection could keep
-    neighbors; real embedding corpora are low-rank, which is why this
-    serving path exists)."""
+    projected column unchanged. Oracle-checkable since r8 (gate rows):
+    structural top-k invariants over the real corpus PLUS the planted
+    low-rank contract — overlap@5 ≥ 0.8 against the full-dim exact top-k
+    and ≥ 0.95 variance captured at k=16 on an 8-rank + noise corpus
+    (the real fixture table is near-isotropic — var@16 ≈ 0.38 — where NO
+    projection could keep neighbors; real embedding corpora are
+    low-rank, which is why this serving path exists). Oracle pins
+    all-TRUE; the raw reduced answer stays in tests/test_pca.py."""
+    import numpy as np
+
     from ..functions import pca as P
 
     emb = load_table(spark, sf, "embeddings")
@@ -5716,7 +5866,63 @@ def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
     queries = proj.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.cosine_topk(proj, queries, k=5)
+    reduced = S.cosine_topk(proj, queries, k=5)
+    st = reduced.agg(
+        F.count_distinct("query_id").alias("nq"),
+        F.min("rank").alias("min_rank"),
+        F.max("rank").alias("max_rank"),
+        F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int"))
+        .alias("self_hits"),
+    ).first()
+
+    # planted low-rank corpus (tests/test_pca.py's fixture): the overlap
+    # contract holds WHEN the corpus is low-rank — real embedding corpora
+    # are; the fixture table here is near-isotropic, where no projection
+    # could keep neighbors
+    rng = np.random.default_rng(7)
+    W = rng.standard_normal((64, 8))
+    z = rng.standard_normal((400, 8))
+    x = z @ W.T + 0.05 * rng.standard_normal((400, 64))
+    low = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    lmodel = P.fit_pca(low, k=16)
+    var16 = float(lmodel["evals"].sum() / lmodel["total_var"])
+    lproj = P.pca_project(low, lmodel).withColumnRenamed("proj", "embedding")
+    qf = low.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qp = lproj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(low, qf, k=5).select("query_id", "neighbor_id")
+    red = S.cosine_topk(lproj, qp, k=5).select("query_id", "neighbor_id")
+    hits = red.join(exact, ["query_id", "neighbor_id"], "inner").count()
+    overlap = hits / 40.0
+    rows = [
+        ("pca_ann_all_queries_answered", 8.0, bool(st["nq"] == 8)),
+        ("pca_ann_ranks_within_k", 5.0,
+         bool(st["min_rank"] >= 1 and st["max_rank"] <= 5)),
+        ("pca_ann_no_self_hits", 0.0, bool(st["self_hits"] == 0)),
+        ("pca_ann_lowrank_overlap_at_5", 0.8, bool(overlap >= 0.8)),
+        ("pca_ann_lowrank_var_captured_16", 0.95, bool(var16 >= 0.95)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+Q123_SQL = """
+SELECT * FROM (VALUES
+  ('pca_ann_all_queries_answered',   CAST(8.0  AS DOUBLE), TRUE),
+  ('pca_ann_lowrank_overlap_at_5',   CAST(0.8  AS DOUBLE), TRUE),
+  ('pca_ann_lowrank_var_captured_16',CAST(0.95 AS DOUBLE), TRUE),
+  ('pca_ann_no_self_hits',           CAST(0.0  AS DOUBLE), TRUE),
+  ('pca_ann_ranks_within_k',         CAST(5.0  AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
 
 
 def q124_semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
@@ -5994,30 +6200,68 @@ def q136_audio_spectrogram(spark: SparkSession, sf: str) -> DataFrame:
     extract_spectrogram_features): pure-numpy Hann-windowed rfft power
     spectrogram → HTK mel filterbank → per-clip log-mel descriptor, run
     as iterator-of-batches mapInPandas over real PCM-16 WAV payloads (the
-    audio_fixture sine sweep). Per-band rollup: clip count, mean peak-band
-    energy. No oracle — an FFT is not SQL-expressible; the kernel is
-    gated by numpy ground-truth tests instead (sine at f must dominate
-    the band containing f, frame-count formula, filterbank partition —
-    tests/test_multimodal_kernels.py::TestSpectrogram)."""
+    audio_fixture pure tones at 8 known frequencies). Oracle-checkable
+    since r8 (gate rows): an FFT is not SQL-expressible, so the entry
+    emits the MEASURED fixture-truth invariants — every clip featurized,
+    dominant_band == argmax(mel_energies), each of the 8 tone
+    frequencies maps to exactly one band and the tones land in exactly
+    6 distinct bands (mel compression folds the top three tones into
+    the wide top filter — the fixture's true count), peak
+    energy positive — pinned all-TRUE. Numpy ground-truth kernel tests
+    stay in tests/test_multimodal_kernels.py::TestSpectrogram."""
     from ..functions import multimodal as M
 
     media = M.audio_fixture(spark, n=96)
-    feats = M.extract_spectrogram_features(media)
-    return (
-        feats.select(
-            "media_id",
-            "dominant_band",
-            F.element_at(F.col("mel_energies"), F.col("dominant_band") + 1).alias(
-                "peak_e"
-            ),
-        )
-        .groupBy("dominant_band")
-        .agg(
-            F.count(F.lit(1)).alias("n_clips"),
-            F.round(F.avg("peak_e"), 4).alias("avg_peak_energy"),
-        )
-        .orderBy("dominant_band")
+    feats = M.extract_spectrogram_features(media).localCheckpoint(eager=False)
+    st = feats.select(
+        "media_id",
+        "dominant_band",
+        (F.col("media_id") % 8).alias("tone"),
+        F.element_at(F.col("mel_energies"), F.col("dominant_band") + 1)
+        .alias("peak_e"),
+        F.array_position(
+            F.col("mel_energies"), F.array_max("mel_energies")
+        ).alias("argmax1"),
     )
+    agg = st.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("peak_e").alias("min_peak"),
+        F.sum(
+            (F.col("argmax1") != F.col("dominant_band") + 1).cast("int")
+        ).alias("argmax_mismatch"),
+        # a fixed tone frequency must map to ONE dominant band (identical
+        # payloads -> identical features): 8 tones -> 8 (tone, band) pairs
+        F.count_distinct("tone", "dominant_band").alias("tone_band_pairs"),
+        F.count_distinct("dominant_band").alias("n_bands"),
+    ).first()
+    rows = [
+        ("spectrogram_all_clips_featurized", 96.0, bool(st.count() == 96)),
+        ("spectrogram_dominant_is_argmax", 0.0,
+         bool(agg["argmax_mismatch"] == 0)),
+        ("spectrogram_tone_to_band_is_function", 8.0,
+         bool(agg["tone_band_pairs"] == 8)),
+        # mel compression folds the top three tones (2900/3400/3900 Hz)
+        # into the wide top filter at 16 mels over a 4 kHz Nyquist — the
+        # fixture's true band count is 6, pinned exactly
+        ("spectrogram_tones_separated", 6.0, bool(agg["n_bands"] == 6)),
+        ("spectrogram_peak_energy_positive", 0.0,
+         bool(agg["min_peak"] is not None and agg["min_peak"] > 0.0)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+Q136_SQL = """
+SELECT * FROM (VALUES
+  ('spectrogram_all_clips_featurized',   CAST(96.0 AS DOUBLE), TRUE),
+  ('spectrogram_dominant_is_argmax',     CAST(0.0  AS DOUBLE), TRUE),
+  ('spectrogram_peak_energy_positive',   CAST(0.0  AS DOUBLE), TRUE),
+  ('spectrogram_tone_to_band_is_function', CAST(8.0 AS DOUBLE), TRUE),
+  ('spectrogram_tones_separated',        CAST(6.0  AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
 
 
 def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -6087,11 +6331,55 @@ def q138_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.graph import pagerank, undirected
 
     ranks = pagerank(undirected(_trade_edges(spark, sf)), n_iter=10)
+    return ranks.select("node", F.round("rank", 8).alias("rank")).orderBy("node")
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """DuckDB twin of q138: the SAME 10 power iterations UNROLLED as
+    chained CTEs (no recursive-CTE aggregation restrictions) over the
+    same symmetrized trade graph. The undirected graph has no dangling
+    nodes, so the kernel's dangling-mass term is identically zero and
+    rank' = (1-d)/n + d*sum_in(rank*w/out_strength) — replicated
+    term-for-term, making iterative linear algebra oracle-checkable
+    after all (r7 listed q138 among the honest rows-only set; unrolling
+    removes the "no SQL twin" barrier for FIXED iteration counts)."""
+    head = """
+WITH e0 AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, sum(weight) AS weight FROM (
+    SELECT src, dst, weight FROM e0
+    UNION ALL SELECT dst AS src, src AS dst, weight FROM e0
+  ) GROUP BY src, dst
+),
+outs AS (SELECT src, sum(weight) AS s FROM sym GROUP BY src),
+trans AS (SELECT sym.src, sym.dst, sym.weight / outs.s AS p
+          FROM sym JOIN outs ON sym.src = outs.src),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""r{i} AS (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn) + {d} * COALESCE(c.c, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT t.dst AS node, sum(r{i - 1}.rank * t.p) AS c
+    FROM r{i - 1} JOIN trans t ON t.src = r{i - 1}.node GROUP BY t.dst
+  ) c ON c.node = nodes.node
+)""")
     return (
-        ranks.select("node", F.round("rank", 8).alias("rank"))
-        .orderBy(F.col("rank").desc(), "node")
-        .limit(20)
+        head + ",\n".join(its)
+        + f"\nSELECT node, round(rank, 8) AS rank FROM r{n_iter} ORDER BY node"
     )
+
+
+Q138_SQL = _pagerank_oracle_sql()
 
 
 def q139_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
@@ -7018,25 +7306,39 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     the corpus is read once to build sketches; every coarser grouping
     after that is algebra over ~2 KB blobs.
 
-    No SQL oracle (DuckDB cannot reproduce the DataSketches binary);
-    the correctness gates live in tests/test_r5b_ops.py: the union-path
-    global estimate must match the direct whole-corpus sketch estimate to
-    <1% (the union keeps a wider HLL_8 register encoding, so it is not
-    bit-identical — measured 502 vs 501 at sf0.001), and both must be
-    within 5% of the exact distinct count."""
+    Oracle-checkable since r8 (the q26 pattern): DuckDB cannot reproduce
+    the DataSketches binary, so each row carries the EXACT distinct count
+    (both engines compute it) plus the measured accuracy gate — estimate
+    within 5% of exact — which the oracle pins TRUE per source AND for
+    the union-path global row. The finer union-vs-direct <1% gate stays
+    in tests/test_r5b_ops.py and q155 (hll_union_rel_error)."""
     docs = load_table(spark, sf, "documents")
     sketches = docs.groupBy("source").agg(
-        F.hll_sketch_agg("text", F.lit(12)).alias("sk")
+        F.hll_sketch_agg("text", F.lit(12)).alias("sk"),
+        F.count_distinct("text").alias("n_exact"),
     ).persist()
     try:
         per_source = sketches.select(
-            "source", F.hll_sketch_estimate("sk").cast("long").alias("est")
+            "source",
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_within_5pct"),
         )
+        exact_all = docs.select("text").distinct().count()
         global_row = (
             sketches.agg(F.hll_union_agg("sk").alias("sk"))
             .select(
                 F.lit("__all__").alias("source"),
-                F.hll_sketch_estimate("sk").cast("long").alias("est"),
+                F.lit(exact_all).alias("n_exact"),
+                (
+                    F.abs(
+                        F.hll_sketch_estimate("sk").cast("double")
+                        - F.lit(float(exact_all))
+                    )
+                    <= F.lit(0.05 * exact_all)
+                ).alias("est_within_5pct"),
             )
         )
         # materialize the |sources|+1-row result so the cache can be
@@ -7047,6 +7349,16 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         sketches.unpersist()
+
+
+Q146_SQL = """
+SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+       TRUE AS est_within_5pct
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__all__', CAST(count(DISTINCT text) AS BIGINT), TRUE FROM documents
+ORDER BY source
+"""
 
 
 def q147_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
@@ -7276,11 +7588,17 @@ def q150_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     image-kernel decode + perceptual average-hash, all inside ONE
     iterator-of-batches mapInPandas (the container→frames fan-out never
     explodes Spark-side before sampling). Per-clip rollup: sampled-frame
-    count, distinct perceptual hashes, mean frame timestamp. No SQL
-    oracle (the container bytes aren't SQL-reproducible); the kernels are
-    pinned by tests/test_multimodal_kernels.py::TestAVI (writer↔parser
-    bit-exact roundtrip, stride, hash-vs-direct-decode equality,
-    corrupted-payload skip)."""
+    count, distinct perceptual hashes, mean frame timestamp.
+
+    Oracle-checkable since r8: the container bytes aren't
+    SQL-reproducible, but every output column IS derivable from the
+    fixture's construction — 6 frames sampled every 2nd → 3; gradient
+    frames differ only by a uniform shift the average-hash is invariant
+    to → exactly 1 distinct hash per clip; timestamps j/fps for j in
+    {0,2,4} at fps 5 → mean 0.4; width 16+(i%4)·4 — so the oracle pins
+    the whole relation as literals, and a stride/parse/hash regression
+    breaks the value hash. Kernel bit-exactness stays pinned by
+    tests/test_multimodal_kernels.py::TestAVI."""
     from ..functions import multimodal as M
 
     clips = M.video_fixture(spark, n=24, frames_per_clip=6, fps=5)
@@ -7295,6 +7613,16 @@ def q150_video_frames(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+Q150_SQL = """
+SELECT CAST(range AS BIGINT) AS media_id,
+       3::BIGINT AS n_sampled,
+       1::BIGINT AS n_distinct_hashes,
+       CAST(0.4 AS DOUBLE) AS mean_ts_s,
+       CAST(16 + (range % 4) * 4 AS INTEGER) AS width
+FROM range(24) ORDER BY media_id
+"""
 
 
 def q151_decayed_counters(spark: SparkSession, sf: str) -> DataFrame:
@@ -8061,7 +8389,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q56_funnel": (q56_funnel, Q56_SQL),
     "q57_pmi_collocations": (q57_pmi_collocations, Q57_SQL),
     "q58_centroid_outliers": (q58_centroid_outliers, Q58_SQL),
-    "q59_kmeans": (q59_kmeans, None),
+    "q59_kmeans": (q59_kmeans, Q59_SQL),
     "q60_attribution": (q60_attribution, Q60_SQL),
     "q61_json_extract": (q61_json_extract, Q61_SQL),
     "q62_window_frames": (q62_window_frames, Q62_SQL),
@@ -8105,7 +8433,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q113_stream_dedup": (q113_stream_dedup, Q113_SQL),
     "cdc10_time_travel": (cdc10_time_travel, CDC10_SQL),
     "cdc11_snapshot_diff": (cdc11_snapshot_diff, CDC11_SQL),
-    "q114_ann_partitioned": (q114_ann_partitioned, None),
+    "q114_ann_partitioned": (q114_ann_partitioned, Q114_SQL),
     "q115_incremental_agg": (q115_incremental_agg, Q115_SQL),
     "q116_unigram_logprob": (q116_unigram_logprob, Q116_SQL),
     "cdc12_ddl_evolution": (cdc12_ddl_evolution, CDC12_SQL),
@@ -8114,13 +8442,13 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q117_pack_assemble": (q117_pack_assemble, Q117_SQL),
     "q118_leakage_safe_split": (q118_leakage_safe_split, Q118_SQL),
     "q119_corpus_pipeline": (q119_corpus_pipeline, Q119_SQL),
-    "q120_pca_whiten": (q120_pca_whiten, None),
+    "q120_pca_whiten": (q120_pca_whiten, Q120_SQL),
     "q121_vocab_coverage": (q121_vocab_coverage, Q121_SQL),
     "q122_shard_export_wide": (q122_shard_export_wide, Q122_SQL),
-    "q123_ann_pca": (q123_ann_pca, None),
+    "q123_ann_pca": (q123_ann_pca, Q123_SQL),
     "q124_semantic_decontamination": (q124_semantic_decontamination, Q124_SQL),
     "q125_mixture_sample": (q125_mixture_sample, Q125_SQL),
-    "q126_ann_ivf_batch": (q126_ann_ivf_batch, None),
+    "q126_ann_ivf_batch": (q126_ann_ivf_batch, Q126_SQL),
     "q127_token_budget_mixture": (q127_token_budget_mixture, Q127_SQL),
     "q128_source_precedence_dedup": (q128_source_precedence_dedup, Q128_SQL),
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
@@ -8131,14 +8459,14 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q129_gopher_rules": (q129_gopher_rules, Q129_SQL),
     "q130_dsir_importance": (q130_dsir_importance, Q130_SQL),
     "q131_bigram_logprob": (q131_bigram_logprob, Q131_SQL),
-    "q132_bpe_train": (q132_bpe_train, None),
+    "q132_bpe_train": (q132_bpe_train, Q132_SQL),
     "q133_quality_calibration": (q133_quality_calibration, Q133_SQL),
     "q134_phrase_search": (q134_phrase_search, Q134_SQL),
     "q135_heavy_hitters": (q135_heavy_hitters, Q135_SQL),
     "cdc20_join_mv": (cdc20_join_mv, CDC20_SQL),
-    "q136_audio_spectrogram": (q136_audio_spectrogram, None),
+    "q136_audio_spectrogram": (q136_audio_spectrogram, Q136_SQL),
     "q137_graph_degree": (q137_graph_degree, Q137_SQL),
-    "q138_pagerank": (q138_pagerank, None),
+    "q138_pagerank": (q138_pagerank, Q138_SQL),
     "q139_zorder_key": (q139_zorder_key, Q139_SQL),
     "cdc21_drift_monitor": (cdc21_drift_monitor, CDC21_SQL),
     "q140_session_transitions": (q140_session_transitions, Q140_SQL),
@@ -8151,12 +8479,12 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q145_pit_join": (q145_pit_join, Q145_SQL),
     "cdc23_expectation_gate": (cdc23_expectation_gate, CDC23_SQL),
     "cdc24_search_index_maintenance": (cdc24_search_index_maintenance, CDC24_SQL),
-    "q146_sketch_rollup": (q146_sketch_rollup, None),
+    "q146_sketch_rollup": (q146_sketch_rollup, Q146_SQL),
     "q147_k_anonymity": (q147_k_anonymity, Q147_SQL),
     "cdc25_streaming_scd2": (cdc25_streaming_scd2, CDC22_SQL),
     "q148_ohlc_bars": (q148_ohlc_bars, Q148_SQL),
     "q149_dup_rate_estimate": (q149_dup_rate_estimate, Q149_SQL),
-    "q150_video_frames": (q150_video_frames, None),
+    "q150_video_frames": (q150_video_frames, Q150_SQL),
     "q151_decayed_counters": (q151_decayed_counters, Q151_SQL),
     "cdc26_decayed_counters_mv": (cdc26_decayed_counters_mv, CDC26_SQL),
     "q152_triangle_parts": (q152_triangle_parts, Q152_SQL),

@@ -45,3 +45,34 @@ def test_ann_gate_rows_all_pass(spark):
         assert all(r["pass"] for r in rows), [
             r["metric"] for r in rows if not r["pass"]
         ]
+
+
+def test_r8_gate_converted_entries_all_pass(spark):
+    """The r8 batch of rows-only → gate-row conversions (q59, q114, q120,
+    q123, q126, q132, q136): every emitted gate must pass — the same
+    facts their DuckDB oracles pin TRUE."""
+    from kafka_connect_logminer2_spark.plans import queries as Q
+
+    reg = Q.queries()
+    for name in (
+        "q59_kmeans", "q114_ann_partitioned", "q120_pca_whiten",
+        "q123_ann_pca", "q126_ann_ivf_batch", "q132_bpe_train",
+        "q136_audio_spectrogram",
+    ):
+        rows = reg[name](spark, SF).collect()
+        assert rows and all(r["pass"] for r in rows), (
+            name, [r["metric"] for r in rows if not r["pass"]]
+        )
+
+
+def test_q138_pagerank_full_relation(spark):
+    """q138's r8 full oracle (10 unrolled iterations in DuckDB): the
+    pytest side pins the kernel invariants on the same emission —
+    Σrank == 1 and all ranks positive across every node."""
+    from kafka_connect_logminer2_spark.plans.queries import q138_pagerank
+
+    import pyspark.sql.functions as F
+
+    df = q138_pagerank(spark, SF)
+    agg = df.agg(F.sum("rank").alias("s"), F.min("rank").alias("mn")).first()
+    assert abs(agg["s"] - 1.0) < 1e-4 and agg["mn"] > 0

@@ -447,9 +447,12 @@ class TestSketchRollup:
         from kafka_connect_logminer2_spark.plans.queries import q146_sketch_rollup
 
         out = q146_sketch_rollup(spark, "/root/testdata/sf0.001")
-        rows = {r["source"]: r["est"] for r in out.collect()}
+        rows = {r["source"]: (r["n_exact"], r["est_within_5pct"])
+                for r in out.collect()}
         assert "__all__" in rows
         srcs = [s for s in rows if s != "__all__"]
-        # global estimate cannot exceed the sum of per-source estimates
+        # r8 emission: exact counts + pinned accuracy gates per row
+        assert all(rows[s][1] for s in rows)
+        # global exact cannot exceed the sum of per-source exacts
         # (distinct texts shared across sources merge in the union)
-        assert rows["__all__"] <= sum(rows[s] for s in srcs) + len(srcs)
+        assert rows["__all__"][0] <= sum(rows[s][0] for s in srcs)
