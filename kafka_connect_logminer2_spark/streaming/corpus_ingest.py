@@ -545,6 +545,7 @@ def write_dedup_ingest(
     text_col: str = "text",
     num_buckets: int = 16,
     trigger_available_now: bool = True,
+    max_chain: int | None = 64,
 ):
     """Stream of documents → ``out_dir/batch=<id>`` containing ONLY the
     never-seen-before documents (first occurrence wins, min ``id_col``
@@ -555,7 +556,12 @@ def write_dedup_ingest(
     (versions strictly below its batch_id per bucket) and overwrites its
     own ``batch=<id>`` output and ``v=<batch_id>`` delta segments; the
     commit marker is written last, so a crash mid-batch is never visible.
-    """
+
+    ``max_chain`` schedules in-line maintenance after each batch (parity
+    with every other chain-store writer, r8): listdir-cheap check,
+    compaction with ``protect=batch_id`` so a replayed batch keeps its
+    own delta and the fold (see compact_chains); None leaves scheduling
+    to an external sweep."""
     spark = docs_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -563,6 +569,11 @@ def write_dedup_ingest(
             spark, batch, batch_id, out_dir, store_dir,
             id_col=id_col, text_col=text_col, num_buckets=num_buckets,
         )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(spark, store_dir, max_chain=max_chain,
+                           max_overlays=max_chain, protect=batch_id)
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -720,6 +731,7 @@ def write_neardup_ingest(
     num_buckets: int = 16,
     trigger_available_now: bool = True,
     star_bucket_size: int | None = None,
+    max_chain: int | None = 64,
 ):
     """NEAR-dup sibling of :func:`write_dedup_ingest`: a new document is
     accepted only if its MinHash Jaccard estimate against EVERY previously
@@ -761,6 +773,13 @@ def write_neardup_ingest(
             num_bands=num_bands, seed=seed, threshold=threshold,
             num_buckets=num_buckets, star_bucket_size=star_bucket_size,
         )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            # protect=batch_id: a replayed batch must find its own delta
+            # and the pre-batch history intact (see compact_chains)
+            maintain_store(spark, store_dir, max_chain=max_chain,
+                           max_overlays=max_chain, protect=batch_id)
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
