@@ -87,6 +87,7 @@ HEADLINE = [
     "cdc28_image_ingest",
     "cdc29_audio_ingest",
     "q161_media_pipeline",
+    "q162_bpe_tokenize",
 ]
 
 

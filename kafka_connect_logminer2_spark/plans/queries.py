@@ -8325,6 +8325,54 @@ ORDER BY stage, modality
 """
 
 
+def q162_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (functions/bpe.py::
+    apply_bpe) — q132 trains the merge table, this runs it over every
+    document (merges ship as an O(num_merges) closure constant; one
+    Arrow pass, no shuffle): the token-budget step every training-data
+    pipeline ends with. Emission is the q26 mixed pattern: per-language
+    EXACT doc counts (both engines) plus two measured invariants the
+    oracle pins TRUE — greedy BPE is LOSSLESS (stripping the </w>
+    markers and concatenating tokens reproduces the exact lowercased
+    word characters, for every doc) and token counts respect the
+    structural bound chars+words (each word yields ≤ len+1 symbols)."""
+    from ..functions.bpe import END, apply_bpe, train_bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = train_bpe(docs.filter(F.col("doc_id") < 100), num_merges=12)
+    tok = apply_bpe(docs, merges)
+    rebuilt = F.array_join(
+        F.transform(F.col("bpe"), lambda t: F.replace(t, F.lit(END), F.lit(""))),
+        "",
+    )
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    per_doc = tok.select(
+        "lang",
+        (rebuilt == F.array_join(words, "")).alias("_lossless"),
+        (
+            F.size("bpe")
+            <= F.length(F.array_join(words, "")) + F.size(words)
+        ).alias("_bounded"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_lossless").alias("reconstruction_lossless"),
+            F.min("_bounded").alias("tokens_within_bound"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q162_SQL = """
+SELECT lang, count(*) AS n_docs,
+       TRUE AS reconstruction_lossless,
+       TRUE AS tokens_within_bound
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8499,6 +8547,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q159_span_removal": (q159_span_removal, Q159_SQL),
     "q160_intradoc_repetition": (q160_intradoc_repetition, Q160_SQL),
     "q161_media_pipeline": (q161_media_pipeline, Q161_SQL),
+    "q162_bpe_tokenize": (q162_bpe_tokenize, Q162_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -76,3 +76,13 @@ def test_q138_pagerank_full_relation(spark):
     df = q138_pagerank(spark, SF)
     agg = df.agg(F.sum("rank").alias("s"), F.min("rank").alias("mn")).first()
     assert abs(agg["s"] - 1.0) < 1e-4 and agg["mn"] > 0
+
+
+def test_q162_bpe_tokenize_gates(spark):
+    from kafka_connect_logminer2_spark.plans.queries import q162_bpe_tokenize
+
+    rows = q162_bpe_tokenize(spark, SF).collect()
+    assert rows and all(
+        r["reconstruction_lossless"] and r["tokens_within_bound"] for r in rows
+    )
+    assert sum(r["n_docs"] for r in rows) > 0
