@@ -1470,11 +1470,29 @@ def media_pipeline(
         "video": dec_ids["video"].filter(F.col("n_scenes") >= min_video_scenes),
     }
 
-    def survivors(kind: str, pairs_fn) -> DataFrame:
-        kept = media.join(
+    # ONE decode pass per modality, period: image/audio signatures are
+    # extracted once here and the dedup stage runs the shared sig-level
+    # band+verify path (scene_neardup_pairs) on the quality survivors —
+    # no modality is decoded a second time for its pair stage
+    img_sigs = extract_image_sigs(
+        media.filter(F.col("kind") == "image")
+    ).localCheckpoint(eager=False)
+    aud_sigs = extract_audio_chunk_sigs(
+        media.filter(F.col("kind") == "audio")
+    ).localCheckpoint(eager=False)
+    mod_sigs = {"image": img_sigs, "audio": aud_sigs, "video": vid_sigs}
+    mod_tau = {"image": image_tau, "audio": audio_tau, "video": video_tau}
+    mod_sim = {"image": 0.5, "audio": min_chunk_sim, "video": min_scene_sim}
+    mod_cap = {"image": 1024, "audio": 1024, "video": 64}
+
+    def survivors(kind: str) -> DataFrame:
+        kept_sigs = mod_sigs[kind].join(
             qual_ids[kind].select("media_id"), "media_id", "left_semi"
         )
-        pairs = pairs_fn(kept)
+        pairs = scene_neardup_pairs(
+            kept_sigs, tau=mod_tau[kind], min_scene_sim=mod_sim[kind],
+            max_band_freq=mod_cap[kind],
+        )
         dupes = (
             dup_clusters(pairs, id1_col="id1", id2_col="id2")
             .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -1484,21 +1502,7 @@ def media_pipeline(
             dupes, "media_id", "left_anti"
         )
 
-    dedup_ids = {
-        "image": survivors("image", lambda m: image_neardup_pairs(m, tau=image_tau)),
-        "audio": survivors(
-            "audio",
-            lambda m: audio_neardup_pairs(m, tau=audio_tau,
-                                          min_chunk_sim=min_chunk_sim),
-        ),
-        "video": survivors(
-            "video",
-            lambda m: scene_neardup_pairs(
-                vid_sigs.join(m.select("media_id"), "media_id", "left_semi"),
-                tau=video_tau, min_scene_sim=min_scene_sim,
-            ),
-        ),
-    }
+    dedup_ids = {k: survivors(k) for k in ("image", "audio", "video")}
 
     parts = [
         media.select(
