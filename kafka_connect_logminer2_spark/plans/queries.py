@@ -5595,13 +5595,23 @@ FROM embeddings
 
 
 def _staged_ingest(spark: SparkSession, sf: str, writer_fn) -> DataFrame:
-    """Shared harness for the ingest scenarios (cdc17/cdc18): stage the
-    documents table as 3 mtime-ordered arrival batches split by
-    doc_id mod 3 (reproducible in SQL, unlike a range split), run the
-    given ingest writer over them, and return per-batch
-    (batch, n_accepted, id_sum) — one copy of the arrival-ordering
-    convention so the exact oracle and its rows-only near-dup twin can
-    never desynchronize."""
+    """Stage the documents table as 3 mtime-ordered arrival batches split
+    by doc_id mod 3 (reproducible in SQL, unlike a range split) through
+    :func:`_staged_stream` — one copy of the arrival-ordering convention
+    so cdc17's exact oracle can never desynchronize from the staging."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    frames = [
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)
+    ]
+    return _staged_stream(spark, frames, writer_fn)
+
+
+def _staged_stream(spark: SparkSession, frames, writer_fn) -> DataFrame:
+    """Shared harness for the ingest scenarios (cdc17/cdc18): land each
+    frame as one mtime-ordered arrival file, run the given ingest writer
+    over the resulting file stream (maxFilesPerTrigger=1 → one
+    micro-batch per frame), and return per-batch
+    (batch, n_accepted, id_sum)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -5610,15 +5620,12 @@ def _staged_ingest(spark: SparkSession, sf: str, writer_fn) -> DataFrame:
 
     from ..streaming.corpus_ingest import read_ingested
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="ingest_")
     try:
         _os.makedirs(f"{tmp}/in")
         now = _time.time()
-        for i in range(3):
-            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
-                f"{tmp}/s{i}"
-            )
+        for i, df in enumerate(frames):
+            df.coalesce(1).write.parquet(f"{tmp}/s{i}")
             src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
             _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
             _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
@@ -5683,23 +5690,62 @@ FROM r WHERE rn = 1 GROUP BY batch
 
 def cdc18_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental NEAR-dup ingestion (streaming/corpus_ingest.py::
-    write_neardup_ingest): same 3-batch staging as cdc17 (shared
-    _staged_ingest harness), acceptance checked against the persisted
-    banded-signature store — in-batch near-dup clusters keep min-id reps,
-    history collisions verify via stored signatures. Rows-only (MinHash
-    acceptance is approximate — no SQL twin); determinism, the store
-    contract, and the global no-accepted-pair-over-threshold invariant are
-    pinned by tests/test_corpus_ingest.py, and the accepted count is
-    bounded above by cdc17's exact count by construction."""
+    write_neardup_ingest) with PLANTED truth (the q20/cdc27 fixture rule,
+    r8): 20 token-disjoint documents arrive over 3 staged micro-batches
+    together with near-duplicates (last word dropped — 3-shingle Jaccard
+    ≈ 0.983, far above the 0.5 threshold): an IN-batch dup of doc 0
+    (id 50, min-id rule), HISTORY dups of docs 1/2 in batch 1 and of
+    doc 11 in batch 2 (rejected against the persisted banded-signature
+    store), and a byte-identical re-send of doc 3 (id 303, J = 1). The
+    oracle pins each batch's accepted count and id-sum exactly — a dup
+    slipping past the signature store or a novel doc falsely rejected
+    both break the value hash. Determinism, the store contract, and the
+    no-accepted-pair-over-threshold invariant stay pinned by
+    tests/test_corpus_ingest.py; the real-corpus acceptance behavior
+    stays measured via q105/q155's recall gates."""
     from ..streaming.corpus_ingest import write_neardup_ingest
 
-    return _staged_ingest(
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(F.lit("n"), F.col("doc_id"), F.lit("_"), j),
+    )
+    ids = spark.range(20).select(F.col("id").alias("doc_id"))
+    base = ids.select("doc_id", F.array_join(words, " ").alias("text"))
+    near = ids.select(
+        "doc_id", F.array_join(F.slice(words, 1, 59), " ").alias("text")
+    )
+
+    def dup_of(i: int, new_id: int) -> DataFrame:
+        return near.filter(F.col("doc_id") == i).select(
+            F.lit(new_id).cast("long").alias("doc_id"), "text"
+        )
+
+    exact_resend = base.filter(F.col("doc_id") == 3).select(
+        F.lit(303).cast("long").alias("doc_id"), "text"
+    )
+    b0 = base.filter("doc_id < 10").unionByName(dup_of(0, 50))
+    b1 = base.filter("doc_id >= 10 and doc_id < 15").unionByName(
+        dup_of(1, 101)
+    ).unionByName(dup_of(2, 102))
+    b2 = base.filter("doc_id >= 15").unionByName(dup_of(11, 211)).unionByName(
+        exact_resend
+    )
+    return _staged_stream(
         spark,
-        sf,
+        [b0, b1, b2],
         lambda stream, out, store, ckpt: write_neardup_ingest(
             stream, out, store, ckpt, threshold=0.5
         ),
     )
+
+
+CDC18_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 10::BIGINT, 45::BIGINT),
+  (1::BIGINT,  5::BIGINT, 60::BIGINT),
+  (2::BIGINT,  5::BIGINT, 85::BIGINT)
+) AS t(batch, n_accepted, id_sum)
+"""
 
 
 def cdc19_ann_index_maintenance(spark: SparkSession, sf: str) -> DataFrame:
@@ -8502,7 +8548,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc15_change_feed": (cdc15_change_feed, CDC15_SQL),
     "cdc16_streaming_model_stats": (cdc16_streaming_model_stats, CDC16_SQL),
     "cdc17_dedup_ingest": (cdc17_dedup_ingest, CDC17_SQL),
-    "cdc18_neardup_ingest": (cdc18_neardup_ingest, None),
+    "cdc18_neardup_ingest": (cdc18_neardup_ingest, CDC18_SQL),
     "cdc19_ann_index_maintenance": (cdc19_ann_index_maintenance, CDC19_SQL),
     "q129_gopher_rules": (q129_gopher_rules, Q129_SQL),
     "q130_dsir_importance": (q130_dsir_importance, Q130_SQL),
