@@ -315,3 +315,68 @@ def test_chain_stats_counts_only_committed_segments(tmp_path):
     os.makedirs(f"{store}/_tomb/v=1")  # uncommitted overlay
     st = chain_stats(store)
     assert st["max_chain"] == 1 and st["overlays"] == 1
+
+
+def test_real_spark_replay_after_inline_compaction(spark, tmp_path):
+    """The gold version of the scenario, driven by Spark's OWN replay
+    machinery instead of a hand-called batch step: run the decayed
+    writer (inline maintenance, max_chain=1 → compaction fires every
+    batch), then delete the LAST batch's entry from the streaming
+    checkpoint's commit log — exactly the crash window the protect
+    contract exists for — and restart. Spark replays that batch with the
+    same batch_id; the store must read value-identical to an
+    unmaintained twin."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_connect_logminer2_spark.streaming.decayed import (
+        write_decayed_counters,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    twin = str(tmp_path / "twin")
+    for b in range(6):
+        df = _events(spark, b)
+        df.coalesce(1).write.parquet(f"{tmp_path}/stage{b}")
+        part = glob.glob(f"{tmp_path}/stage{b}/part*")[0]
+        shutil.copy(part, f"{src}/f{b}.parquet")
+        os.utime(f"{src}/f{b}.parquet", (1_700_000_000 + b * 10,) * 2)
+        decayed_batch_step(spark, df, b, twin, num_buckets=4)
+
+    out, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def run():
+        q = write_decayed_counters(
+            spark.readStream.schema("user_id long, value double, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out, ckpt, num_buckets=4, max_chain=1,
+        )
+        assert q.awaitTermination(600)
+        # availableNow self-terminates, but Spark 4 keeps the checkpoint
+        # registered to the query until an explicit stop — without it the
+        # restart trips the concurrent-checkpoint-use guard
+        q.stop()
+
+    run()
+    commits = sorted(
+        glob.glob(f"{ckpt}/commits/[0-9]*"),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    assert len(commits) == 6  # one micro-batch per staged file
+    os.remove(commits[-1])  # crash window: store committed, Spark did not
+    # a real crash leaves no checksum either; a stale Hadoop .crc makes
+    # the recommit's rename fail (misreported as concurrent checkpoint use)
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # restart replays batch 5 against the compacted store
+
+    k = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
+         for r in read_decayed(spark, out, as_of_ts="2024-01-02 00:00:00").collect()}
+    t = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
+         for r in read_decayed(spark, twin, as_of_ts="2024-01-02 00:00:00").collect()}
+    assert k == t and len(k) == 25
