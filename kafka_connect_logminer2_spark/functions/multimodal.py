@@ -1375,37 +1375,71 @@ def audio_neardup_fixture(spark, n: int = 10, planted: int = 3) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def _decode_stats(media: DataFrame) -> DataFrame:
-    """One decode pass over image/audio rows → ``(media_id, ok,
-    n_pixels, seconds)``: TRUE decodability (decode_image/decode_audio
-    returning None), not the stub fallback the feature extractors use —
-    the quality-gate stage of :func:`media_pipeline` must DROP junk, not
-    hash it. Video decodability is scene count (scene_signatures),
-    derived separately."""
+def _decode_stats_sigs(media: DataFrame, n_chunks: int = 4) -> DataFrame:
+    """ONE decode pass over image/audio rows emitting BOTH the decode-gate
+    stats and the perceptual signatures: ``(media_id, kind, ok, n_pixels,
+    seconds, scene_idx, _hi, _lo)`` — images one row (scene_idx 0), audio
+    one row per time chunk, undecodable payloads one row with ok=false
+    and NULL signature. Decodability is the REAL decoders returning None
+    (never the stub fallback the feature extractors use — the gate must
+    DROP junk, not hash it); signature values are bit-identical to
+    extract_image_sigs / extract_audio_chunk_sigs (same ahash64 /
+    audio_chunk_fingerprints kernels), so downstream dedup results match
+    the standalone operators'. Built for :func:`media_pipeline`, whose
+    decode pass was previously paid twice per modality (gate + sigs —
+    the r8 review finding)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "ok": [], "n_pixels": [], "seconds": []}
+            cols = ("media_id", "kind", "ok", "n_pixels", "seconds",
+                    "scene_idx", "_hi", "_lo")
+            out = {k: [] for k in cols}
+
+            def emit(mid, kind, ok, px, sec, idx, hi, lo):
+                for k, v in zip(cols, (int(mid), kind, ok, px, sec, idx, hi, lo)):
+                    out[k].append(v)
+
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 raw = b"" if p is None else bytes(p)
-                px, sec, ok = 0, 0.0, False
                 if kind == "image":
                     arr = decode_image(raw)
-                    if arr is not None:
-                        ok, px = True, int(arr.shape[0] * arr.shape[1])
-                elif kind == "audio":
+                    if arr is None:
+                        emit(mid, kind, False, 0, 0.0, None, None, None)
+                    else:
+                        h = ahash64(arr)
+                        emit(mid, kind, True, int(arr.shape[0] * arr.shape[1]),
+                             0.0, 0, int(h[:8], 16), int(h[8:], 16))
+                else:  # audio
                     wav = decode_audio(raw)
-                    if wav is not None:
-                        rate, samples = wav
-                        ok, sec = True, float(len(samples) / rate)
-                out["media_id"].append(int(mid))
-                out["ok"].append(ok)
-                out["n_pixels"].append(px)
-                out["seconds"].append(sec)
-            yield pd.DataFrame(out)
+                    if wav is None:
+                        emit(mid, kind, False, 0, 0.0, None, None, None)
+                        continue
+                    rate, samples = wav
+                    sec = float(len(samples) / rate)
+                    fps = audio_chunk_fingerprints(samples, rate,
+                                                   n_chunks=n_chunks)
+                    if not fps:
+                        emit(mid, kind, True, 0, sec, None, None, None)
+                    for idx, v in enumerate(fps):
+                        emit(mid, kind, True, 0, sec, idx,
+                             v >> 32, v & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "kind": pd.Series(out["kind"], dtype="object"),
+                    "ok": pd.Series(out["ok"], dtype="bool"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="int64"),
+                    "seconds": pd.Series(out["seconds"], dtype="float64"),
+                    "scene_idx": pd.Series(out["scene_idx"], dtype="Int32"),
+                    "_hi": pd.Series(out["_hi"], dtype="Int64"),
+                    "_lo": pd.Series(out["_lo"], dtype="Int64"),
+                }
+            )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
-        run, "media_id long, ok boolean, n_pixels long, seconds double"
+        run,
+        "media_id long, kind string, ok boolean, n_pixels long, "
+        "seconds double, scene_idx int, _hi long, _lo long",
     )
 
 
@@ -1444,24 +1478,27 @@ def media_pipeline(
     from .dedup import dup_clusters
 
     media = media.select("media_id", "kind", "mime", "payload", "meta_json")
-    stats = _decode_stats(
+    # ONE decode pass per modality, enforced by construction: image/audio
+    # stats AND signatures come out of the same fused kernel
+    # (_decode_stats_sigs); video signatures drive both the scene-count
+    # gate and the dedup stage
+    ss = _decode_stats_sigs(
         media.filter(F.col("kind").isin("image", "audio"))
     ).localCheckpoint(eager=False)
+    stats = ss.select("media_id", "kind", "ok", "n_pixels", "seconds").distinct()
     vid = media.filter(F.col("kind") == "video")
-    # ONE video decode pass: the signatures drive the scene counts here
-    # and the dedup stage below (scene_neardup_pairs)
     vid_sigs = scene_signatures(vid).localCheckpoint(eager=False)
     n_scenes = vid_sigs.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_scenes")
     ).localCheckpoint(eager=False)
 
     dec_ids = {
-        "image": stats.filter((F.col("ok")) & (F.col("n_pixels") > 0)).join(
-            media.filter(F.col("kind") == "image").select("media_id"),
-            "media_id", "left_semi"),
-        "audio": stats.filter(F.col("ok") & (F.col("seconds") > 0)).join(
-            media.filter(F.col("kind") == "audio").select("media_id"),
-            "media_id", "left_semi"),
+        "image": stats.filter(
+            (F.col("kind") == "image") & F.col("ok") & (F.col("n_pixels") > 0)
+        ),
+        "audio": stats.filter(
+            (F.col("kind") == "audio") & F.col("ok") & (F.col("seconds") > 0)
+        ),
         "video": n_scenes.filter(F.col("n_scenes") >= 1),
     }
     qual_ids = {
@@ -1470,16 +1507,13 @@ def media_pipeline(
         "video": dec_ids["video"].filter(F.col("n_scenes") >= min_video_scenes),
     }
 
-    # ONE decode pass per modality, period: image/audio signatures are
-    # extracted once here and the dedup stage runs the shared sig-level
-    # band+verify path (scene_neardup_pairs) on the quality survivors —
-    # no modality is decoded a second time for its pair stage
-    img_sigs = extract_image_sigs(
-        media.filter(F.col("kind") == "image")
-    ).localCheckpoint(eager=False)
-    aud_sigs = extract_audio_chunk_sigs(
-        media.filter(F.col("kind") == "audio")
-    ).localCheckpoint(eager=False)
+    sig_cols = ["media_id", "scene_idx", "_hi", "_lo"]
+    img_sigs = ss.filter(
+        (F.col("kind") == "image") & F.col("_hi").isNotNull()
+    ).select(*sig_cols)
+    aud_sigs = ss.filter(
+        (F.col("kind") == "audio") & F.col("_hi").isNotNull()
+    ).select(*sig_cols)
     mod_sigs = {"image": img_sigs, "audio": aud_sigs, "video": vid_sigs}
     mod_tau = {"image": image_tau, "audio": audio_tau, "video": video_tau}
     mod_sim = {"image": 0.5, "audio": min_chunk_sim, "video": min_scene_sim}

@@ -166,3 +166,31 @@ def reconstruction_error(
         .collect()[0]
     )
     return float(row["mse"])
+
+
+def whitened_cov_err(proj: DataFrame, k: int, proj_col: str = "proj") -> float:
+    """Max |cov(projection) − I| entry, computed as Spark aggregates —
+    cov_ij = E[pi·pj] − E[pi]·E[pj], so k means + k(k+1)/2 product means
+    land on the driver (a handful of doubles), never the projected corpus
+    (the unbounded collect the r7 verdict flagged; at 10⁹ vectors that
+    collect IS the corpus). Shared by the q155 quality gate and q120's
+    oracle-pinned invariant so the two cannot drift."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cols = [F.col(proj_col)[i] for i in range(k)]
+    r = proj.agg(
+        *[F.avg(cols[i]).alias(f"m{i}") for i in range(k)],
+        *[
+            F.avg(cols[i] * cols[j]).alias(f"p{i}{j}")
+            for i in range(k)
+            for j in range(i, k)
+        ],
+    ).first()
+    err = 0.0
+    eye = np.eye(k)
+    for i in range(k):
+        for j in range(i, k):
+            cov_ij = r[f"p{i}{j}"] - r[f"m{i}"] * r[f"m{j}"]
+            err = max(err, abs(cov_ij - eye[i, j]))
+    return float(err)

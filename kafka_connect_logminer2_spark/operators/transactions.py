@@ -142,7 +142,10 @@ def _persisted_routes_path() -> str | None:
     d = os.environ.get(_ROUTE_CACHE_ENV)
     if not d:
         return None
-    os.makedirs(d, exist_ok=True)
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        return None  # misconfigured cache dir must never fail the query
     return os.path.join(d, "routes.json")
 
 

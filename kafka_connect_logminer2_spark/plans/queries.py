@@ -988,19 +988,27 @@ def _ann_gate_rows(
         F.count_distinct("query_id").alias("nq"),
         F.max("rank").alias("max_rank"),
         F.min("rank").alias("min_rank"),
-        F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias(
-            "self_hits"
-        ),
+        F.coalesce(
+            F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int")),
+            F.lit(0),
+        ).alias("self_hits"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("query_id", "neighbor_id").alias("n_distinct"),
     ).first()
     recall = hits / total if total else 0.0
+    # an EMPTY approximate answer (total recall collapse) must surface as
+    # failing gate rows the driver can see, never as a driver exception —
+    # min/max over an empty frame are NULL, so guard them
+    ranks_ok = (
+        st["min_rank"] is not None
+        and st["min_rank"] >= 1
+        and st["max_rank"] <= k
+    )
     rows = [
         (f"{prefix}_recall_at_{k}", recall_floor, bool(recall >= recall_floor)),
         (f"{prefix}_all_queries_answered", float(n_queries),
          bool(st["nq"] == n_queries)),
-        (f"{prefix}_ranks_within_k", float(k),
-         bool(st["min_rank"] >= 1 and st["max_rank"] <= k)),
+        (f"{prefix}_ranks_within_k", float(k), bool(ranks_ok)),
         (f"{prefix}_no_self_hits", 0.0, bool(st["self_hits"] == 0)),
         (f"{prefix}_neighbors_distinct_per_query", 1.0,
          bool(st["n_distinct"] == st["n_rows"])),
@@ -5848,20 +5856,10 @@ def q120_pca_whiten(spark: SparkSession, sf: str) -> DataFrame:
     orth_err = float(np.abs(C @ C.T - np.eye(len(C))).max())
     twin = P.fit_pca(emb.repartition(7), k=8)
     det_err = float(np.abs(C - twin["components"]).max())
-    # whitened covariance identity via Spark aggregates (the q155 shape)
+    # whitened covariance identity via Spark aggregates — the SAME helper
+    # the q155 gate uses (P.whitened_cov_err), so the two cannot drift
     proj = P.pca_project(emb, model, whiten=True).select("proj")
-    cols = [F.col("proj")[i] for i in range(8)]
-    r = proj.agg(
-        *[F.avg(cols[i]).alias(f"m{i}") for i in range(8)],
-        *[F.avg(cols[i] * cols[j]).alias(f"p{i}{j}")
-          for i in range(8) for j in range(i, 8)],
-    ).first()
-    cov_err = 0.0
-    for i in range(8):
-        for j in range(i, 8):
-            cov_err = max(cov_err, abs(
-                (r[f"p{i}{j}"] - r[f"m{i}"] * r[f"m{j}"]) - (1.0 if i == j else 0.0)
-            ))
+    cov_err = P.whitened_cov_err(proj, 8)
     rows = [
         ("pca_components_orthonormal", 1e-9, bool(orth_err < 1e-9)),
         ("pca_deterministic_vs_partitioning", 1e-9, bool(det_err < 1e-9)),
@@ -5917,8 +5915,10 @@ def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct("query_id").alias("nq"),
         F.min("rank").alias("min_rank"),
         F.max("rank").alias("max_rank"),
-        F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int"))
-        .alias("self_hits"),
+        F.coalesce(
+            F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int")),
+            F.lit(0),
+        ).alias("self_hits"),
     ).first()
 
     # planted low-rank corpus (tests/test_pca.py's fixture): the overlap
@@ -5949,7 +5949,8 @@ def q123_ann_pca(spark: SparkSession, sf: str) -> DataFrame:
     rows = [
         ("pca_ann_all_queries_answered", 8.0, bool(st["nq"] == 8)),
         ("pca_ann_ranks_within_k", 5.0,
-         bool(st["min_rank"] >= 1 and st["max_rank"] <= 5)),
+         bool(st["min_rank"] is not None and st["min_rank"] >= 1
+              and st["max_rank"] <= 5)),
         ("pca_ann_no_self_hits", 0.0, bool(st["self_hits"] == 0)),
         ("pca_ann_lowrank_overlap_at_5", 0.8, bool(overlap >= 0.8)),
         ("pca_ann_lowrank_var_captured_16", 0.95, bool(var16 >= 0.95)),

@@ -91,7 +91,10 @@ def compare(
 ) -> tuple[list[str], int]:
     lines: list[str] = []
     failures = 0
-    if band_sf is not None and bench["sf"] is not None and bench["sf"] != band_sf:
+    if band_sf is not None and bench["sf"] != band_sf:
+        # an UNKNOWN run sf (None) must also skip — comparing a run of
+        # unknown scale against sf-specific bands produces spurious
+        # verdicts in both directions
         lines.append(
             f"SKIP  bands declared for sf={band_sf}, run is sf={bench['sf']} "
             "— no comparison made"

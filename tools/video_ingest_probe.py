@@ -83,7 +83,6 @@ MODALITIES = {
 
 MULTIPLIERS = (1, 4, 10)
 NUM_BUCKETS = 256
-SCENES_PER_CLIP = 4
 
 
 def _delta_bytes(store: str, batch_id: int) -> int:
