@@ -88,6 +88,7 @@ HEADLINE = [
     "cdc29_audio_ingest",
     "q161_media_pipeline",
     "q162_bpe_tokenize",
+    "q163_doc_chunking",
 ]
 
 

@@ -178,3 +178,50 @@ def pii_scrub(text: Column) -> Column:
     for name in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
     return out
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding-window document CHUNKING — the context-length step between
+    curation and training: long documents become overlapping
+    ``chunk_tokens``-token windows (stride = chunk_tokens − overlap, so
+    consecutive chunks share ``overlap`` tokens of context), short ones
+    pass through as a single chunk. The complement of packing (q51/q117
+    concatenate SHORT docs up to the budget; this splits LONG ones down
+    to it).
+
+    Fully JVM-side (no UDF): window starts are a filtered sequence,
+    windows are array slices, all inside one projection — no shuffle, no
+    explode-before-filter blowup; output rows are (id, chunk_idx,
+    n_tokens, sig) with sig = md5 of the chunk text, so the DuckDB
+    oracle reproduces the REWRITE itself (the q159 discipline). At 100
+    TB this is a map-only pass whose output is bounded by
+    total_tokens/stride rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x: x % stride == 0,
+    )
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("int").alias("chunk_idx"),
+                F.slice(toks, s + 1, chunk_tokens).alias("_w"),
+            ),
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), chunk.alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c._w").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("c._w"), " ")).alias("sig"),
+    )

@@ -8420,6 +8420,35 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q163_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking (functions/text.py::
+    chunk_documents) — the context-length step between curation and
+    training: 64-token windows with 16 tokens of overlap (stride 48).
+    The complement of packing (q51/q117 concatenate SHORT docs up to the
+    budget; this splits LONG ones down to it). Exact oracle: the window
+    arithmetic and the chunk REWRITE itself (md5 of each window, the
+    q159 discipline) are reproduced relationally in DuckDB."""
+    docs = load_table(spark, sf, "documents")
+    return T.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+Q163_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+s AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS st FROM d
+)
+SELECT doc_id,
+       CAST(st / 48 AS INTEGER) AS chunk_idx,
+       CAST(len(t[st + 1 : st + 64]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[st + 1 : st + 64], ' ')) AS sig
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8595,6 +8624,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q160_intradoc_repetition": (q160_intradoc_repetition, Q160_SQL),
     "q161_media_pipeline": (q161_media_pipeline, Q161_SQL),
     "q162_bpe_tokenize": (q162_bpe_tokenize, Q162_SQL),
+    "q163_doc_chunking": (q163_doc_chunking, Q163_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -86,3 +86,26 @@ def test_q162_bpe_tokenize_gates(spark):
         r["reconstruction_lossless"] and r["tokens_within_bound"] for r in rows
     )
     assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_q163_chunking_window_math(spark):
+    """chunk_documents window arithmetic on a controlled doc: 100 tokens
+    at (16, 4) -> stride 12 -> 9 chunks, last short; empty text one
+    1-token chunk; reassembly of stride-prefixes rebuilds the doc."""
+    from kafka_connect_logminer2_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    assert sorted(by_doc[1]) == [(i, 16) for i in range(8)] + [(8, 4)]
+    assert by_doc[2] == [(0, 2)]
+    assert by_doc[3] == [(0, 1)]  # split('') is [''] in both engines
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
