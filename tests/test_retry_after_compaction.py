@@ -380,3 +380,46 @@ def test_real_spark_replay_after_inline_compaction(spark, tmp_path):
     t = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
          for r in read_decayed(spark, twin, as_of_ts="2024-01-02 00:00:00").collect()}
     assert k == t and len(k) == 25
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_batches=st.integers(min_value=3, max_value=6),
+    maintain_mask=st.lists(st.booleans(), min_size=6, max_size=6),
+    max_chain=st.integers(min_value=0, max_value=2),
+    data=st.data(),
+)
+def test_property_any_compaction_schedule_survives_replays(
+    spark, tmp_path_factory, n_batches, maintain_mask, max_chain, data
+):
+    """Generalization of the per-store replay pins: for ANY schedule of
+    protected inline compactions (any subset of batches, any max_chain
+    policy) and ANY replayed suffix batch, the decayed store reads
+    value-identical to an unmaintained, never-replayed twin. Hypothesis
+    drives the schedule; the protect contract is what makes every path
+    equivalent."""
+    tmp = tmp_path_factory.mktemp("sched")
+    kept, twin = str(tmp / "kept"), str(tmp / "twin")
+    for b in range(n_batches):
+        batch = _events(spark, b, n=25)
+        decayed_batch_step(spark, batch, b, kept, num_buckets=4)
+        if maintain_mask[b]:
+            maintain_store(spark, kept, max_chain=max_chain,
+                           max_overlays=max_chain, protect=b)
+        decayed_batch_step(spark, batch, b, twin, num_buckets=4)
+    # replay any batch that could still be uncommitted in Spark's log:
+    # the newest one (earlier batches always have commit-log entries)
+    if data.draw(st.booleans(), label="replay"):
+        decayed_batch_step(
+            spark, _events(spark, n_batches - 1, n=25), n_batches - 1,
+            kept, num_buckets=4,
+        )
+    k = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
+         for r in read_decayed(spark, kept, as_of_ts="2024-01-02 00:00:00").collect()}
+    t = {r["user_id"]: (round(r["decayed_value"], 9), r["n_events"])
+         for r in read_decayed(spark, twin, as_of_ts="2024-01-02 00:00:00").collect()}
+    assert k == t
