@@ -19,6 +19,7 @@ them, re-using the same xid partitioning, and AQE reuses the exchange.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -128,9 +129,12 @@ _ROUTE_CACHE: dict[tuple, int | None] = {}
 
 # optional CROSS-SESSION persistence (r7 verdict #3): point
 # $SPARK_GRAFT_ROUTE_CACHE at a directory and auto decisions also land in
-# <dir>/routes.json keyed by (analyzed-plan semantic hash, policy) — the
-# _meta.json pattern, so a COLD session skips the one-time detection job
-# too (~2s of cdc01's cold time at sf0.1, BASELINE r8). Deliberately
+# <dir>/route_<sha1(key)>.json, one file per (analyzed-plan semantic hash,
+# policy) key, so a COLD session skips the one-time detection job too
+# (~2s of cdc01's cold time at sf0.1, BASELINE r8). One file PER KEY —
+# never a shared read-modify-write — so concurrent drivers can't lose each
+# other's entries and a corrupted file poisons only its own key (reads
+# treat it as a miss; the next write atomically replaces it). Deliberately
 # opt-in: a plan hash keys the DATA only via its source paths, so a
 # deployment that rewrites inputs in place must either accept a stale
 # task-layout choice (output is value-identical either way) or leave the
@@ -138,7 +142,7 @@ _ROUTE_CACHE: dict[tuple, int | None] = {}
 _ROUTE_CACHE_ENV = "SPARK_GRAFT_ROUTE_CACHE"
 
 
-def _persisted_routes_path() -> str | None:
+def _persisted_route_path(pkey: str) -> str | None:
     d = os.environ.get(_ROUTE_CACHE_ENV)
     if not d:
         return None
@@ -146,36 +150,37 @@ def _persisted_routes_path() -> str | None:
         os.makedirs(d, exist_ok=True)
     except OSError:
         return None  # misconfigured cache dir must never fail the query
-    return os.path.join(d, "routes.json")
+    digest = hashlib.sha1(pkey.encode()).hexdigest()
+    return os.path.join(d, f"route_{digest}.json")
 
 
 def _read_persisted_route(pkey: str) -> int | None | str:
     """The cached salt count, None (window route), or 'miss'."""
-    path = _persisted_routes_path()
+    path = _persisted_route_path(pkey)
     if path is None or not os.path.exists(path):
         return "miss"
     try:
         with open(path) as f:
-            return json.load(f).get(pkey, "miss")
-    except (OSError, json.JSONDecodeError):
-        return "miss"
+            rec = json.load(f)
+        # key echo guards the (astronomically unlikely) sha1 collision and
+        # makes the files self-describing for operators inspecting the dir
+        if rec.get("key") != pkey:
+            return "miss"
+        return rec["salts"]
+    except (OSError, json.JSONDecodeError, KeyError, AttributeError):
+        return "miss"  # corrupted entry = miss; next write self-heals it
 
 
 def _write_persisted_route(pkey: str, out: int | None) -> None:
-    path = _persisted_routes_path()
+    path = _persisted_route_path(pkey)
     if path is None:
         return
     try:
-        routes = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                routes = json.load(f)
-        routes[pkey] = out
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(routes, f)
-        os.replace(tmp, path)  # atomic vs concurrent readers
-    except (OSError, json.JSONDecodeError):
+            json.dump({"key": pkey, "salts": out}, f)
+        os.replace(tmp, path)  # atomic vs concurrent readers and writers
+    except OSError:
         pass  # a cache must never fail the query
 
 

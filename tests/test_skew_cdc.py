@@ -294,10 +294,10 @@ def test_auto_route_detection_memoized_per_input(spark, monkeypatch):
 
 
 def test_auto_route_persisted_across_sessions(spark, monkeypatch, tmp_path):
-    """With $SPARK_GRAFT_ROUTE_CACHE set, the auto decision lands in
-    routes.json and a COLD session (simulated by clearing the in-process
-    cache) reuses it without a detection job (r7 verdict #3). Unset, no
-    file appears and behavior is unchanged."""
+    """With $SPARK_GRAFT_ROUTE_CACHE set, the auto decision lands in a
+    per-key route_<sha1>.json file and a COLD session (simulated by
+    clearing the in-process cache) reuses it without a detection job
+    (r7 verdict #3). Unset, no file appears and behavior is unchanged."""
     import json
     import os
 
@@ -316,8 +316,9 @@ def test_auto_route_persisted_across_sessions(spark, monkeypatch, tmp_path):
 
     assert tx.resolve_skew_salts(hot, "auto") == 16
     assert len(calls) == 1
-    path = tmp_path / "routes" / "routes.json"
-    assert path.exists() and 16 in json.load(open(path)).values()
+    files = sorted((tmp_path / "routes").glob("route_*.json"))
+    assert len(files) == 1
+    assert json.load(open(files[0]))["salts"] == 16
 
     tx._ROUTE_CACHE.clear()  # "new session"
     assert tx.resolve_skew_salts(hot, "auto") == 16
@@ -326,6 +327,46 @@ def test_auto_route_persisted_across_sessions(spark, monkeypatch, tmp_path):
     # disabled -> in-process only, no file writes
     monkeypatch.delenv(tx._ROUTE_CACHE_ENV)
     tx._ROUTE_CACHE.clear()
-    os.remove(path)
+    os.remove(files[0])
     assert tx.resolve_skew_salts(hot, "auto") == 16
-    assert len(calls) == 2 and not path.exists()
+    assert len(calls) == 2 and not files[0].exists()
+
+
+def test_route_cache_self_heals_corruption(spark, monkeypatch, tmp_path):
+    """A corrupted cache file is a MISS, never an error, and the next
+    detection's write replaces it (r8 advisor: the old shared routes.json
+    was permanently poisoned by one bad write). Per-key files also mean a
+    second key's write cannot drop the first key's entry (no lost update)."""
+    import json
+
+    from kafka_connect_logminer2_spark.operators import transactions as tx
+
+    calls = []
+    real = tx.detect_xid_skew
+
+    def spy(redo, sample_fraction=0.02, seed=7):
+        calls.append(1)
+        return real(redo, sample_fraction=sample_fraction, seed=seed)
+
+    monkeypatch.setattr(tx, "detect_xid_skew", spy)
+    monkeypatch.setenv(tx._ROUTE_CACHE_ENV, str(tmp_path / "routes"))
+    hot = _skewed_redo(spark, n_events=5_000, hot_frac=0.10).localCheckpoint()
+
+    assert tx.resolve_skew_salts(hot, "auto") == 16 and len(calls) == 1
+    (path,) = sorted((tmp_path / "routes").glob("route_*.json"))
+    path.write_text("{ truncated garbage")  # simulate a torn/corrupt write
+
+    tx._ROUTE_CACHE.clear()
+    assert tx.resolve_skew_salts(hot, "auto") == 16  # miss -> re-detect
+    assert len(calls) == 2
+    assert json.load(open(path))["salts"] == 16  # self-healed on write
+
+    tx._ROUTE_CACHE.clear()
+    assert tx.resolve_skew_salts(hot, "auto") == 16
+    assert len(calls) == 2  # healed file serves the hit again
+
+    # a DIFFERENT key (other policy) writes its own file; first entry intact
+    assert tx.resolve_skew_salts(hot, "auto", auto_threshold=0.9) is None
+    files = sorted((tmp_path / "routes").glob("route_*.json"))
+    assert len(files) == 2
+    assert json.load(open(path))["salts"] == 16
