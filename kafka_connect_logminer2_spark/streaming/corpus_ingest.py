@@ -60,6 +60,8 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -150,6 +152,53 @@ def _empty_rows(spark: SparkSession, store_dir: str) -> DataFrame | None:
 _OLD_RE = re.compile(r"^_old_v=(\d+)$")
 
 
+_REPAIR_RE = re.compile(r"^_repair_[0-9a-f]{32}_v=(\d+)$")
+
+# a live repair is two renames; a claim showing no progress for this long
+# has a crashed owner and may be stolen by another repairer
+_REPAIR_GRACE_SECONDS = 2.0
+
+
+def _restore_aside(bucket_dir: str, name: str, version: str) -> None:
+    """Claim ``name`` (an ``_old_v=`` aside, or a stranded ``_repair_``
+    claim whose owner crashed) by renaming it to a fresh per-attempt claim
+    dir, then restore it to ``v=<version>``. The claim rename is the
+    mutual-exclusion point: exactly one repairer ever owns the segment, so
+    a second concurrent repairer can no longer rmtree a segment the first
+    just restored (the r8 advisor's reader-reader interleave — previously
+    silent loss of a committed segment). Losing the claim race returns
+    quietly; the caller waits for the winner's restore to land."""
+    dst = os.path.join(bucket_dir, f"v={version}")
+    claim = os.path.join(bucket_dir, f"_repair_{uuid.uuid4().hex}_v={version}")
+    try:
+        os.replace(os.path.join(bucket_dir, name), claim)
+    except OSError:
+        return  # another repairer claimed it first — it owns the restore
+    if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        # a committed segment (writer's fold, or a racing restore that
+        # finished before our claim) landed: our claimed copy is the
+        # superseded pre-fold garbage
+        shutil.rmtree(claim, ignore_errors=True)
+        return
+    if os.path.isdir(dst):
+        # uncommitted partial at the same version: only a crashed legacy
+        # write — a live writer never exposes this state (staged renames
+        # are atomic and pre-stamped), and no other repairer can have
+        # restored here while we hold the claim — clear it
+        shutil.rmtree(dst, ignore_errors=True)
+    try:
+        os.replace(claim, dst)
+    except OSError:
+        # lost the race with a live writer landing its fold at dst — the
+        # fold REPLACES the chain, so our claimed copy is garbage; anything
+        # else is a real filesystem error (the segment survives intact
+        # under the claim name — nothing is lost, and the next reader's
+        # recovery steals and finishes the restore after the grace period)
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            raise
+        shutil.rmtree(claim, ignore_errors=True)
+
+
 def _recover_bucket(bucket_dir: str) -> None:
     """Finish a fold placement that crashed mid-swap. compact_chains moves
     the live ``v=<n>`` segment aside to ``_old_v=<n>`` before renaming the
@@ -158,12 +207,14 @@ def _recover_bucket(bucket_dir: str) -> None:
     ``v=<n>`` — restore the original so no reader ever loses the segment.
     If the fold DID land, the aside dir is invisible garbage (``_old_v=``
     does not match ``_V_RE``) that compaction's sweep removes. Idempotent,
-    and safe to race a LIVE compaction writer's swap: the writer stages
-    its fold with ``_SUCCESS`` inside and renames it in atomically, so
-    ``dst`` only ever transitions absent → committed; if this repair's
-    restore rename loses that race it fails on the now-non-empty ``dst``
-    and the fold's commit marker tells us to stand down (the writer's own
-    swap retries symmetrically — see compact_chains)."""
+    safe against concurrent repairers (each restore runs under an
+    exclusive claim rename — :func:`_restore_aside`), and safe to race a
+    LIVE compaction writer's swap: the writer stages its fold with
+    ``_SUCCESS`` inside and renames it in atomically, so ``dst`` only ever
+    transitions absent → committed; if a restore loses that race it fails
+    on the now-non-empty ``dst`` and the fold's commit marker tells it to
+    stand down (the writer's own swap retries symmetrically — see
+    compact_chains)."""
     for d in os.listdir(bucket_dir):
         m = _OLD_RE.match(d)
         if not m:
@@ -171,19 +222,28 @@ def _recover_bucket(bucket_dir: str) -> None:
         dst = os.path.join(bucket_dir, f"v={m.group(1)}")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue  # fold landed; the aside dir is compaction's garbage
-        if os.path.isdir(dst):
-            # uncommitted partial at the same version: only a crashed
-            # legacy write — a live writer never exposes this state
-            # (staged renames are atomic and pre-stamped) — clear it
-            shutil.rmtree(dst, ignore_errors=True)
-        try:
-            os.replace(os.path.join(bucket_dir, d), dst)
-        except OSError:
-            # lost the race with a live writer landing its fold at dst —
-            # if the fold is committed the aside dir is garbage; anything
-            # else is a real filesystem error
-            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-                raise
+        _restore_aside(bucket_dir, d, m.group(1))
+    # wait out restores owned by concurrent repairers, so this read never
+    # proceeds with a committed segment still in transit; a claim that
+    # makes no progress for the grace period has a crashed owner — steal
+    # it and finish the restore (the claim dir holds the intact segment)
+    deadline = time.monotonic() + _REPAIR_GRACE_SECONDS
+    while True:
+        unresolved = [
+            (d, m.group(1))
+            for d in os.listdir(bucket_dir)
+            if (m := _REPAIR_RE.match(d))
+            and not os.path.exists(
+                os.path.join(bucket_dir, f"v={m.group(1)}", "_SUCCESS")
+            )
+        ]
+        if not unresolved:
+            return
+        if time.monotonic() >= deadline:
+            break
+        time.sleep(0.02)
+    for d, version in unresolved:
+        _restore_aside(bucket_dir, d, version)
 
 
 def _committed_versions(bucket_dir: str, below: int | None = None) -> list[int]:
@@ -358,7 +418,10 @@ def compact_chains(
                     and os.path.exists(os.path.join(bdir, d2, "_SUCCESS"))
                 ):
                     shutil.rmtree(os.path.join(bdir, d2), ignore_errors=True)
-            elif _OLD_RE.match(d2):
+            elif _OLD_RE.match(d2) or _REPAIR_RE.match(d2):
+                # recovery at the _committed_versions call above already
+                # restored anything live; remaining aside/claim dirs are
+                # superseded garbage
                 shutil.rmtree(os.path.join(bdir, d2), ignore_errors=True)
         if len(vs) > 1 or (force_single and len(vs) == 1):
             stale[b] = vs
@@ -435,7 +498,11 @@ def _cleanup_overlays(
         if not os.path.isdir(odir):
             continue
         for seg in os.listdir(odir):
-            if seg.startswith("v=") and int(seg.split("=", 1)[1]) < protect:
+            # same name filter readers use (_committed_batches): a stray
+            # non-numeric entry (editor artifact, crashed "v=tmp") must not
+            # raise ValueError here, failing maintenance inside foreachBatch
+            # where the unprotected whole-dir rmtree tolerated anything
+            if seg.startswith("v=") and seg[2:].isdigit() and int(seg[2:]) < protect:
                 shutil.rmtree(os.path.join(odir, seg), ignore_errors=True)
 
 

@@ -144,13 +144,18 @@ def maintain_stores(
     max_chain: int = 8,
     max_overlays: int = 8,
     protect_last: bool = False,
-    raise_errors: bool = False,
-) -> dict[str, int | None | Exception]:
+    errors: dict[str, Exception] | None = None,
+) -> dict[str, int | None]:
     """The nightly sweep: apply :func:`maintain_store` to every store a
-    pipeline owns. Per-store isolation — one store's failure does not
-    block the rest; the failed store's value is its exception (so the
-    caller sees WHICH failed and why). ``raise_errors`` re-raises the
-    first failure after the sweep completes.
+    pipeline owns, with per-store isolation — one store's failure does not
+    block the rest of the sweep. Values are always ``int | None`` (fold
+    version, or None for a no-op) — never exceptions, so callers that
+    treat a non-None value as "compacted at version N" or serialize the
+    dict can't misread a failure as a result (r8 advisor). Failed stores
+    are ABSENT from the result; by default the first failure re-raises
+    after the sweep completes (fail-loud). Pass ``errors={}`` to receive
+    each failed store's exception there instead of raising — the
+    unattended-scheduler mode, where the caller inspects and reports.
 
     ``protect_last=True`` is for sweeping stores whose writing stream is
     STOPPED but may later RESUME: the newest store-committed batch may be
@@ -159,8 +164,8 @@ def maintain_stores(
     each store's newest committed batch is excluded from its fold exactly
     as in-line maintenance excludes the live batch. Leave it False only
     for quiesced/decommissioned stores where a full fold is wanted."""
-    out: dict[str, int | None | Exception] = {}
-    first: Exception | None = None
+    out: dict[str, int | None] = {}
+    collected: dict[str, Exception] = {}
     for d in store_dirs:
         protect = _last_committed_batch(d) if protect_last else None
         try:
@@ -169,10 +174,11 @@ def maintain_stores(
                 protect=protect,
             )
         except Exception as e:  # noqa: BLE001 — isolation is the contract
-            out[d] = e
-            first = first or e
-    if raise_errors and first is not None:
-        raise first
+            collected[d] = e
+    if errors is not None:
+        errors.update(collected)
+    elif collected:
+        raise next(iter(collected.values()))
     return out
 
 

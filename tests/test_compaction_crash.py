@@ -186,6 +186,83 @@ def test_fold_swap_crash_restores_live_segment(spark, tmp_path):
         assert os.path.isdir(src) and not os.path.isdir(dst)
 
 
+def _first_bucket_with_versions(store):
+    for d in sorted(os.listdir(store)):
+        if d.startswith("b="):
+            bdir = os.path.join(store, d)
+            vs = sorted(
+                (v for v in os.listdir(bdir) if v.startswith("v=")),
+                key=lambda s: int(s[2:]),
+            )
+            if vs:
+                return bdir, vs[-1]
+    raise AssertionError("no bucket with versions")
+
+
+def test_repair_claim_loser_cannot_destroy_restored_segment(spark, tmp_path):
+    """The r8 advisor's reader-reader interleave: repairer A restores the
+    aside segment, then repairer B (acting on a stale directory listing)
+    must NOT delete it. With claim-based repair B's attempt loses the
+    claim rename (the aside is gone) and returns without touching the
+    restored, committed segment."""
+    store = str(tmp_path / "dec")
+    _build_decayed(spark, store)
+    expected = _decayed_state(read_decayed(spark, store))
+
+    bdir, last = _first_bucket_with_versions(store)
+    n = last[2:]
+    aside = f"_old_v={n}"
+    os.replace(os.path.join(bdir, last), os.path.join(bdir, aside))
+
+    # repairer A wins and restores
+    corpus_ingest._restore_aside(bdir, aside, n)
+    assert os.path.exists(os.path.join(bdir, last, "_SUCCESS"))
+
+    # repairer B replays the SAME repair from its stale listing: with the
+    # old code this rmtree'd the restored segment; now it stands down
+    corpus_ingest._restore_aside(bdir, aside, n)
+    assert os.path.exists(os.path.join(bdir, last, "_SUCCESS"))
+    got = _decayed_state(read_decayed(spark, store))
+    for k in expected:
+        assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
+
+
+def test_repair_steals_stranded_claim(spark, tmp_path, monkeypatch):
+    """A repairer that crashed between claiming and restoring leaves the
+    segment intact under its _repair_<id>_v=<n> claim dir. The next
+    reader's recovery waits out the grace period, steals the claim, and
+    finishes the restore — the segment is never stranded."""
+    store = str(tmp_path / "dec")
+    _build_decayed(spark, store)
+    expected = _decayed_state(read_decayed(spark, store))
+
+    bdir, last = _first_bucket_with_versions(store)
+    n = last[2:]
+    claim = f"_repair_{'0' * 32}_v={n}"
+    os.replace(os.path.join(bdir, last), os.path.join(bdir, claim))
+
+    monkeypatch.setattr(corpus_ingest, "_REPAIR_GRACE_SECONDS", 0.1)
+    got = _decayed_state(read_decayed(spark, store))  # read repairs
+    assert os.path.exists(os.path.join(bdir, last, "_SUCCESS"))
+    assert not os.path.isdir(os.path.join(bdir, claim))
+    for k in expected:
+        assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
+
+
+def test_cleanup_overlays_tolerates_stray_names(tmp_path):
+    """Protected overlay cleanup must not ValueError on a non-numeric
+    v=-prefixed entry (editor artifact, crashed 'v=tmp') — the r8 advisor
+    finding; the unprotected whole-dir rmtree tolerated anything, the
+    per-segment path must too."""
+    store = tmp_path / "store"
+    odir = store / "_tombstones"
+    for name in ("v=1", "v=7", "v=tmp", "v=", "not_v"):
+        (odir / name).mkdir(parents=True)
+    corpus_ingest._cleanup_overlays(str(store), ("_tombstones",), protect=5)
+    left = sorted(os.listdir(odir))
+    assert left == ["not_v", "v=", "v=7", "v=tmp"]  # v=1 < protect consumed
+
+
 def test_decayed_compact_crash_at_every_fs_step(spark, tmp_path):
     """Exhaustive fault injection: crash compaction at the k-th filesystem
     mutation (rmtree or rename), for EVERY k until a run completes. After

@@ -288,12 +288,17 @@ def test_maintain_stores_isolates_failures(spark, tmp_path):
     with open(f"{bad}/_meta.json", "w") as f:
         json.dump({"kind": "scd2", "num_buckets": 4}, f)
 
-    res = maintain_stores(spark, [bad, good], max_chain=2)
-    assert isinstance(res[bad], Exception)  # recorded, not propagated
-    assert res[good] is not None  # the sweep reached the good store
-    assert chain_stats(good)["max_chain"] <= 2
+    # default: the sweep completes (good store maintained), THEN raises
     with pytest.raises(Exception):
-        maintain_stores(spark, [bad], max_chain=2, raise_errors=True)
+        maintain_stores(spark, [bad, good], max_chain=2)
+    assert chain_stats(good)["max_chain"] <= 2
+
+    # collect mode: results hold int|None ONLY; failures land in `errors`
+    errs: dict[str, Exception] = {}
+    res = maintain_stores(spark, [bad, good], max_chain=2, errors=errs)
+    assert bad not in res and isinstance(errs[bad], Exception)
+    assert good in res and not isinstance(res[good], Exception)
+    assert all(v is None or isinstance(v, int) for v in res.values())
 
 
 def test_maintain_stores_protect_last_excludes_newest_batch(spark, tmp_path):
