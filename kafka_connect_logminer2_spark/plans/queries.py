@@ -582,14 +582,89 @@ FROM range(24) ORDER BY doc_id1, doc_id2
 """
 
 
+# planted q105 fixture ids sit far above any real doc_id at every sf
+_Q105_OFFSET = 10_000_000
+
+
 def q105_minhash_banded(spark: SparkSession, sf: str) -> DataFrame:
     """DataFrame-native banded MinHash (functions/dedup.py::
     minhash_banded_pairs) — the production near-dup candidate generator:
     same recall as the pyspark.ml path (pair-recall 1.0 at J>=0.5, gated in
     tests/test_minhash_quality.py) at 3.9x the speed at sf0.1 (BASELINE.md).
-    Approximate by construction -> rows-only check."""
-    docs = load_table(spark, sf, "documents")
-    return D.minhash_banded_pairs(docs, k=3, num_hashes=16, num_bands=4)
+
+    r9 (closing the registry at 192/192 oracle-paired — r8 verdict #1):
+    the real-corpus run is kept as the bench body, but a 48-doc planted
+    fixture (the q20 rule: 24 token-disjoint docs + a 57/58-shingle twin
+    of each, ids offset to 10M so they can never collide with real
+    doc_ids) is union'd in and the result is GATE ROWS (the q155 rule)
+    over the combined banded output: planted-twin recall must be 1.0,
+    planted docs must pair with nothing else (cross-contamination 0), and
+    the real corpus must yield a sane candidate count (≥1, ≤1 per doc —
+    measured 0.05/doc at both sf0.01 and sf0.1, so the cap has 20×
+    headroom while still failing on a bucket-explosion collapse). All
+    four metrics depend on the full banded join over real+planted docs,
+    so Catalyst cannot prune the real-corpus work the bench measures."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(F.lit("q105w"), F.col("i"), F.lit("_"), j),
+    )
+    ids = spark.range(24).select(F.col("id").alias("i"))
+    base = ids.select(
+        (F.col("i") + F.lit(_Q105_OFFSET)).alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    )
+    dups = ids.select(
+        (F.col("i") + F.lit(_Q105_OFFSET + 100)).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 59), " ").alias("text"),
+    )
+    pairs = D.minhash_banded_pairs(
+        docs.unionByName(base).unionByName(dups),
+        k=3,
+        num_hashes=16,
+        num_bands=4,
+    )
+    off = F.lit(_Q105_OFFSET)
+    st = pairs.agg(
+        F.sum(
+            (
+                (F.col("doc_id1") >= off)
+                & (F.col("doc_id2") == F.col("doc_id1") + 100)
+            ).cast("long")
+        ).alias("twins"),
+        F.sum(
+            ((F.col("doc_id1") >= off) | (F.col("doc_id2") >= off)).cast("long")
+        ).alias("any_planted"),
+        F.sum(
+            ((F.col("doc_id1") < off) & (F.col("doc_id2") < off)).cast("long")
+        ).alias("real"),
+    ).first()
+    # empty-output guard: sums over an empty frame are NULL, and the gate
+    # rows must survive the collapse they exist to report (the r8 lesson)
+    twins = st["twins"] or 0
+    cross = (st["any_planted"] or 0) - twins
+    real = st["real"] or 0
+    rows = sorted(
+        [
+            ("planted_pair_recall", 1.0, bool(twins >= 24)),
+            ("planted_cross_pairs", 0.0, bool(cross <= 0)),
+            ("real_pair_floor", 1.0, bool(real >= 1)),
+            ("real_pairs_per_doc_cap", 1.0, bool(real <= n_docs)),
+        ]
+    )
+    return spark.createDataFrame(rows, "gate string, bound double, pass boolean")
+
+
+Q105_SQL = """
+SELECT * FROM (VALUES
+  ('planted_cross_pairs',    CAST(0.0 AS DOUBLE), TRUE),
+  ('planted_pair_recall',    CAST(1.0 AS DOUBLE), TRUE),
+  ('real_pair_floor',        CAST(1.0 AS DOUBLE), TRUE),
+  ('real_pairs_per_doc_cap', CAST(1.0 AS DOUBLE), TRUE)
+) AS t(gate, bound, pass)
+ORDER BY gate
+"""
 
 
 def q21_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -8531,7 +8606,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc07_incremental_snapshot": (cdc07_incremental_snapshot, CDC06_SQL),
     "cdc08_foreachbatch_stream": (cdc08_foreachbatch_stream, CDC01_SQL),
     "cdc09_fb_snapshot": (cdc09_fb_snapshot, CDC06_SQL),
-    "q105_minhash_banded": (q105_minhash_banded, None),
+    "q105_minhash_banded": (q105_minhash_banded, Q105_SQL),
     "q106_pii_scrub": (q106_pii_scrub, Q106_SQL),
     "q107_tws_running_counts": (q107_tws_running_counts, Q107_SQL),
     "q108_int8_quantization": (q108_int8_quantization, Q108_SQL),
