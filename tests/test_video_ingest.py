@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_connect_logminer2_spark.functions import multimodal as M
@@ -160,3 +161,98 @@ def test_streaming_writer_matches_batch_steps(spark, tmp_path):
                 vs = [v for v in os.listdir(os.path.join(sdir, d))
                       if v.startswith("v=")]
                 assert len(vs) <= 2, (sub, d, vs)
+
+
+def _media_case(spark, modality):
+    """(writer_fn, b0, b1) per modality — the cdc27/28/29 fixture split:
+    batch 0 = originals 0–5 + an in-batch re-encode of 0 (id 100, min-id
+    rule); batch 1 = new 6–7 + re-encodes of 1–2 (ids 101/102, rejected
+    against the PERSISTED store across a stream restart)."""
+    from kafka_connect_logminer2_spark.streaming.video_ingest import (
+        write_audio_ingest,
+        write_image_ingest,
+        write_video_ingest,
+    )
+
+    if modality == "video":
+        allc = _clips(spark)
+        rows = {r["media_id"]: r for r in allc.collect()}
+        b0 = allc.filter("media_id < 6").unionByName(
+            spark.createDataFrame([_re_enc(rows, 0, 100)], schema=M.MEDIA_SCHEMA)
+        )
+        b1 = allc.filter("media_id >= 6").unionByName(
+            spark.createDataFrame(
+                [_re_enc(rows, 1, 101), _re_enc(rows, 2, 102)],
+                schema=M.MEDIA_SCHEMA,
+            )
+        )
+        return write_video_ingest, b0, b1
+    fixture = (
+        M.image_neardup_fixture if modality == "image" else M.audio_neardup_fixture
+    )
+    allm = fixture(spark, n=8, planted=3)
+    b0 = allm.filter("media_id < 6 or media_id = 100")
+    b1 = allm.filter("media_id in (6, 7, 101, 102)")
+    writer = write_image_ingest if modality == "image" else write_audio_ingest
+    return writer, b0, b1
+
+
+@pytest.mark.parametrize("modality", ["video", "image", "audio"])
+def test_media_stream_restart_resume_with_compaction(spark, tmp_path, modality):
+    """r8 verdict #3: each modality's file-stream writer × (stream,
+    restart-resume, self-scheduled compaction). Batch 0 streams and the
+    query STOPS; batch 1 arrives and a NEW query resumes from the same
+    checkpoint — its re-encodes must be rejected against the PERSISTED
+    store (not in-batch state), with max_chain=1 compaction running
+    in-line both times and the chains staying folded."""
+    import glob
+    import shutil
+    import time
+
+    from kafka_connect_logminer2_spark.streaming.video_ingest import (
+        video_store_size,
+    )
+
+    tmp = str(tmp_path)
+    writer, b0, b1 = _media_case(spark, modality)
+    os.makedirs(f"{tmp}/in")
+    now = time.time()
+
+    def stage(i, df):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+        os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+
+    def run():
+        q = writer(
+            spark.readStream.schema(M.MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out",
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            max_chain=1,
+        )
+        q.awaitTermination(300)
+        q.stop()  # Spark 4: release the checkpoint before a restart
+
+    stage(0, b0)
+    run()
+    assert [m for _, m in _accepted(spark, f"{tmp}/out", f"{tmp}/store")] == [
+        0, 1, 2, 3, 4, 5,
+    ]
+
+    stage(1, b1)
+    run()  # restart from the same checkpoint
+    got = _accepted(spark, f"{tmp}/out", f"{tmp}/store")
+    assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+                   (1, 6), (1, 7)]
+    assert video_store_size(spark, f"{tmp}/store") == 8
+    for sub in ("keys", "sigs"):
+        sdir = os.path.join(f"{tmp}/store", sub)
+        for d in os.listdir(sdir):
+            if d.startswith("b="):
+                vs = [v for v in os.listdir(os.path.join(sdir, d))
+                      if v.startswith("v=")]
+                assert len(vs) <= 2, (modality, sub, d, vs)
