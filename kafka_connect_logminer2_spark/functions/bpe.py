@@ -128,40 +128,72 @@ def train_bpe(
     return merges
 
 
+def _encode_word(w: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-greedy BPE encoding of one word: repeatedly merge ALL
+    non-overlapping occurrences (left-to-right) of the lowest-rank
+    adjacent pair present. PROVABLY identical to applying every merge in
+    training order (the pre-r9 implementation): a merge at rank k only
+    ever creates adjacencies involving its new symbol, and any merge
+    consuming that symbol was necessarily learned later (rank > k), so
+    no merge ≤ k becomes applicable again once passed — the two orders
+    fire exactly the same merges (differential-tested in tests/test_bpe.py).
+    Cost: O(len² dict lookups) per word, INDEPENDENT of vocabulary size —
+    the training-order loop was O(num_merges × len) per word, which at a
+    realistic 8k-merge vocabulary made apply ~500× the work per word
+    (tools/bpe_scale_probe.py measurements in BASELINE.md)."""
+    syms = list(w) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        left, right = best
+        merged = left + right
+        res: list[str] = []
+        i, m = 0, len(syms)
+        while i < m:
+            if i + 1 < m and syms[i] == left and syms[i + 1] == right:
+                res.append(merged)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe",
 ) -> DataFrame:
-    """Tokenize with a learned merge list: per word, start from characters
-    + </w> and apply every merge in training order (the standard greedy
-    application). One Arrow UDF over the text column — merges ship to the
-    workers as a closure constant (O(num_merges) bytes, driver-sized by
-    construction)."""
-    seq = [(l, r) for l, r, _ in merges]
+    """Tokenize with a learned merge list (standard greedy application —
+    see :func:`_encode_word` for the rank-greedy equivalence). One Arrow
+    UDF over the text column — merge RANKS ship to the workers as a
+    closure constant (O(num_merges) bytes, driver-sized by construction);
+    distinct words are memoized per Arrow batch, so a word's encoding is
+    paid once per batch, not once per occurrence."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
 
     @pandas_udf("array<string>")
     def tokenize(col: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
         out = []
         for text in col:
             toks: list[str] = []
             for w in (text or "").lower().split(" "):
                 if not w:
                     continue
-                syms = list(w) + [END]
-                for left, right in seq:
-                    i, res = 0, []
-                    m = len(syms)
-                    while i < m:
-                        if i + 1 < m and syms[i] == left and syms[i + 1] == right:
-                            res.append(left + right)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
-                toks.extend(syms)
+                enc = cache.get(w)
+                if enc is None:
+                    enc = _encode_word(w, ranks)
+                    cache[w] = enc
+                toks.extend(enc)
             out.append(toks)
         return pd.Series(out)
 

@@ -115,6 +115,37 @@ def test_bpe_overlapping_runs_and_early_stop(spark):
     assert all(c >= 2 for _, _, c in merges)
 
 
+def test_rank_greedy_equals_training_order_application():
+    """r9: apply_bpe switched from the O(num_merges × len) training-order
+    loop to rank-greedy _encode_word (cost independent of vocabulary
+    size). Property check over randomized corpora: for ANY trained merge
+    list the two application orders produce identical tokens — including
+    overlapping-run words ('aaa') and words sharing prefixes with merges
+    learned at very different ranks."""
+    import random
+
+    from kafka_connect_logminer2_spark.functions.bpe import _encode_word
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    for trial in range(40):
+        n_words = rng.randint(2, 30)
+        vocab = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(n_words)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+            for _ in range(rng.randint(1, 8))
+        ]
+        merges = _ref_train(texts, num_merges=rng.randint(1, 25), min_count=2)
+        ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+        for w in set(vocab) | {"aaa", "aaaa", "ababa"}:
+            want = _ref_apply(w, merges)
+            got = _encode_word(w, ranks)
+            assert got == want, (trial, w, merges, got, want)
+
+
 def test_bpe_word_table_is_vocab_sized(spark, sf_dir):
     """The corpus collapses to DISTINCT words before any iteration — the
     scale contract (rounds never rescan the corpus)."""
