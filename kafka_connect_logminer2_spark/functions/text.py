@@ -195,6 +195,18 @@ def chunk_documents(
     concatenate SHORT docs up to the budget; this splits LONG ones down
     to it).
 
+    Tail contract (r9, the r8 advisor's finding): a window at start s
+    adds unseen tokens iff s < n_tokens − overlap — anything later is
+    FULLY CONTAINED in the previous window (e.g. 97 tokens at
+    chunk 64/overlap 16: start 96 would emit a 1-token chunk already
+    covered by the chunk at 48 — pure duplicate training content for the
+    packing step downstream). Such starts are dropped. This loses NOTHING:
+    every token still appears in ≥ 1 chunk and every emitted chunk
+    contributes ≥ 1 unseen token — which is why it is the default and not
+    a knob (a min-tail-length cutoff would instead DROP tail tokens).
+    Start 0 always emits, so short docs (n ≤ overlap) still pass through
+    as one chunk.
+
     Fully JVM-side (no UDF): window starts are a filtered sequence,
     windows are array slices, all inside one projection — no shuffle, no
     explode-before-filter blowup; output rows are (id, chunk_idx,
@@ -205,21 +217,29 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    # bind the token array and its size to columns FIRST: a HOF lambda
+    # referencing split()/size() outer expressions re-evaluates them per
+    # element (the q135 trap)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_t"),
+        F.size(F.split(F.col(text_col), " ")).alias("_n"),
+    )
     starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x: x % stride == 0,
+        F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0))),
+        lambda x: (x % stride == 0)
+        & ((x == 0) | (x < F.col("_n") - F.lit(overlap))),
     )
     chunk = F.explode(
         F.transform(
             starts,
             lambda s: F.struct(
                 (s / stride).cast("int").alias("chunk_idx"),
-                F.slice(toks, s + 1, chunk_tokens).alias("_w"),
+                F.slice(F.col("_t"), s + 1, chunk_tokens).alias("_w"),
             ),
         )
     )
-    return docs.select(F.col(id_col).alias("doc_id"), chunk.alias("c")).select(
+    return base.select("doc_id", chunk.alias("c")).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c._w").cast("long").alias("n_tokens"),

@@ -8501,8 +8501,11 @@ def q163_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     training: 64-token windows with 16 tokens of overlap (stride 48).
     The complement of packing (q51/q117 concatenate SHORT docs up to the
     budget; this splits LONG ones down to it). Exact oracle: the window
-    arithmetic and the chunk REWRITE itself (md5 of each window, the
-    q159 discipline) are reproduced relationally in DuckDB."""
+    arithmetic — including the r9 tail contract (a start past
+    n_tokens − overlap is fully contained in the previous window and is
+    dropped; start 0 always emits) — and the chunk REWRITE itself (md5
+    of each window, the q159 discipline) are reproduced relationally in
+    DuckDB."""
     docs = load_table(spark, sf, "documents")
     return T.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_idx"
@@ -8520,7 +8523,9 @@ SELECT doc_id,
        CAST(st / 48 AS INTEGER) AS chunk_idx,
        CAST(len(t[st + 1 : st + 64]) AS BIGINT) AS n_tokens,
        md5(array_to_string(t[st + 1 : st + 64], ' ')) AS sig
-FROM s ORDER BY doc_id, chunk_idx
+FROM s
+WHERE st = 0 OR st < len(t) - 16
+ORDER BY doc_id, chunk_idx
 """
 
 

@@ -90,8 +90,9 @@ def test_q162_bpe_tokenize_gates(spark):
 
 def test_q163_chunking_window_math(spark):
     """chunk_documents window arithmetic on a controlled doc: 100 tokens
-    at (16, 4) -> stride 12 -> 9 chunks, last short; empty text one
-    1-token chunk; reassembly of stride-prefixes rebuilds the doc."""
+    at (16, 4) -> stride 12 -> 8 chunks (start 96 is fully contained in
+    the window at 84 and is DROPPED — the r9 tail contract); empty text
+    one 1-token chunk."""
     from kafka_connect_logminer2_spark.functions.text import chunk_documents
 
     df = spark.createDataFrame(
@@ -102,10 +103,42 @@ def test_q163_chunking_window_math(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
-    assert sorted(by_doc[1]) == [(i, 16) for i in range(8)] + [(8, 4)]
+    assert sorted(by_doc[1]) == [(i, 16) for i in range(8)]
     assert by_doc[2] == [(0, 2)]
     assert by_doc[3] == [(0, 1)]  # split('') is [''] in both engines
     import pytest
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_q163_tail_contract_no_contained_duplicates(spark):
+    """The r8 advisor's duplicate-tail cases and the contract's two
+    invariants: every token appears in >=1 chunk (nothing lost), every
+    chunk contributes >=1 token the previous chunk didn't cover (no pure
+    duplicates) — across token counts straddling every stride boundary."""
+    from kafka_connect_logminer2_spark.functions.text import chunk_documents
+
+    cases = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 140)]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride, chunk, overlap = 48, 64, 16
+    for n, _ in cases:
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+        # coverage: the last chunk must reach the last token
+        last_start = chunks[-1]["chunk_idx"] * stride
+        assert last_start + chunks[-1]["n_tokens"] == n, n
+        # no contained duplicates: each start past 0 adds unseen tokens
+        for r in chunks[1:]:
+            s = r["chunk_idx"] * stride
+            prev_end = (r["chunk_idx"] - 1) * stride + chunk
+            assert s + r["n_tokens"] > prev_end or r["n_tokens"] == chunk, n
+            assert s < n - overlap, n
+    # the advisor's examples: 97 tokens -> starts {0, 48}, not 96;
+    # 49 tokens -> the 1-token chunk at 48 is gone
+    assert [r["chunk_idx"] for r in sorted(by_doc[97], key=lambda r: r["chunk_idx"])] == [0, 1]
+    assert [r["chunk_idx"] for r in by_doc[49]] == [0]
+    assert by_doc[49][0]["n_tokens"] == 49
