@@ -89,6 +89,8 @@ HEADLINE = [
     "q161_media_pipeline",
     "q162_bpe_tokenize",
     "q163_doc_chunking",
+    # r9 additions
+    "q164_cross_modal_neardup",
 ]
 
 

@@ -1175,6 +1175,117 @@ def image_neardup_pairs(
     )
 
 
+def cross_modal_neardup_pairs(
+    images: DataFrame,
+    videos: DataFrame,
+    tau: int = 6,
+    max_band_freq: int = 1024,
+    min_change_bits: int = 12,
+) -> DataFrame:
+    """CROSS-MODAL near-dup: a still image duplicated as a SCENE of a
+    video (poster frames, thumbnail stills, slide decks re-cut into
+    clips) — the curation gap q156/q157/q158 leave open, each deduping
+    WITHIN one modality (r8 verdict #5). Both sides reduce to the shared
+    scene-signature shape (images are single-scene clips, video scenes
+    keep their ordinal), then the q157 discipline runs ACROSS the two
+    relations: 4×16-bit band keys matched WITHOUT scene alignment (an
+    image may match any scene of any clip), per-key frequency caps on
+    both sides (flat-color boilerplate would expand quadratically), one
+    JVM popcount verify of image hash vs scene hash.
+
+    Output: (image_id, video_id, scene_idx, hamming) with hamming ≤ tau.
+    Recall contract = image_neardup_pairs': deterministic at hamming ≤ 3
+    (≤3 flipped bits cannot touch all four 16-bit bands), probabilistic
+    but re-encode-realistic above. Scale: ~9 signature bytes per image /
+    per scene; the shuffles are one band-key equi-join plus two signature
+    re-joins — pixels are touched exactly once per side, in the decode
+    kernels."""
+    img_sigs = extract_image_sigs(images).localCheckpoint(eager=False)
+    vid_sigs = scene_signatures(
+        videos, min_change_bits=min_change_bits
+    ).localCheckpoint(eager=False)
+
+    def _cool(bands: DataFrame) -> DataFrame:
+        return bands.join(
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_band_freq)
+            .select("band", "val"),
+            ["band", "val"],
+            "left_semi",
+        )
+
+    ib = _cool(scene_band_rows(img_sigs).select("media_id", "band", "val"))
+    vb = _cool(scene_band_rows(vid_sigs))
+    cand = (
+        ib.select(F.col("media_id").alias("image_id"), "band", "val")
+        .join(
+            vb.select(
+                F.col("media_id").alias("video_id"), "scene_idx", "band", "val"
+            ),
+            ["band", "val"],
+        )
+        .select("image_id", "video_id", "scene_idx")
+        .distinct()
+    )
+    a = img_sigs.select(
+        F.col("media_id").alias("image_id"),
+        F.col("_hi").alias("_h1"),
+        F.col("_lo").alias("_l1"),
+    )
+    b = vid_sigs.select(
+        F.col("media_id").alias("video_id"),
+        "scene_idx",
+        F.col("_hi").alias("_h2"),
+        F.col("_lo").alias("_l2"),
+    )
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
+        F.col("_l1").bitwiseXOR(F.col("_l2"))
+    )
+    return (
+        cand.join(a, "image_id")
+        .join(b, ["video_id", "scene_idx"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(tau))
+        .select("image_id", "video_id", "scene_idx", "hamming")
+    )
+
+
+def cross_modal_fixture(
+    spark, n_clips: int = 12, n_images: int = 8, planted: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """(images, videos) with PLANTED cross-modal truth: the videos are
+    :func:`video_scene_fixture` clips; image 200+i is clip i's scene i
+    re-encoded to BMP with ±2 pixel noise (new bytes, new format, same
+    pixels — the poster-frame case), plus ``n_images`` content-distinct
+    distractor images that appear in no clip."""
+    videos = video_scene_fixture(spark, n_clips=n_clips)
+    rows = []
+    for i in range(n_images):
+        rows.append(
+            {
+                "media_id": i, "kind": "image", "mime": "image/ppm",
+                "payload": pattern_frame(32, 24, seed=5_000_000 + i * 7919),
+                "meta_json": "{}",
+            }
+        )
+    rng = np.random.default_rng(4321)
+    for i in range(planted):
+        # same seed formula as video_scene_fixture: clip i, scene i
+        arr = decode_image(pattern_frame(32, 24, seed=i * 1000 + i * 10))
+        noisy = np.clip(
+            arr.astype(np.int16) + rng.integers(-2, 3, size=arr.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": 200 + i, "kind": "image", "mime": "image/bmp",
+                "payload": bmp_payload(noisy),
+                "meta_json": "{}",
+            }
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA), videos
+
+
 def image_neardup_fixture(spark, n: int = 20, planted: int = 4) -> DataFrame:
     """Content-distinct pattern images 0..n-1 plus ``planted`` duplicates:
     image i re-encoded to BMP (format change) with ±2 pixel noise as id

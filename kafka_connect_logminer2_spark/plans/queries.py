@@ -8529,6 +8529,39 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q164_cross_modal_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal near-dup: a still image duplicated as a SCENE of a
+    video (functions/multimodal.py::cross_modal_neardup_pairs) — the
+    curation gap q156/q157/q158 leave open, each deduping WITHIN one
+    modality (r8 verdict #5). The fixture plants the truth: image 200+i
+    is clip i's scene i re-encoded to BMP with ±2 pixel noise (new bytes,
+    new format, same pixels) among 8 content-distinct distractor images
+    and 12 4-scene clips. The oracle pins EXACTLY the planted
+    (image, clip, scene, hamming) rows — a missed poster-frame duplicate
+    (recall) or a distractor colliding with any of the 48 scenes
+    (precision) both break the value hash; the seeded ±2 noise leaves
+    the 64-bit ahash untouched, so hamming is pinned at 0."""
+    from ..functions import multimodal as M
+
+    images, videos = M.cross_modal_fixture(spark)
+    return (
+        M.cross_modal_neardup_pairs(images, videos)
+        .orderBy("image_id", "video_id", "scene_idx")
+        .localCheckpoint()
+    )
+
+
+Q164_SQL = """
+SELECT * FROM (VALUES
+  (200::BIGINT, 0::BIGINT, 0::INTEGER, 0::INTEGER),
+  (201::BIGINT, 1::BIGINT, 1::INTEGER, 0::INTEGER),
+  (202::BIGINT, 2::BIGINT, 2::INTEGER, 0::INTEGER),
+  (203::BIGINT, 3::BIGINT, 3::INTEGER, 0::INTEGER)
+) AS t(image_id, video_id, scene_idx, hamming)
+ORDER BY image_id, video_id, scene_idx
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8705,6 +8738,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q161_media_pipeline": (q161_media_pipeline, Q161_SQL),
     "q162_bpe_tokenize": (q162_bpe_tokenize, Q162_SQL),
     "q163_doc_chunking": (q163_doc_chunking, Q163_SQL),
+    "q164_cross_modal_neardup": (q164_cross_modal_neardup, Q164_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

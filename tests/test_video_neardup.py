@@ -131,3 +131,53 @@ def test_audio_neardup_planted_and_remaster_tolerance(spark):
     got2 = sorted((r["id1"], r["id2"]) for r in
                   M.audio_neardup_pairs(media.unionByName(extra)).collect())
     assert (4, 400) in got2
+
+
+def test_cross_modal_planted_truth_and_exact_copy(spark):
+    """cross_modal_neardup_pairs: the planted BMP re-encodes of clip
+    scenes are found (and nothing else); an EXACT PPM copy of a scene
+    frame added on top pairs at hamming 0; a distractor-only image set
+    yields no pairs at all."""
+    images, videos = M.cross_modal_fixture(spark)
+    got = sorted(
+        (r["image_id"], r["video_id"], r["scene_idx"])
+        for r in M.cross_modal_neardup_pairs(images, videos).collect()
+    )
+    assert got == [(200, 0, 0), (201, 1, 1), (202, 2, 2), (203, 3, 3)]
+
+    exact = spark.createDataFrame(
+        [{"media_id": 300, "kind": "image", "mime": "image/ppm",
+          "payload": M.pattern_frame(32, 24, seed=5 * 1000 + 2 * 10),
+          "meta_json": "{}"}],  # clip 5, scene 2, byte-identical frame
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = M.cross_modal_neardup_pairs(images.unionByName(exact), videos)
+    rows = {(r["image_id"], r["video_id"], r["scene_idx"]): r["hamming"]
+            for r in out.collect()}
+    assert rows[(300, 5, 2)] == 0 and len(rows) == 5
+
+    lonely = images.filter("media_id < 100")  # distractors only
+    assert M.cross_modal_neardup_pairs(lonely, videos).count() == 0
+
+
+def test_cross_modal_band_cap_bounds_hot_key(spark):
+    """A flat-color frame shared by many clips and many images is a hot
+    band key; the cap must keep it from expanding quadratically while
+    leaving the planted structured pairs intact."""
+    import numpy as np
+
+    images, videos = M.cross_modal_fixture(spark, n_clips=4, planted=2)
+    flat = M.encode_ppm(np.full((24, 32, 3), 128, dtype=np.uint8))
+    extra_imgs = spark.createDataFrame(
+        [{"media_id": 500 + i, "kind": "image", "mime": "image/ppm",
+          "payload": flat, "meta_json": "{}"} for i in range(12)],
+        schema=M.MEDIA_SCHEMA,
+    )
+    capped = M.cross_modal_neardup_pairs(
+        images.unionByName(extra_imgs), videos, max_band_freq=8
+    )
+    got = sorted(
+        (r["image_id"], r["video_id"], r["scene_idx"])
+        for r in capped.collect()
+    )
+    assert got == [(200, 0, 0), (201, 1, 1)]  # flood suppressed, truth kept
