@@ -8562,6 +8562,67 @@ ORDER BY image_id, video_id, scene_idx
 """
 
 
+def q165_bloom_prescreen(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership PRE-SCREEN (functions/bloom.py) — the
+    broadcastable, mergeable bitmap that lets a 100 TB dedup pipeline
+    skip the store anti-join for "definitely new" documents. Builds the
+    filter over src0's distinct texts (the history), probes EVERY
+    document, and returns the (in_history, might_contain, n) contingency
+    — the no-false-negative invariant is structural (no TRUE/FALSE row
+    can exist), the FP count is deterministic given the portable md5
+    hashing, and the oracle reproduces bitmap and probe bit-for-bit in
+    DuckDB."""
+    from ..functions import bloom as B
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    hist = docs.filter(F.col("source") == "src0").select("text").distinct()
+    bloom = B.bloom_build(hist, F.col("text"))
+    probed = B.bloom_probe(docs, F.col("text"), bloom, ["doc_id", "text"])
+    flagged = probed.join(
+        F.broadcast(hist.withColumn("_m", F.lit(True))), "text", "left"
+    )
+    return (
+        flagged.select(
+            F.coalesce("_m", F.lit(False)).alias("in_history"), "might_contain"
+        )
+        .groupBy("in_history", "might_contain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("in_history", "might_contain")
+    )
+
+
+Q165_SQL = """
+WITH hist AS (SELECT DISTINCT text FROM documents WHERE source = 'src0'),
+hp AS (
+  SELECT (('0x' || substr(md5(text || '#b' || i), 1, 8))::BIGINT % 131072) AS p
+  FROM hist, range(5) t(i)
+),
+bloom AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+  FROM hp GROUP BY 1
+),
+dp AS (
+  SELECT d.doc_id, d.text,
+         (('0x' || substr(md5(d.text || '#b' || i), 1, 8))::BIGINT % 131072) AS p
+  FROM documents d, range(5) t(i)
+),
+probe AS (
+  SELECT doc_id, text,
+         bool_and((coalesce(bits, 0) & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0)
+           AS might_contain
+  FROM dp LEFT JOIN bloom ON dp.p // 32 = bloom.word_idx
+  GROUP BY doc_id, text
+)
+SELECT (text IN (SELECT text FROM hist)) AS in_history,
+       might_contain,
+       CAST(count(*) AS BIGINT) AS n
+FROM probe
+GROUP BY 1, 2
+ORDER BY in_history, might_contain
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8739,6 +8800,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q162_bpe_tokenize": (q162_bpe_tokenize, Q162_SQL),
     "q163_doc_chunking": (q163_doc_chunking, Q163_SQL),
     "q164_cross_modal_neardup": (q164_cross_modal_neardup, Q164_SQL),
+    "q165_bloom_prescreen": (q165_bloom_prescreen, Q165_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)
