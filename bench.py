@@ -91,6 +91,7 @@ HEADLINE = [
     "q163_doc_chunking",
     # r9 additions
     "q164_cross_modal_neardup",
+    "q165_bloom_prescreen",
 ]
 
 
