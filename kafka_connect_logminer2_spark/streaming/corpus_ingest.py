@@ -525,7 +525,22 @@ def compact_store(
         ).cast("int")
     else:
         bucket_expr = _bucket(F.col("fp"), nb)
-    return compact_chains(spark, store_dir, bucket_expr, protect=protect)
+    out = compact_chains(spark, store_dir, bucket_expr, protect=protect)
+    bd = _bloom_dir(store_dir)
+    if meta.get("bloom_bits") and os.path.isdir(bd):
+        # the bloom sidecar folds by bit_or — idempotent, so crash
+        # leftovers and replays are no-ops by algebra, not just by the
+        # fold-marker protocol
+        compact_chains(
+            spark,
+            bd,
+            _bloom_bucket(),
+            fold=lambda df: df.groupBy("_b", "word_idx").agg(
+                F.bit_or("bits").alias("bits")
+            ),
+            protect=protect,
+        )
+    return out
 
 
 def store_size(spark: SparkSession, store_dir: str) -> int:
@@ -548,6 +563,33 @@ def store_size(spark: SparkSession, store_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+# the bloom sidecar's bitmap relation is m/32 rows — a handful of buckets
+# keeps per-batch delta file counts tiny without losing write parallelism
+_BLOOM_BUCKETS = 4
+
+
+def _bloom_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "_bloom")
+
+
+def _bloom_bucket() -> F.Column:
+    return F.pmod(F.col("word_idx"), F.lit(_BLOOM_BUCKETS)).cast("int")
+
+
+def _read_bloom(spark: SparkSession, store_dir: str, below: int) -> DataFrame | None:
+    """The committed bloom bitmap strictly below ``below`` — per-batch
+    deltas bit_or-folded to one (word_idx, bits) relation. None when no
+    delta committed yet."""
+    paths = _store_paths(_bloom_dir(store_dir), None, below=below)
+    if not paths:
+        return None
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 def ingest_batch_exact(
     spark: SparkSession,
     batch: DataFrame,
@@ -557,14 +599,39 @@ def ingest_batch_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 16,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
 ) -> None:
     """One exact-dedup ingest step (the foreachBatch body, public so batch
     pipelines and job-count tests can drive it directly): keep the batch's
     never-seen texts, land them in ``out_dir/batch=<id>``, append their
     fingerprints as delta segments, then commit. Driver-side job count is
     O(1) in bucket count: probe collect + output write + one partitioned
-    delta write."""
-    _ensure_meta(store_dir, {"kind": "exact", "num_buckets": num_buckets})
+    delta write.
+
+    ``bloom_bits`` (opt-in, r9) adds the functions/bloom.py PRE-SCREEN as
+    a ``_bloom`` sidecar chain: per batch the new fingerprints' bitmap
+    delta lands next to the fp delta, and the history anti-join runs only
+    for the batch rows the bitmap might contain — a fresh crawl's
+    definitely-new majority never touches the fp chains, and the
+    touched-bucket read shrinks to the might-contain rows' buckets. The
+    accepted set is EXACTLY the non-bloom one (no false negatives by
+    construction; equivalence test-pinned). Write/commit order keeps the
+    no-FN invariant across crashes: fp delta → bloom delta → bloom commit
+    → store commit, so a committed store batch ALWAYS has its bloom bits
+    (a crash in between leaves the batch invisible and the retry rewrites
+    both). The parameter is _meta-guarded like num_buckets: resuming a
+    bloom store without it (or vice versa, or with different bits/hashes)
+    raises instead of silently risking false negatives."""
+    _ensure_meta(
+        store_dir,
+        {
+            "kind": "exact",
+            "num_buckets": num_buckets,
+            "bloom_bits": bloom_bits,
+            "bloom_hashes": bloom_hashes if bloom_bits else None,
+        },
+    )
     fps = batch.withColumn("_fp", _fp(text_col)).withColumn(
         "_b", _bucket(F.col("_fp"), num_buckets)
     )
@@ -577,15 +644,36 @@ def ingest_batch_exact(
         .persist()
     )
     try:
-        touched = sorted(r["_b"] for r in firsts.select("_b").distinct().collect())
+        probe = firsts
+        fresh = flagged = None
+        if bloom_bits is not None:
+            from ..functions.bloom import bloom_probe
+
+            bloom = _read_bloom(spark, store_dir, below=batch_id)
+            if bloom is not None:
+                flags = bloom_probe(
+                    firsts.select("_fp"),
+                    F.col("_fp"),
+                    bloom,
+                    ["_fp"],
+                    num_bits=bloom_bits,
+                    num_hashes=bloom_hashes,
+                )
+                flagged = firsts.join(flags, "_fp").persist()
+                probe = flagged.filter(F.col("might_contain")).drop("might_contain")
+                fresh = flagged.filter(~F.col("might_contain")).drop("might_contain")
+        touched = sorted(r["_b"] for r in probe.select("_b").distinct().collect())
         paths = _store_paths(store_dir, touched, below=batch_id)
         if paths:
             seen = spark.read.parquet(*paths)
-            new = firsts.join(
+            survivors = probe.join(
                 seen.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
-            ).persist()
+            )
         else:
-            new = firsts
+            survivors = probe
+        new = (
+            survivors if fresh is None else survivors.unionByName(fresh)
+        ).persist()
         try:
             (
                 new.drop("_fp", "_b")
@@ -595,10 +683,33 @@ def ingest_batch_exact(
             _write_delta(
                 new.select(F.col("_fp").alias("fp"), "_b"), store_dir, batch_id
             )
+            if bloom_bits is not None:
+                from ..functions.bloom import bloom_build
+
+                bd = _bloom_dir(store_dir)
+                _ensure_meta(
+                    bd,
+                    {
+                        "kind": "bloom",
+                        "num_buckets": _BLOOM_BUCKETS,
+                        "bits": bloom_bits,
+                        "hashes": bloom_hashes,
+                    },
+                )
+                delta = bloom_build(
+                    new.select("_fp"),
+                    F.col("_fp"),
+                    num_bits=bloom_bits,
+                    num_hashes=bloom_hashes,
+                ).withColumn("_b", _bloom_bucket())
+                _note_row_schema(bd, _row_ddl(delta))
+                _write_delta(delta, bd, batch_id)
+                _mark_committed(bd, batch_id)
             _mark_committed(store_dir, batch_id)
         finally:
-            if new is not firsts:
-                new.unpersist()
+            new.unpersist()
+            if flagged is not None:
+                flagged.unpersist()
     finally:
         firsts.unpersist()
 
@@ -613,6 +724,8 @@ def write_dedup_ingest(
     num_buckets: int = 16,
     trigger_available_now: bool = True,
     max_chain: int | None = 64,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
 ):
     """Stream of documents → ``out_dir/batch=<id>`` containing ONLY the
     never-seen-before documents (first occurrence wins, min ``id_col``
@@ -628,13 +741,18 @@ def write_dedup_ingest(
     with every other chain-store writer, r8): listdir-cheap check,
     compaction with ``protect=batch_id`` so a replayed batch keeps its
     own delta and the fold (see compact_chains); None leaves scheduling
-    to an external sweep."""
+    to an external sweep.
+
+    ``bloom_bits`` enables the Bloom pre-screen sidecar (see
+    :func:`ingest_batch_exact`): accepted set identical, history
+    anti-join paid only by might-contain rows."""
     spark = docs_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_exact(
             spark, batch, batch_id, out_dir, store_dir,
             id_col=id_col, text_col=text_col, num_buckets=num_buckets,
+            bloom_bits=bloom_bits, bloom_hashes=bloom_hashes,
         )
         if max_chain is not None:
             from .maintenance import maintain_store

@@ -420,3 +420,170 @@ def test_neardup_ingest_global_invariant_on_fixture(spark, sf_dir, tmp_path):
         F.col("jaccard_est") >= 0.5
     )
     assert offenders.count() == 0
+
+
+def _run_bloom(spark, tmp, bloom_bits=1 << 14):
+    return write_dedup_ingest(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+            f"{tmp}/in"
+        ),
+        f"{tmp}/out",
+        f"{tmp}/store",
+        f"{tmp}/ckpt",
+        num_buckets=16,
+        bloom_bits=bloom_bits,
+    )
+
+
+def test_bloom_prescreen_accepts_identical_set(spark, tmp_path):
+    """bloom_bits is a pure pre-screen: the accepted set, per-batch
+    attribution, and store size are EXACTLY the non-bloom run's (no false
+    negatives by construction), across a restart that appends a batch of
+    re-sends plus fresh docs."""
+    tmp = str(tmp_path)
+    batches = [
+        [(1, "alpha"), (2, "beta"), (9, "alpha")],
+        [(10, "beta"), (11, "gamma"), (12, "alpha")],
+        [(20, "delta"), (21, "gamma"), (22, "epsilon")],
+    ]
+    _stage(spark, tmp, batches)
+    q = _run_bloom(spark, tmp)
+    assert q.awaitTermination(300)
+    q.stop()
+
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_ingested(spark, f"{tmp}/out").collect()
+    )
+    assert got == _truth(batches)
+    assert store_size(spark, f"{tmp}/store") == 5
+    assert os.path.isdir(f"{tmp}/store/_bloom")  # the sidecar exists
+
+    # restart-resume: re-sends rejected via the persisted history, fresh
+    # docs (bloom-screened definitely-new) accepted
+    extra = [[(30, "alpha"), (31, "zeta"), (32, "epsilon"), (33, "eta")]]
+    _stage(spark, tmp, extra, start=3)
+    q = _run_bloom(spark, tmp)
+    assert q.awaitTermination(300)
+    q.stop()
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_ingested(spark, f"{tmp}/out").collect()
+    )
+    assert got == _truth(batches + extra)
+    assert store_size(spark, f"{tmp}/store") == 7
+
+
+def test_bloom_param_is_meta_guarded(spark, tmp_path):
+    """Resuming a bloom store without bloom (or a plain store WITH bloom,
+    or different bits) must raise — a silent mismatch would break the
+    no-false-negative coverage invariant."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(1, "alpha")], SCHEMA)
+    ingest_batch_exact(
+        spark, b0, 0, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 14
+    )
+    with pytest.raises(ValueError, match="different parameters"):
+        ingest_batch_exact(spark, b0, 1, f"{tmp}/out", f"{tmp}/store")
+    with pytest.raises(ValueError, match="different parameters"):
+        ingest_batch_exact(
+            spark, b0, 1, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 15
+        )
+    ingest_batch_exact(  # original params resume fine
+        spark, b0, 1, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 14
+    )
+
+
+def test_bloom_on_plain_store_raises(spark, tmp_path):
+    import pytest
+
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(1, "alpha")], SCHEMA)
+    ingest_batch_exact(spark, b0, 0, f"{tmp}/out", f"{tmp}/store")
+    with pytest.raises(ValueError, match="different parameters"):
+        ingest_batch_exact(
+            spark, b0, 1, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 14
+        )
+
+
+def test_bloom_prescreen_skips_history_read_for_fresh_batch(spark, tmp_path):
+    """The point of the sidecar: a batch of entirely-new docs (the fresh-
+    crawl majority) must not read ANY main-store bucket — the bloom says
+    definitely-new for every row, so the anti-join's touched-bucket read
+    is empty. Verified by counting the fp-store paths the probe requests."""
+    from kafka_connect_logminer2_spark.streaming import corpus_ingest as ci
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame(
+        [(i, f"seed{i}") for i in range(40)], SCHEMA
+    )
+    ci.ingest_batch_exact(
+        spark, b0, 0, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 14
+    )
+
+    real = ci._store_paths
+    asked: list[tuple] = []
+
+    def spy(store_dir, buckets, below=None):
+        if not store_dir.rstrip("/").endswith("_bloom"):
+            asked.append((tuple(buckets) if buckets is not None else None, below))
+        return real(store_dir, buckets, below)
+
+    ci._store_paths = spy
+    try:
+        fresh = spark.createDataFrame(
+            [(100 + i, f"newdoc{i}") for i in range(40)], SCHEMA
+        )
+        ci.ingest_batch_exact(
+            spark, fresh, 1, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 14
+        )
+    finally:
+        ci._store_paths = real
+    # the probe's touched-bucket request covered no buckets at all
+    assert asked and all(b == () for b, _ in asked), asked
+    assert ci.store_size(spark, f"{tmp}/store") == 80  # still all accepted
+
+
+def test_bloom_sidecar_compacts_with_store(spark, tmp_path):
+    """compact_store folds the _bloom chain too (bit_or fold), and the
+    pre-screen keeps rejecting history dups afterwards."""
+    from kafka_connect_logminer2_spark.streaming import corpus_ingest as ci
+
+    tmp = str(tmp_path)
+    for b in range(6):
+        rows = [(b * 10 + i, f"t{b}_{i}") for i in range(3)]
+        ci.ingest_batch_exact(
+            spark,
+            spark.createDataFrame(rows, SCHEMA),
+            b,
+            f"{tmp}/out",
+            f"{tmp}/store",
+            bloom_bits=1 << 14,
+        )
+    ci.compact_store(spark, f"{tmp}/store")
+    bdir = f"{tmp}/store/_bloom"
+    for d in os.listdir(bdir):
+        if d.startswith("b="):
+            vs = [v for v in os.listdir(os.path.join(bdir, d)) if v.startswith("v=")]
+            assert len(vs) == 1, (d, vs)
+    dup = spark.createDataFrame([(99, "t0_0"), (98, "brandnew")], SCHEMA)
+    ci.ingest_batch_exact(
+        spark, dup, 6, f"{tmp}/out", f"{tmp}/store", bloom_bits=1 << 14
+    )
+    got = {
+        r["doc_id"]
+        for r in read_ingested(spark, f"{tmp}/out", f"{tmp}/store")
+        .filter("batch = 6")
+        .collect()
+    }
+    assert got == {98}  # the post-compaction bloom+store still rejects t0_0
