@@ -249,6 +249,47 @@ def test_repair_steals_stranded_claim(spark, tmp_path, monkeypatch):
         assert got[k][0] == pytest.approx(expected[k][0], rel=1e-12)
 
 
+def test_concurrent_repairers_race_stress(tmp_path):
+    """Many threads repair the same crashed-swap bucket SIMULTANEOUSLY,
+    repeatedly: the claim rename must serialize them so the committed
+    segment always survives intact with its payload, no matter the
+    interleaving. (The pre-r9 code lost the segment whenever one
+    repairer's rmtree landed after another's restore.)"""
+    import threading
+
+    for trial in range(25):
+        bdir = tmp_path / f"trial{trial}" / "b=0"
+        seg = bdir / "v=3"
+        seg.mkdir(parents=True)
+        (seg / "_SUCCESS").touch()
+        (seg / "part-000.parquet").write_bytes(b"payload-%d" % trial)
+        os.replace(seg, bdir / "_old_v=3")  # crashed mid-swap state
+
+        barrier = threading.Barrier(6)
+        errors = []
+
+        def repair():
+            try:
+                barrier.wait()
+                corpus_ingest._recover_bucket(str(bdir))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=repair) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert (seg / "_SUCCESS").exists(), trial
+        assert (seg / "part-000.parquet").read_bytes() == b"payload-%d" % trial
+        leftovers = [
+            d for d in os.listdir(bdir)
+            if d.startswith(("_old_v=", "_repair_"))
+        ]
+        assert not leftovers, leftovers  # every claim resolved
+
+
 def test_cleanup_overlays_tolerates_stray_names(tmp_path):
     """Protected overlay cleanup must not ValueError on a non-numeric
     v=-prefixed entry (editor artifact, crashed 'v=tmp') — the r8 advisor
