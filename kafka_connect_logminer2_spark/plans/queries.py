@@ -8577,8 +8577,10 @@ def q165_bloom_prescreen(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
     hist = docs.filter(F.col("source") == "src0").select("text").distinct()
     bloom = B.bloom_build(hist, F.col("text"))
-    probed = B.bloom_probe(docs, F.col("text"), bloom, ["doc_id", "text"])
-    flagged = probed.join(
+    # probe keyed by doc_id only — the k-row explode and its aggregate
+    # carry an 8-byte key, never the text; text joins back once
+    flags = B.bloom_probe(docs, F.col("text"), bloom, ["doc_id"])
+    flagged = docs.join(flags, "doc_id").join(
         F.broadcast(hist.withColumn("_m", F.lit(True))), "text", "left"
     )
     return (
