@@ -537,6 +537,32 @@ def main() -> None:
             )
         return remove_dup_spans(out, min_docs=2)
 
+    def bloom_op(m):
+        # distinct values per copy (text ⊕ doc_id), half the corpus as the
+        # filter's history, probe everything: the bitmap stays m/32 rows
+        # regardless of m, so cost must track the k-row explode — linear
+        from kafka_connect_logminer2_spark.functions import bloom as B
+
+        d = replicate(docs, m, ["doc_id"], span).withColumn(
+            "_v", F.concat("text", F.col("doc_id").cast("string"))
+        )
+        hist = d.filter(F.col("doc_id") % 2 == 0).select("_v")
+        bl = B.bloom_build(hist, F.col("_v"), num_bits=1 << 20)
+        return B.bloom_probe(
+            d, F.col("_v"), bl, ["doc_id"], num_bits=1 << 20
+        ).groupBy("might_contain").count()
+
+    def cross_modal_op(m):
+        # m× clips AND m× images (content-distinct seeds): candidates stay
+        # truth-sized (planted pairs only), so cost must track the decode
+        # passes + band-key join — linear in total media
+        from kafka_connect_logminer2_spark.functions import multimodal as M
+
+        imgs, vids = M.cross_modal_fixture(
+            spark, n_clips=4 * m, n_images=8 * m, planted=4
+        )
+        return M.cross_modal_neardup_pairs(imgs, vids)
+
     ops = {
         "hash_agg": agg_op,
         "packing_cumsum": packing_cumsum_op,
@@ -569,6 +595,8 @@ def main() -> None:
         "scd2_pit": scd2_pit_op,
         "skyline_frontier": skyline_op,
         "span_removal": span_removal_op,
+        "bloom_probe": bloom_op,
+        "cross_modal_neardup": cross_modal_op,
     }
 
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
