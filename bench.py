@@ -92,6 +92,7 @@ HEADLINE = [
     # r9 additions
     "q164_cross_modal_neardup",
     "q165_bloom_prescreen",
+    "q166_text_normalize",
 ]
 
 

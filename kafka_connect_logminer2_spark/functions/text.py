@@ -5,6 +5,7 @@ whole-stage-codegen; no Python in the hot path) so they hold up at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -245,3 +246,40 @@ def chunk_documents(
         F.size("c._w").cast("long").alias("n_tokens"),
         F.md5(F.array_join(F.col("c._w"), " ")).alias("sig"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text NORMALIZATION — the cleanup pass real curation
+    pipelines (C4, CCNet) run BEFORE any hash-based dedup, because a
+    decomposed ``e +  ́`` and a precomposed ``é`` are different bytes with
+    identical content and would defeat exact fingerprints. Contract, in
+    order:
+
+    1. Unicode NFC composition (canonical, NOT NFKC — compatibility
+       folding like ligature expansion is lossy and version-sensitive;
+       NFC compositions are stable across Unicode versions);
+    2. C0 control runs (``\\x00-\\x1f``, tabs/newlines included) → one
+       space;
+    3. NBSP (``\\u00a0``) → space;
+    4. whitespace runs collapsed to one space, ends trimmed.
+
+    Only step 1 needs Python (Spark SQL has no NFC function) — a minimal
+    Arrow-batched UDF doing ``unicodedata.normalize`` and nothing else;
+    steps 2–4 are JVM ``regexp_replace``/``trim`` in whole-stage codegen.
+    The DuckDB oracle mirrors all four steps exactly
+    (``nfc_normalize`` + the same regexes — q166)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    out = _nfc(text)
+    out = F.regexp_replace(out, r"[\x00-\x1f]+", " ")
+    out = F.regexp_replace(out, r"\x{00a0}", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

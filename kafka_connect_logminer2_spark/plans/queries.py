@@ -8625,6 +8625,84 @@ ORDER BY in_history, might_contain
 """
 
 
+# q166 planted ids sit above every real doc_id at every sf
+_Q166_OFFSET = 20_000_000
+
+# (suffix, python text) — the SQL twin composes the same strings via chr();
+# explicit escapes, because decomposed vs precomposed accents are visually
+# identical in source
+_Q166_PLANTED = [
+    (0, "e\u0301clair plain"),          # decomposed e+acute -> NFC composes
+    (1, "\u00e9clair plain"),           # already-NFC \u00e9 -> unchanged
+    (2, "A\u030aberg"),                 # A + combining ring -> \u00c5
+    (3, "tab\tand\nnewline"),          # C0 controls -> spaces
+    (4, "nbsp\u00a0here"),              # NBSP -> space
+    (5, "  padded   spaces  "),          # collapse + trim
+    (6, "bell\u0007char"),              # bare control
+    (7, "\u1100\u1161\u11a8 jamo"),   # Hangul jamo -> syllable
+    (8, "already clean ascii"),          # fully unchanged
+]
+
+
+def q166_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text normalization (functions/text.py::normalize_text) —
+    the cleanup pass that must run BEFORE hash-based dedup (a decomposed
+    ``e+´`` and a precomposed ``é`` are different bytes, identical
+    content). The real corpus (pure ASCII) is union'd with a planted
+    fixture covering every rule: NFC composition (combining accents,
+    Hangul jamo), C0-control and NBSP replacement, whitespace collapse
+    and trim — plus already-normal rows so both ``changed`` branches are
+    exercised. Output per doc: (doc_id, changed, sig=md5(normalized)),
+    the q159 rewrite-comparison discipline; the oracle reproduces all
+    four steps with DuckDB's nfc_normalize + the same regexes."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(i + _Q166_OFFSET, t) for i, t in _Q166_PLANTED],
+        "doc_id long, text string",
+    )
+    alldocs = docs.unionByName(planted)
+    norm = T.normalize_text(F.col("text"))
+    return (
+        alldocs.select(
+            "doc_id",
+            (norm != F.col("text")).alias("changed"),
+            F.md5(norm).alias("sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q166_SQL = """
+WITH planted(doc_id, text) AS (VALUES
+  (20000000, 'e' || chr(769) || 'clair plain'),
+  (20000001, chr(233) || 'clair plain'),
+  (20000002, 'A' || chr(778) || 'berg'),
+  (20000003, 'tab' || chr(9) || 'and' || chr(10) || 'newline'),
+  (20000004, 'nbsp' || chr(160) || 'here'),
+  (20000005, '  padded   spaces  '),
+  (20000006, 'bell' || chr(7) || 'char'),
+  (20000007, chr(4352) || chr(4449) || chr(4520) || ' jamo'),
+  (20000008, 'already clean ascii')
+),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), text FROM planted
+),
+norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             nfc_normalize(text),
+             '[\\x00-\\x1f]+', ' ', 'g'),
+             '\\x{00a0}', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS n
+  FROM alldocs
+)
+SELECT doc_id, (n <> text) AS changed, md5(n) AS sig
+FROM norm ORDER BY doc_id
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8803,6 +8881,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q163_doc_chunking": (q163_doc_chunking, Q163_SQL),
     "q164_cross_modal_neardup": (q164_cross_modal_neardup, Q164_SQL),
     "q165_bloom_prescreen": (q165_bloom_prescreen, Q165_SQL),
+    "q166_text_normalize": (q166_text_normalize, Q166_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -294,3 +294,34 @@ def test_dup_clusters_matches_union_find(spark):
                 for r in D.dup_clusters(pairs, driver_max_edges=dme).collect()
             }
             assert got == expected, f"seed {seed} driver_max_edges={dme}"
+
+
+def test_normalize_text_contract(spark):
+    """normalize_text (q166): NFC composition, C0/NBSP replacement,
+    whitespace collapse+trim — expected outputs per rule, idempotence,
+    and unchanged-input identity."""
+    from kafka_connect_logminer2_spark.functions.text import normalize_text
+
+    cases = [
+        ("e\u0301clair", "\u00e9clair"),             # combining acute composes
+        ("A\u030aberg", "\u00c5berg"),               # combining ring composes
+        ("tab\tand\nnewline", "tab and newline"),    # C0 -> space
+        ("nbsp\u00a0here", "nbsp here"),              # NBSP -> space
+        ("  padded   spaces  ", "padded spaces"),      # collapse + trim
+        ("bell\u0007char", "bell char"),              # bare control -> space
+        ("\u1100\u1161\u11a8", "\uac01"),          # jamo -> Hangul syllable
+        ("already clean", "already clean"),            # identity
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, raw, want) for i, (raw, want) in enumerate(cases)],
+        "i long, raw string, want string",
+    )
+    out = df.select(
+        "i", "want",
+        normalize_text(F.col("raw")).alias("got"),
+    ).withColumn("again", normalize_text(F.col("got")))
+    for r in out.collect():
+        assert r["got"] == r["want"], (r["i"], r["got"], r["want"])
+        assert r["again"] == r["got"], r["i"]  # idempotent
