@@ -788,11 +788,22 @@ def ingest_batch_neardup(
     threshold: float = 0.5,
     num_buckets: int = 16,
     star_bucket_size: int | None = None,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
 ) -> None:
     """One near-dup ingest step (foreachBatch body of
     :func:`write_neardup_ingest`, public for batch use and job-count
     tests). Same store mechanics as the exact path — delta-segment write,
-    touched-bucket probe, commit marker — with MinHash acceptance."""
+    touched-bucket probe, commit marker — with MinHash acceptance.
+
+    ``bloom_bits`` (opt-in, r9): the exact path's pre-screen applied to
+    BAND KEYS — the bloom holds every committed ``band:key``, so a batch
+    band row the bitmap rejects can produce no history candidate and is
+    excluded from the touched-bucket read entirely (a fresh crawl with no
+    colliding keys reads zero store buckets). Acceptance is EXACTLY the
+    non-bloom run's (no false negatives ⇒ no candidate lost; false
+    positives only cost a bucket read). Same crash-ordering and _meta
+    guard as :func:`ingest_batch_exact`."""
     from ..functions.dedup import (
         dup_clusters,
         minhash_agree_frac,
@@ -811,6 +822,8 @@ def ingest_batch_neardup(
             "num_bands": num_bands,
             "seed": seed,
             "threshold": threshold,
+            "bloom_bits": bloom_bits,
+            "bloom_hashes": bloom_hashes if bloom_bits else None,
         },
     )
     bucket_of = F.pmod(
@@ -842,13 +855,36 @@ def ingest_batch_neardup(
             sigs, num_hashes=num_hashes, num_bands=num_bands
         ).withColumn("_b", bucket_of)
 
-        # 2. probe history: only the buckets this batch's keys land in
-        touched = sorted(r["_b"] for r in bands.select("_b").distinct().collect())
+        # 2. probe history: only the buckets this batch's keys land in —
+        # and with the bloom sidecar, only the keys the bitmap might hold
+        bands_maybe = bands
+        if bloom_bits is not None:
+            from ..functions.bloom import bloom_probe
+
+            bloom = _read_bloom(spark, store_dir, below=batch_id)
+            if bloom is not None:
+                keys = bands.select("band", "key").distinct()
+                flags = bloom_probe(
+                    keys,
+                    F.concat_ws(":", F.col("band"), F.col("key")),
+                    bloom,
+                    ["band", "key"],
+                    num_bits=bloom_bits,
+                    num_hashes=bloom_hashes,
+                )
+                bands_maybe = bands.join(
+                    flags.filter(F.col("might_contain")).select("band", "key"),
+                    ["band", "key"],
+                    "left_semi",
+                )
+        touched = sorted(
+            r["_b"] for r in bands_maybe.select("_b").distinct().collect()
+        )
         paths = _store_paths(store_dir, touched, below=batch_id)
         if paths:
             hist = spark.read.parquet(*paths)
             cand = (
-                bands.join(
+                bands_maybe.join(
                     hist.select("band", "key", F.col("sig").alias("_hsig")),
                     ["band", "key"],
                 )
@@ -893,6 +929,28 @@ def ingest_batch_neardup(
                 store_dir,
                 batch_id,
             )
+            if bloom_bits is not None:
+                from ..functions.bloom import bloom_build
+
+                bd = _bloom_dir(store_dir)
+                _ensure_meta(
+                    bd,
+                    {
+                        "kind": "bloom",
+                        "num_buckets": _BLOOM_BUCKETS,
+                        "bits": bloom_bits,
+                        "hashes": bloom_hashes,
+                    },
+                )
+                delta = bloom_build(
+                    bands.join(accepted_ids, "id").select("band", "key"),
+                    F.concat_ws(":", F.col("band"), F.col("key")),
+                    num_bits=bloom_bits,
+                    num_hashes=bloom_hashes,
+                ).withColumn("_b", _bloom_bucket())
+                _note_row_schema(bd, _row_ddl(delta))
+                _write_delta(delta, bd, batch_id)
+                _mark_committed(bd, batch_id)
             _mark_committed(store_dir, batch_id)
         finally:
             accepted_ids.unpersist()
@@ -917,6 +975,8 @@ def write_neardup_ingest(
     trigger_available_now: bool = True,
     star_bucket_size: int | None = None,
     max_chain: int | None = 64,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
 ):
     """NEAR-dup sibling of :func:`write_dedup_ingest`: a new document is
     accepted only if its MinHash Jaccard estimate against EVERY previously
@@ -957,6 +1017,7 @@ def write_neardup_ingest(
             id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes,
             num_bands=num_bands, seed=seed, threshold=threshold,
             num_buckets=num_buckets, star_bucket_size=star_bucket_size,
+            bloom_bits=bloom_bits, bloom_hashes=bloom_hashes,
         )
         if max_chain is not None:
             from .maintenance import maintain_store

@@ -587,3 +587,53 @@ def test_bloom_sidecar_compacts_with_store(spark, tmp_path):
         .collect()
     }
     assert got == {98}  # the post-compaction bloom+store still rejects t0_0
+
+
+def test_neardup_bloom_prescreen_identical_and_prunes(spark, tmp_path):
+    """The near store's band-key bloom: acceptance identical to the
+    non-bloom run, and a batch whose band keys have no history collision
+    reads ZERO main-store buckets."""
+    from kafka_connect_logminer2_spark.streaming import corpus_ingest as ci
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(1, BASE), (2, BASE + " extra")], SCHEMA)
+    b1 = spark.createDataFrame(
+        [(10, BASE + " slightly altered"), (11, OTHER), (12, "hi")], SCHEMA
+    )
+    kw = dict(threshold=0.5, num_buckets=16, bloom_bits=1 << 14)
+    ci.ingest_batch_neardup(spark, b0, 0, f"{tmp}/out", f"{tmp}/store", **kw)
+    ci.ingest_batch_neardup(spark, b1, 1, f"{tmp}/out", f"{tmp}/store", **kw)
+    got = sorted(
+        (r["doc_id"], r["batch"])
+        for r in read_ingested(spark, f"{tmp}/out", f"{tmp}/store")
+        .select("doc_id", "batch").collect()
+    )
+    assert got == [(1, 0), (11, 1), (12, 1)]  # == the non-bloom test's truth
+    assert os.path.isdir(f"{tmp}/store/_bloom")
+
+    # an all-new batch (no shared shingles with history) must read no bucket
+    real = ci._store_paths
+    asked = []
+
+    def spy(store_dir, buckets, below=None):
+        if not store_dir.rstrip("/").endswith("_bloom"):
+            asked.append(tuple(buckets) if buckets is not None else None)
+        return real(store_dir, buckets, below)
+
+    ci._store_paths = spy
+    try:
+        b2 = spark.createDataFrame(
+            [(20, "utterly unrelated words about astronomy telescopes and "
+                  "planetary nebulae drifting in deep space photographs")],
+            SCHEMA,
+        )
+        ci.ingest_batch_neardup(spark, b2, 2, f"{tmp}/out", f"{tmp}/store", **kw)
+    finally:
+        ci._store_paths = real
+    assert asked and all(b == () for b in asked), asked
+    got = sorted(
+        r["doc_id"]
+        for r in read_ingested(spark, f"{tmp}/out", f"{tmp}/store")
+        .filter("batch = 2").collect()
+    )
+    assert got == [20]
