@@ -93,6 +93,7 @@ HEADLINE = [
     "q164_cross_modal_neardup",
     "q165_bloom_prescreen",
     "q166_text_normalize",
+    "q167_repetition_signals",
 ]
 
 

@@ -283,3 +283,72 @@ def normalize_text(text: Column) -> Column:
     out = F.regexp_replace(out, r"\x{00a0}", " ")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def add_repetition_signals(
+    df,
+    n: int,
+    text_col: str = "text",
+    prefix: str | None = None,
+):
+    """Gopher repetition signals (Rae et al. 2021, Table A1 §"repetitious
+    text") — the within-document duplication battery q129's static rules
+    deliberately leave out: the character share of the single most frequent
+    word n-gram (``top_chars``) and the character share of all n-grams that
+    occur more than once (``dup_chars``). Both are emitted as EXACT integer
+    numerators (gram length × occurrence count, separator spaces included)
+    so threshold checks can run as integer cross-multiplications with zero
+    float drift between engines.
+
+    Scale shape: ZERO shuffle and zero Python. The n-grams of one document
+    are materialized, sorted, and run-length-encoded entirely inside the
+    row's own array columns (``array_sort`` + a filter for run starts + an
+    index-aware ``transform`` for run lengths), so per-doc cost is
+    O(L·n·log L) inside whole-stage codegen and the whole signal battery
+    runs at scan speed on 100 TB — no (doc, gram) exchange, unlike the
+    corpus-wide counting ops (q121/q135) this deliberately is not.
+
+    Adds two BIGINT columns ``{prefix}_top_chars`` / ``{prefix}_dup_chars``
+    (prefix defaults to ``g{n}``); docs shorter than ``n`` tokens get 0s.
+    """
+    p = prefix or f"g{n}"
+    grams = f"""CASE WHEN size(split({text_col}, ' ')) >= {n}
+        THEN array_sort(transform(sequence(0, size(split({text_col}, ' ')) - {n}),
+             i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' ')))
+        ELSE array() END"""
+    df = df.withColumn("_rs_g", F.expr(grams))
+    df = df.withColumn(
+        "_rs_s",
+        F.expr(
+            # empty grams need an explicit branch: sequence(0, -1) DESCENDS
+            # to [0, -1], and i = -1 would hit element_at's forbidden index 0
+            "IF(size(_rs_g) = 0, array(),"
+            " filter(sequence(0, size(_rs_g) - 1),"
+            "  i -> IF(i = 0, true,"
+            "          element_at(_rs_g, i + 1) != element_at(_rs_g, i))))"
+        ),
+    )
+    # one struct per distinct gram: chars = run_length * gram_length,
+    # dup = run_length > 1 (run ends at the next start, or the array end)
+    df = df.withColumn(
+        "_rs_r",
+        F.expr(
+            """transform(_rs_s, (s, j) -> named_struct(
+                 'chars',
+                 CAST((IF(j + 1 < size(_rs_s), element_at(_rs_s, j + 2),
+                          size(_rs_g)) - s) AS BIGINT)
+                   * length(element_at(_rs_g, s + 1)),
+                 'dup',
+                 (IF(j + 1 < size(_rs_s), element_at(_rs_s, j + 2),
+                     size(_rs_g)) - s) > 1))"""
+        ),
+    )
+    df = df.withColumn(
+        f"{p}_top_chars",
+        F.expr("aggregate(_rs_r, 0L, (a, x) -> greatest(a, x.chars))"),
+    )
+    df = df.withColumn(
+        f"{p}_dup_chars",
+        F.expr("aggregate(_rs_r, 0L, (a, x) -> a + IF(x.dup, x.chars, 0L))"),
+    )
+    return df.drop("_rs_g", "_rs_s", "_rs_r")

@@ -8703,6 +8703,171 @@ FROM norm ORDER BY doc_id
 """
 
 
+# q167 planted ids sit above every real doc_id at every sf (and clear of
+# the q166 block)
+_Q167_OFFSET = 21_000_000
+
+_Q167_PLANTED = [
+    # (suffix, text) — each row exercises one branch of the flag logic
+    (0, "la la la la la la la la"),                     # hot bigram -> both flags
+    (1, "one two three one two three one two three x"), # repeated trigram
+    (2, "alpha beta gamma delta epsilon zeta eta"),     # all-unique -> clean
+    (3, "solo"),                                        # < 2 tokens -> zeros
+    (4, "a b"),                                         # exactly one bigram
+    (5, ""),                                            # empty text
+    # boundary: all bigrams unique, top bigram 'aaaa bbbb' = 9 chars,
+    # total = 45 chars exactly, so top*5 == total -> strict > does NOT flag
+    (6, "aaaa bbbb c d e f g h i j k l m n o p q r s t"),
+]
+
+
+def q167_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition signals (Gopher Table A1 §repetitious
+    text — functions/text.py::add_repetition_signals): character share of
+    the most frequent word 2-gram and of all duplicated 3-grams, the
+    duplication battery q129's static rules leave out. Integer-exact
+    contract: numerators are gram-chars × occurrence count (BIGINT), flags
+    are integer cross-multiplications against Gopher's thresholds (top
+    2-gram share > 0.20, duplicated 3-gram share > 0.10) so no float ever
+    crosses an engine boundary. The real corpus is union'd with planted
+    rows covering hot-bigram/chorus flags, clean docs, sub-n docs, empty
+    text, and an exact threshold-equality boundary (top*5 == total, which
+    strict > must NOT flag).
+
+    Scale shape: the Spark side is ZERO-shuffle — n-grams are sorted and
+    run-length-encoded inside each row's own array columns, so the battery
+    runs at scan speed (no (doc, gram) exchange at 100 TB); the oracle
+    derives the same integers relationally (unnest → GROUP BY)."""
+    from ..functions.text import add_repetition_signals
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(i + _Q167_OFFSET, t) for i, t in _Q167_PLANTED],
+        "doc_id long, text string",
+    )
+    out = add_repetition_signals(docs.unionByName(planted), 2)
+    out = add_repetition_signals(out, 3)
+    total = F.length("text").cast("long")
+    return out.select(
+        "doc_id",
+        total.alias("total_chars"),
+        "g2_top_chars",
+        "g2_dup_chars",
+        "g3_top_chars",
+        "g3_dup_chars",
+        (F.col("g2_top_chars") * 5 > total).alias("flag_top2"),
+        (F.col("g3_dup_chars") * 10 > total).alias("flag_dup3"),
+        ((F.col("g2_top_chars") * 5 > total) | (F.col("g3_dup_chars") * 10 > total)).alias(
+            "rep_flagged"
+        ),
+    ).orderBy("doc_id")
+
+
+Q167_SQL = """
+WITH planted(doc_id, text) AS (VALUES
+  (21000000, 'la la la la la la la la'),
+  (21000001, 'one two three one two three one two three x'),
+  (21000002, 'alpha beta gamma delta epsilon zeta eta'),
+  (21000003, 'solo'),
+  (21000004, 'a b'),
+  (21000005, ''),
+  (21000006, 'aaaa bbbb c d e f g h i j k l m n o p q r s t')
+),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), text FROM planted
+),
+toks AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+         string_split(text, ' ') AS t
+  FROM alldocs
+),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, len(t) - 1)]) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, n,
+         max(c * length(gram)) AS top_chars,
+         sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY 1, 2
+)
+SELECT k.doc_id AS doc_id, k.total_chars AS total_chars,
+       CAST(coalesce(a2.top_chars, 0) AS BIGINT) AS g2_top_chars,
+       CAST(coalesce(a2.dup_chars, 0) AS BIGINT) AS g2_dup_chars,
+       CAST(coalesce(a3.top_chars, 0) AS BIGINT) AS g3_top_chars,
+       CAST(coalesce(a3.dup_chars, 0) AS BIGINT) AS g3_dup_chars,
+       coalesce(a2.top_chars, 0) * 5 > k.total_chars AS flag_top2,
+       coalesce(a3.dup_chars, 0) * 10 > k.total_chars AS flag_dup3,
+       (coalesce(a2.top_chars, 0) * 5 > k.total_chars
+        OR coalesce(a3.dup_chars, 0) * 10 > k.total_chars) AS rep_flagged
+FROM toks k
+LEFT JOIN agg a2 ON a2.doc_id = k.doc_id AND a2.n = 2
+LEFT JOIN agg a3 ON a3.doc_id = k.doc_id AND a3.n = 3
+ORDER BY k.doc_id
+"""
+
+
+def cdc30_heavy_hitters_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained heavy-hitter bigrams
+    (streaming/heavy_hitters.py) — q135's boilerplate-discovery pass kept
+    fresh over a document stream. The documents table arrives as 3
+    micro-batches (doc_id mod 3, the shared ingest staging convention);
+    each batch folds its own Misra-Gries summary into a bounded delta-chain
+    store (mergeable-summaries additivity: per-batch write cost O(cap),
+    never O(batch vocabulary)) and archives its documents; in-line
+    PROTECTED compaction runs at max_chain=2 so the 3-batch run exercises
+    the fold+re-truncate path. The read is candidates-from-sketch + one
+    exact pruned recount, so the streamed MV's answer is EXACT and the
+    oracle is q135's plain GROUP BY/HAVING over the same corpus — sketch
+    maintenance, commit ordering, compaction, and the superset guarantee
+    are all value-hash checked."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.heavy_hitters import heavy_hitters_asof, write_heavy_hitters
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc30_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        q = write_heavy_hitters(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/store",
+            f"{tmp}/ckpt",
+            max_chain=2,
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc30 stream did not finish")
+        out = heavy_hitters_asof(spark, f"{tmp}/store", denom=800)
+        return spark.createDataFrame(
+            out.orderBy("bigram").collect(), "bigram string, n bigint"
+        ).orderBy("bigram")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -8882,6 +9047,10 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q164_cross_modal_neardup": (q164_cross_modal_neardup, Q164_SQL),
     "q165_bloom_prescreen": (q165_bloom_prescreen, Q165_SQL),
     "q166_text_normalize": (q166_text_normalize, Q166_SQL),
+    "q167_repetition_signals": (q167_repetition_signals, Q167_SQL),
+    # same relational truth as q135: the streamed MV must land on the plain
+    # GROUP BY/HAVING answer over the full corpus
+    "cdc30_heavy_hitters_mv": (cdc30_heavy_hitters_mv, Q135_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -122,6 +122,10 @@ def maintain_store(
         from .decayed import compact_decayed
 
         return compact_decayed(spark, store_dir, protect=protect)
+    if kind == "hh_counts":
+        from .heavy_hitters import compact_heavy_hitters
+
+        return compact_heavy_hitters(spark, store_dir, protect=protect)
     if kind == "ann_mor":
         if protect is not None:
             return None  # offline-only rewrite (no replayable batches)
@@ -191,6 +195,7 @@ def discover_stores(root: str, max_depth: int = 3) -> list[str]:
     ``maintain_stores(spark, discover_stores(root))``."""
     kinds = {
         "exact", "neardup", "postings", "scd2", "decayed", "ann_mor",
+        "hh_counts",
         *_MEDIA_KINDS,
     }
     found: list[str] = []

@@ -325,3 +325,50 @@ def test_normalize_text_contract(spark):
     for r in out.collect():
         assert r["got"] == r["want"], (r["i"], r["got"], r["want"])
         assert r["again"] == r["got"], r["i"]  # idempotent
+
+
+def test_repetition_signals_values_and_plan(spark):
+    """add_repetition_signals (q167): integer numerators equal a pure-Python
+    n-gram count reference on adversarial shapes (hot bigram, chorus, all
+    unique, sub-n, empty), and the battery is ZERO-shuffle — no Exchange in
+    the optimized plan (the whole point vs a (doc, gram) groupBy)."""
+    from collections import Counter
+
+    from kafka_connect_logminer2_spark.functions.text import (
+        add_repetition_signals,
+    )
+
+    texts = [
+        "la la la la la la la la",
+        "one two three one two three one two three x",
+        "alpha beta gamma delta epsilon zeta eta",
+        "solo",
+        "a b",
+        "",
+        "aaaa bbbb c d e f g h i j k l m n o p q r s t",
+        "x y x y",
+    ]
+
+    def ref(text, n):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        top = max((cnt * len(g) for g, cnt in c.items()), default=0)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        return top, dup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = add_repetition_signals(add_repetition_signals(df, 2), 3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, t in enumerate(texts):
+        for n, p in ((2, "g2"), (3, "g3")):
+            top, dup = ref(t, n)
+            assert rows[i][f"{p}_top_chars"] == top, (i, n, t)
+            assert rows[i][f"{p}_dup_chars"] == dup, (i, n, t)
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan and "Repartition" not in plan
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical
