@@ -8868,6 +8868,141 @@ def cdc30_heavy_hitters_mv(spark: SparkSession, sf: str) -> DataFrame:
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _staged_doc_stream(spark: SparkSession, docs: DataFrame, tmp: str, n: int = 3):
+    """The shared ingest staging convention (cdc21/cdc30): documents split
+    by doc_id mod ``n`` into one parquet file per micro-batch, mtime-ordered
+    so maxFilesPerTrigger=1 delivers them as ``n`` batches."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    _os.makedirs(f"{tmp}/in")
+    now = _time.time()
+    for i in range(n):
+        docs.filter(F.pmod("doc_id", F.lit(n)) == i).coalesce(1).write.parquet(
+            f"{tmp}/s{i}"
+        )
+        src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+        _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+        _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+
+
+def cdc31_hll_distinct_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained per-source distinct-count sketches
+    (streaming/sketches.py) — q146's HLL rollup kept fresh over a document
+    stream: 3 micro-batches, each landing one (source, sketch) delta row
+    per touched source; in-line PROTECTED compaction at max_chain=2
+    exercises the hll_union_agg fold. The entry emits the q26/q146
+    measurement discipline: per-source and overall EXACT distinct counts
+    (relational — the oracle recomputes them) plus an ``est_ok`` gate
+    pinning the streamed sketch estimate within 5% of exact. Gates use
+    tolerance, never estimate equality — datasketches unions can shift ±1
+    at sparse/dense mode transitions (module docstring)."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.sketches import distinct_estimates, write_hll_sketches
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    tmp = tempfile.mkdtemp(prefix="cdc31_")
+    try:
+        stream = _staged_doc_stream(spark, docs, tmp)
+        q = write_hll_sketches(
+            stream, f"{tmp}/store", f"{tmp}/ckpt", max_chain=2
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc31 stream did not finish")
+        est = distinct_estimates(spark, f"{tmp}/store")
+        exact = docs.groupBy("source").agg(
+            F.countDistinct("text").alias("n_exact")
+        )
+        overall = docs.agg(F.countDistinct("text").alias("n_exact")).select(
+            F.lit("__all__").alias("source"), "n_exact"
+        )
+        joined = (
+            est.join(exact.unionByName(overall), "source")
+            .select(
+                "source",
+                "n_exact",
+                (
+                    F.abs(F.col("est") / F.col("n_exact") - 1) <= 0.05
+                ).alias("est_ok"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(
+            joined.collect(), "source string, n_exact bigint, est_ok boolean"
+        ).orderBy("source")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC31_SQL = """
+SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact, TRUE AS est_ok
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__all__' AS source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM documents
+ORDER BY source
+"""
+
+
+def cdc32_bottomk_sample_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained deterministic corpus sample
+    (streaming/sketches.py) — the reproducible "k uniform docs of
+    everything ingested so far" every curation pipeline keeps warm.
+    Bottom-k by a fixed engine-portable hash is a mergeable summary with
+    an EXACT merge (bottomk(A∪B) = bottomk(bottomk(A)∪bottomk(B))), so
+    each of the 3 micro-batches writes only its own k smallest rows and
+    the read is one k-row fold; in-line PROTECTED compaction at
+    max_chain=2 folds state back to ≤ k rows. Unlike every other sketch,
+    the streamed answer is VALUE-EXACT: the oracle is a plain ORDER BY
+    hash LIMIT k over the full corpus — sampling determinism, the merge
+    property, commit visibility, and compaction are all value-hash
+    checked."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.sketches import sample_asof, write_bottomk_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cdc32_")
+    try:
+        stream = _staged_doc_stream(spark, docs, tmp)
+        q = write_bottomk_sample(
+            stream, f"{tmp}/store", f"{tmp}/ckpt", k=100, max_chain=2
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc32 stream did not finish")
+        out = (
+            sample_asof(spark, f"{tmp}/store")
+            .select("doc_id", "skey", F.md5("text").alias("sig"))
+            .orderBy("skey", "doc_id")
+        )
+        return spark.createDataFrame(
+            out.collect(), "doc_id long, skey long, sig string"
+        ).orderBy("skey", "doc_id")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC32_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey,
+       md5(text) AS sig
+FROM documents
+ORDER BY skey, doc_id
+LIMIT 100
+"""
+
+
 QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_filter_predicates": (q02_filter_predicates, Q02_SQL),
@@ -9051,6 +9186,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # same relational truth as q135: the streamed MV must land on the plain
     # GROUP BY/HAVING answer over the full corpus
     "cdc30_heavy_hitters_mv": (cdc30_heavy_hitters_mv, Q135_SQL),
+    "cdc31_hll_distinct_mv": (cdc31_hll_distinct_mv, CDC31_SQL),
+    "cdc32_bottomk_sample_mv": (cdc32_bottomk_sample_mv, CDC32_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

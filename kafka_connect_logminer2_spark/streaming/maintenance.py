@@ -126,6 +126,14 @@ def maintain_store(
         from .heavy_hitters import compact_heavy_hitters
 
         return compact_heavy_hitters(spark, store_dir, protect=protect)
+    if kind == "bottomk":
+        from .sketches import compact_bottomk
+
+        return compact_bottomk(spark, store_dir, protect=protect)
+    if kind == "hll_sketch":
+        from .sketches import compact_hll
+
+        return compact_hll(spark, store_dir, protect=protect)
     if kind == "ann_mor":
         if protect is not None:
             return None  # offline-only rewrite (no replayable batches)
@@ -195,7 +203,7 @@ def discover_stores(root: str, max_depth: int = 3) -> list[str]:
     ``maintain_stores(spark, discover_stores(root))``."""
     kinds = {
         "exact", "neardup", "postings", "scd2", "decayed", "ann_mor",
-        "hh_counts",
+        "hh_counts", "bottomk", "hll_sketch",
         *_MEDIA_KINDS,
     }
     found: list[str] = []

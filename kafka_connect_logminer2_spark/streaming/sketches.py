@@ -1,0 +1,315 @@
+"""Mergeable-sketch materialized views: a deterministic bottom-k sample
+and per-group HLL distinct-count sketches, each continuously maintained
+over a document stream on the shared delta-chain store skeleton.
+
+These complete the streaming summary family (counts: decayed.py, heavy
+hitters: heavy_hitters.py) with the two other summaries a training-data
+pipeline keeps warm over an ingest stream:
+
+* **bottom-k sample** — THE reproducible corpus sample ("give me 10k
+  uniformly sampled docs of everything ingested so far"). The key insight
+  is that a bottom-k sample by a FIXED hash is a mergeable summary with an
+  EXACT merge: bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)). Per
+  batch the store gains only the batch's own k smallest rows (O(k) write,
+  distributed TakeOrdered — never a global sort), the read is one k-row
+  fold, and the result is VALUE-EXACT against ``ORDER BY hash LIMIT k``
+  over the full corpus — a real oracle, not a distribution gate. The hash
+  is the engine-portable md5 60-bit prefix (md5_bucket's big sibling), so
+  DuckDB lands on the identical sample.
+
+* **HLL distinct sketches** — per-group distinct counts (the q146 rollup)
+  maintained incrementally: per batch ONE (group, sketch) row per touched
+  group (hll_sketch_agg, lgK pinned in _meta), fold/read by
+  hll_union_agg. HLL registers merge by max, so streaming adds
+  essentially no error over the one-shot sketch — *essentially*, not
+  byte-for-byte: datasketches unions can shift an estimate by ±1 at
+  sparse/dense mode transitions (measured: a 60-sketch union said 501
+  where the 20-sketch post-compaction union said 500), so contracts gate
+  on tolerance (±5% vs exact), never on estimate equality.
+
+Both stores follow the replay-safety contract: versioned retry-idempotent
+``b=/v=`` segments, commit markers, PROTECTED in-line compaction via
+``maintain_store`` (kinds ``bottomk`` / ``hll_sketch``).
+
+Reference: no equivalent in the reference (its surface stops at CDC
+envelopes); §2C curation surface — streaming twins of q141/q125 (sampling)
+and q146 (sketch rollup).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpus_ingest import (
+    _empty_rows,
+    _ensure_meta,
+    _note_row_schema,
+    _store_paths,
+    _write_delta,
+    compact_chains,
+)
+from .snapshot import _last_committed_batch, _mark_committed, _read_meta
+
+
+def sample_key(id_col: str) -> F.Column:
+    """Engine-portable 60-bit uniform key: the first 15 hex digits of
+    md5(id as string) — 15, not 16, so the value always fits a SIGNED
+    64-bit int on every engine (16 digits can exceed 2^63)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sample_key_sql(expr: str) -> str:
+    """DuckDB twin of :func:`sample_key` — same md5 prefix, same width."""
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+def _id_bucket(id_col: str, num_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int")
+
+
+def _committed_union(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    last = _last_committed_batch(store_dir)
+    if last is None:
+        return None
+    paths = [
+        p
+        for p in _store_paths(store_dir, None, below=last + 1)
+        if any(f.endswith(".parquet") for f in os.listdir(p))
+    ]
+    if not paths:
+        return _empty_rows(spark, store_dir)
+    # leaf-dir read withOUT basePath: never infer b=/v= partition columns
+    return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------- bottom-k
+
+
+def bottomk_batch_step(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    k: int = 1000,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> None:
+    """One fold: land the batch's own k smallest (skey, id, payload) rows
+    as delta segments. bottomk(bottomk(A) ∪ bottomk(B)) == bottomk(A ∪ B),
+    so the chain read loses nothing; a replayed batch overwrites its own
+    deterministic segment (the key is a pure hash of the id)."""
+    _ensure_meta(
+        store_dir,
+        {"kind": "bottomk", "k": k, "num_buckets": num_buckets,
+         "id_col": id_col, "payload_cols": list(payload_cols)},
+    )
+    cols = [id_col, *payload_cols]
+    _note_row_schema(
+        store_dir,
+        "skey bigint, "
+        + ", ".join(f"{c} {batch.schema[c].dataType.simpleString()}" for c in cols),
+    )
+    delta = (
+        batch.select(sample_key(id_col).alias("skey"), *cols)
+        .orderBy("skey", id_col)
+        .limit(k)
+    )
+    _write_delta(
+        delta.withColumn("_b", _id_bucket(id_col, num_buckets)),
+        store_dir,
+        batch_id,
+    )
+    _mark_committed(store_dir, batch_id)
+
+
+def sample_asof(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The k corpus-wide smallest-hash rows over everything committed —
+    value-identical to ``ORDER BY skey, id LIMIT k`` over the full ingested
+    history (the exact-merge property of bottom-k)."""
+    meta = _read_meta(store_dir) or {}
+    k = meta.get("k", 1000)
+    id_col = meta.get("id_col", "doc_id")
+    rows = _committed_union(spark, store_dir)
+    if rows is None:
+        return None
+    return rows.orderBy("skey", id_col).limit(k)
+
+
+def compact_bottomk(
+    spark: SparkSession, store_dir: str, protect: int | None = None
+) -> int | None:
+    """Fold every chain into the GLOBAL bottom-k (≤ k rows total after a
+    full fold) — the sample never needs more than k rows of state."""
+    meta = _read_meta(store_dir) or {}
+    k = meta.get("k", 1000)
+    nb = meta.get("num_buckets", 8)
+    id_col = meta.get("id_col", "doc_id")
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.orderBy("skey", id_col)
+            .limit(k)
+            .withColumn("_b", _id_bucket(id_col, nb))
+        )
+
+    return compact_chains(
+        spark, store_dir, _id_bucket(id_col, nb), fold=fold,
+        force_single=True, protect=protect,
+    )
+
+
+def write_bottomk_sample(
+    doc_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 1000,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+    max_chain: int | None = 64,
+    trigger_available_now: bool = True,
+):
+    """Maintain the deterministic corpus sample over a streaming source,
+    with PROTECTED in-line compaction (the replay-safety contract)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bottomk_batch_step(
+            batch.sparkSession, batch, batch_id, store_dir,
+            k=k, num_buckets=num_buckets, id_col=id_col,
+            payload_cols=payload_cols,
+        )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(
+                batch.sparkSession, store_dir, max_chain=max_chain,
+                protect=batch_id,
+            )
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def hll_batch_step(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    group_col: str = "source",
+    value_col: str = "text",
+    lg_k: int = 12,
+    num_buckets: int = 8,
+) -> None:
+    """One fold: per touched group, ONE (group, sketch) delta row
+    (hll_sketch_agg over the batch's values). Registers merge by max, so
+    the chain's hll_union_agg matches the one-shot sketch of the union up
+    to datasketches mode-transition jitter (±1; see module docstring)."""
+    _ensure_meta(
+        store_dir,
+        {"kind": "hll_sketch", "group_col": group_col, "value_col": value_col,
+         "lg_k": lg_k, "num_buckets": num_buckets},
+    )
+    _note_row_schema(
+        store_dir,
+        f"{group_col} {batch.schema[group_col].dataType.simpleString()}, sk binary",
+    )
+    delta = batch.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk")
+    )
+    _write_delta(
+        delta.withColumn("_b", _id_bucket(group_col, num_buckets)),
+        store_dir,
+        batch_id,
+    )
+    _mark_committed(store_dir, batch_id)
+
+
+def distinct_estimates(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Per-group distinct estimates over everything committed, plus the
+    cross-group union under the reserved group ``__all__`` (sketch algebra
+    — the corpus is never re-scanned)."""
+    meta = _read_meta(store_dir) or {}
+    group_col = meta.get("group_col", "source")
+    rows = _committed_union(spark, store_dir)
+    if rows is None:
+        return None
+    per_group = rows.groupBy(group_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    overall = rows.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("__all__").alias(group_col), "est")
+    return per_group.unionByName(overall)
+
+
+def compact_hll(
+    spark: SparkSession, store_dir: str, protect: int | None = None
+) -> int | None:
+    """Fold each group's sketch chain into one row (hll_union_agg) — state
+    is O(groups) sketches after a full fold, independent of batch count.
+    Crash-safety of this non-idempotent-looking fold is the compact_chains
+    ``_FOLD``-marker contract (union with a leftover pre-fold segment
+    cannot happen); the union itself is idempotent anyway (register max)."""
+    meta = _read_meta(store_dir) or {}
+    group_col = meta.get("group_col", "source")
+    nb = meta.get("num_buckets", 8)
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(group_col)
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .withColumn("_b", _id_bucket(group_col, nb))
+        )
+
+    return compact_chains(
+        spark, store_dir, _id_bucket(group_col, nb), fold=fold,
+        force_single=True, protect=protect,
+    )
+
+
+def write_hll_sketches(
+    doc_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "source",
+    value_col: str = "text",
+    lg_k: int = 12,
+    num_buckets: int = 8,
+    max_chain: int | None = 64,
+    trigger_available_now: bool = True,
+):
+    """Maintain per-group HLL distinct sketches over a streaming source,
+    with PROTECTED in-line compaction (the replay-safety contract)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hll_batch_step(
+            batch.sparkSession, batch, batch_id, store_dir,
+            group_col=group_col, value_col=value_col, lg_k=lg_k,
+            num_buckets=num_buckets,
+        )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(
+                batch.sparkSession, store_dir, max_chain=max_chain,
+                protect=batch_id,
+            )
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
