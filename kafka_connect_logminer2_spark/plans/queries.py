@@ -8868,10 +8868,13 @@ def cdc30_heavy_hitters_mv(spark: SparkSession, sf: str) -> DataFrame:
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _staged_doc_stream(spark: SparkSession, docs: DataFrame, tmp: str, n: int = 3):
-    """The shared ingest staging convention (cdc21/cdc30): documents split
-    by doc_id mod ``n`` into one parquet file per micro-batch, mtime-ordered
-    so maxFilesPerTrigger=1 delivers them as ``n`` batches."""
+def _staged_doc_stream(
+    spark: SparkSession, docs: DataFrame, tmp: str, n: int = 3,
+    id_col: str = "doc_id",
+):
+    """The shared ingest staging convention (cdc21/cdc30): rows split by
+    ``id_col`` mod ``n`` into one parquet file per micro-batch,
+    mtime-ordered so maxFilesPerTrigger=1 delivers them as ``n`` batches."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -8880,7 +8883,7 @@ def _staged_doc_stream(spark: SparkSession, docs: DataFrame, tmp: str, n: int = 
     _os.makedirs(f"{tmp}/in")
     now = _time.time()
     for i in range(n):
-        docs.filter(F.pmod("doc_id", F.lit(n)) == i).coalesce(1).write.parquet(
+        docs.filter(F.pmod(id_col, F.lit(n)) == i).coalesce(1).write.parquet(
             f"{tmp}/s{i}"
         )
         src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
@@ -9000,6 +9003,71 @@ SELECT doc_id,
 FROM documents
 ORDER BY skey, doc_id
 LIMIT 100
+"""
+
+
+def cdc33_histogram_quantile_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuously-maintained equi-width histogram + quantile answers
+    (streaming/sketches.py) — q24's percentile question kept warm over an
+    event stream with O(n_bins) state and a pure ADDITIVE per-batch fold
+    (per-bin counts; no parent read, no join). Unlike every other sketch
+    MV, the whole answer is exactly relational: IEEE double binning is
+    identical on both engines, so the bin chosen for each rank-ceil(q·N)
+    quantile, its edges, and the cumulative counts are value-hash checked
+    — the true quantile is inside [bin_lo, bin_hi) by construction (error
+    ≤ one bin width, the documented contract). 3 micro-batches (event_id
+    mod 3), in-line PROTECTED compaction at max_chain=2 exercises the
+    summation fold."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.sketches import quantiles_asof, write_histogram
+
+    events = load_table(spark, sf, "events").select("event_id", "value")
+    tmp = tempfile.mkdtemp(prefix="cdc33_")
+    try:
+        stream = _staged_doc_stream(spark, events, tmp, id_col="event_id")
+        q = write_histogram(
+            stream, f"{tmp}/store", f"{tmp}/ckpt",
+            lo=0.0, hi=1000.0, n_bins=200, max_chain=2,
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc33 stream did not finish")
+        out = quantiles_asof(spark, f"{tmp}/store", qs=(0.5, 0.9, 0.99))
+        out = out.withColumn("bin", F.col("bin").cast("long"))
+        return spark.createDataFrame(
+            out.collect(),
+            "q double, target bigint, bin bigint, bin_lo double,"
+            " bin_hi double, cum_n bigint, n_total bigint",
+        ).orderBy("q")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC33_SQL = """
+WITH b AS (
+  SELECT least(greatest(CAST(floor((value - 0.0) / 5.0) AS INT), 0), 199) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+tot AS (SELECT max(cum) AS n FROM cum),
+qs(q) AS (
+  VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+),
+spec AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS target FROM qs, tot),
+pick AS (
+  SELECT s.q AS q, s.target AS target, min(c2.bin) AS bin
+  FROM spec s JOIN cum c2 ON c2.cum >= s.target
+  GROUP BY 1, 2
+)
+SELECT p.q AS q, p.target AS target, CAST(p.bin AS BIGINT) AS bin,
+       0.0 + p.bin * 5.0 AS bin_lo,
+       0.0 + (p.bin + 1) * 5.0 AS bin_hi,
+       CAST(cum.cum AS BIGINT) AS cum_n,
+       CAST(tot.n AS BIGINT) AS n_total
+FROM pick p JOIN cum ON cum.bin = p.bin, tot
+ORDER BY q
 """
 
 
@@ -9188,6 +9256,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc30_heavy_hitters_mv": (cdc30_heavy_hitters_mv, Q135_SQL),
     "cdc31_hll_distinct_mv": (cdc31_hll_distinct_mv, CDC31_SQL),
     "cdc32_bottomk_sample_mv": (cdc32_bottomk_sample_mv, CDC32_SQL),
+    "cdc33_histogram_quantile_mv": (cdc33_histogram_quantile_mv, CDC33_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -134,6 +134,10 @@ def maintain_store(
         from .sketches import compact_hll
 
         return compact_hll(spark, store_dir, protect=protect)
+    if kind == "hist":
+        from .sketches import compact_hist
+
+        return compact_hist(spark, store_dir, protect=protect)
     if kind == "ann_mor":
         if protect is not None:
             return None  # offline-only rewrite (no replayable batches)
@@ -203,7 +207,7 @@ def discover_stores(root: str, max_depth: int = 3) -> list[str]:
     ``maintain_stores(spark, discover_stores(root))``."""
     kinds = {
         "exact", "neardup", "postings", "scd2", "decayed", "ann_mor",
-        "hh_counts", "bottomk", "hll_sketch",
+        "hh_counts", "bottomk", "hll_sketch", "hist",
         *_MEDIA_KINDS,
     }
     found: list[str] = []

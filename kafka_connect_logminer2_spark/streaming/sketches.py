@@ -313,3 +313,161 @@ def write_hll_sketches(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def _bin_col(value_col: str, lo: float, width: float, n_bins: int) -> F.Column:
+    """Clamped equi-width bin index. IEEE double subtraction/division are
+    exactly rounded and identical on JVM and DuckDB, so the SAME doubles
+    land in the SAME bins on both engines — what makes the histogram (and
+    therefore the quantile answer) exactly relational, unlike every other
+    sketch here."""
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def hist_batch_step(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 200,
+    num_buckets: int = 8,
+) -> None:
+    """One additive fold: the batch's per-bin counts (≤ n_bins rows) land
+    as delta segments. Pure counter addition — no parent read, no join,
+    state bounded by n_bins at any corpus size (the q24 percentile
+    question kept warm with fixed-width error instead of a re-sort)."""
+    width = (hi - lo) / n_bins
+    _ensure_meta(
+        store_dir,
+        {"kind": "hist", "value_col": value_col, "lo": lo, "hi": hi,
+         "n_bins": n_bins, "num_buckets": num_buckets},
+    )
+    _note_row_schema(store_dir, "bin int, c bigint")
+    delta = (
+        batch.filter(F.col(value_col).isNotNull())
+        .select(_bin_col(value_col, lo, width, n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _write_delta(
+        delta.withColumn("_b", _id_bucket("bin", num_buckets)),
+        store_dir,
+        batch_id,
+    )
+    _mark_committed(store_dir, batch_id)
+
+
+def hist_asof(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The folded (bin, c) histogram over everything committed."""
+    rows = _committed_union(spark, store_dir)
+    if rows is None:
+        return None
+    return rows.groupBy("bin").agg(F.sum("c").alias("c"))
+
+
+def quantiles_asof(
+    spark: SparkSession, store_dir: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame | None:
+    """Per requested quantile: the bin holding the rank-ceil(q·N) value
+    (1-indexed, interpolation-free), its [bin_lo, bin_hi) edges, and the
+    cumulative count — every output value integer- or
+    exact-double-derivable, so the whole answer is oracle-exact; the
+    true quantile is guaranteed inside [bin_lo, bin_hi) (error ≤ one bin
+    width by construction). One window over ≤ n_bins rows."""
+    from pyspark.sql import Window
+
+    meta = _read_meta(store_dir) or {}
+    lo, hi = meta.get("lo", 0.0), meta.get("hi", 1000.0)
+    n_bins = meta.get("n_bins", 200)
+    width = (hi - lo) / n_bins
+    h = hist_asof(spark, store_dir)
+    if h is None:
+        return None
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select("bin", "c", F.sum("c").over(w).alias("cum")).localCheckpoint()
+    total = cum.agg(F.max("cum")).first()[0] or 0
+    spec = spark.createDataFrame([(q,) for q in qs], "q double").withColumn(
+        "target", F.ceil(F.col("q") * F.lit(total)).cast("long")
+    )
+    # smallest bin whose cumulative count reaches the target rank
+    joined = spec.join(cum, cum["cum"] >= spec["target"], "left")
+    return (
+        joined.groupBy("q", "target")
+        .agg(F.min("bin").alias("bin"))
+        .join(cum, "bin")
+        .select(
+            "q",
+            "target",
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.col("cum").alias("cum_n"),
+            F.lit(total).alias("n_total"),
+        )
+        .orderBy("q")
+    )
+
+
+def compact_hist(
+    spark: SparkSession, store_dir: str, protect: int | None = None
+) -> int | None:
+    """Fold each bin's chain by summation — ≤ n_bins rows total after a
+    full fold (the additive-fold crash-safety is compact_chains' _FOLD
+    marker contract, same as the decayed counters)."""
+    nb = (_read_meta(store_dir) or {}).get("num_buckets", 8)
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("bin")
+            .agg(F.sum("c").alias("c"))
+            .withColumn("_b", _id_bucket("bin", nb))
+        )
+
+    return compact_chains(
+        spark, store_dir, _id_bucket("bin", nb), fold=fold,
+        force_single=True, protect=protect,
+    )
+
+
+def write_histogram(
+    event_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 200,
+    num_buckets: int = 8,
+    max_chain: int | None = 64,
+    trigger_available_now: bool = True,
+):
+    """Maintain the equi-width histogram over a streaming source, with
+    PROTECTED in-line compaction (the replay-safety contract)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hist_batch_step(
+            batch.sparkSession, batch, batch_id, store_dir,
+            value_col=value_col, lo=lo, hi=hi, n_bins=n_bins,
+            num_buckets=num_buckets,
+        )
+        if max_chain is not None:
+            from .maintenance import maintain_store
+
+            maintain_store(
+                batch.sparkSession, store_dir, max_chain=max_chain,
+                protect=batch_id,
+            )
+
+    writer = event_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -204,3 +204,85 @@ def test_hll_retry_and_param_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="different parameters"):
         hll_batch_step(spark, spark.createDataFrame(rows, SCHEMA), 5, store,
                        lg_k=14, num_buckets=4)
+
+
+def _py_hist(values, lo, width, n_bins):
+    import math
+
+    h: dict[int, int] = {}
+    for v in values:
+        b = min(max(int(math.floor((v - lo) / width)), 0), n_bins - 1)
+        h[b] = h.get(b, 0) + 1
+    return h
+
+
+def _py_quantiles(values, lo, width, n_bins, qs):
+    import math
+
+    h = _py_hist(values, lo, width, n_bins)
+    total = sum(h.values())
+    out = []
+    for q in qs:
+        target = math.ceil(q * total)
+        cum = 0
+        for b in sorted(h):
+            cum += h[b]
+            if cum >= target:
+                out.append((q, target, b, lo + b * width, lo + (b + 1) * width,
+                            cum, total))
+                break
+    return out
+
+
+def test_histogram_quantiles_exact_under_splits(spark, tmp_path):
+    from kafka_connect_logminer2_spark.streaming.sketches import (
+        compact_hist,
+        hist_asof,
+        hist_batch_step,
+        quantiles_asof,
+    )
+
+    vals = [((i * 37) % 97) * 1.25 - 3.0 for i in range(300)]  # some below lo
+    rows = [(i, v) for i, v in enumerate(vals)]
+    truth_h = _py_hist(vals, 0.0, 10.0, 12)
+    truth_q = _py_quantiles(vals, 0.0, 10.0, 12, (0.5, 0.9, 0.99))
+    for mod in (2, 3):
+        store = str(tmp_path / f"h{mod}")
+        for i in range(mod):
+            hist_batch_step(
+                spark,
+                spark.createDataFrame(
+                    [r for r in rows if r[0] % mod == i], "event_id long, value double"
+                ),
+                i, store, lo=0.0, hi=120.0, n_bins=12, num_buckets=4,
+            )
+        got_h = {r["bin"]: r["c"] for r in hist_asof(spark, store).collect()}
+        assert got_h == truth_h, f"split mod={mod}"
+        got_q = [
+            (r["q"], r["target"], r["bin"], r["bin_lo"], r["bin_hi"],
+             r["cum_n"], r["n_total"])
+            for r in quantiles_asof(spark, store, (0.5, 0.9, 0.99)).collect()
+        ]
+        assert got_q == truth_q, f"split mod={mod}"
+    # retry idempotence + compaction identity on the mod=3 store
+    store = str(tmp_path / "h3")
+    hist_batch_step(
+        spark,
+        spark.createDataFrame(
+            [r for r in rows if r[0] % 3 == 2], "event_id long, value double"
+        ),
+        2, store, lo=0.0, hi=120.0, n_bins=12, num_buckets=4,
+    )
+    assert {r["bin"]: r["c"] for r in hist_asof(spark, store).collect()} == truth_h
+    assert compact_hist(spark, store) == 2
+    assert {r["bin"]: r["c"] for r in hist_asof(spark, store).collect()} == truth_h
+    total = sum(
+        spark.read.parquet(p).count() for p in glob.glob(f"{store}/b=*/v=*")
+    )
+    assert total <= 12
+    with pytest.raises(ValueError, match="different parameters"):
+        hist_batch_step(
+            spark,
+            spark.createDataFrame(rows[:5], "event_id long, value double"),
+            9, store, lo=0.0, hi=120.0, n_bins=24, num_buckets=4,
+        )
