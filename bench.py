@@ -94,6 +94,11 @@ HEADLINE = [
     "q165_bloom_prescreen",
     "q166_text_normalize",
     "q167_repetition_signals",
+    "cdc30_heavy_hitters_mv",
+    "cdc31_hll_distinct_mv",
+    "cdc32_bottomk_sample_mv",
+    "cdc33_histogram_quantile_mv",
+    "q168_cross_modal_av_neardup",
 ]
 
 

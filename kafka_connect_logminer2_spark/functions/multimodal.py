@@ -669,11 +669,24 @@ def media_fixture(spark, n: int = 64) -> DataFrame:
 # mapInPandas shape.
 
 
-def avi_payload(frames: list[bytes], fps: int = 10, w: int = 0, h: int = 0) -> bytes:
+def avi_payload(
+    frames: list[bytes],
+    fps: int = 10,
+    w: int = 0,
+    h: int = 0,
+    audio: "np.ndarray | None" = None,
+    audio_rate: int = 8000,
+) -> bytes:
     """Minimal spec-valid uncompressed-stream AVI: RIFF('AVI ') with an
     hdrl (avih + one 'vids' strl) and a movi list of '00db' frame chunks.
     Deterministic bytes for fixtures; also the writer half of the
-    roundtrip test pinning :func:`parse_avi`."""
+    roundtrip test pinning :func:`parse_avi`.
+
+    ``audio`` (float samples in [-1, 1]) adds a second 'auds' stream —
+    PCM-16 mono WAVEFORMATEX strf + one '01wb' movi chunk, the same
+    sample encoding as :func:`wav_from_samples` so fingerprints of the
+    embedded track match fingerprints of the standalone WAV bit-exactly
+    (what makes the cross-modal audio↔video oracle pinnable)."""
     import struct
 
     def chunk(fourcc: bytes, data: bytes) -> bytes:
@@ -684,34 +697,50 @@ def avi_payload(frames: list[bytes], fps: int = 10, w: int = 0, h: int = 0) -> b
         return chunk(b"LIST", kind + data)
 
     usec = 1_000_000 // fps
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
-        "<14I", usec, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+        "<14I", usec, 0, 0, 0x10, len(frames), 0, n_streams, 0, w, h, 0, 0, 0, 0
     )
     strh = b"vids" + b"\x00" * 4 + struct.pack(
         "<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0
     ) + struct.pack("<4H", 0, 0, w, h)
     strf = struct.pack("<3I2H6I", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    movi_chunks = b"".join(chunk(b"00db", f) for f in frames)
+    if audio is not None:
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+        astrh = b"auds" + b"\x00" * 4 + struct.pack(
+            "<10I", 0, 0, 0, 1, audio_rate, 0, len(pcm) // 2, 0, 0xFFFFFFFF, 0
+        ) + struct.pack("<4H", 0, 0, 0, 0)
+        astrf = struct.pack("<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16)
+        strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+        movi_chunks += chunk(b"01wb", pcm)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", movi_chunks)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def parse_avi(payload: bytes) -> "dict | None":
     """Walk the RIFF chunk tree of an AVI payload → {"fps", "n_frames",
-    "frames": [bytes, ...]}. Tolerant of unknown chunks (skipped by the
-    size header, the RIFF contract); None on anything that is not an
-    AVI-flavored RIFF. Reads '00db' (uncompressed) and '00dc'
-    (compressed) stream-0 chunks in movi order."""
+    "frames": [bytes, ...], "audio_rate": int|None, "audio": bytes|None}.
+    Tolerant of unknown chunks (skipped by the size header, the RIFF
+    contract); None on anything that is not an AVI-flavored RIFF. Reads
+    '00db' (uncompressed) and '00dc' (compressed) stream-0 chunks in movi
+    order; '01wb' chunks concatenate to the PCM-16 audio track, with the
+    rate from the 'auds' stream's WAVEFORMATEX strf (associated to the
+    most recent strh, the strl contract)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
-    fps, total = None, None
+    fps, total, audio_rate = None, None, None
+    last_strh = None
     frames: list[bytes] = []
+    audio_chunks: list[bytes] = []
 
     def walk(buf: bytes, off: int, end: int) -> None:
-        nonlocal fps, total
+        nonlocal fps, total, audio_rate, last_strh
         while off + 8 <= end:
             fourcc = buf[off : off + 4]
             (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
@@ -723,8 +752,18 @@ def parse_avi(payload: bytes) -> "dict | None":
                 vals = struct.unpack("<14I", buf[data_start : data_start + 56])
                 fps = round(1_000_000 / vals[0]) if vals[0] else None
                 total = vals[4]
+            elif fourcc == b"strh" and size >= 4:
+                last_strh = bytes(buf[data_start : data_start + 4])
+            elif fourcc == b"strf" and last_strh == b"auds" and size >= 16:
+                fmt, nch, rate = struct.unpack(
+                    "<HHI", buf[data_start : data_start + 8]
+                )
+                if fmt == 1 and nch == 1:
+                    audio_rate = rate
             elif fourcc in (b"00db", b"00dc"):
                 frames.append(bytes(buf[data_start:data_end]))
+            elif fourcc == b"01wb":
+                audio_chunks.append(bytes(buf[data_start:data_end]))
             off = data_start + size + (size % 2)
 
     try:
@@ -733,7 +772,14 @@ def parse_avi(payload: bytes) -> "dict | None":
         return None
     if fps is None:
         return None
-    return {"fps": fps, "n_frames": total if total is not None else len(frames), "frames": frames}
+    audio = b"".join(audio_chunks) if audio_chunks else None
+    return {
+        "fps": fps,
+        "n_frames": total if total is not None else len(frames),
+        "frames": frames,
+        "audio_rate": audio_rate,
+        "audio": audio,
+    }
 
 
 VIDEO_FRAME_SCHEMA = StructType(
@@ -1684,3 +1730,180 @@ def media_pipeline(
         "survivors": media.join(keep, "media_id", "left_semi")
         .select("media_id", "kind"),
     }
+
+
+def extract_video_audio_sigs(media: DataFrame, n_chunks: int = 4) -> DataFrame:
+    """Video rows → chunk-aligned 64-bit spectral fingerprints of the
+    clip's embedded AUDIO TRACK, in the shared scene-signature shape
+    (media_id, scene_idx=chunk ordinal, _hi, _lo). The PCM decode is
+    sample-identical to :func:`decode_audio` on the standalone WAV
+    (int16/32768), so a track and its extraction fingerprint
+    bit-identically — videos with no 'auds' stream simply emit no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "scene_idx", "_hi", "_lo")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                avi = parse_avi(b"" if p is None else bytes(p))
+                if avi is None or avi["audio"] is None or avi["audio_rate"] is None:
+                    continue
+                samples = (
+                    np.frombuffer(avi["audio"], dtype="<i2").astype(np.float64)
+                    / 32768.0
+                )
+                for idx, v in enumerate(
+                    audio_chunk_fingerprints(
+                        samples, avi["audio_rate"], n_chunks=n_chunks
+                    )
+                ):
+                    out["media_id"].append(int(mid))
+                    out["scene_idx"].append(idx)
+                    out["_hi"].append(v >> 32)
+                    out["_lo"].append(v & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "scene_idx": pd.Series(out["scene_idx"], dtype="int32"),
+                    "_hi": pd.Series(out["_hi"], dtype="int64"),
+                    "_lo": pd.Series(out["_lo"], dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=AUDIO_CHUNK_SIG_SCHEMA
+    )
+
+
+def cross_modal_av_pairs(
+    audios: DataFrame,
+    videos: DataFrame,
+    tau: int = 3,
+    max_band_freq: int = 1024,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """CROSS-MODAL near-dup: a standalone audio clip that IS (or
+    re-masters) the SOUNDTRACK of a video — podcast episodes re-uploaded
+    as static-image videos, music extracted from clips, dubbed intros.
+    The q164 pattern applied to the audio axis: both sides reduce to
+    chunk-aligned spectral fingerprints (standalone WAVs via
+    extract_audio_chunk_sigs, embedded tracks via
+    :func:`extract_video_audio_sigs`), then band keys are matched WITH
+    chunk alignment (a soundtrack aligns in time — unlike the image case,
+    where a still may match any scene), per-key frequency caps on both
+    sides, one JVM popcount verify.
+
+    Output: (audio_id, video_id, chunk_idx, hamming) with hamming ≤ tau.
+    Recall at tau ≤ 3 is DETERMINISTIC per chunk (pigeonhole over the
+    4×16-bit bands), the q158 contract. Scale: ~9 signature bytes per
+    chunk per side; audio samples are touched exactly once per side."""
+    a_sigs = extract_audio_chunk_sigs(audios, n_chunks=n_chunks).localCheckpoint(
+        eager=False
+    )
+    v_sigs = extract_video_audio_sigs(videos, n_chunks=n_chunks).localCheckpoint(
+        eager=False
+    )
+    keys = ["band", "val", "scene_idx"]
+
+    def _cool(bands: DataFrame) -> DataFrame:
+        return bands.join(
+            bands.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_band_freq)
+            .select(*keys),
+            keys,
+            "left_semi",
+        )
+
+    ab = _cool(scene_band_rows(a_sigs))
+    vb = _cool(scene_band_rows(v_sigs))
+    cand = (
+        ab.select(F.col("media_id").alias("audio_id"), *keys)
+        .join(vb.select(F.col("media_id").alias("video_id"), *keys), keys)
+        .select("audio_id", "video_id", F.col("scene_idx").alias("chunk_idx"))
+        .distinct()
+    )
+    a = a_sigs.select(
+        F.col("media_id").alias("audio_id"),
+        F.col("scene_idx").alias("chunk_idx"),
+        F.col("_hi").alias("_h1"),
+        F.col("_lo").alias("_l1"),
+    )
+    b = v_sigs.select(
+        F.col("media_id").alias("video_id"),
+        F.col("scene_idx").alias("chunk_idx"),
+        F.col("_hi").alias("_h2"),
+        F.col("_lo").alias("_l2"),
+    )
+    ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
+        F.col("_l1").bitwiseXOR(F.col("_l2"))
+    )
+    return (
+        cand.join(a, ["audio_id", "chunk_idx"])
+        .join(b, ["video_id", "chunk_idx"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= F.lit(tau))
+        .select("audio_id", "video_id", "chunk_idx", "hamming")
+    )
+
+
+def cross_modal_av_fixture(
+    spark, n_clips: int = 10, n_audios: int = 6, planted: int = 3
+) -> "tuple[DataFrame, DataFrame]":
+    """(audios, videos) with PLANTED cross-modal truth: each clip carries
+    a content-distinct per-chunk two-tone soundtrack (the
+    audio_neardup_fixture signal family); standalone audio 300+i is clip
+    i's track re-mastered at 0.7× with seeded noise — new bytes, same
+    spectral structure — among ``n_audios`` distractor WAVs whose tone
+    sets appear in no clip."""
+    rate, dur = 8000, 1.0
+    t = np.arange(int(rate * dur / 4)) / rate
+
+    def track(seed: int) -> "np.ndarray":
+        chunks = []
+        for c in range(4):
+            f1 = 300.0 + 250.0 * ((seed * 13 + c * 5) % 12)
+            f2 = 2800.0 + 120.0 * ((seed * 7 + c * 3) % 8)
+            chunks.append(
+                0.45 * np.sin(2 * np.pi * f1 * t)
+                + 0.3 * np.sin(2 * np.pi * f2 * t)
+            )
+        return np.concatenate(chunks)
+
+    vid_rows = []
+    for i in range(n_clips):
+        frames = [pattern_frame(32, 24, seed=i * 1000 + s * 10) for s in range(2)]
+        vid_rows.append(
+            {
+                "media_id": i, "kind": "video", "mime": "video/avi",
+                "payload": avi_payload(frames, fps=5, w=32, h=24,
+                                       audio=track(i), audio_rate=rate),
+                "meta_json": "{}",
+            }
+        )
+    aud_rows = []
+    for i in range(n_audios):
+        # the tone-index formula has period 12 in the seed, so "far" seeds
+        # can still alias a clip's tone set; seeds 58..63 are verified
+        # band-collision-free against clips 0..9 on every chunk (no shared
+        # 16-bit band key anywhere — tests pin distractor-only emptiness)
+        aud_rows.append(
+            {
+                "media_id": 100 + i, "kind": "audio", "mime": "audio/wav",
+                "payload": wav_from_samples(track(58 + i), rate),
+                "meta_json": "{}",
+            }
+        )
+    rng = np.random.default_rng(4321)
+    for i in range(planted):
+        remaster = 0.7 * track(i) + rng.normal(0.0, 0.01, size=track(i).shape)
+        aud_rows.append(
+            {
+                "media_id": 300 + i, "kind": "audio", "mime": "audio/wav",
+                "payload": wav_from_samples(remaster, rate),
+                "meta_json": "{}",
+            }
+        )
+    return (
+        spark.createDataFrame(aud_rows, schema=MEDIA_SCHEMA),
+        spark.createDataFrame(vid_rows, schema=MEDIA_SCHEMA),
+    )

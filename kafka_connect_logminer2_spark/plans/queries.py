@@ -9006,6 +9006,51 @@ LIMIT 100
 """
 
 
+def q168_cross_modal_av_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal audio↔video near-dup (functions/multimodal.py::
+    cross_modal_av_pairs): a standalone audio clip that re-masters the
+    SOUNDTRACK of a video — the audio axis of the cross-modal matrix
+    q164 opened (image↔video). The AVI codec carries a real 'auds'
+    PCM-16 stream ('01wb' movi chunks); the embedded track decodes
+    sample-identically to the standalone WAV, so both sides reduce to
+    the same chunk-aligned spectral fingerprints and the q158 tau=3
+    pigeonhole contract applies across modalities. The fixture plants
+    the truth: audio 300+i is clip i's track at 0.7× with seeded noise
+    among 6 distractor WAVs whose tone sets are band-collision-free
+    against every clip chunk (verified seeds). The oracle pins EXACTLY
+    the planted (audio, clip, chunk, hamming) rows — a missed soundtrack
+    (recall) or a distractor collision (precision) both break the value
+    hash; the remaster flips 0 of 64 band-activity bits, so hamming is
+    pinned at 0."""
+    from ..functions import multimodal as M
+
+    audios, videos = M.cross_modal_av_fixture(spark)
+    return (
+        M.cross_modal_av_pairs(audios, videos)
+        .orderBy("audio_id", "video_id", "chunk_idx")
+        .localCheckpoint()
+    )
+
+
+Q168_SQL = """
+SELECT * FROM (VALUES
+  (300::BIGINT, 0::BIGINT, 0::INTEGER, 0::INTEGER),
+  (300::BIGINT, 0::BIGINT, 1::INTEGER, 0::INTEGER),
+  (300::BIGINT, 0::BIGINT, 2::INTEGER, 0::INTEGER),
+  (300::BIGINT, 0::BIGINT, 3::INTEGER, 0::INTEGER),
+  (301::BIGINT, 1::BIGINT, 0::INTEGER, 0::INTEGER),
+  (301::BIGINT, 1::BIGINT, 1::INTEGER, 0::INTEGER),
+  (301::BIGINT, 1::BIGINT, 2::INTEGER, 0::INTEGER),
+  (301::BIGINT, 1::BIGINT, 3::INTEGER, 0::INTEGER),
+  (302::BIGINT, 2::BIGINT, 0::INTEGER, 0::INTEGER),
+  (302::BIGINT, 2::BIGINT, 1::INTEGER, 0::INTEGER),
+  (302::BIGINT, 2::BIGINT, 2::INTEGER, 0::INTEGER),
+  (302::BIGINT, 2::BIGINT, 3::INTEGER, 0::INTEGER)
+) AS t(audio_id, video_id, chunk_idx, hamming)
+ORDER BY audio_id, video_id, chunk_idx
+"""
+
+
 def cdc33_histogram_quantile_mv(spark: SparkSession, sf: str) -> DataFrame:
     """Continuously-maintained equi-width histogram + quantile answers
     (streaming/sketches.py) — q24's percentile question kept warm over an
@@ -9257,6 +9302,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc31_hll_distinct_mv": (cdc31_hll_distinct_mv, CDC31_SQL),
     "cdc32_bottomk_sample_mv": (cdc32_bottomk_sample_mv, CDC32_SQL),
     "cdc33_histogram_quantile_mv": (cdc33_histogram_quantile_mv, CDC33_SQL),
+    "q168_cross_modal_av_neardup": (q168_cross_modal_av_neardup, Q168_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

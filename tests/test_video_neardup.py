@@ -181,3 +181,55 @@ def test_cross_modal_band_cap_bounds_hot_key(spark):
         for r in capped.collect()
     )
     assert got == [(200, 0, 0), (201, 1, 1)]  # flood suppressed, truth kept
+
+
+def test_avi_audio_track_roundtrip_and_cross_modal(spark):
+    """q168 kernels: (1) the AVI 'auds' extension round-trips PCM bytes and
+    rate exactly, and an audio-less AVI still parses with audio=None;
+    (2) cross_modal_av_pairs finds exactly the planted soundtrack
+    re-masters (precision AND recall), an EXACT extracted track matches at
+    hamming 0, and distractor-only inputs emit nothing."""
+    import numpy as np
+
+    from kafka_connect_logminer2_spark.functions import multimodal as M
+
+    # (1) codec roundtrip
+    frames = [M.pattern_frame(16, 12, seed=7)]
+    samples = 0.4 * np.sin(2 * np.pi * 700.0 * np.arange(8000) / 8000.0)
+    avi = M.parse_avi(M.avi_payload(frames, fps=5, w=16, h=12,
+                                    audio=samples, audio_rate=8000))
+    assert avi is not None and avi["audio_rate"] == 8000
+    want = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    assert avi["audio"] == want
+    plain = M.parse_avi(M.avi_payload(frames, fps=5, w=16, h=12))
+    assert plain["audio"] is None and plain["audio_rate"] is None
+
+    # (2) planted truth
+    audios, videos = M.cross_modal_av_fixture(spark)
+    got = sorted(
+        (r["audio_id"], r["video_id"], r["chunk_idx"], r["hamming"])
+        for r in M.cross_modal_av_pairs(audios, videos).collect()
+    )
+    want_pairs = sorted(
+        (300 + i, i, c, 0) for i in range(3) for c in range(4)
+    )
+    assert got == want_pairs
+
+    # exact extracted track (no remaster) -> all chunks at hamming 0
+    vrow = videos.filter("media_id = 4").collect()[0]
+    track = M.parse_avi(bytes(vrow["payload"]))
+    exact = np.frombuffer(track["audio"], dtype="<i2").astype(np.float64) / 32768.0
+    one = spark.createDataFrame(
+        [{"media_id": 900, "kind": "audio", "mime": "audio/wav",
+          "payload": M.wav_from_samples(exact, 8000), "meta_json": "{}"}],
+        schema=M.MEDIA_SCHEMA,
+    )
+    got2 = sorted(
+        (r["audio_id"], r["video_id"], r["chunk_idx"], r["hamming"])
+        for r in M.cross_modal_av_pairs(one, videos).collect()
+    )
+    assert got2 == [(900, 4, c, 0) for c in range(4)]
+
+    # distractors alone -> empty
+    distractors = audios.filter("media_id < 300")
+    assert M.cross_modal_av_pairs(distractors, videos).count() == 0
