@@ -9006,6 +9006,124 @@ LIMIT 100
 """
 
 
+def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed summary-suite pipeline (streaming/sketches.py::
+    write_summary_suite): ONE document stream maintains heavy-hitter
+    bigrams, per-source HLL distinct sketches, the deterministic bottom-k
+    sample, AND a token-count histogram per micro-batch, then ONE
+    maintain_stores sweep (protect_last — replay-safe) bounds every
+    store's chains. The deployment-shaped integration entry: four stores,
+    one pass per batch, one policy sweep. The read emits one labeled
+    metric table; every row is relationally derivable (heavy hitters are
+    exact after the pruned recount, the sample is hash-deterministic,
+    token binning is integer-exact) except the HLL rows, which carry the
+    ±5%-of-exact gate pinned TRUE — so store maintenance, commit
+    visibility, and all four folds are value-hash checked in one entry."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.heavy_hitters import heavy_hitters_asof
+    from ..streaming.sketches import (
+        distinct_estimates,
+        hist_asof,
+        sample_asof,
+        write_summary_suite,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    tmp = tempfile.mkdtemp(prefix="cdc34_")
+    try:
+        stream = _staged_doc_stream(spark, docs, tmp)
+        q = write_summary_suite(stream, f"{tmp}/store", f"{tmp}/ckpt")
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc34 stream did not finish")
+        hh = heavy_hitters_asof(spark, f"{tmp}/store/hh", denom=800).select(
+            F.lit("hh_bigram").alias("metric"),
+            F.col("bigram").alias("key"),
+            F.col("n").alias("value"),
+        )
+        samp = sample_asof(spark, f"{tmp}/store/sample").select(
+            F.lit("sample").alias("metric"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("skey").alias("value"),
+        )
+        hist = hist_asof(spark, f"{tmp}/store/hist").select(
+            F.lit("tok_hist").alias("metric"),
+            F.col("bin").cast("string").alias("key"),
+            F.col("c").alias("value"),
+        )
+        exact = docs.groupBy("source").agg(
+            F.countDistinct("text").alias("n_exact")
+        )
+        overall = docs.agg(F.countDistinct("text").alias("n_exact")).select(
+            F.lit("__all__").alias("source"), "n_exact"
+        )
+        hll = (
+            distinct_estimates(spark, f"{tmp}/store/hll")
+            .join(exact.unionByName(overall), "source")
+            .select(
+                F.lit("distinct_ok").alias("metric"),
+                F.col("source").alias("key"),
+                (F.abs(F.col("est") / F.col("n_exact") - 1) <= 0.05)
+                .cast("long")
+                .alias("value"),
+            )
+        )
+        out = hh.unionByName(samp).unionByName(hist).unionByName(hll)
+        return spark.createDataFrame(
+            out.orderBy("metric", "key").collect(),
+            "metric string, key string, value bigint",
+        ).orderBy("metric", "key")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC34_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS tok,
+         unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+),
+bigrams AS (
+  SELECT a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+tot AS (SELECT count(*) AS total FROM bigrams),
+hh AS (
+  SELECT 'hh_bigram' AS metric, bigram AS key, CAST(count(*) AS BIGINT) AS value
+  FROM bigrams, tot GROUP BY bigram, total
+  HAVING count(*) * 800 >= total
+),
+samp AS (
+  SELECT 'sample' AS metric, CAST(doc_id AS VARCHAR) AS key,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS value
+  FROM documents
+  ORDER BY value, doc_id
+  LIMIT 100
+),
+hist AS (
+  SELECT 'tok_hist' AS metric,
+         CAST(least(greatest(CAST(floor(
+             CAST(len(string_split(text, ' ')) AS DOUBLE) / 5.0) AS INT), 0), 39)
+           AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS value
+  FROM documents GROUP BY 2
+),
+hll AS (
+  SELECT 'distinct_ok' AS metric, source AS key, CAST(1 AS BIGINT) AS value
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'distinct_ok' AS metric, '__all__' AS key, CAST(1 AS BIGINT) AS value
+)
+SELECT metric, key, value FROM hh
+UNION ALL SELECT metric, key, value FROM samp
+UNION ALL SELECT metric, key, value FROM hist
+UNION ALL SELECT metric, key, value FROM hll
+ORDER BY metric, key
+"""
+
+
 def q168_cross_modal_av_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-modal audio↔video near-dup (functions/multimodal.py::
     cross_modal_av_pairs): a standalone audio clip that re-masters the
@@ -9303,6 +9421,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc32_bottomk_sample_mv": (cdc32_bottomk_sample_mv, CDC32_SQL),
     "cdc33_histogram_quantile_mv": (cdc33_histogram_quantile_mv, CDC33_SQL),
     "q168_cross_modal_av_neardup": (q168_cross_modal_av_neardup, Q168_SQL),
+    "cdc34_summary_suite": (cdc34_summary_suite, CDC34_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

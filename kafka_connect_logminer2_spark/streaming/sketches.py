@@ -471,3 +471,77 @@ def write_histogram(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------- summary suite
+
+
+def write_summary_suite(
+    doc_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    hh_capacity: int = 1600,
+    sample_k: int = 100,
+    lg_k: int = 12,
+    hist_bins: int = 40,
+    hist_hi: float = 200.0,
+    num_buckets: int = 8,
+    max_chain: int = 4,
+    trigger_available_now: bool = True,
+):
+    """ONE document stream maintaining the WHOLE summary family per
+    micro-batch — heavy-hitter bigrams (+ doc archive), per-source HLL
+    distinct sketches, the deterministic bottom-k sample, and a
+    token-count histogram — then ONE :func:`maintenance.maintain_stores`
+    sweep over all of them with ``protect_last=True`` (each store's
+    newest committed batch is the one just written, so the sweep is
+    replay-safe exactly like per-store in-line maintenance). This is the
+    realistic deployment shape: a corpus ingest keeps ALL its health
+    summaries warm from a single pass over each batch, and one policy
+    sweep bounds every store's chains."""
+    from ..functions.text import token_count
+    from .heavy_hitters import hh_batch_step
+    from .maintenance import maintain_stores
+
+    dirs = {
+        "hh": root + "/hh",
+        "hll": root + "/hll",
+        "sample": root + "/sample",
+        "hist": root + "/hist",
+    }
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint()  # four consumers, one materialization
+        hh_batch_step(
+            spark, batch, batch_id, dirs["hh"],
+            capacity=hh_capacity, num_buckets=num_buckets,
+        )
+        hll_batch_step(
+            spark, batch, batch_id, dirs["hll"],
+            lg_k=lg_k, num_buckets=num_buckets,
+        )
+        bottomk_batch_step(
+            spark, batch, batch_id, dirs["sample"],
+            k=sample_k, num_buckets=num_buckets,
+        )
+        hist_batch_step(
+            spark,
+            batch.select(token_count(F.col("text")).cast("double").alias("value")),
+            batch_id,
+            dirs["hist"],
+            lo=0.0, hi=hist_hi, n_bins=hist_bins, num_buckets=num_buckets,
+        )
+        maintain_stores(
+            spark,
+            [dirs["hh"] + "/counts", dirs["hll"], dirs["sample"], dirs["hist"]],
+            max_chain=max_chain,
+            protect_last=True,
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -286,3 +286,79 @@ def test_histogram_quantiles_exact_under_splits(spark, tmp_path):
             spark.createDataFrame(rows[:5], "event_id long, value double"),
             9, store, lo=0.0, hi=120.0, n_bins=24, num_buckets=4,
         )
+
+
+def test_summary_suite_one_stream_four_stores(spark, tmp_path):
+    """write_summary_suite: one stream populates all four stores with the
+    same answers the standalone writers produce, the single
+    maintain_stores sweep bounds every chain, and a restart resumes
+    without disturbing any store."""
+    from kafka_connect_logminer2_spark.streaming.heavy_hitters import (
+        heavy_hitters_asof,
+    )
+    from kafka_connect_logminer2_spark.streaming.sketches import (
+        distinct_estimates,
+        hist_asof,
+        write_summary_suite,
+    )
+
+    tmp = str(tmp_path)
+    docs = _mk_docs(160)
+    batches = [[d for d in docs if d[0] % 4 == i] for i in range(4)]
+    os.makedirs(f"{tmp}/in")
+    now = time.time()
+
+    def stage(i):
+        df = spark.createDataFrame(batches[i], SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+        os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+
+    def run():
+        return write_summary_suite(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/store", f"{tmp}/ckpt",
+            hh_capacity=64, sample_k=30, num_buckets=4, max_chain=2,
+        )
+
+    stage(0), stage(1)
+    assert run().awaitTermination(600)
+    stage(2), stage(3)
+    assert run().awaitTermination(600)
+
+    # sample == truth, heavy hitters == truth
+    assert _got_sample(spark, f"{tmp}/store/sample") == _truth_sample(docs, 30)
+    got_hh = sorted(
+        (r["bigram"], r["n"])
+        for r in heavy_hitters_asof(spark, f"{tmp}/store/hh", denom=40).collect()
+    )
+    from collections import Counter
+
+    grams = []
+    for _, text, _ in docs:
+        toks = text.lower().split(" ")
+        grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    c = Counter(grams)
+    want_hh = sorted(
+        (g, n) for g, n in c.items() if n * 40 >= len(grams)
+    )
+    assert got_hh == want_hh
+    # histogram of token counts == python truth
+    tok_counts = [float(len(t.split(" "))) for _, t, _ in docs]
+    assert {
+        r["bin"]: r["c"] for r in hist_asof(spark, f"{tmp}/store/hist").collect()
+    } == _py_hist(tok_counts, 0.0, 5.0, 40)
+    # hll estimates inside the gate
+    exact = _exact_distinct(docs)
+    est = {r["source"]: r["est"] for r in
+           distinct_estimates(spark, f"{tmp}/store/hll").collect()}
+    for s, n in exact.items():
+        assert abs(est[s] / n - 1) <= 0.05
+    # the ONE sweep bounded every store's chains
+    for sub in ("hh/counts", "hll", "sample", "hist"):
+        for b in glob.glob(f"{tmp}/store/{sub}/b=*"):
+            vs = [d for d in os.listdir(b) if d.startswith("v=")]
+            assert len(vs) <= 3, f"{sub}/{os.path.basename(b)}: {len(vs)}"
