@@ -99,6 +99,8 @@ HEADLINE = [
     "cdc32_bottomk_sample_mv",
     "cdc33_histogram_quantile_mv",
     "q168_cross_modal_av_neardup",
+    "q169_html_extract",
+    "q170_url_canonicalize",
 ]
 
 

@@ -352,3 +352,65 @@ def add_repetition_signals(
         F.expr("aggregate(_rs_r, 0L, (a, x) -> a + IF(x.dup, x.chars, 0L))"),
     )
     return df.drop("_rs_g", "_rs_s", "_rs_r")
+
+
+# the html_to_text regex chain, shared verbatim (modulo engine quoting) with
+# the q169 oracle — every construct is in the Java-regex ∩ RE2 intersection:
+# NO backreferences (RE2 has none — a single <(script|style)>...</\1> pattern
+# silently fails to match there), NO lookaround
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n"),  # block ends -> \n
+    (r"<[a-zA-Z/!][^>]*>", " "),  # real tags only: 'a < b' survives
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),  # LAST: '&amp;lt;' must yield literal '&lt;'
+    (r"[ \t]+", " "),
+    (r"\s*\n\s*", "\n"),
+    (r"^\s+|\s+$", ""),
+]
+
+
+def html_to_text(text: Column) -> Column:
+    """HTML → text extraction (the CommonCrawl WET-style pass a web corpus
+    runs before any text analysis): drop script/style subtrees, turn block
+    closers into newlines, strip remaining tags, decode the six common
+    entities, normalize whitespace. Pure ``regexp_replace`` chain — JVM
+    whole-stage codegen, zero shuffle, scan-speed at 100 TB; the oracle
+    (q169) runs the byte-identical chain in DuckDB, which is why every
+    pattern avoids backreferences and lookaround (absent from RE2).
+    Contract limits (documented, not hidden): entity decoding covers the
+    six common names, bare unescaped ``<``/``>`` survive only when not
+    followed by a letter (tag-start heuristic), malformed HTML degrades to
+    tag-stripping."""
+    out = text
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def url_canonicalize(url: Column) -> Column:
+    """URL canonicalization (dedup-by-URL prep — the first pass of any
+    crawl pipeline): strip fragments, strip ``utm_*`` tracking params
+    (promoting the first surviving ``&`` to ``?`` when the removed param
+    led the query), lowercase scheme+authority only (paths stay
+    case-sensitive), drop scheme-default ports (:80/:443), drop a bare
+    root slash. Pure regexp_replace/extract chain — JVM codegen, zero
+    shuffle; every pattern is in the Java ∩ RE2 intersection and the
+    unmatched-optional-group replacement ('' on both engines) is part of
+    the pinned contract (q170's oracle mirrors the chain, group refs
+    $N↔\\N being the only textual difference). Non-URL strings pass
+    through unchanged (the authority extract matches empty)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    auth = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    prefix = F.regexp_extract(u, auth, 0)
+    u = F.concat(F.lower(prefix), u.substr(F.length(prefix) + 1, F.length(u)))
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    return F.regexp_replace(u, r"^(https?://[^/?#]+)/$", "$1")

@@ -9006,6 +9006,193 @@ LIMIT 100
 """
 
 
+# q169 planted ids sit above every real doc_id (and clear of q166/q167)
+_Q169_OFFSET = 22_000_000
+
+_Q169_PLANTED = [
+    (0, '<html><head><script type="x">var a = "<p>";</script>'
+        '<style>.x{}</style></head><body><h1>Title</h1><p>Para one</p>'
+        '<div>Div text</div><ul><li>item1</li><li>item2</li></ul>'
+        '&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</body></html>'),
+    (1, "no markup at all"),
+    (2, "<p>broken <b>nested <i>tags</p>"),
+    (3, "a < b and c > d"),                 # bare comparators survive
+    (4, "double &amp;lt; stays literal"),   # &amp; decoded LAST
+    (5, "<SCRIPT>upper()</SCRIPT>ok"),      # case-insensitive subtree drop
+    (6, "  <td>cells</td>   padded  "),
+]
+
+
+def q169_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML → text extraction (functions/text.py::html_to_text) — the
+    CommonCrawl-WET-style pass a web corpus runs before any text op:
+    script/style subtrees dropped, block closers → newlines, tags
+    stripped (tag-START heuristic, so bare ``a < b`` comparators
+    survive), the six common entities decoded with ``&amp;`` LAST
+    (double-encoding stays literal), whitespace normalized. Pure JVM
+    regexp_replace chain at scan speed; every pattern sits in the
+    Java-regex ∩ RE2 intersection (no backreferences — RE2 silently
+    fails to match them, measured during construction). Real corpus
+    (markup-free, passthrough) ∪ planted fixture covering every rule;
+    output is the q159/q166 rewrite discipline (changed flag +
+    md5-of-extraction)."""
+    from ..functions.text import html_to_text
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(i + _Q169_OFFSET, t) for i, t in _Q169_PLANTED],
+        "doc_id long, text string",
+    )
+    alldocs = docs.unionByName(planted)
+    ext = html_to_text(F.col("text"))
+    return (
+        alldocs.select(
+            "doc_id",
+            (ext != F.col("text")).alias("changed"),
+            F.md5(ext).alias("sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q169_SQL = r"""
+WITH planted(doc_id, text) AS (VALUES
+  (22000000, '<html><head><script type="x">var a = "<p>";</script>' ||
+             '<style>.x{}</style></head><body><h1>Title</h1><p>Para one</p>' ||
+             '<div>Div text</div><ul><li>item1</li><li>item2</li></ul>' ||
+             '&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</body></html>'),
+  (22000001, 'no markup at all'),
+  (22000002, '<p>broken <b>nested <i>tags</p>'),
+  (22000003, 'a < b and c > d'),
+  (22000004, 'double &amp;lt; stays literal'),
+  (22000005, '<SCRIPT>upper()</SCRIPT>ok'),
+  (22000006, '  <td>cells</td>   padded  ')
+),
+alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), text FROM planted
+),
+ext AS (
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(
+      text,
+      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>', chr(10), 'g'),
+      '<[a-zA-Z/!][^>]*>', ' ', 'g'),
+      '&nbsp;', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', chr(39), 'g'),
+      '&amp;', '&', 'g'),
+      '[ ' || chr(9) || ']+', ' ', 'g'),
+      '\s*' || chr(10) || '\s*', chr(10), 'g'),
+      '^\s+|\s+$', '', 'g') AS t
+  FROM alldocs
+)
+SELECT doc_id, (t <> text) AS changed, md5(t) AS sig
+FROM ext ORDER BY doc_id
+"""
+
+
+# q170 planted ids above every real doc_id (clear of q166/q167/q169)
+_Q170_OFFSET = 23_000_000
+
+_Q170_PLANTED = [
+    (0, "HTTP://Example.COM:80/path?utm_source=a&b=2#frag"),
+    (1, "https://A.B:443"),
+    (2, "https://a.b:8443/x"),                      # non-default port kept
+    (3, "http://a.com/?utm_a=1"),                   # root slash dropped
+    (4, "http://a.com/x?utm_a=1&utm_b=2"),          # whole query vanishes
+    (5, "http://a.com/x?a=1&utm_b=2&c=3"),          # middle param excised
+    (6, "http://a.com/x?utm_a=1&b=2"),              # & promoted to ?
+    (7, "plain text not a url"),                    # passthrough
+    (8, "HTTPS://UP.example.org:443/KeepCase/Path?Z=1"),  # path case kept
+]
+
+
+def q170_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (functions/text.py::url_canonicalize) — the
+    crawl pipeline's dedup-by-URL prep: fragment strip, utm_* removal
+    (with first-& promotion), scheme+authority lowercasing (path case
+    preserved), default-port drop, root-slash drop. Corpus-scale input:
+    every document gets a deterministic messy URL composed from its own
+    id (mixed-case host, :80 port, utm param, fragment), union'd with a
+    planted fixture covering each rule edge incl. non-URL passthrough.
+    All JVM regex at scan speed; oracle mirrors the chain in RE2 (group
+    refs $N↔\\N are the only textual difference — and the
+    unmatched-optional-group → '' behavior is identical, measured)."""
+    from ..functions.text import url_canonicalize
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Docs"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".Example.COM:80/corpus/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_campaign=x&page="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("#sec"),
+        ).alias("url"),
+    )
+    planted = spark.createDataFrame(
+        [(i + _Q170_OFFSET, u) for i, u in _Q170_PLANTED],
+        "doc_id long, url string",
+    )
+    allrows = derived.unionByName(planted)
+    return allrows.select(
+        "doc_id", url_canonicalize(F.col("url")).alias("canon")
+    ).orderBy("doc_id")
+
+
+Q170_SQL = r"""
+WITH planted(doc_id, url) AS (VALUES
+  (23000000, 'HTTP://Example.COM:80/path?utm_source=a&b=2#frag'),
+  (23000001, 'https://A.B:443'),
+  (23000002, 'https://a.b:8443/x'),
+  (23000003, 'http://a.com/?utm_a=1'),
+  (23000004, 'http://a.com/x?utm_a=1&utm_b=2'),
+  (23000005, 'http://a.com/x?a=1&utm_b=2&c=3'),
+  (23000006, 'http://a.com/x?utm_a=1&b=2'),
+  (23000007, 'plain text not a url'),
+  (23000008, 'HTTPS://UP.example.org:443/KeepCase/Path?Z=1')
+),
+allrows AS (
+  SELECT doc_id,
+         'HTTP://Docs' || (doc_id % 13) || '.Example.COM:80/corpus/' ||
+         doc_id || '?utm_campaign=x&page=' || (doc_id % 7) || '#sec' AS url
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), url FROM planted
+),
+s1 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
+     '#.*$', '', 'g'),
+     '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+     '^([^?]*)&', '\1?') AS u
+  FROM allrows
+),
+s2 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) ||
+         substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1) AS u
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, regexp_replace(regexp_replace(u,
+     '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2'),
+     '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS u
+  FROM s2
+)
+SELECT doc_id, regexp_replace(u, '^(https?://[^/?#]+)/$', '\1') AS canon
+FROM s3 ORDER BY doc_id
+"""
+
+
 def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The composed summary-suite pipeline (streaming/sketches.py::
     write_summary_suite): ONE document stream maintains heavy-hitter
@@ -9422,6 +9609,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc33_histogram_quantile_mv": (cdc33_histogram_quantile_mv, CDC33_SQL),
     "q168_cross_modal_av_neardup": (q168_cross_modal_av_neardup, Q168_SQL),
     "cdc34_summary_suite": (cdc34_summary_suite, CDC34_SQL),
+    "q169_html_extract": (q169_html_extract, Q169_SQL),
+    "q170_url_canonicalize": (q170_url_canonicalize, Q170_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

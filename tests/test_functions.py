@@ -372,3 +372,69 @@ def test_repetition_signals_values_and_plan(spark):
     assert "Exchange" not in plan and "Repartition" not in plan
     physical = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in physical
+
+
+def test_html_to_text_contract(spark):
+    """html_to_text (q169): script/style drop, block newlines, tag strip
+    with tag-start heuristic, entity order (&amp; last), whitespace — and
+    idempotence on already-extracted text."""
+    from kafka_connect_logminer2_spark.functions.text import html_to_text
+
+    cases = [
+        ('<script>var a = "<p>";</script><p>Hi</p>there', "Hi\nthere"),
+        ("<STYLE>.x{}</STYLE>ok", "ok"),
+        ("a < b and c > d", "a < b and c > d"),
+        ("double &amp;lt; stays literal", "double &lt; stays literal"),
+        ("x&nbsp;y &quot;z&quot; &#39;w&#39;", 'x y "z" \'w\''),
+        ("<ul><li>a</li><li>b</li></ul>", "a\nb"),
+        ("  <td>pad</td>  ", "pad"),
+        ("no markup", "no markup"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i long, text string"
+    )
+    got = df.select(
+        "i",
+        html_to_text(F.col("text")).alias("got"),
+        html_to_text(html_to_text(F.col("text"))).alias("again"),
+    )
+    for r in got.collect():
+        want = cases[r["i"]][1]
+        assert r["got"] == want, (cases[r["i"]][0], r["got"], want)
+        # idempotent EXCEPT through entities: decoding is one-shot by
+        # design ('&amp;lt;' -> '&lt;' -> '<' is correct double-decode)
+        if "&" not in r["got"]:
+            assert r["again"] == r["got"], cases[r["i"]][0]
+
+
+def test_url_canonicalize_contract(spark):
+    """url_canonicalize (q170): per-rule expectations + idempotence."""
+    from kafka_connect_logminer2_spark.functions.text import url_canonicalize
+
+    cases = [
+        ("HTTP://Example.COM:80/path?utm_source=a&b=2#frag",
+         "http://example.com/path?b=2"),
+        ("https://A.B:443", "https://a.b"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),
+        ("http://a.com/?utm_a=1", "http://a.com"),
+        ("http://a.com/x?utm_a=1&b=2", "http://a.com/x?b=2"),
+        ("plain text not a url", "plain text not a url"),
+        ("HTTPS://UP.example.org:443/KeepCase/Path?Z=1",
+         "https://up.example.org/KeepCase/Path?Z=1"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i long, url string"
+    )
+    got = df.select(
+        "i",
+        url_canonicalize(F.col("url")).alias("got"),
+        url_canonicalize(url_canonicalize(F.col("url"))).alias("again"),
+    )
+    for r in got.collect():
+        want = cases[r["i"]][1]
+        assert r["got"] == want, (cases[r["i"]][0], r["got"], want)
+        assert r["again"] == r["got"], cases[r["i"]][0]
