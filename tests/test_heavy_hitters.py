@@ -208,3 +208,65 @@ def test_file_stream_with_restart_resume(spark, tmp_path):
     for b in glob.glob(f"{tmp}/store/counts/b=*"):
         vs = [d for d in os.listdir(b) if d.startswith("v=")]
         assert len(vs) <= 3, f"{b}: chain {len(vs)} not bounded by maintenance"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_docs=st.integers(min_value=20, max_value=60),
+    n_batches=st.integers(min_value=2, max_value=4),
+    capacity_extra=st.integers(min_value=0, max_value=16),
+    maintain_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+    data=st.data(),
+)
+def test_property_mg_exact_under_any_schedule(
+    spark, tmp_path_factory, n_docs, n_batches, capacity_extra,
+    maintain_mask, seed, data
+):
+    """For ANY corpus, ANY batch assignment, ANY inline-compaction subset,
+    ANY capacity ≥ denom, and a possible newest-batch replay, the streamed
+    heavy-hitter answer equals the plain GROUP BY/HAVING truth — the
+    mergeable-summaries guarantee composed with the store's replay/fold
+    contracts, adversarially sampled rather than hand-picked."""
+    from kafka_connect_logminer2_spark.streaming.maintenance import (
+        maintain_store,
+    )
+
+    denom = 20
+    docs = _mk_docs(n_docs=n_docs, seed=seed)
+    assign = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_batches - 1),
+            min_size=n_docs, max_size=n_docs,
+        ),
+        label="assign",
+    )
+    batches = [
+        [d for j, d in enumerate(docs) if assign[j] == b]
+        for b in range(n_batches)
+    ]
+    tmp = tmp_path_factory.mktemp("hhprop")
+    root = str(tmp / "store")
+    cap = denom + capacity_extra
+    for b, rows in enumerate(batches):
+        hh_batch_step(
+            spark,
+            spark.createDataFrame(rows, SCHEMA) if rows
+            else spark.createDataFrame([], SCHEMA),
+            b, root, capacity=cap, num_buckets=4,
+        )
+        if maintain_mask[b]:
+            maintain_store(spark, f"{root}/counts", max_chain=1, protect=b)
+    if data.draw(st.booleans(), label="replay"):
+        last = n_batches - 1
+        hh_batch_step(
+            spark,
+            spark.createDataFrame(batches[last], SCHEMA) if batches[last]
+            else spark.createDataFrame([], SCHEMA),
+            last, root, capacity=cap, num_buckets=4,
+        )
+    assert _answer(spark, root, denom=denom) == _truth(docs, denom=denom)
