@@ -9100,6 +9100,88 @@ FROM ext ORDER BY doc_id
 """
 
 
+def cdc35_web_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming WEB ingest (streaming/web_ingest.py) — the composed
+    CommonCrawl front door: canonicalize → extract → quality floor →
+    history-wide exact dedup BY CANONICAL URL. The corpus arrives as 3
+    micro-batches of raw pages whose URLs are messy per-doc variants
+    (mixed-case host, :80, per-doc utm param and fragment) of doc_id%199
+    canonical groups — so the SAME page re-crawled under different raw
+    forms must land exactly once, and only canonicalization can see it —
+    and whose HTML is the doc text in <p> wrappers the extractor must
+    strip before the ≥45-token floor. The oracle derives the whole
+    pipeline relationally: the canonical form and the extracted text are
+    closed-form for this fixture (the chains themselves are value-pinned
+    by q170/q169), the floor is a token count, and the accepted set is
+    cdc17's first-occurrence rule over canonical URLs — per-batch
+    accepted count and id-sum pin every stage at once."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..streaming.corpus_ingest import read_ingested
+    from ..streaming.web_ingest import write_web_ingest
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Host"), (F.col("doc_id") % 199).cast("string"),
+            F.lit(".Example.COM:80/p/"), (F.col("doc_id") % 199).cast("string"),
+            F.lit("?utm_c="), F.col("doc_id").cast("string"),
+            F.lit("#f"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc35_")
+    try:
+        stream = _staged_doc_stream(spark, pages, tmp)
+        q = write_web_ingest(
+            stream, f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            min_tokens=45, num_buckets=16, max_chain=2,
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc35 stream did not finish")
+        acc = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store")
+        out = (
+            acc.groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_accepted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .select(
+                F.col("batch").cast("long").alias("batch"),
+                "n_accepted",
+                F.col("id_sum").cast("long").alias("id_sum"),
+            )
+            .orderBy("batch")
+        )
+        return spark.createDataFrame(
+            out.collect(), "batch long, n_accepted bigint, id_sum long"
+        ).orderBy("batch")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC35_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % 3 AS batch,
+         'http://host' || (doc_id % 199) || '.example.com/p/' ||
+         (doc_id % 199) AS canon,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+q AS (SELECT * FROM t WHERE n_toks >= 45),
+r AS (
+  SELECT batch, doc_id,
+         row_number() OVER (PARTITION BY canon ORDER BY batch, doc_id) AS rn
+  FROM q
+)
+SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_accepted,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r WHERE rn = 1 GROUP BY batch ORDER BY batch
+"""
+
+
 # q170 planted ids above every real doc_id (clear of q166/q167/q169)
 _Q170_OFFSET = 23_000_000
 
@@ -9611,6 +9693,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc34_summary_suite": (cdc34_summary_suite, CDC34_SQL),
     "q169_html_extract": (q169_html_extract, Q169_SQL),
     "q170_url_canonicalize": (q170_url_canonicalize, Q170_SQL),
+    "cdc35_web_ingest": (cdc35_web_ingest, CDC35_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -637,3 +637,70 @@ def test_neardup_bloom_prescreen_identical_and_prunes(spark, tmp_path):
         .filter("batch = 2").collect()
     )
     assert got == [20]
+
+
+def test_web_ingest_variants_land_once_and_resume(spark, tmp_path):
+    """write_web_ingest (cdc35): raw-form variants of one canonical URL
+    land exactly once across batches AND across a restart; junk pages
+    (below the token floor) never land; the accepted rows carry the
+    extracted text and the canonical URL."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        read_ingested,
+    )
+    from kafka_connect_logminer2_spark.streaming.web_ingest import (
+        write_web_ingest,
+    )
+
+    schema = "doc_id long, url string, html string"
+    body = " ".join(f"w{i}" for i in range(10))
+    rows = {
+        0: [
+            (0, "HTTP://A.COM:80/x?utm_a=1", f"<p>{body}</p>"),
+            (1, "http://a.com/x#frag", f"<div>{body}</div>"),   # same canon as 0
+            (2, "http://b.com/y", f"<p>{body}</p>"),
+            (3, "http://junk.com/z", "<p>too short</p>"),       # floor reject
+        ],
+        1: [
+            (4, "http://A.com/x", f"<p>{body}</p>"),            # history dup of 0
+            (5, "https://c.com:443/w", f"<p>{body}</p>"),
+        ],
+        2: [
+            (6, "https://c.com/w?utm_b=2", f"<p>{body}</p>"),   # history dup of 5
+            (7, "http://d.com/v", f"<p>{body}</p>"),
+        ],
+    }
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in")
+    now = time.time()
+
+    def stage(i):
+        df = spark.createDataFrame(rows[i], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+        os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+
+    def run():
+        return write_web_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            min_tokens=5, num_buckets=4, max_chain=2,
+        )
+
+    stage(0), stage(1)
+    assert run().awaitTermination(600)
+    stage(2)
+    assert run().awaitTermination(600)  # restart-resume
+
+    acc = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store")
+    got = sorted(
+        (r["batch"], r["doc_id"], r["canon"], r["text"]) for r in acc.collect()
+    )
+    assert got == [
+        (0, 0, "http://a.com/x", body),
+        (0, 2, "http://b.com/y", body),
+        (1, 5, "https://c.com/w", body),
+        (2, 7, "http://d.com/v", body),
+    ]
