@@ -208,5 +208,8 @@ def heavy_hitters_exact(
         hashed.join(F.broadcast(candidates), "_h", "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") * denom >= F.lit(total))
+        # overflow-safe ceil form of n·denom ≥ total: the in-plan product
+        # wraps 64-bit once total/denom-scale counts reach ~2^63/denom,
+        # silently dropping true heavy hitters (self-review r9)
+        .filter(F.col("n") >= F.lit(-(-total // denom)))
     )

@@ -308,13 +308,21 @@ def add_repetition_signals(
     runs at scan speed on 100 TB — no (doc, gram) exchange, unlike the
     corpus-wide counting ops (q121/q135) this deliberately is not.
 
-    Adds two BIGINT columns ``{prefix}_top_chars`` / ``{prefix}_dup_chars``
-    (prefix defaults to ``g{n}``); docs shorter than ``n`` tokens get 0s.
+    ``top_chars`` is Gopher's actual signal — occurrences × length OF THE
+    MOST FREQUENT gram (ties on count broken by the longest gram, so the
+    value stays a deterministic scalar) — not a max over count×length,
+    which a rarer-but-longer gram could win. Adds two BIGINT columns
+    ``{prefix}_top_chars`` / ``{prefix}_dup_chars`` (prefix defaults to
+    ``g{n}``); docs shorter than ``n`` tokens get 0s.
     """
     p = prefix or f"g{n}"
-    grams = f"""CASE WHEN size(split({text_col}, ' ')) >= {n}
-        THEN array_sort(transform(sequence(0, size(split({text_col}, ' ')) - {n}),
-             i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' ')))
+    # bind the token array ONCE: HOF lambdas are interpreted, so an outer
+    # split() referenced in the lambda body would re-split the text per
+    # GRAM — O(tokens²) per doc, the exact q135-documented trap
+    df = df.withColumn("_rs_t", F.split(F.col(text_col), " "))
+    grams = f"""CASE WHEN size(_rs_t) >= {n}
+        THEN array_sort(transform(sequence(0, size(_rs_t) - {n}),
+             i -> array_join(slice(_rs_t, i + 1, {n}), ' ')))
         ELSE array() END"""
     df = df.withColumn("_rs_g", F.expr(grams))
     df = df.withColumn(
@@ -328,30 +336,37 @@ def add_repetition_signals(
             "          element_at(_rs_g, i + 1) != element_at(_rs_g, i))))"
         ),
     )
-    # one struct per distinct gram: chars = run_length * gram_length,
-    # dup = run_length > 1 (run ends at the next start, or the array end)
+    # one struct per distinct gram: cnt = run length, len = gram chars
+    # (run ends at the next start, or the array end)
     df = df.withColumn(
         "_rs_r",
         F.expr(
             """transform(_rs_s, (s, j) -> named_struct(
-                 'chars',
+                 'cnt',
                  CAST((IF(j + 1 < size(_rs_s), element_at(_rs_s, j + 2),
-                          size(_rs_g)) - s) AS BIGINT)
-                   * length(element_at(_rs_g, s + 1)),
-                 'dup',
-                 (IF(j + 1 < size(_rs_s), element_at(_rs_s, j + 2),
-                     size(_rs_g)) - s) > 1))"""
+                          size(_rs_g)) - s) AS BIGINT),
+                 'len',
+                 CAST(length(element_at(_rs_g, s + 1)) AS BIGINT)))"""
         ),
     )
     df = df.withColumn(
+        "_rs_tc", F.expr("aggregate(_rs_r, 0L, (a, x) -> greatest(a, x.cnt))")
+    )
+    df = df.withColumn(
         f"{p}_top_chars",
-        F.expr("aggregate(_rs_r, 0L, (a, x) -> greatest(a, x.chars))"),
+        F.col("_rs_tc")
+        * F.expr(
+            "aggregate(_rs_r, 0L,"
+            " (a, x) -> IF(x.cnt = _rs_tc, greatest(a, x.len), a))"
+        ),
     )
     df = df.withColumn(
         f"{p}_dup_chars",
-        F.expr("aggregate(_rs_r, 0L, (a, x) -> a + IF(x.dup, x.chars, 0L))"),
+        F.expr(
+            "aggregate(_rs_r, 0L, (a, x) -> a + IF(x.cnt > 1, x.cnt * x.len, 0L))"
+        ),
     )
-    return df.drop("_rs_g", "_rs_s", "_rs_r")
+    return df.drop("_rs_t", "_rs_g", "_rs_s", "_rs_r", "_rs_tc")
 
 
 # the html_to_text regex chain, shared verbatim (modulo engine quoting) with
@@ -359,19 +374,26 @@ def add_repetition_signals(
 # NO backreferences (RE2 has none — a single <(script|style)>...</\1> pattern
 # silently fails to match there), NO lookaround
 HTML_STRIP_STEPS: list[tuple[str, str]] = [
-    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
-    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<script\b[^>]*>.*?</script[ \t\n\f\r]*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style[ \t\n\f\r]*>", " "),
     (r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>", "\n"),  # block ends -> \n
     (r"<[a-zA-Z/!][^>]*>", " "),  # real tags only: 'a < b' survives
+    # normalize C0 controls (incl. \x0B/\f/\r) to spaces BEFORE the
+    # whitespace steps: Java's \s matches \x0B but RE2's does not, so the
+    # later classes must stay explicit — this step makes the only
+    # divergent characters disappear on both engines identically
+    (r"[\x00-\x08\x0b-\x1f]", " "),
     (r"&nbsp;", " "),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
     (r"&amp;", "&"),  # LAST: '&amp;lt;' must yield literal '&lt;'
+    # after the control step, whitespace is exactly {space, \t, \n} —
+    # explicit classes, never \s (Java \s ⊇ RE2 \s)
     (r"[ \t]+", " "),
-    (r"\s*\n\s*", "\n"),
-    (r"^\s+|\s+$", ""),
+    (r"[ \t]*\n[ \t]*", "\n"),
+    (r"^[ \t\n]+|[ \t\n]+$", ""),
 ]
 
 
@@ -403,14 +425,24 @@ def url_canonicalize(url: Column) -> Column:
     shuffle; every pattern is in the Java ∩ RE2 intersection and the
     unmatched-optional-group replacement ('' on both engines) is part of
     the pinned contract (q170's oracle mirrors the chain, group refs
-    $N↔\\N being the only textual difference). Non-URL strings pass
-    through unchanged (the authority extract matches empty)."""
+    $N↔\\N being the only textual difference).
+
+    The WHOLE chain is gated on the input matching ``scheme://`` — a
+    non-URL string passes through BYTE-VERBATIM ('see #42 & more' keeps
+    its fragment-looking tail). utm removal is three separator-aware
+    steps (non-leading params, leading-followed-by-more, leading-alone)
+    rather than strip-then-promote: a blanket first-&→? promotion would
+    rewrite URLs whose PATH contains a literal ``&`` into a different
+    resource (self-review r9 finding)."""
+    is_url = url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
     u = F.regexp_replace(url, r"#.*$", "")
-    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*", "")
-    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    u = F.regexp_replace(u, r"&utm_[a-z]+=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*$", "")
     auth = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
     prefix = F.regexp_extract(u, auth, 0)
     u = F.concat(F.lower(prefix), u.substr(F.length(prefix) + 1, F.length(u)))
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
-    return F.regexp_replace(u, r"^(https?://[^/?#]+)/$", "$1")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", "$1")
+    return F.when(is_url, u).otherwise(url)

@@ -8794,11 +8794,21 @@ g AS (
   FROM toks WHERE len(t) >= 3
 ),
 cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
-agg AS (
+agg0 AS (
   SELECT doc_id, n,
-         max(c * length(gram)) AS top_chars,
+         max(c) AS top_cnt,
          sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars
   FROM cnt GROUP BY 1, 2
+),
+-- Gopher's actual top signal: occurrences x length OF the most frequent
+-- gram, ties on count broken by the longest gram
+agg AS (
+  SELECT a.doc_id AS doc_id, a.n AS n,
+         a.top_cnt * max(length(c2.gram)) AS top_chars,
+         a.dup_chars AS dup_chars
+  FROM agg0 a
+  JOIN cnt c2 ON c2.doc_id = a.doc_id AND c2.n = a.n AND c2.c = a.top_cnt
+  GROUP BY 1, 2, a.top_cnt, a.dup_chars
 )
 SELECT k.doc_id AS doc_id, k.total_chars AS total_chars,
        CAST(coalesce(a2.top_chars, 0) AS BIGINT) AS g2_top_chars,
@@ -8830,30 +8840,16 @@ def cdc30_heavy_hitters_mv(spark: SparkSession, sf: str) -> DataFrame:
     oracle is q135's plain GROUP BY/HAVING over the same corpus — sketch
     maintenance, commit ordering, compaction, and the superset guarantee
     are all value-hash checked."""
-    import glob as _glob
-    import os as _os
     import shutil as _shutil
     import tempfile
-    import time as _time
 
     from ..streaming.heavy_hitters import heavy_hitters_asof, write_heavy_hitters
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="cdc30_")
     try:
-        _os.makedirs(f"{tmp}/in")
-        now = _time.time()
-        for i in range(3):
-            docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
-                f"{tmp}/s{i}"
-            )
-            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
-            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
-            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
         q = write_heavy_hitters(
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/in"),
+            _staged_doc_stream(spark, docs, tmp),
             f"{tmp}/store",
             f"{tmp}/ckpt",
             max_chain=2,
@@ -9020,6 +9016,7 @@ _Q169_PLANTED = [
     (4, "double &amp;lt; stays literal"),   # &amp; decoded LAST
     (5, "<SCRIPT>upper()</SCRIPT>ok"),      # case-insensitive subtree drop
     (6, "  <td>cells</td>   padded  "),
+    (7, "vert\x0btab and\rcr"),             # \x0B: Java \s has it, RE2 not
 ]
 
 
@@ -9066,7 +9063,8 @@ WITH planted(doc_id, text) AS (VALUES
   (22000003, 'a < b and c > d'),
   (22000004, 'double &amp;lt; stays literal'),
   (22000005, '<SCRIPT>upper()</SCRIPT>ok'),
-  (22000006, '  <td>cells</td>   padded  ')
+  (22000006, '  <td>cells</td>   padded  '),
+  (22000007, 'vert' || chr(11) || 'tab and' || chr(13) || 'cr')
 ),
 alldocs AS (
   SELECT doc_id, text FROM documents
@@ -9078,12 +9076,13 @@ ext AS (
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-    regexp_replace(
+    regexp_replace(regexp_replace(
       text,
-      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+      '(?is)<script\b[^>]*>.*?</script[ \t\n\f\r]*>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style[ \t\n\f\r]*>', ' ', 'g'),
       '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>', chr(10), 'g'),
       '<[a-zA-Z/!][^>]*>', ' ', 'g'),
+      '[\x00-\x08\x0b-\x1f]', ' ', 'g'),
       '&nbsp;', ' ', 'g'),
       '&lt;', '<', 'g'),
       '&gt;', '>', 'g'),
@@ -9091,8 +9090,8 @@ ext AS (
       '&#39;', chr(39), 'g'),
       '&amp;', '&', 'g'),
       '[ ' || chr(9) || ']+', ' ', 'g'),
-      '\s*' || chr(10) || '\s*', chr(10), 'g'),
-      '^\s+|\s+$', '', 'g') AS t
+      '[ ' || chr(9) || ']*' || chr(10) || '[ ' || chr(9) || ']*', chr(10), 'g'),
+      '^[ ' || chr(9) || chr(10) || ']+|[ ' || chr(9) || chr(10) || ']+$', '', 'g') AS t
   FROM alldocs
 )
 SELECT doc_id, (t <> text) AS changed, md5(t) AS sig
@@ -9195,6 +9194,10 @@ _Q170_PLANTED = [
     (6, "http://a.com/x?utm_a=1&b=2"),              # & promoted to ?
     (7, "plain text not a url"),                    # passthrough
     (8, "HTTPS://UP.example.org:443/KeepCase/Path?Z=1"),  # path case kept
+    (9, "http://a.com/a&b"),                        # literal path & kept
+    (10, "see #42 & more"),                         # non-URL: gate keeps
+                                                    # the fragment-ish tail
+    (11, "http://a.com/x?utm_a=1&utm_b=2&c=3"),     # consecutive leading utm
 ]
 
 
@@ -9241,7 +9244,10 @@ WITH planted(doc_id, url) AS (VALUES
   (23000005, 'http://a.com/x?a=1&utm_b=2&c=3'),
   (23000006, 'http://a.com/x?utm_a=1&b=2'),
   (23000007, 'plain text not a url'),
-  (23000008, 'HTTPS://UP.example.org:443/KeepCase/Path?Z=1')
+  (23000008, 'HTTPS://UP.example.org:443/KeepCase/Path?Z=1'),
+  (23000009, 'http://a.com/a&b'),
+  (23000010, 'see #42 & more'),
+  (23000011, 'http://a.com/x?utm_a=1&utm_b=2&c=3')
 ),
 allrows AS (
   SELECT doc_id,
@@ -9252,25 +9258,30 @@ allrows AS (
   SELECT CAST(doc_id AS BIGINT), url FROM planted
 ),
 s1 AS (
-  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(url,
+  SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(
+     regexp_replace(url,
      '#.*$', '', 'g'),
-     '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
-     '^([^?]*)&', '\1?') AS u
+     '&utm_[a-z]+=[^&#]*', '', 'g'),
+     '\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+     '\?utm_[a-z]+=[^&#]*$', '', 'g') AS u
   FROM allrows
 ),
 s2 AS (
-  SELECT doc_id,
+  SELECT doc_id, url,
          lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) ||
          substr(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')) + 1) AS u
   FROM s1
 ),
 s3 AS (
-  SELECT doc_id, regexp_replace(regexp_replace(u,
+  SELECT doc_id, url, regexp_replace(regexp_replace(u,
      '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2'),
      '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS u
   FROM s2
 )
-SELECT doc_id, regexp_replace(u, '^(https?://[^/?#]+)/$', '\1') AS canon
+SELECT doc_id,
+       CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+            THEN regexp_replace(u, '^(https?://[^/?#]+)/$', '\1')
+            ELSE url END AS canon
 FROM s3 ORDER BY doc_id
 """
 

@@ -149,6 +149,28 @@ def _empty_rows(spark: SparkSession, store_dir: str) -> DataFrame | None:
     return None if ddl is None else spark.createDataFrame([], ddl)
 
 
+def _committed_union(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Union of every committed delta segment — THE chain read for stores
+    whose reads fold the whole history (heavy-hitter counts/docs, the
+    sketch MVs). None before the first commit; the typed empty frame for
+    a committed-but-segmentless history (the stream==batch distinction
+    _note_row_schema exists for). One definition, shared by every store
+    module — the committed-read semantics must not drift per store
+    (self-review r9: two byte-identical copies had already appeared)."""
+    last = _last_committed_batch(store_dir)
+    if last is None:
+        return None
+    paths = [
+        p
+        for p in _store_paths(store_dir, None, below=last + 1)
+        if any(f.endswith(".parquet") for f in os.listdir(p))
+    ]
+    if not paths:
+        return _empty_rows(spark, store_dir)
+    # leaf-dir read withOUT basePath: never infer b=/v= partition columns
+    return spark.read.parquet(*paths)
+
+
 _OLD_RE = re.compile(r"^_old_v=(\d+)$")
 
 

@@ -46,7 +46,6 @@ envelopes); §2C curation surface, the streaming twin of q135.
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import pandas as pd
@@ -54,10 +53,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.search import _mg_fold
 from .corpus_ingest import (
-    _empty_rows,
+    _committed_union,
     _ensure_meta,
     _note_row_schema,
-    _store_paths,
     _write_delta,
     compact_chains,
 )
@@ -137,13 +135,16 @@ def hh_batch_step(
     num_buckets: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialized: bool = False,
 ) -> None:
     """One fold (public foreachBatch body): land the batch's MG summary as
     counts deltas, then archive the batch's documents. Retry-idempotent —
     both writes overwrite only their own ``v=<batch_id>`` segments, and
     the summary is deterministic up to MG-validity (any replay's summary
     obeys the same deficit bound, and the recount makes the answer
-    identical either way)."""
+    identical either way). Pass ``materialized=True`` when the caller
+    already localCheckpointed the batch (write_summary_suite) so the two
+    consumers here don't pay a SECOND eager materialization."""
     counts_dir, docs_dir = f"{root}/counts", f"{root}/docs"
     _ensure_meta(
         counts_dir,
@@ -160,7 +161,9 @@ def hh_batch_step(
         f"{id_col} {batch.schema[id_col].dataType.simpleString()}, "
         f"{text_col} string",
     )
-    batch = batch.select(id_col, text_col).localCheckpoint()
+    batch = batch.select(id_col, text_col)
+    if not materialized:
+        batch = batch.localCheckpoint()
     summary = _batch_summary(bigram_rows(batch, text_col), capacity)
     _write_delta(
         summary.withColumn("_b", _counts_bucket(num_buckets)),
@@ -222,21 +225,6 @@ def write_heavy_hitters(
     return writer.start()
 
 
-def _committed_union(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    last = _last_committed_batch(store_dir)
-    if last is None:
-        return None
-    paths = [
-        p
-        for p in _store_paths(store_dir, None, below=last + 1)
-        if any(f.endswith(".parquet") for f in os.listdir(p))
-    ]
-    if not paths:
-        return _empty_rows(spark, store_dir)
-    # leaf-dir read withOUT basePath: never infer b=/v= partition columns
-    return spark.read.parquet(*paths)
-
-
 def sketch_state(spark: SparkSession, root: str) -> DataFrame | None:
     """The folded (gram, w) sketch — a valid MG(cap) summary of every
     committed batch (groupBy-sum of the chain; counter addition is a
@@ -272,15 +260,23 @@ def heavy_hitters_asof(
     total = grams.count()
     if total == 0:
         return spark.createDataFrame([], "bigram string, n bigint")
-    cands = state.filter(
-        F.col("w") * denom * (cap + 1) >= F.lit(total) * (cap + 1 - denom)
-    ).select(F.col("gram").alias("bigram"))
+    # threshold computed DRIVER-SIDE in Python big-int arithmetic:
+    # w·denom·(cap+1) ≥ N·(cap+1−denom)  ⇔  w ≥ ceil(N·(cap+1−denom) /
+    # (denom·(cap+1))) for integer w — the in-plan product form would
+    # silently wrap 64-bit once N exceeds ~2^63/(denom·(cap+1)) (≈7e12
+    # grams at the defaults, i.e. exactly the advertised scale) and start
+    # DROPPING true heavy hitters (self-review r9 finding)
+    thr = -(-(total * (cap + 1 - denom)) // (denom * (cap + 1)))
+    cands = state.filter(F.col("w") >= F.lit(thr)).select(
+        F.col("gram").alias("bigram")
+    )
     return (
         grams.select(F.col("gram").alias("bigram"))
         .join(F.broadcast(cands), "bigram", "left_semi")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") * denom >= F.lit(total))
+        # same overflow-safe ceil form: n·denom ≥ N ⇔ n ≥ ceil(N/denom)
+        .filter(F.col("n") >= F.lit(-(-total // denom)))
     )
 
 

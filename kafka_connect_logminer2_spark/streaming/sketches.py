@@ -38,15 +38,12 @@ and q146 (sketch rollup).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .corpus_ingest import (
-    _empty_rows,
+    _committed_union,
     _ensure_meta,
     _note_row_schema,
-    _store_paths,
     _write_delta,
     compact_chains,
 )
@@ -69,21 +66,6 @@ def sample_key_sql(expr: str) -> str:
 
 def _id_bucket(id_col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int")
-
-
-def _committed_union(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    last = _last_committed_batch(store_dir)
-    if last is None:
-        return None
-    paths = [
-        p
-        for p in _store_paths(store_dir, None, below=last + 1)
-        if any(f.endswith(".parquet") for f in os.listdir(p))
-    ]
-    if not paths:
-        return _empty_rows(spark, store_dir)
-    # leaf-dir read withOUT basePath: never infer b=/v= partition columns
-    return spark.read.parquet(*paths)
 
 
 # ---------------------------------------------------------------- bottom-k
@@ -516,6 +498,7 @@ def write_summary_suite(
         hh_batch_step(
             spark, batch, batch_id, dirs["hh"],
             capacity=hh_capacity, num_buckets=num_buckets,
+            materialized=True,
         )
         hll_batch_step(
             spark, batch, batch_id, dirs["hll"],

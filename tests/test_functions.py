@@ -353,7 +353,11 @@ def test_repetition_signals_values_and_plan(spark):
         toks = text.split(" ")
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         c = Counter(grams)
-        top = max((cnt * len(g) for g, cnt in c.items()), default=0)
+        if not c:
+            return 0, 0
+        # Gopher semantics: chars of the MOST FREQUENT gram (tie -> longest)
+        top_cnt = max(c.values())
+        top = top_cnt * max(len(g) for g, cnt in c.items() if cnt == top_cnt)
         dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
         return top, dup
 
@@ -389,6 +393,9 @@ def test_html_to_text_contract(spark):
         ("<ul><li>a</li><li>b</li></ul>", "a\nb"),
         ("  <td>pad</td>  ", "pad"),
         ("no markup", "no markup"),
+        # \x0B is in Java's \s but NOT RE2's — the control-normalization
+        # step must make it vanish identically on both engines
+        ("vert\x0btab and\rcr", "vert tab and cr"),
     ]
     import pyspark.sql.functions as F
 
@@ -423,6 +430,12 @@ def test_url_canonicalize_contract(spark):
         ("plain text not a url", "plain text not a url"),
         ("HTTPS://UP.example.org:443/KeepCase/Path?Z=1",
          "https://up.example.org/KeepCase/Path?Z=1"),
+        # self-review r9: literal & in a query-less path must NOT be
+        # promoted to '?', and a non-URL keeps its '#'/'&' tail verbatim
+        ("http://a.com/a&b", "http://a.com/a&b"),
+        ("see #42 & more", "see #42 & more"),
+        ("http://a.com/x?utm_a=1&utm_b=2&c=3", "http://a.com/x?c=3"),
+        ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
     ]
     import pyspark.sql.functions as F
 
