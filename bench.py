@@ -101,6 +101,8 @@ HEADLINE = [
     "q168_cross_modal_av_neardup",
     "q169_html_extract",
     "q170_url_canonicalize",
+    "q171_link_extract",
+    "q172_domain_cap",
 ]
 
 

@@ -9286,6 +9286,117 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def q171_link_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Link extraction (the crawl frontier / link-graph source — what
+    feeds PageRank q138 in a real web pipeline): pull every ``<a href>``
+    target out of HTML (double- AND single-quoted forms, two
+    regexp_extract_all passes — the Java∩RE2 subset has no backrefs to
+    unify the quote), canonicalize each link with q170's chain, and emit
+    one (doc_id, link, domain) row per extracted edge. The HTML is
+    derived deterministically from each doc's id (two links per doc:
+    a messy utm/port/case variant and a fragment-bearing https one), so
+    the oracle states the canonical results in CLOSED FORM — the chains
+    themselves are value-pinned by q169/q170. Scan-speed: two
+    regexp_extract_all + one explode, zero Python, zero shuffle before
+    the final order."""
+    from ..functions.text import url_canonicalize
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<p>Doc <a href="HTTP://Site'), (F.col("doc_id") % 11).cast("string"),
+        F.lit('.COM:80/page/'), (F.col("doc_id") % 31).cast("string"),
+        F.lit('?utm_x=1">one</a> and <a href=\'https://Ref'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".org/x#f'>two</a></p>"),
+    )
+    links = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.regexp_extract_all(html, F.lit(r'<a[^>]*href="([^"]*)"'), F.lit(1)),
+                F.regexp_extract_all(html, F.lit(r"<a[^>]*href='([^']*)'"), F.lit(1)),
+            )
+        ).alias("href"),
+    )
+    canon = url_canonicalize(F.col("href"))
+    return links.select(
+        "doc_id",
+        canon.alias("link"),
+        F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1).alias(
+            "domain"
+        ),
+    ).orderBy("doc_id", "link")
+
+
+Q171_SQL = """
+WITH e AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 11) || '.com/page/' || (doc_id % 31) AS link,
+         'site' || (doc_id % 11) || '.com' AS domain
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://ref' || (doc_id % 5) || '.org/x' AS link,
+         'ref' || (doc_id % 5) || '.org' AS domain
+  FROM documents
+)
+SELECT doc_id, link, domain FROM e ORDER BY doc_id, link
+"""
+
+
+def q172_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain crawl cap (the FineWeb-style diversity limit: at most k
+    pages per registrable domain, chosen REPRODUCIBLY): each doc gets its
+    cdc35 canonical URL (doc_id % 199 domains), survivors are the k=3
+    smallest engine-portable md5 sample keys per domain (ties broken by
+    doc_id). Unlike the per-source quotas (q125, rate-based q48/q93),
+    the cap is per-DOMAIN and fixed-k — the crawl-politeness shape. One
+    window over (domain), exact integer membership; output (domain,
+    n_kept, id_sum) pins the exact surviving set per domain."""
+    from pyspark.sql import Window
+
+    from ..streaming.sketches import sample_key
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    rows = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 199).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        sample_key("doc_id").alias("skey"),
+    )
+    w = Window.partitionBy("domain").orderBy("skey", "doc_id")
+    kept = rows.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 3
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+Q172_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         'host' || (doc_id % 199) || '.example.com' AS domain,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS skey
+  FROM documents
+),
+k AS (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY skey, doc_id) AS rn
+  FROM r
+)
+SELECT domain, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM k WHERE rn <= 3 GROUP BY domain ORDER BY domain
+"""
+
+
 def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The composed summary-suite pipeline (streaming/sketches.py::
     write_summary_suite): ONE document stream maintains heavy-hitter
@@ -9705,6 +9816,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q169_html_extract": (q169_html_extract, Q169_SQL),
     "q170_url_canonicalize": (q170_url_canonicalize, Q170_SQL),
     "cdc35_web_ingest": (cdc35_web_ingest, CDC35_SQL),
+    "q171_link_extract": (q171_link_extract, Q171_SQL),
+    "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

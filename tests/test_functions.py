@@ -451,3 +451,20 @@ def test_url_canonicalize_contract(spark):
         want = cases[r["i"]][1]
         assert r["got"] == want, (cases[r["i"]][0], r["got"], want)
         assert r["again"] == r["got"], cases[r["i"]][0]
+
+
+def test_link_extract_quote_forms(spark):
+    """q171's href regexes: double- and single-quoted hrefs both extract;
+    unquoted/malformed anchors are skipped (the documented subset)."""
+    import pyspark.sql.functions as F
+
+    html = ('<a href="http://a.com/x">A</a> <a class=z href=\'http://b.com\'>'
+            "B</a> <a href=nope>C</a> plain")
+    df = spark.createDataFrame([(0, html)], "i long, h string")
+    got = df.select(
+        F.concat(
+            F.regexp_extract_all(F.col("h"), F.lit(r'<a[^>]*href="([^"]*)"'), F.lit(1)),
+            F.regexp_extract_all(F.col("h"), F.lit(r"<a[^>]*href='([^']*)'"), F.lit(1)),
+        ).alias("links")
+    ).first()["links"]
+    assert got == ["http://a.com/x", "http://b.com"]
