@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+contract JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf} followed by a COMPACT final line.
+
+The compact final line exists because the driver archives only the last
+~1.9 KB of stdout (BENCH_r09.json's ``tail`` cut the full line mid-key,
+r9 verdict task #2): it carries the same totals plus ``qc`` — the cold
+timings keyed by each entry's unique numeric prefix ("q105", "cdc30") —
+and fits the tail window whole. ``tools/bench_compare.py`` expands the
+short keys back to full entry names via SHORT_TO_FULL below.
 
 Each query is executed to completion (count() of the result — full plan runs,
 nothing collected to the driver beyond the count).
@@ -103,7 +110,14 @@ HEADLINE = [
     "q170_url_canonicalize",
     "q171_link_extract",
     "q172_domain_cap",
+    # r10 additions
+    "cdc36_cdb_dictionary",
 ]
+
+# "q105" -> "q105_minhash_banded": the numeric prefix is unique across the
+# suite (enforced below), so the compact tail line can key on it.
+SHORT_TO_FULL = {name.split("_", 1)[0]: name for name in HEADLINE}
+assert len(SHORT_TO_FULL) == len(HEADLINE), "headline numeric prefixes must be unique"
 
 
 def main() -> None:
@@ -157,6 +171,22 @@ def main() -> None:
                 "sf": sf,
             }
         )
+    )
+    # Compact LAST line (~1.2 KB): survives the driver's ~1.9 KB stdout-tail
+    # window whole, so BENCH_r{N}.json always contains a parseable dict.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "value_cold": round(sum(cold.values()), 3),
+                "sf": sf,
+                "qc": {name.split("_", 1)[0]: v for name, v in cold.items()},
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -429,16 +429,23 @@ def url_canonicalize(url: Column) -> Column:
 
     The WHOLE chain is gated on the input matching ``scheme://`` — a
     non-URL string passes through BYTE-VERBATIM ('see #42 & more' keeps
-    its fragment-looking tail). utm removal is three separator-aware
-    steps (non-leading params, leading-followed-by-more, leading-alone)
-    rather than strip-then-promote: a blanket first-&→? promotion would
-    rewrite URLs whose PATH contains a literal ``&`` into a different
-    resource (self-review r9 finding)."""
+    its fragment-looking tail). utm removal is anchored to the QUERY
+    STRING: the post-fragment URL is split at the first ``?`` (RFC 3986's
+    query start) and the three separator-aware removal steps (non-leading
+    params, leading-followed-by-more, leading-alone) run on the query
+    part only, so a literal ``&utm_x=...`` inside a PATH segment is
+    preserved byte-verbatim (r10 advisory: the unanchored non-leading
+    pattern excised it, silently merging distinct resources). The split
+    is ``instr``/``substr`` — same builtins, same codegen class."""
     is_url = url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
     u = F.regexp_replace(url, r"#.*$", "")
-    u = F.regexp_replace(u, r"&utm_[a-z]+=[^&#]*", "")
-    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*&", "?")
-    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*$", "")
+    qpos = F.instr(u, "?")
+    head = F.when(qpos == 0, u).otherwise(u.substr(F.lit(1), qpos - 1))
+    query = F.when(qpos == 0, F.lit("")).otherwise(u.substr(qpos, F.length(u)))
+    query = F.regexp_replace(query, r"&utm_[a-z]+=[^&#]*", "")
+    query = F.regexp_replace(query, r"\?utm_[a-z]+=[^&#]*&", "?")
+    query = F.regexp_replace(query, r"\?utm_[a-z]+=[^&#]*$", "")
+    u = F.concat(head, query)
     auth = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
     prefix = F.regexp_extract(u, auth, 0)
     u = F.concat(F.lower(prefix), u.substr(F.length(prefix) + 1, F.length(u)))

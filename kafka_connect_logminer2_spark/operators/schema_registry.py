@@ -76,6 +76,82 @@ class ColumnMeta:
         return StringType()  # fallback (:238-240)
 
 
+def _meta_from_row(r) -> ColumnMeta:
+    """Dictionary-relation row → ColumnMeta (column names per the reference
+    dictionary query's projection, OracleConnectorSQL2.java:13/:15)."""
+    return ColumnMeta(
+        owner=r["owner"],
+        table_name=r["table_name"],
+        column_name=r["column_name"],
+        nullable=r["nullable"] == "Y",
+        data_type=r["data_type"],
+        data_length=r["data_length"] or 0,
+        data_scale=r["data_scale"] or 0,
+        data_precision=r["data_precision"] or 0,
+        pk_column=bool(r["pk_column"]),
+        uq_column=bool(r["uq_column"]),
+    )
+
+
+def dictionary_loader(
+    dictionary: DataFrame,
+    config=None,
+    *,
+    multitenant: bool | None = None,
+    con_id: int | None = None,
+):
+    """Dictionary-query fork on ``EngineConfig.multitenant`` — the reference
+    picks TABLE_WITH_COLS vs TABLE_WITH_COLS_CDB on exactly this flag
+    (OracleSourceConnectorUtils2.java:161-163; OracleConnectorSQL2.java:13
+    vs :15). Returns a ``(owner, table) -> list[ColumnMeta] | None`` loader
+    for ``SchemaRegistry(loader=...)``.
+
+    Single-tenant reads a TABLE_WITH_COLS-shaped relation (``dba_*`` views —
+    no CON_ID column). Multitenant reads the TABLE_WITH_COLS_CDB shape
+    (``CDB_*`` views): the reference's CDB SQL threads CON_ID through every
+    dictionary join precisely because a CDB sees every container's
+    same-named tables at once, so here ``con_id`` (the connector's
+    container) is REQUIRED and pruned before the per-table load. Guards are
+    loud in both directions: a con_id column present under
+    ``multitenant=False`` would interleave columns from every container
+    into one schema — refuse rather than load garbage.
+
+    Per-table loads collect a handful of dictionary rows driver-side — the
+    registry is driver-state by design (module docstring); at 100 TB the
+    dictionary relation is KBs per table and the loader runs once per
+    (table, DDL epoch), never per record.
+    """
+    if multitenant is None:
+        multitenant = bool(getattr(config, "multitenant", False))
+    has_con_id = "con_id" in dictionary.columns
+    if multitenant:
+        if not has_con_id:
+            raise ValueError(
+                "multitenant=True needs a CDB-shaped dictionary (con_id column "
+                "missing — TABLE_WITH_COLS_CDB projects CON_ID first)"
+            )
+        if con_id is None:
+            raise ValueError(
+                "multitenant=True requires con_id: a CDB dictionary holds every "
+                "container's same-named tables; pick the connector's container"
+            )
+    elif has_con_id:
+        raise ValueError(
+            "dictionary has a con_id column but multitenant=False — set "
+            "EngineConfig.multitenant (a single-tenant load would interleave "
+            "columns from every container)"
+        )
+
+    def load(owner: str, table: str) -> list[ColumnMeta] | None:
+        pred = (F.col("owner") == owner) & (F.col("table_name") == table)
+        if multitenant:
+            pred = pred & (F.col("con_id") == con_id)
+        rows = dictionary.filter(pred).orderBy("column_id").collect()
+        return [_meta_from_row(r) for r in rows] or None
+
+    return load
+
+
 class SchemaRegistry:
     """Lazy, memoized, DDL-invalidated table-schema cache (A12).
 
@@ -108,21 +184,7 @@ class SchemaRegistry:
             .orderBy("column_id")
             .collect()
         )
-        self._tables[self.key(owner, table)] = [
-            ColumnMeta(
-                owner=r["owner"],
-                table_name=r["table_name"],
-                column_name=r["column_name"],
-                nullable=r["nullable"] == "Y",
-                data_type=r["data_type"],
-                data_length=r["data_length"] or 0,
-                data_scale=r["data_scale"] or 0,
-                data_precision=r["data_precision"] or 0,
-                pk_column=bool(r["pk_column"]),
-                uq_column=bool(r["uq_column"]),
-            )
-            for r in rows
-        ]
+        self._tables[self.key(owner, table)] = [_meta_from_row(r) for r in rows]
 
     def invalidate(self, owner: str, table: str) -> None:
         """DDL-triggered cache invalidation
@@ -188,7 +250,13 @@ def apply_table_schema(
     ``data``/``before`` become typed nested structs per the registry schema —
     the per-table step the reference does per-record in createDataSchema
     (:386-415), here as a single Catalyst projection over the whole batch.
+    The registry is consulted lazily first (``ensure``), matching the
+    reference's load-dictionary-on-demand before schema build (:156-252).
     """
+    if not registry.ensure(owner, table):
+        raise KeyError(
+            f"no dictionary columns for {owner}.{table} (registered or via loader)"
+        )
     raw_schema = registry.raw_struct_type(owner, table)
     metas = registry.columns(owner, table)
 

@@ -7431,9 +7431,11 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     Oracle-checkable since r8 (the q26 pattern): DuckDB cannot reproduce
     the DataSketches binary, so each row carries the EXACT distinct count
     (both engines compute it) plus the measured accuracy gate — estimate
-    within 5% of exact — which the oracle pins TRUE per source AND for
-    the union-path global row. The finer union-vs-direct <1% gate stays
-    in tests/test_r5b_ops.py and q155 (hll_union_rel_error)."""
+    within 10% of exact (~6σ at lgK=12, see cdc31's derivation; r10
+    advisory widened the old 5%≈3σ gate that could flake at an untested
+    sf) — which the oracle pins TRUE per source AND for the union-path
+    global row. The finer union-vs-direct <1% gate stays in
+    tests/test_r5b_ops.py and q155 (hll_union_rel_error)."""
     docs = load_table(spark, sf, "documents")
     sketches = docs.groupBy("source").agg(
         F.hll_sketch_agg("text", F.lit(12)).alias("sk"),
@@ -7445,8 +7447,8 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
             "n_exact",
             (
                 F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact"))
-                <= 0.05 * F.col("n_exact")
-            ).alias("est_within_5pct"),
+                <= 0.10 * F.col("n_exact")
+            ).alias("est_ok"),
         )
         exact_all = docs.select("text").distinct().count()
         global_row = (
@@ -7459,8 +7461,8 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
                         F.hll_sketch_estimate("sk").cast("double")
                         - F.lit(float(exact_all))
                     )
-                    <= F.lit(0.05 * exact_all)
-                ).alias("est_within_5pct"),
+                    <= F.lit(0.10 * exact_all)
+                ).alias("est_ok"),
             )
         )
         # materialize the |sources|+1-row result so the cache can be
@@ -7475,7 +7477,7 @@ def q146_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 Q146_SQL = """
 SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
-       TRUE AS est_within_5pct
+       TRUE AS est_ok
 FROM documents GROUP BY source
 UNION ALL
 SELECT '__all__', CAST(count(DISTINCT text) AS BIGINT), TRUE FROM documents
@@ -8900,9 +8902,14 @@ def cdc31_hll_distinct_mv(spark: SparkSession, sf: str) -> DataFrame:
     exercises the hll_union_agg fold. The entry emits the q26/q146
     measurement discipline: per-source and overall EXACT distinct counts
     (relational — the oracle recomputes them) plus an ``est_ok`` gate
-    pinning the streamed sketch estimate within 5% of exact. Gates use
+    pinning the streamed sketch estimate within 10% of exact. Gates use
     tolerance, never estimate equality — datasketches unions can shift ±1
-    at sparse/dense mode transitions (module docstring)."""
+    at sparse/dense mode transitions (module docstring). Margin
+    derivation (r10 advisory): lgK=12 → RSE ≈ 1.04/√4096 ≈ 1.6%, so 5%
+    was a ~3σ gate hard-wired into a value hash — a legitimate estimate
+    at an untested scale factor could fail the whole entry; 10% (~6σ,
+    P(miss) < 1e-9) keeps the gate meaningful while making a breach mean
+    a store bug, not sketch variance."""
     import shutil as _shutil
     import tempfile
 
@@ -8930,7 +8937,7 @@ def cdc31_hll_distinct_mv(spark: SparkSession, sf: str) -> DataFrame:
                 "source",
                 "n_exact",
                 (
-                    F.abs(F.col("est") / F.col("n_exact") - 1) <= 0.05
+                    F.abs(F.col("est") / F.col("n_exact") - 1) <= 0.10
                 ).alias("est_ok"),
             )
             .orderBy("source")
@@ -9109,11 +9116,12 @@ def cdc35_web_ingest(spark: SparkSession, sf: str) -> DataFrame:
     forms must land exactly once, and only canonicalization can see it —
     and whose HTML is the doc text in <p> wrappers the extractor must
     strip before the ≥45-token floor. The oracle derives the whole
-    pipeline relationally: the canonical form and the extracted text are
-    closed-form for this fixture (the chains themselves are value-pinned
-    by q170/q169), the floor is a token count, and the accepted set is
-    cdc17's first-occurrence rule over canonical URLs — per-batch
-    accepted count and id-sum pin every stage at once."""
+    pipeline relationally: the canonical form is closed-form for this
+    fixture, the extraction chain is MIRRORED in the oracle before the
+    token floor (r10 advisory — counting raw-text tokens only coincided
+    while the fixture corpus stayed markup/entity-free), and the
+    accepted set is cdc17's first-occurrence rule over canonical URLs —
+    per-batch accepted count and id-sum pin every stage at once."""
     import shutil as _shutil
     import tempfile
 
@@ -9161,13 +9169,41 @@ def cdc35_web_ingest(spark: SparkSession, sf: str) -> DataFrame:
         _shutil.rmtree(tmp, ignore_errors=True)
 
 
-CDC35_SQL = """
-WITH t AS (
+CDC35_SQL = r"""
+WITH ext AS (
+  -- mirror the pipeline: the page html is '<p>' || text || '</p>' and the
+  -- token floor counts tokens of the EXTRACTED text (r10 advisory — the
+  -- old oracle counted RAW-text tokens, which only coincided because the
+  -- fixture corpus is single-spaced and markup-free); chain = Q169_SQL's
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(
+      '<p>' || text || '</p>',
+      '(?is)<script\b[^>]*>.*?</script[ \t\n\f\r]*>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style[ \t\n\f\r]*>', ' ', 'g'),
+      '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>', chr(10), 'g'),
+      '<[a-zA-Z/!][^>]*>', ' ', 'g'),
+      '[\x00-\x08\x0b-\x1f]', ' ', 'g'),
+      '&nbsp;', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', chr(39), 'g'),
+      '&amp;', '&', 'g'),
+      '[ ' || chr(9) || ']+', ' ', 'g'),
+      '[ ' || chr(9) || ']*' || chr(10) || '[ ' || chr(9) || ']*', chr(10), 'g'),
+      '^[ ' || chr(9) || chr(10) || ']+|[ ' || chr(9) || chr(10) || ']+$', '', 'g')
+      AS extracted
+  FROM documents
+),
+t AS (
   SELECT doc_id, doc_id % 3 AS batch,
          'http://host' || (doc_id % 199) || '.example.com/p/' ||
          (doc_id % 199) AS canon,
-         len(string_split(text, ' ')) AS n_toks
-  FROM documents
+         len(string_split(extracted, ' ')) AS n_toks
+  FROM ext
 ),
 q AS (SELECT * FROM t WHERE n_toks >= 45),
 r AS (
@@ -9198,6 +9234,10 @@ _Q170_PLANTED = [
     (10, "see #42 & more"),                         # non-URL: gate keeps
                                                     # the fragment-ish tail
     (11, "http://a.com/x?utm_a=1&utm_b=2&c=3"),     # consecutive leading utm
+    (12, "http://a.com/a&utm_x=1/b"),               # &utm_ in PATH: kept
+                                                    # verbatim (r10 advisory)
+    (13, "http://a.com/a&utm_p=1/b?utm_a=1&c=2"),   # path & kept, query utm
+                                                    # still removed
 ]
 
 
@@ -9247,7 +9287,9 @@ WITH planted(doc_id, url) AS (VALUES
   (23000008, 'HTTPS://UP.example.org:443/KeepCase/Path?Z=1'),
   (23000009, 'http://a.com/a&b'),
   (23000010, 'see #42 & more'),
-  (23000011, 'http://a.com/x?utm_a=1&utm_b=2&c=3')
+  (23000011, 'http://a.com/x?utm_a=1&utm_b=2&c=3'),
+  (23000012, 'http://a.com/a&utm_x=1/b'),
+  (23000013, 'http://a.com/a&utm_p=1/b?utm_a=1&c=2')
 ),
 allrows AS (
   SELECT doc_id,
@@ -9257,14 +9299,23 @@ allrows AS (
   UNION ALL
   SELECT CAST(doc_id AS BIGINT), url FROM planted
 ),
-s1 AS (
-  SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(
-     regexp_replace(url,
-     '#.*$', '', 'g'),
-     '&utm_[a-z]+=[^&#]*', '', 'g'),
-     '\?utm_[a-z]+=[^&#]*&', '?', 'g'),
-     '\?utm_[a-z]+=[^&#]*$', '', 'g') AS u
+s0 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS u
   FROM allrows
+),
+s1 AS (
+  -- utm removal anchored to the query string: split at the first '?'
+  -- (mirrors text.py::url_canonicalize's instr/substr split) so a
+  -- literal &utm_ inside a PATH segment survives
+  SELECT doc_id, url,
+         (CASE WHEN instr(u, '?') = 0 THEN u
+               ELSE substr(u, 1, instr(u, '?') - 1) END) ||
+         regexp_replace(regexp_replace(regexp_replace(
+           CASE WHEN instr(u, '?') = 0 THEN '' ELSE substr(u, instr(u, '?')) END,
+           '&utm_[a-z]+=[^&#]*', '', 'g'),
+           '\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+           '\?utm_[a-z]+=[^&#]*$', '', 'g') AS u
+  FROM s0
 ),
 s2 AS (
   SELECT doc_id, url,
@@ -9455,7 +9506,9 @@ def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
             .select(
                 F.lit("distinct_ok").alias("metric"),
                 F.col("source").alias("key"),
-                (F.abs(F.col("est") / F.col("n_exact") - 1) <= 0.05)
+                # 10% gate = ~6σ at lgK=12 (RSE ≈ 1.6%) — see cdc31's
+                # derivation; a breach means a store bug, not HLL variance
+                (F.abs(F.col("est") / F.col("n_exact") - 1) <= 0.10)
                 .cast("long")
                 .alias("value"),
             )
@@ -9622,6 +9675,85 @@ SELECT p.q AS q, p.target AS target, CAST(p.bin AS BIGINT) AS bin,
        CAST(tot.n AS BIGINT) AS n_total
 FROM pick p JOIN cum ON cum.bin = p.bin, tot
 ORDER BY q
+"""
+
+
+def cdc36_cdb_dictionary(spark: SparkSession, sf: str) -> DataFrame:
+    """Multitenant (CDB) dictionary fork threaded end-to-end (A12): the
+    reference forks its dictionary query on the ``multitenant`` config key
+    (OracleSourceConnectorUtils2.java:161-163) to the CDB relation that
+    carries CON_ID through every dictionary join
+    (OracleConnectorSQL2.java:15 TABLE_WITH_COLS_CDB vs :13) — the last
+    reference config key that was previously accepted but inert (r9
+    verdict #1). ``EngineConfig.multitenant=True`` now selects the
+    CDB-shaped dictionary relation in ``schema_registry.dictionary_loader``,
+    which REQUIRES the connector's container id and prunes CON_ID before
+    the per-table load. The fixture dictionary holds the same
+    TPCH.CUSTOMER in TWO containers: con_id 3 (the connector's PDB,
+    correct NUMBER-ladder types) and decoy con_id 4 whose same-named
+    columns carry different types (C_ACCTBAL VARCHAR2, C_CUSTKEY/
+    C_NATIONKEY narrowed) — loading from the wrong container, or without
+    the prune, changes output typing and breaks the hash. The registry
+    starts EMPTY: ``apply_table_schema``'s lazy ``ensure`` pulls the
+    dictionary through the loader mid-pipeline, the reference's
+    load-dictionary-on-demand contract (:156-252). The loaded DATA_TYPE
+    of C_ACCTBAL is emitted as a column so the picked container is
+    value-pinned, not just schema-pinned."""
+    from ..operators.schema_registry import SchemaRegistry, dictionary_loader
+    from ..plans.cdc import default_config
+
+    dict_rows = []
+    spec = {
+        3: [  # the connector's container: customer_registry's exact types
+            ("C_CUSTKEY", "NUMBER", 22, 0, 18),
+            ("C_NAME", "VARCHAR2", 25, 0, 0),
+            ("C_NATIONKEY", "NUMBER", 22, 0, 9),
+            ("C_ACCTBAL", "NUMBER", 22, 2, 12),
+            ("C_MKTSEGMENT", "VARCHAR2", 10, 0, 0),
+        ],
+        4: [  # decoy container: same table name, conflicting types
+            ("C_CUSTKEY", "NUMBER", 22, 0, 9),
+            ("C_NAME", "VARCHAR2", 25, 0, 0),
+            ("C_NATIONKEY", "NUMBER", 22, 0, 2),
+            ("C_ACCTBAL", "VARCHAR2", 20, 0, 0),
+            ("C_MKTSEGMENT", "VARCHAR2", 10, 0, 0),
+        ],
+    }
+    for con_id, cols in spec.items():
+        for i, (name, dt, ln, sc, pr) in enumerate(cols):
+            dict_rows.append(
+                dict(
+                    con_id=con_id, owner="TPCH", table_name="CUSTOMER",
+                    column_name=name, column_id=i + 1, nullable="Y",
+                    data_type=dt, data_length=ln, data_scale=sc,
+                    data_precision=pr, pk_column=int(name == "C_CUSTKEY"),
+                    uq_column=0,
+                )
+            )
+    dictionary = spark.createDataFrame(dict_rows)
+    cfg = default_config()
+    cfg.multitenant = True
+    reg = SchemaRegistry(loader=dictionary_loader(dictionary, cfg, con_id=3))
+    out = run_cdc_batch(
+        _redo_input(spark, sf, "ins", redo_inserts_from_customer),
+        config=cfg,
+        registry=reg,
+    )
+    loaded = {c.column_name: c.data_type for c in reg.columns("TPCH", "CUSTOMER")}
+    return out.select(
+        F.col("data.C_CUSTKEY").alias("c_custkey"),
+        F.col("data.C_NAME").alias("c_name"),
+        F.col("data.C_NATIONKEY").alias("c_nationkey"),
+        F.col("data.C_ACCTBAL").alias("c_acctbal"),
+        F.col("data.C_MKTSEGMENT").alias("c_mktsegment"),
+        F.lit(loaded["C_ACCTBAL"]).alias("acctbal_dict_type"),
+    )
+
+
+CDC36_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       'NUMBER' AS acctbal_dict_type
+FROM customer WHERE c_custkey % 10 NOT IN (3, 4)
 """
 
 
@@ -9816,6 +9948,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q169_html_extract": (q169_html_extract, Q169_SQL),
     "q170_url_canonicalize": (q170_url_canonicalize, Q170_SQL),
     "cdc35_web_ingest": (cdc35_web_ingest, CDC35_SQL),
+    "cdc36_cdb_dictionary": (cdc36_cdb_dictionary, CDC36_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }

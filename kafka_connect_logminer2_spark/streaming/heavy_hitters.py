@@ -59,7 +59,7 @@ from .corpus_ingest import (
     _write_delta,
     compact_chains,
 )
-from .snapshot import _last_committed_batch, _mark_committed, _read_meta
+from .snapshot import _mark_committed, _read_meta
 
 
 def _counts_bucket(num_buckets: int) -> F.Column:

@@ -47,7 +47,7 @@ from .corpus_ingest import (
     _write_delta,
     compact_chains,
 )
-from .snapshot import _last_committed_batch, _mark_committed, _read_meta
+from .snapshot import _mark_committed, _read_meta
 
 
 def sample_key(id_col: str) -> F.Column:

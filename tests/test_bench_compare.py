@@ -90,3 +90,51 @@ def test_load_bench_formats(tmp_path):
         json.dumps({"n": 8, "parsed": {"sf": 0.1, "queries_cold": q}})
     )
     assert load_bench(str(intact)) == {"sf": 0.1, "cold": q}
+
+
+def test_load_bench_compact_line(tmp_path):
+    """r10: bench.py's compact final line (short ``qc`` keys) is preferred
+    over the head-truncated full line — both in raw stdout and inside the
+    driver wrapper's ~1.9 KB stdout tail."""
+    from bench import SHORT_TO_FULL
+
+    full_name = SHORT_TO_FULL["q105"]
+    compact = json.dumps(
+        {"metric": "headline_suite_total", "value": 1.0, "unit": "sec",
+         "value_cold": 1.3, "sf": 0.1, "qc": {"q105": 1.3}},
+        separators=(",", ":"),
+    )
+
+    # stdout: head-truncated full line, then the intact compact line
+    out = tmp_path / "stdout.txt"
+    out.write_text('_cold": {"' + full_name + '": 1.3}, "sf": 0.1}\n' + compact + "\n")
+    assert load_bench(str(out)) == {"sf": 0.1, "cold": {full_name: 1.3}}
+
+    # driver wrapper: parsed null, tail holds the same truncated-then-compact text
+    wrapped = tmp_path / "driver.json"
+    wrapped.write_text(json.dumps({
+        "n": 10, "sf": 0.1, "parsed": None,
+        "tail": '_cold": {"' + full_name + '": 1.3}, "sf": 0.1}\n' + compact + "\n",
+    }))
+    assert load_bench(str(wrapped)) == {"sf": 0.1, "cold": {full_name: 1.3}}
+
+    # driver wrapper whose parsed dict IS the compact object
+    parsed = tmp_path / "driver_compact.json"
+    parsed.write_text(json.dumps({"n": 10, "parsed": json.loads(compact)}))
+    assert load_bench(str(parsed)) == {"sf": 0.1, "cold": {full_name: 1.3}}
+
+
+def test_compact_line_fits_tail_window():
+    """The compact final line must fit the driver's stdout-tail window
+    (~1.9 KB observed in BENCH_r09.json) with headroom — that's the whole
+    point of it. Guard against the suite growing it past the window."""
+    from bench import HEADLINE
+
+    # worst-case rendering: every timing at 4-digit seconds w/ 3 decimals
+    qc = {n.split("_", 1)[0]: 9999.999 for n in HEADLINE}
+    line = json.dumps(
+        {"metric": "headline_suite_total", "value": 99999.999, "unit": "sec",
+         "value_cold": 99999.999, "sf": 0.1, "qc": qc},
+        separators=(",", ":"),
+    )
+    assert len(line) < 1700, f"compact bench line {len(line)}B nears the tail window"

@@ -436,6 +436,11 @@ def test_url_canonicalize_contract(spark):
         ("see #42 & more", "see #42 & more"),
         ("http://a.com/x?utm_a=1&utm_b=2&c=3", "http://a.com/x?c=3"),
         ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
+        # r10 advisory: utm removal is anchored past the first '?', so a
+        # literal &utm_ inside a PATH segment is preserved byte-verbatim
+        # (previously excised, silently merging distinct resources)
+        ("http://a.com/a&utm_x=1/b", "http://a.com/a&utm_x=1/b"),
+        ("http://a.com/a&utm_p=1/b?utm_a=1&c=2", "http://a.com/a&utm_p=1/b?c=2"),
     ]
     import pyspark.sql.functions as F
 

@@ -447,7 +447,7 @@ class TestSketchRollup:
         from kafka_connect_logminer2_spark.plans.queries import q146_sketch_rollup
 
         out = q146_sketch_rollup(spark, "/root/testdata/sf0.001")
-        rows = {r["source"]: (r["n_exact"], r["est_within_5pct"])
+        rows = {r["source"]: (r["n_exact"], r["est_ok"])
                 for r in out.collect()}
         assert "__all__" in rows
         srcs = [s for s in rows if s != "__all__"]

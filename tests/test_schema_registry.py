@@ -68,6 +68,112 @@ def test_load_from_dictionary_df(spark):
     assert reg.columns("O", "T")[0].pk_column is True
 
 
+def _dict_rows(con_id=None):
+    rows = [
+        dict(owner="TPCH", table_name="CUSTOMER", column_name="C_CUSTKEY",
+             column_id=1, nullable="N", data_type="NUMBER", data_length=22,
+             data_scale=0, data_precision=18, pk_column=1, uq_column=0),
+        dict(owner="TPCH", table_name="CUSTOMER", column_name="C_ACCTBAL",
+             column_id=2, nullable="Y", data_type="NUMBER", data_length=22,
+             data_scale=2, data_precision=12, pk_column=0, uq_column=0),
+    ]
+    if con_id is not None:
+        for r in rows:
+            r["con_id"] = con_id
+    return rows
+
+
+def test_dictionary_loader_single_tenant(spark):
+    """Single-tenant fork: TABLE_WITH_COLS shape (no con_id), lazy load
+    through ensure (OracleConnectorSQL2.java:13)."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        dictionary_loader,
+    )
+
+    d = spark.createDataFrame(_dict_rows())
+    reg = SchemaRegistry(loader=dictionary_loader(d, multitenant=False))
+    assert not reg.has("TPCH", "CUSTOMER")
+    assert reg.ensure("TPCH", "CUSTOMER")
+    assert isinstance(reg.struct_type("TPCH", "CUSTOMER")["C_CUSTKEY"].dataType, LongType)
+    assert not reg.ensure("TPCH", "NOPE")  # unknown table: loader returns None
+
+
+def test_dictionary_loader_cdb_prunes_con_id(spark):
+    """CDB fork (OracleConnectorSQL2.java:15): same OWNER.TABLE in two
+    containers; the loader must serve ONLY the connector's container."""
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        dictionary_loader,
+    )
+
+    decoy = _dict_rows(con_id=4)
+    decoy[1]["data_type"] = "VARCHAR2"  # conflicting type in the other PDB
+    decoy[1]["data_precision"] = 0
+    d = spark.createDataFrame(_dict_rows(con_id=3) + decoy)
+    reg = SchemaRegistry(loader=dictionary_loader(d, multitenant=True, con_id=3))
+    assert reg.ensure("TPCH", "CUSTOMER")
+    cols = reg.columns("TPCH", "CUSTOMER")
+    assert len(cols) == 2  # con_id 4's rows never interleave
+    assert isinstance(reg.struct_type("TPCH", "CUSTOMER")["C_ACCTBAL"].dataType, DoubleType)
+
+
+def test_dictionary_loader_consumes_engine_config(spark):
+    """The flag is threaded from EngineConfig (r9 verdict #1 — the key was
+    accepted but inert): config.multitenant picks the relation contract."""
+    from kafka_connect_logminer2_spark.config import EngineConfig
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        dictionary_loader,
+    )
+
+    cdb = spark.createDataFrame(_dict_rows(con_id=3))
+    reg = SchemaRegistry(
+        loader=dictionary_loader(cdb, EngineConfig(multitenant=True), con_id=3)
+    )
+    assert reg.ensure("TPCH", "CUSTOMER")
+
+
+def test_dictionary_loader_guards(spark):
+    """Loud in both directions: CDB shape without the flag would interleave
+    every container's same-named tables; the flag without con_id (or
+    without a CDB-shaped relation) cannot pick a container."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        dictionary_loader,
+    )
+
+    single = spark.createDataFrame(_dict_rows())
+    cdb = spark.createDataFrame(_dict_rows(con_id=3))
+    with pytest.raises(ValueError, match="multitenant"):
+        dictionary_loader(cdb, multitenant=False)
+    with pytest.raises(ValueError, match="con_id"):
+        dictionary_loader(single, multitenant=True, con_id=3)
+    with pytest.raises(ValueError, match="con_id"):
+        dictionary_loader(cdb, multitenant=True)
+
+
+def test_apply_table_schema_lazy_ensure(spark):
+    """apply_table_schema consults the loader on a cold registry (the
+    reference's load-dictionary-on-demand, :156-252) and raises a clear
+    KeyError when no dictionary can serve the table."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.operators.schema_registry import (
+        apply_table_schema,
+        dictionary_loader,
+    )
+
+    d = spark.createDataFrame(_dict_rows())
+    env = spark.createDataFrame(
+        [("TPCH", "CUSTOMER", '{"C_CUSTKEY": "7", "C_ACCTBAL": "1.25"}', None)],
+        "SEG_OWNER: string, TABLE_NAME: string, data_json: string, before_json: string",
+    )
+    reg = SchemaRegistry(loader=dictionary_loader(d))
+    row = apply_table_schema(env, reg, "TPCH", "CUSTOMER").first()
+    assert row["data"]["C_CUSTKEY"] == 7
+    with pytest.raises(KeyError, match="ORDERS"):
+        apply_table_schema(env, reg, "TPCH", "ORDERS")
+
+
 def test_decimal_opt_in_mode(spark):
     """SURVEY §1.3: FLOAT64 reference semantics by default (hash-matching),
     DecimalType(p,s) precision-preserving opt-in."""

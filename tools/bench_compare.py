@@ -5,10 +5,11 @@ to do by hand every round.
 
 Usage: python tools/bench_compare.py BENCH.json [BASELINE.md]
 
-Accepts either format:
- * bench.py's own stdout (one JSON object with ``queries_cold``), or
- * the driver's ``BENCH_r{N}.json`` wrapper (``parsed`` when present,
-   else the ``queries_cold`` dict salvaged from the truncated ``tail``).
+Accepts any of these formats:
+ * bench.py's own stdout — the full ``queries_cold`` line and/or the
+   compact final line (``qc`` short keys, expanded via bench.SHORT_TO_FULL);
+ * the driver's ``BENCH_r{N}.json`` wrapper (``parsed`` when present, else
+   the compact line or a ``queries_cold`` dict salvaged from the ``tail``).
 
 Bands compare COLD timings (the driver's cross-round unit, BASELINE's
 band convention). Entries benched but unbanded are reported (a new entry
@@ -24,31 +25,73 @@ the table's declared sf."""
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
 MARK = "<!-- bench_bands"
 
 
+def _expand_qc(qc: dict[str, float]) -> dict[str, float]:
+    """Expand bench.py's compact-tail short keys ("q105") to full entry
+    names via bench.SHORT_TO_FULL; unknown prefixes pass through verbatim
+    so they surface as UNBANDED instead of vanishing."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import SHORT_TO_FULL
+
+    return {SHORT_TO_FULL.get(k, k): v for k, v in qc.items()}
+
+
+def _cold_from(d: dict) -> dict[str, float] | None:
+    if "queries_cold" in d:
+        return d["queries_cold"]
+    if "qc" in d:
+        return _expand_qc(d["qc"])
+    return None
+
+
+def _last_metric_obj(text: str) -> dict | None:
+    """Last parseable {"metric"...} JSON object, scanning lines bottom-up
+    (bench.py prints the compact dict as its final line)."""
+    for line in reversed(text.splitlines()):
+        idx = line.find('{"metric')
+        if idx < 0:
+            continue
+        try:
+            return json.loads(line[idx:])
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def load_bench(path: str) -> dict:
-    """Return {'sf': float, 'cold': {entry: sec}} from either format."""
+    """Return {'sf': float, 'cold': {entry: sec}} from any of: bench.py
+    stdout (full line and/or compact last line), the driver's
+    ``BENCH_r{N}.json`` wrapper (``parsed`` when present, else salvage
+    from the truncated ``tail``)."""
     with open(path) as f:
         raw = f.read()
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
-        # bench.py stdout with log noise around the JSON line
-        m = re.search(r'\{"metric".*\}', raw)
-        if not m:
+        # bench.py stdout with log noise / multiple JSON lines: take the
+        # LAST parseable {"metric"...} object (the compact final line)
+        d = _last_metric_obj(raw)
+        if d is None:
             raise
-        d = json.loads(m.group(0))
-    if "queries_cold" in d:  # bench.py's own object
-        return {"sf": d.get("sf"), "cold": d["queries_cold"]}
+    cold = _cold_from(d)
+    if cold is not None:  # bench.py's own object (full or compact)
+        return {"sf": d.get("sf"), "cold": cold}
     if d.get("parsed"):  # driver wrapper, intact
         p = d["parsed"]
-        return {"sf": p.get("sf", d.get("sf")), "cold": p["queries_cold"]}
-    # driver wrapper with truncated tail: salvage the cold dict
-    m = re.search(r'"queries_cold": ({[^}]*})', d.get("tail") or "")
+        return {"sf": p.get("sf", d.get("sf")), "cold": _cold_from(p) or p["queries_cold"]}
+    # driver wrapper with truncated tail: prefer the compact line (it fits
+    # the tail window whole), fall back to a salvaged queries_cold dict
+    tail = d.get("tail") or ""
+    last = _last_metric_obj(tail)
+    if last is not None and _cold_from(last) is not None:
+        return {"sf": last.get("sf", d.get("sf")), "cold": _cold_from(last)}
+    m = re.search(r'"queries_cold": ({[^}]*})', tail)
     if not m:
         raise ValueError(f"{path}: no queries_cold found in any format")
     return {"sf": d.get("sf"), "cold": json.loads(m.group(1))}
