@@ -112,6 +112,7 @@ HEADLINE = [
     "q172_domain_cap",
     # r10 additions
     "cdc36_cdb_dictionary",
+    "cdc37_cross_modal_ingest",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

@@ -1907,3 +1907,44 @@ def cross_modal_av_fixture(
         spark.createDataFrame(aud_rows, schema=MEDIA_SCHEMA),
         spark.createDataFrame(vid_rows, schema=MEDIA_SCHEMA),
     )
+
+
+def cross_modal_ingest_fixture(
+    spark, n_clips: int = 10, n_images: int = 8, planted_images: int = 3,
+    n_audios: int = 6, planted_audios: int = 3,
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """(videos, images, audios) with planted CROSS-MODAL HISTORY truth for
+    cdc37 — both cross-modal axes against one video corpus. videos/audios
+    are exactly :func:`cross_modal_av_fixture`'s rows (clips 0..n_clips-1
+    with per-chunk two-tone audio tracks; distractor WAVs 100+i from the
+    verified band-collision-free seed family; remasters 300+i of clip i's
+    track). images add the q164 axis: distractors 400+i from the pattern
+    family appearing in no clip, and 200+i = a BMP ±2-pixel-noise
+    re-encode of clip i's SCENE 1 (the video_scene_fixture seed formula
+    ``i*1000 + s*10`` at s=1) — new bytes, new container, same pixels,
+    the poster-frame case arriving AFTER the clip was ingested."""
+    audios, videos = cross_modal_av_fixture(
+        spark, n_clips=n_clips, n_audios=n_audios, planted=planted_audios
+    )
+    rows = []
+    for i in range(n_images):
+        rows.append(
+            {
+                "media_id": 400 + i, "kind": "image", "mime": "image/ppm",
+                "payload": pattern_frame(32, 24, seed=5_000_000 + i * 7919),
+                "meta_json": "{}",
+            }
+        )
+    rng = np.random.default_rng(987)
+    for i in range(planted_images):
+        arr = decode_image(pattern_frame(32, 24, seed=i * 1000 + 10))
+        noisy = np.clip(
+            arr.astype(np.int16) + rng.integers(-2, 3, size=arr.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": 200 + i, "kind": "image", "mime": "image/bmp",
+                "payload": bmp_payload(noisy), "meta_json": "{}",
+            }
+        )
+    return videos, spark.createDataFrame(rows, schema=MEDIA_SCHEMA), audios

@@ -9678,6 +9678,81 @@ ORDER BY q
 """
 
 
+def cdc37_cross_modal_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-modality ingest dedup (r9 verdict #4): cdc27-29 each dedup
+    within their own store; q164/q168 prove cross-modal matching works
+    batch-side. Composed here against HISTORY: a video corpus is ingested
+    first (``ingest_batch_video(audio_track=True)`` — the akeys/asigs
+    shadow sub-stores carry each accepted clip's chunk-aligned soundtrack
+    fingerprints); then an IMAGE batch arrives whose planted members
+    (200-202) are BMP ±2-noise re-encodes of committed clip scenes —
+    rejected against the VIDEO store (q164's unaligned contract, tau=6)
+    — and an AUDIO batch whose planted members (300-302) re-master
+    committed clips' soundtracks — rejected against the akeys/asigs
+    shadow (q168's chunk-aligned contract, tau=3, min_chunk_sim=0.75).
+    Both probes stay touched-bucket-bounded: key buckets hash (band,val)
+    only, so the unaligned image probe derives the same bounded bucket
+    set as an aligned one (streaming/video_ingest.py module docstring).
+    The oracle pins the accepted (kind, media_id) set exactly — a
+    cross-modal duplicate slipping through (extra row) or a distractor
+    falsely rejected (missing row) breaks the value hash."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..functions import multimodal as M
+    from ..streaming.video_ingest import (
+        ingest_batch_audio,
+        ingest_batch_image,
+        ingest_batch_video,
+        read_audio_ingested,
+        read_image_ingested,
+        read_video_ingested,
+    )
+
+    videos, images, audios = M.cross_modal_ingest_fixture(spark)
+    tmp = tempfile.mkdtemp(prefix="cdc37_")
+    try:
+        vstore = f"{tmp}/vstore"
+        ingest_batch_video(
+            spark, videos, 0, f"{tmp}/vout", vstore, audio_track=True
+        )
+        ingest_batch_image(
+            spark, images, 0, f"{tmp}/iout", f"{tmp}/istore",
+            video_store_dir=vstore,
+        )
+        ingest_batch_audio(
+            spark, audios, 0, f"{tmp}/aout", f"{tmp}/astore",
+            video_store_dir=vstore,
+        )
+        parts = [
+            read_video_ingested(spark, f"{tmp}/vout", vstore)
+            .select(F.lit("video").alias("kind"), "media_id"),
+            read_image_ingested(spark, f"{tmp}/iout", f"{tmp}/istore")
+            .select(F.lit("image").alias("kind"), "media_id"),
+            read_audio_ingested(spark, f"{tmp}/aout", f"{tmp}/astore")
+            .select(F.lit("audio").alias("kind"), "media_id"),
+        ]
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return out.orderBy("kind", "media_id").localCheckpoint()
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC37_SQL = """
+WITH accepted(kind, media_id) AS (
+  SELECT 'video', * FROM range(0, 10)       -- all 10 clips distinct
+  UNION ALL
+  SELECT 'image', 400 + i FROM range(0, 8) AS t(i)   -- image distractors
+  UNION ALL
+  SELECT 'audio', 100 + i FROM range(0, 6) AS t(i)   -- audio distractors
+  -- planted images 200-202 (clip-scene re-encodes) and audios 300-302
+  -- (soundtrack remasters) are REJECTED against the video store
+)
+SELECT kind, CAST(media_id AS BIGINT) AS media_id
+FROM accepted ORDER BY kind, media_id
+"""
+
+
 def cdc36_cdb_dictionary(spark: SparkSession, sf: str) -> DataFrame:
     """Multitenant (CDB) dictionary fork threaded end-to-end (A12): the
     reference forks its dictionary query on the ``multitenant`` config key
@@ -9949,6 +10024,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q170_url_canonicalize": (q170_url_canonicalize, Q170_SQL),
     "cdc35_web_ingest": (cdc35_web_ingest, CDC35_SQL),
     "cdc36_cdb_dictionary": (cdc36_cdb_dictionary, CDC36_SQL),
+    "cdc37_cross_modal_ingest": (cdc37_cross_modal_ingest, CDC37_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }

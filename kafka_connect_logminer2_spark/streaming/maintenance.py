@@ -33,9 +33,13 @@ from .snapshot import _last_committed_batch, _read_meta
 _OVERLAY_DIRS = ("_closes", "_tomb", "_tombstones")
 
 # the media ingest stores' two-sub-store kinds (video/image/audio share
-# one layout — streaming/video_ingest.py's modality-generic core)
+# one layout — streaming/video_ingest.py's modality-generic core;
+# video_audio = the audio-track shadow sub-stores cdc37's cross-modal
+# probe reads, same layout)
 _MEDIA_KINDS = frozenset(
-    f"{m}_{part}" for m in ("video", "image", "audio") for part in ("keys", "sigs")
+    f"{m}_{part}"
+    for m in ("video", "image", "audio", "video_audio")
+    for part in ("keys", "sigs")
 )
 
 

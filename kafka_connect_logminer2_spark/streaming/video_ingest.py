@@ -37,6 +37,23 @@ are accepted as-is — they cannot participate in perceptual similarity;
 byte-exact control for them is write_dedup_ingest's job (the same
 division of labor as the text near store's no-signature rule).
 
+CROSS-MODAL rejection (r9 verdict #4): cdc27-29's stores each dedup
+within one modality; q164/q168 prove the batch-side cross-modal
+matches. Composed here: an image arriving AFTER a video whose scene it
+duplicates is rejectable against the VIDEO store
+(``ingest_batch_image(video_store_dir=...)`` — q164's unaligned
+semantics, a still may match ANY stored scene), and a standalone audio
+clip against the video store's AUDIO-TRACK sub-stores
+(``ingest_batch_audio(video_store_dir=...)`` probing the ``akeys``/
+``asigs`` shadow family that ``ingest_batch_video(audio_track=True)``
+maintains from each accepted clip — q168's chunk-aligned semantics).
+Key buckets hash (band, val) WITHOUT the scene ordinal precisely so the
+unaligned probe stays touched-bucket-bounded: alignment is a VERIFY
+concern, candidate generation is the same (band, val) equality either
+way. Cross-store probes read the other store's COMMITTED watermark (its
+own stream's commit markers), so a half-written video batch can never
+reject an image.
+
 Reference: no equivalent in the reference; §2C training-data surface —
 the dedup family's video member made INCREMENTAL.
 """
@@ -74,10 +91,21 @@ def _sigs_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "sigs")
 
 
+def _audio_keys_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "akeys")
+
+
+def _audio_sigs_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "asigs")
+
+
 def _key_bucket(num_buckets: int) -> F.Column:
+    # (band, val) only — NOT the scene ordinal: an unaligned cross-modal
+    # probe (an image vs any stored scene, q164) derives exactly the same
+    # touched-bucket set as an aligned one, so both stay bounded by the
+    # probe's own keys; alignment is applied at verify time
     return F.pmod(
-        F.xxhash64(F.col("band"), F.col("val"), F.col("scene_idx")),
-        F.lit(num_buckets),
+        F.xxhash64(F.col("band"), F.col("val")), F.lit(num_buckets)
     ).cast("int")
 
 
@@ -85,13 +113,14 @@ def _sig_bucket(num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("media_id")), F.lit(num_buckets)).cast("int")
 
 
-def _capped(bands: DataFrame, max_band_freq: int) -> DataFrame:
+def _capped(bands: DataFrame, max_band_freq: int, keys=None) -> DataFrame:
+    keys = keys or _KEY_COLS
     return bands.join(
-        bands.groupBy(*_KEY_COLS)
+        bands.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") <= max_band_freq)
-        .select(*_KEY_COLS),
-        _KEY_COLS,
+        .select(*keys),
+        keys,
         "left_semi",
     )
 
@@ -107,11 +136,28 @@ def ingest_batch_video(
     max_band_freq: int = 64,
     min_change_bits: int = 12,
     num_buckets: int = 16,
+    audio_track: bool = False,
+    n_chunks: int = 4,
 ) -> None:
     """One video-ingest step (foreachBatch body of
     :func:`write_video_ingest`, public for batch pipelines and the cdc27
     registry entry). ``batch``: media rows (media_id, kind, mime,
-    payload, meta_json)."""
+    payload, meta_json). ``audio_track=True`` additionally maintains the
+    ``akeys``/``asigs`` shadow sub-stores — chunk-aligned spectral
+    fingerprints of each ACCEPTED clip's embedded audio track
+    (extract_video_audio_sigs), the probe target for standalone audio
+    arriving later (cdc37)."""
+    shadow = None
+    if audio_track:
+        from ..functions.multimodal import extract_video_audio_sigs
+
+        shadow = [dict(
+            sig_fn=lambda b: extract_video_audio_sigs(b, n_chunks=n_chunks),
+            keys_dir=_audio_keys_dir(store_dir),
+            sigs_dir=_audio_sigs_dir(store_dir),
+            key_kind="video_audio_keys", sig_kind="video_audio_sigs",
+            key_meta={"n_chunks": n_chunks},
+        )]
     _ingest_batch_media(
         spark, batch, batch_id, out_dir, store_dir,
         sig_fn=lambda b: scene_signatures(b, min_change_bits=min_change_bits),
@@ -120,6 +166,7 @@ def ingest_batch_video(
                   "min_change_bits": min_change_bits},
         tau=tau, min_scene_sim=min_scene_sim,
         max_band_freq=max_band_freq, num_buckets=num_buckets,
+        shadow=shadow,
     )
 
 
@@ -132,6 +179,8 @@ def ingest_batch_image(
     tau: int = 10,
     max_band_freq: int = 1024,
     num_buckets: int = 16,
+    video_store_dir: str | None = None,
+    video_tau: int = 6,
 ) -> None:
     """Image twin of :func:`ingest_batch_video` (r7 verdict #2 — "don't
     re-ingest a re-encode" for all three media types): one perceptual
@@ -140,9 +189,21 @@ def ingest_batch_image(
     a single scene matches iff its hamming ≤ tau, i.e. min_scene_sim
     degenerates to "the hash matched". Undecodable payloads carry the
     deterministic stub hash (exact-dup semantics) rather than the
-    no-signature accept path, mirroring image_neardup_pairs."""
+    no-signature accept path, mirroring image_neardup_pairs.
+
+    ``video_store_dir`` (cdc37): also reject an image duplicating ANY
+    scene already committed to that VIDEO store — q164's unaligned
+    contract at ``video_tau`` (its default), via the same touched-bucket
+    probe."""
     from ..functions.multimodal import extract_image_sigs
 
+    xprobes = None
+    if video_store_dir is not None:
+        xprobes = [dict(
+            keys_dir=_keys_dir(video_store_dir),
+            sigs_dir=_sigs_dir(video_store_dir),
+            tau=video_tau, align=False,
+        )]
     _ingest_batch_media(
         spark, batch, batch_id, out_dir, store_dir,
         sig_fn=extract_image_sigs,
@@ -150,6 +211,7 @@ def ingest_batch_image(
         key_meta={"tau": tau},
         tau=tau, min_scene_sim=0.5,
         max_band_freq=max_band_freq, num_buckets=num_buckets,
+        xprobes=xprobes,
     )
 
 
@@ -164,15 +226,29 @@ def ingest_batch_audio(
     max_band_freq: int = 1024,
     n_chunks: int = 4,
     num_buckets: int = 16,
+    video_store_dir: str | None = None,
 ) -> None:
     """Audio twin of :func:`ingest_batch_video`: per-time-chunk 64-bit
     band-activity fingerprints (chunk ordinal = scene ordinal) ride the
     same store. tau=3 keeps audio in the deterministic pigeonhole regime
     (audio_neardup_pairs' contract); undecodable payloads yield no
     chunks and take the no-signature accept path (byte-exact control is
-    write_dedup_ingest's job)."""
+    write_dedup_ingest's job).
+
+    ``video_store_dir`` (cdc37): also reject audio that re-masters the
+    SOUNDTRACK of a committed clip — q168's chunk-ALIGNED contract
+    against the video store's ``akeys``/``asigs`` shadow sub-stores
+    (maintained by ``ingest_batch_video(audio_track=True)``), at this
+    ingest's own tau/min_chunk_sim."""
     from ..functions.multimodal import extract_audio_chunk_sigs
 
+    xprobes = None
+    if video_store_dir is not None:
+        xprobes = [dict(
+            keys_dir=_audio_keys_dir(video_store_dir),
+            sigs_dir=_audio_sigs_dir(video_store_dir),
+            tau=tau, min_sim=min_chunk_sim, align=True,
+        )]
     _ingest_batch_media(
         spark, batch, batch_id, out_dir, store_dir,
         sig_fn=lambda b: extract_audio_chunk_sigs(b, n_chunks=n_chunks),
@@ -181,7 +257,91 @@ def ingest_batch_audio(
                   "n_chunks": n_chunks},
         tau=tau, min_scene_sim=min_chunk_sim,
         max_band_freq=max_band_freq, num_buckets=num_buckets,
+        xprobes=xprobes,
     )
+
+
+def _probe_reject(
+    spark: SparkSession,
+    probe_sigs: DataFrame,
+    kd: str,
+    sd: str,
+    tau: int,
+    min_scene_sim: float,
+    max_band_freq: int,
+    num_buckets: int,
+    below: int,
+    align: bool = True,
+) -> DataFrame | None:
+    """History probe, factored so cross-modal rejection reuses it verbatim:
+    the probe sigs' band keys against ONLY the touched key buckets of an
+    existing store, then popcount verify against ONLY the candidates'
+    stored signatures. Returns a ``(media_id)`` frame of REJECTED probe
+    ids, or None when nothing in the store can match.
+
+    ``align=True`` is the within-modality contract (scene ordinals align,
+    matched coverage ≥ min_scene_sim of the longer side — q156/q158);
+    ``align=False`` is the q164 cross-modal contract (ANY (probe scene,
+    stored scene) pair at hamming ≤ tau rejects — a still may duplicate
+    any scene of any stored clip). Candidate generation is identical
+    either way: (band, val) equality, which is also what the key buckets
+    hash — so the unaligned probe reads exactly as few buckets as the
+    aligned one."""
+    join_keys = _KEY_COLS if align else ["band", "val"]
+    pb = _capped(scene_band_rows(probe_sigs), max_band_freq, join_keys).withColumn(
+        "_b", _key_bucket(num_buckets)
+    )
+    touched = sorted(r["_b"] for r in pb.select("_b").distinct().collect())
+    key_paths = _store_paths(kd, touched, below=below)
+    if not key_paths:
+        return None
+    hist_keys = _capped(
+        spark.read.parquet(*key_paths).select(*_KEY_COLS, "media_id"),
+        max_band_freq,
+        join_keys,
+    )
+    cand = (
+        pb.join(hist_keys.withColumnRenamed("media_id", "_old"), join_keys)
+        .select(F.col("media_id").alias("id1"), F.col("_old").alias("id2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sig_buckets = sorted(
+        r["_sb"]
+        for r in cand.select(
+            F.pmod(F.xxhash64(F.col("id2")), F.lit(num_buckets))
+            .cast("int")
+            .alias("_sb")
+        )
+        .distinct()
+        .collect()
+    )
+    sig_paths = _store_paths(sd, sig_buckets, below=below)
+    if not sig_paths:
+        return None
+    hist_sigs = spark.read.parquet(*sig_paths).join(
+        cand.select(F.col("id2").alias("media_id")).distinct(),
+        "media_id",
+        "left_semi",
+    )
+    if align:
+        rejected = scene_pair_verify(
+            cand, probe_sigs, hist_sigs, tau=tau, min_scene_sim=min_scene_sim
+        )
+    else:
+        a = probe_sigs.select(
+            F.col("media_id").alias("id1"),
+            F.col("_hi").alias("_h1"), F.col("_lo").alias("_l1"),
+        )
+        b = hist_sigs.select(
+            F.col("media_id").alias("id2"),
+            F.col("_hi").alias("_h2"), F.col("_lo").alias("_l2"),
+        )
+        ham = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2"))) + F.bit_count(
+            F.col("_l1").bitwiseXOR(F.col("_l2"))
+        )
+        rejected = cand.join(a, "id1").join(b, "id2").filter(ham <= F.lit(tau))
+    return rejected.select(F.col("id1").alias("media_id")).distinct()
 
 
 def _ingest_batch_media(
@@ -198,13 +358,26 @@ def _ingest_batch_media(
     min_scene_sim: float,
     max_band_freq: int,
     num_buckets: int,
+    xprobes: "list[dict] | None" = None,
+    shadow: "list[dict] | None" = None,
 ) -> None:
     """The modality-generic ingest step all three media kinds share:
     ``sig_fn`` maps the batch to the scene-signature shape (media_id,
     scene_idx, _hi, _lo) — everything after the one decode pass (in-batch
     min-id clustering, touched-bucket history probe, ordinal-aligned
     verify, delta append) is identical, so the store semantics cannot
-    drift across modalities."""
+    drift across modalities.
+
+    ``xprobes``: cross-modal rejection probes against OTHER stores —
+    dicts of (keys_dir, sigs_dir, tau, min_sim, align); each runs the
+    same touched-bucket probe against that store's COMMITTED watermark
+    (its own stream's markers — a half-written batch there never rejects
+    here). ``shadow``: additional signature families extracted from the
+    ACCEPTED rows and appended as sibling sub-stores — dicts of (sig_fn,
+    keys_dir, sigs_dir, key_kind, sig_kind, key_meta); shadow commits
+    land BEFORE the main markers, so a probe can only ever see a shadow
+    whose clips are (or deterministically will be, on replay) in the
+    store."""
     kd, sd = _keys_dir(store_dir), _sigs_dir(store_dir)
     _ensure_meta(kd, {"kind": key_kind, "num_buckets": num_buckets, **key_meta})
     _ensure_meta(sd, {"kind": sig_kind, "num_buckets": num_buckets})
@@ -238,53 +411,31 @@ def _ingest_batch_media(
 
         # 2. probe history: touched key buckets -> candidates -> verify
         # against ONLY the candidates' stored signatures
-        rep_bands = _capped(scene_band_rows(rep_sigs), max_band_freq).withColumn(
-            "_b", _key_bucket(num_buckets)
+        rejected = _probe_reject(
+            spark, rep_sigs, kd, sd, tau, min_scene_sim,
+            max_band_freq, num_buckets, below=batch_id,
         )
-        touched = sorted(r["_b"] for r in rep_bands.select("_b").distinct().collect())
-        key_paths = _store_paths(kd, touched, below=batch_id)
-        if key_paths:
-            hist_keys = spark.read.parquet(*key_paths)
-            hist_keys = _capped(hist_keys.select(*_KEY_COLS, "media_id"),
-                                max_band_freq)
-            cand = (
-                rep_bands.join(
-                    hist_keys.withColumnRenamed("media_id", "_old"), _KEY_COLS
-                )
-                .select(F.col("media_id").alias("id1"), F.col("_old").alias("id2"))
-                .distinct()
-                .localCheckpoint(eager=False)
+        accepted_sigs = (
+            rep_sigs
+            if rejected is None
+            else rep_sigs.join(rejected, "media_id", "left_anti")
+        )
+
+        # 2b. cross-modal probes against other stores' committed state
+        for xp in xprobes or []:
+            last = _last_committed_batch(xp["keys_dir"])
+            if last is None:
+                continue
+            x_nb = (_read_meta(xp["keys_dir"]) or {}).get(
+                "num_buckets", num_buckets
             )
-            sig_buckets = sorted(
-                r["_sb"]
-                for r in cand.select(
-                    F.pmod(F.xxhash64(F.col("id2")), F.lit(num_buckets))
-                    .cast("int")
-                    .alias("_sb")
-                )
-                .distinct()
-                .collect()
+            xr = _probe_reject(
+                spark, accepted_sigs, xp["keys_dir"], xp["sigs_dir"],
+                xp["tau"], xp.get("min_sim", 0.0), max_band_freq,
+                x_nb, below=last + 1, align=xp.get("align", False),
             )
-            sig_paths = _store_paths(sd, sig_buckets, below=batch_id)
-            if sig_paths:
-                hist_sigs = spark.read.parquet(*sig_paths).join(
-                    cand.select(F.col("id2").alias("media_id")).distinct(),
-                    "media_id",
-                    "left_semi",
-                )
-                rejected = (
-                    scene_pair_verify(
-                        cand, rep_sigs, hist_sigs,
-                        tau=tau, min_scene_sim=min_scene_sim,
-                    )
-                    .select(F.col("id1").alias("media_id"))
-                    .distinct()
-                )
-                accepted_sigs = rep_sigs.join(rejected, "media_id", "left_anti")
-            else:
-                accepted_sigs = rep_sigs
-        else:
-            accepted_sigs = rep_sigs
+            if xr is not None:
+                accepted_sigs = accepted_sigs.join(xr, "media_id", "left_anti")
         accepted_sigs = accepted_sigs.localCheckpoint(eager=False)
 
         # 3. land survivors (+ scene-less clips) and append the deltas
@@ -294,7 +445,8 @@ def _ingest_batch_media(
         accepted_ids = accepted_sigs.select("media_id").distinct().unionByName(
             no_scene
         )
-        batch.join(accepted_ids, "media_id").write.mode("overwrite").parquet(
+        accepted_rows = batch.join(accepted_ids, "media_id")
+        accepted_rows.write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
         key_delta = scene_band_rows(accepted_sigs).withColumn(
@@ -305,6 +457,24 @@ def _ingest_batch_media(
         sig_delta = accepted_sigs.withColumn("_b", _sig_bucket(num_buckets))
         _note_row_schema(sd, _row_ddl(sig_delta))
         _write_delta(sig_delta, sd, batch_id)
+        for sh in shadow or []:
+            skd, ssd = sh["keys_dir"], sh["sigs_dir"]
+            _ensure_meta(skd, {"kind": sh["key_kind"],
+                               "num_buckets": num_buckets,
+                               **sh.get("key_meta", {})})
+            _ensure_meta(ssd, {"kind": sh["sig_kind"],
+                               "num_buckets": num_buckets})
+            s_sigs = sh["sig_fn"](accepted_rows)
+            s_keys = scene_band_rows(s_sigs).withColumn(
+                "_b", _key_bucket(num_buckets)
+            )
+            _note_row_schema(skd, _row_ddl(s_keys))
+            _write_delta(s_keys.select(*_KEY_COLS, "media_id", "_b"), skd, batch_id)
+            s_sig_delta = s_sigs.withColumn("_b", _sig_bucket(num_buckets))
+            _note_row_schema(ssd, _row_ddl(s_sig_delta))
+            _write_delta(s_sig_delta, ssd, batch_id)
+            _mark_committed(skd, batch_id)
+            _mark_committed(ssd, batch_id)
         _mark_committed(kd, batch_id)
         _mark_committed(sd, batch_id)
     finally:
@@ -323,9 +493,17 @@ def write_video_ingest(
     num_buckets: int = 16,
     trigger_available_now: bool = True,
     max_chain: int | None = 64,
+    audio_track: bool = False,
+    n_chunks: int = 4,
 ):
     """Stream of media rows → accepted-clip batches + maintained
-    key/signature stores. Returns the StreamingQuery."""
+    key/signature stores (plus the audio-track shadow sub-stores when
+    ``audio_track=True``). Returns the StreamingQuery."""
+    extra = (
+        [_audio_keys_dir(store_dir), _audio_sigs_dir(store_dir)]
+        if audio_track
+        else []
+    )
     return _write_media_ingest(
         media_stream, out_dir, store_dir, checkpoint_dir,
         lambda spark, b, bid: ingest_batch_video(
@@ -333,8 +511,9 @@ def write_video_ingest(
             tau=tau, min_scene_sim=min_scene_sim,
             max_band_freq=max_band_freq, min_change_bits=min_change_bits,
             num_buckets=num_buckets,
+            audio_track=audio_track, n_chunks=n_chunks,
         ),
-        trigger_available_now, max_chain,
+        trigger_available_now, max_chain, extra_dirs=extra,
     )
 
 
@@ -348,14 +527,18 @@ def write_image_ingest(
     num_buckets: int = 16,
     trigger_available_now: bool = True,
     max_chain: int | None = 64,
+    video_store_dir: str | None = None,
+    video_tau: int = 6,
 ):
     """Stream of image rows → accepted batches + maintained stores
-    (cdc28). Returns the StreamingQuery."""
+    (cdc28); with ``video_store_dir``, images duplicating a committed
+    video scene are rejected too (cdc37). Returns the StreamingQuery."""
     return _write_media_ingest(
         media_stream, out_dir, store_dir, checkpoint_dir,
         lambda spark, b, bid: ingest_batch_image(
             spark, b, bid, out_dir, store_dir, tau=tau,
             max_band_freq=max_band_freq, num_buckets=num_buckets,
+            video_store_dir=video_store_dir, video_tau=video_tau,
         ),
         trigger_available_now, max_chain,
     )
@@ -373,15 +556,19 @@ def write_audio_ingest(
     num_buckets: int = 16,
     trigger_available_now: bool = True,
     max_chain: int | None = 64,
+    video_store_dir: str | None = None,
 ):
     """Stream of audio rows → accepted batches + maintained stores
-    (cdc29). Returns the StreamingQuery."""
+    (cdc29); with ``video_store_dir``, audio re-mastering a committed
+    clip's soundtrack is rejected too (cdc37). Returns the
+    StreamingQuery."""
     return _write_media_ingest(
         media_stream, out_dir, store_dir, checkpoint_dir,
         lambda spark, b, bid: ingest_batch_audio(
             spark, b, bid, out_dir, store_dir, tau=tau,
             min_chunk_sim=min_chunk_sim, max_band_freq=max_band_freq,
             n_chunks=n_chunks, num_buckets=num_buckets,
+            video_store_dir=video_store_dir,
         ),
         trigger_available_now, max_chain,
     )
@@ -395,9 +582,11 @@ def _write_media_ingest(
     step,
     trigger_available_now: bool,
     max_chain: int | None,
+    extra_dirs: "list[str] | None" = None,
 ):
     """Shared writer: ingest step + protected in-line maintenance on both
-    sub-stores (the write_video_ingest shape)."""
+    sub-stores (the write_video_ingest shape) and any ``extra_dirs``
+    (shadow sub-stores like akeys/asigs)."""
     spark = media_stream.sparkSession
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -407,7 +596,8 @@ def _write_media_ingest(
 
             # protect=batch_id: a replayed batch must find its own deltas
             # and the pre-batch history intact (see compact_chains)
-            for d in (_keys_dir(store_dir), _sigs_dir(store_dir)):
+            for d in (_keys_dir(store_dir), _sigs_dir(store_dir),
+                      *(extra_dirs or [])):
                 maintain_store(spark, d, max_chain=max_chain,
                                max_overlays=max_chain, protect=batch_id)
 

@@ -110,6 +110,65 @@ def test_new_kinds_discovered_and_dispatched(spark, tmp_path):
         assert maintain_store(spark, d, max_chain=0, max_overlays=0) == 0
 
 
+def test_cross_modal_history_rejection(spark, tmp_path):
+    """cdc37's contract at unit scope: images duplicating a COMMITTED clip
+    scene are rejected against the video store (unaligned, q164); audio
+    re-mastering a committed clip's soundtrack is rejected against the
+    akeys/asigs shadow (chunk-aligned, q168); every distractor on both
+    axes survives."""
+    videos, images, audios = M.cross_modal_ingest_fixture(spark)
+    root = str(tmp_path)
+    vstore = f"{root}/vstore"
+    ingest_batch_video(spark, videos, 0, f"{root}/vout", vstore,
+                       audio_track=True)
+    ingest_batch_image(spark, images, 0, f"{root}/iout", f"{root}/istore",
+                       video_store_dir=vstore)
+    ingest_batch_audio(spark, audios, 0, f"{root}/aout", f"{root}/astore",
+                       video_store_dir=vstore)
+    assert _accepted(spark, read_image_ingested, f"{root}/iout",
+                     f"{root}/istore") == [(0, 400 + i) for i in range(8)]
+    assert _accepted(spark, read_audio_ingested, f"{root}/aout",
+                     f"{root}/astore") == [(0, 100 + i) for i in range(6)]
+    # the video side itself accepted everything (all clips distinct)
+    assert _accepted(spark, read_video_ingested, f"{root}/vout", vstore) == [
+        (0, i) for i in range(10)
+    ]
+    # shadow sub-stores are real stores: discovered + kind-dispatched
+    found = discover_stores(vstore)
+    assert {os.path.basename(d) for d in found} == {"keys", "sigs",
+                                                    "akeys", "asigs"}
+    for d in found:
+        assert maintain_store(spark, d, max_chain=0, max_overlays=0) == 0
+    # ...and the probe still rejects after compaction folded the chains
+    ingest_batch_image(spark, images.filter("media_id = 200"), 1,
+                       f"{root}/iout", f"{root}/istore",
+                       video_store_dir=vstore)
+    assert (1, 200) not in _accepted(spark, read_image_ingested,
+                                     f"{root}/iout", f"{root}/istore")
+
+
+def test_cross_modal_probe_reads_committed_only(spark, tmp_path):
+    """A video batch whose store commit markers are missing (crash before
+    commit) must NOT reject cross-modal arrivals — the probe reads the
+    other store's COMMITTED watermark, never in-flight segments."""
+    import shutil
+
+    videos, images, _ = M.cross_modal_ingest_fixture(spark)
+    root = str(tmp_path)
+    vstore = f"{root}/vstore"
+    ingest_batch_video(spark, videos, 0, f"{root}/vout", vstore,
+                       audio_track=True)
+    for sub in ("keys", "sigs"):
+        shutil.rmtree(f"{vstore}/{sub}/_commits")
+    ingest_batch_image(spark, images, 0, f"{root}/iout", f"{root}/istore",
+                       video_store_dir=vstore)
+    got = _accepted(spark, read_image_ingested, f"{root}/iout",
+                    f"{root}/istore")
+    # planted 200-202 sail through: nothing in the video store is committed
+    assert got == sorted([(0, 200 + i) for i in range(3)]
+                         + [(0, 400 + i) for i in range(8)])
+
+
 @pytest.mark.slow
 def test_depth_50_batches_chains_bounded_values_exact(spark, tmp_path):
     """r7 verdict #8: the in-line maintenance loop (the writers' exact
