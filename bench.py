@@ -113,6 +113,7 @@ HEADLINE = [
     # r10 additions
     "cdc36_cdb_dictionary",
     "cdc37_cross_modal_ingest",
+    "cdc38_web_neardup_ingest",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

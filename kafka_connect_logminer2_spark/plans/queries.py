@@ -9217,6 +9217,112 @@ FROM r WHERE rn = 1 GROUP BY batch ORDER BY batch
 """
 
 
+def cdc38_web_neardup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming web ingest with the CONTENT near-dup tier (r9 verdict
+    #5): cdc35's URL gate catches re-crawls of the same canonical URL,
+    but a republished article — same content, DIFFERENT canonical URL,
+    possibly different boilerplate — sails through it. cdc18's banded
+    MinHash-signature store now chains BEHIND the URL gate
+    (``write_web_ingest(content_neardup=True)``), running on the
+    EXTRACTED text of URL-gate survivors. Planted truth over
+    token-disjoint 150-word articles in boilerplate wrappers:
+
+      batch 0: articles 0-9 + id 50 = article 0's page VERBATIM at a new
+        URL (in-batch near tier, min-id rule keeps 0);
+      batch 1: articles 10-13 + id 500 = article 1 republished under
+        DIFFERENT boilerplate at a new URL (HISTORY near-tier rejection
+        — only content similarity can see it) + id 310 = article 10's
+        page at a utm-variant of its own URL (URL tier rejects; never
+        reaches the near store);
+      batch 2: articles 14-15 + id 600 = article 12 minus its last word
+        at a new URL (true NEAR case, 3-shingle J ≈ 0.98) + id 99 = a
+        30-word page (token floor rejects before any store work).
+
+    The oracle pins each batch's accepted count and id-sum exactly —
+    a republication slipping past the near tier or a novel article
+    falsely rejected both break the value hash."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.corpus_ingest import read_ingested
+    from ..streaming.web_ingest import write_web_ingest
+
+    A = ("<div>Home | About</div><p>", "</p><div>(c) example</div>")
+    B = ("<nav>Start - Index - Contact</nav><p>",
+         "</p><footer>all rights reserved</footer>")
+
+    def article(i: int, n_words: int = 150) -> str:
+        return " ".join(f"w{i}_{j}" for j in range(n_words))
+
+    def page(pid: int, art: str, boiler, site) -> dict:
+        return dict(
+            doc_id=pid,
+            url=f"HTTP://Site{site}.Example.COM:80/a/{site}?utm_c={pid}#f",
+            html=boiler[0] + art + boiler[1],
+        )
+
+    batches = [
+        [page(i, article(i), A, i) for i in range(10)]
+        + [page(50, article(0), A, 50)],
+        [page(i, article(i), A, i) for i in range(10, 14)]
+        + [page(500, article(1), B, 500), page(310, article(10), A, 10)],
+        [page(i, article(i), A, i) for i in range(14, 16)]
+        + [page(600, " ".join(article(12).split(" ")[:-1]), A, 600),
+           page(99, article(99, n_words=30), A, 99)],
+    ]
+    tmp = tempfile.mkdtemp(prefix="cdc38_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        schema = "doc_id long, url string, html string"
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = write_web_ingest(
+            stream, f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            min_tokens=45, content_neardup=True, max_chain=2,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc38 stream did not finish in 600s")
+        out = read_ingested(
+            spark, f"{tmp}/out", store_dir=f"{tmp}/store/near"
+        )
+        return (
+            out.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_accepted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .orderBy("batch")
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC38_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 10::BIGINT, 45::BIGINT),
+  (1::BIGINT,  4::BIGINT, 46::BIGINT),
+  (2::BIGINT,  2::BIGINT, 29::BIGINT)
+) AS t(batch, n_accepted, id_sum)
+ORDER BY batch
+"""
+
+
 # q170 planted ids above every real doc_id (clear of q166/q167/q169)
 _Q170_OFFSET = 23_000_000
 
@@ -10025,6 +10131,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc35_web_ingest": (cdc35_web_ingest, CDC35_SQL),
     "cdc36_cdb_dictionary": (cdc36_cdb_dictionary, CDC36_SQL),
     "cdc37_cross_modal_ingest": (cdc37_cross_modal_ingest, CDC37_SQL),
+    "cdc38_web_neardup_ingest": (cdc38_web_neardup_ingest, CDC38_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }

@@ -17,6 +17,22 @@ cost is the cdc17 contract — O(new canonical URLs), never O(history) —
 and the accepted output carries the full row (id, url, canon, extracted
 text), the shape downstream corpus stages consume.
 
+CONTENT NEAR-DUP TIER (r9 verdict #5, ``content_neardup=True``): URL
+dedup alone misses the second face of crawl duplication — the same
+article republished under a DIFFERENT canonical URL in different
+boilerplate. The tier chains cdc18's banded-MinHash-signature store
+BEHIND the URL gate: URL-gate survivors land in a ``<out>_urlgate``
+staging dir, then run :func:`~.corpus_ingest.ingest_batch_neardup` on
+their EXTRACTED text into the final ``out_dir``. Store layout forks on
+the flag (backward compatible): flat exact store without the tier,
+``<store>/url`` (exact, canon-keyed) + ``<store>/near`` (banded
+signatures, text-keyed) with it. Probe cost stays the two stores'
+own contracts — touched canon-fingerprint buckets + touched band-key
+buckets, never O(history). Crash story: the near store's commit marker
+is written last and gates visibility (read accepted output with
+``store_dir=<store>/near``); a crash between the two tiers leaves the
+batch invisible and the retry overwrites both tiers' segments.
+
 Reference: no equivalent in the reference (its surface stops at CDC
 envelopes); §2C web-curation surface composing q169/q170 with cdc17's
 store.
@@ -24,9 +40,11 @@ store.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .corpus_ingest import ingest_batch_exact
+from .corpus_ingest import ingest_batch_exact, ingest_batch_neardup
 
 
 def ingest_batch_web(
@@ -41,18 +59,42 @@ def ingest_batch_web(
     min_tokens: int = 1,
     num_buckets: int = 16,
     bloom_bits: int | None = None,
+    content_neardup: bool = False,
+    near_k: int = 3,
+    near_num_hashes: int = 16,
+    near_num_bands: int = 4,
+    near_threshold: float = 0.5,
+    near_seed: int = 42,
 ) -> None:
     """One web-ingest step (public foreachBatch body): canonicalize,
-    extract, floor, then the exact-ingest step keyed on ``canon``."""
+    extract, floor, then the exact-ingest step keyed on ``canon``; with
+    ``content_neardup``, URL-gate survivors additionally run the banded
+    MinHash near-dup ingest on their EXTRACTED text (module docstring) —
+    a same-article-different-URL republication is rejected there."""
     from ..functions.text import html_to_text, token_count, url_canonicalize
 
     b = batch.withColumn("canon", url_canonicalize(F.col(url_col)))
     b = b.withColumn("text", html_to_text(F.col(html_col))).drop(html_col)
     b = b.filter(token_count(F.col("text")) >= min_tokens)
+    if not content_neardup:
+        ingest_batch_exact(
+            spark, b, batch_id, out_dir, store_dir,
+            id_col=id_col, text_col="canon", num_buckets=num_buckets,
+            bloom_bits=bloom_bits,
+        )
+        return
+    stage_dir = out_dir.rstrip("/") + "_urlgate"
     ingest_batch_exact(
-        spark, b, batch_id, out_dir, store_dir,
+        spark, b, batch_id, stage_dir, os.path.join(store_dir, "url"),
         id_col=id_col, text_col="canon", num_buckets=num_buckets,
         bloom_bits=bloom_bits,
+    )
+    url_accepted = spark.read.parquet(f"{stage_dir}/batch={batch_id}")
+    ingest_batch_neardup(
+        spark, url_accepted, batch_id, out_dir, os.path.join(store_dir, "near"),
+        id_col=id_col, text_col="text", k=near_k,
+        num_hashes=near_num_hashes, num_bands=near_num_bands,
+        seed=near_seed, threshold=near_threshold, num_buckets=num_buckets,
     )
 
 
@@ -69,27 +111,45 @@ def write_web_ingest(
     bloom_bits: int | None = None,
     max_chain: int | None = 64,
     trigger_available_now: bool = True,
+    content_neardup: bool = False,
+    near_k: int = 3,
+    near_num_hashes: int = 16,
+    near_num_bands: int = 4,
+    near_threshold: float = 0.5,
+    near_seed: int = 42,
 ):
     """Stream of raw pages → ``out_dir/batch=<id>`` holding only the
     quality-passing FIRST crawl of each canonical URL, with the seen-set
     growing by delta segments (exactly-once, retry-idempotent — the
-    write_dedup_ingest contract on a canon fingerprint). ``max_chain``
-    self-schedules PROTECTED in-line compaction of the URL store."""
+    write_dedup_ingest contract on a canon fingerprint). With
+    ``content_neardup``, the output further excludes republished
+    near-duplicate CONTENT (cdc38; read accepted batches with
+    ``store_dir=<store>/near`` — its marker commits last). ``max_chain``
+    self-schedules PROTECTED in-line compaction of every tier's store."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_web(
             batch.sparkSession, batch, batch_id, out_dir, store_dir,
             id_col=id_col, url_col=url_col, html_col=html_col,
             min_tokens=min_tokens, num_buckets=num_buckets,
-            bloom_bits=bloom_bits,
+            bloom_bits=bloom_bits, content_neardup=content_neardup,
+            near_k=near_k, near_num_hashes=near_num_hashes,
+            near_num_bands=near_num_bands, near_threshold=near_threshold,
+            near_seed=near_seed,
         )
         if max_chain is not None:
             from .maintenance import maintain_store
 
-            maintain_store(
-                batch.sparkSession, store_dir, max_chain=max_chain,
-                protect=batch_id,
+            dirs = (
+                [os.path.join(store_dir, "url"), os.path.join(store_dir, "near")]
+                if content_neardup
+                else [store_dir]
             )
+            for d in dirs:
+                maintain_store(
+                    batch.sparkSession, d, max_chain=max_chain,
+                    protect=batch_id,
+                )
 
     writer = page_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -704,3 +704,84 @@ def test_web_ingest_variants_land_once_and_resume(spark, tmp_path):
         (1, 5, "https://c.com/w", body),
         (2, 7, "http://d.com/v", body),
     ]
+
+
+def test_web_ingest_content_neardup_tier(spark, tmp_path):
+    """cdc38's tier at unit scope: a republished article (same content,
+    DIFFERENT canonical URL, different boilerplate) passes the URL gate
+    but is rejected by the content near-dup store — across batches AND a
+    restart; a utm re-crawl of the SAME URL still dies at the URL gate
+    (never reaching the near store); novel articles always land. Both
+    tier stores compact in-line (max_chain=2) without changing the
+    accepted set."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        read_ingested,
+    )
+    from kafka_connect_logminer2_spark.streaming.web_ingest import (
+        write_web_ingest,
+    )
+
+    schema = "doc_id long, url string, html string"
+
+    def art(i, n=80):
+        return " ".join(f"a{i}_{j}" for j in range(n))
+
+    rows = {
+        0: [
+            (0, "http://s0.com/a", f"<p>{art(0)}</p>"),
+            (1, "http://s1.com/a", f"<p>{art(1)}</p>"),
+            # same article 0 verbatim, new URL: in-batch near tier
+            (50, "http://s50.com/a", f"<p>{art(0)}</p>"),
+        ],
+        1: [
+            (2, "http://s2.com/a", f"<p>{art(2)}</p>"),
+            # article 1 republished in OTHER boilerplate at a new URL:
+            # HISTORY near-tier rejection
+            (500, "http://s500.com/a",
+             f"<nav>menu here</nav><p>{art(1)}</p><footer>rights</footer>"),
+            # utm re-crawl of s0: URL tier (same canon)
+            (310, "http://s0.com/a?utm_x=1", f"<p>{art(0)}</p>"),
+        ],
+        2: [
+            (3, "http://s3.com/a", f"<p>{art(3)}</p>"),
+            # article 2 minus its last word: the true NEAR case, after
+            # a RESTART (fresh query over the same checkpoint/stores)
+            (600, "http://s600.com/a",
+             "<p>" + " ".join(art(2).split(" ")[:-1]) + "</p>"),
+        ],
+    }
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in")
+    now = time.time()
+
+    def stage(i):
+        df = spark.createDataFrame(rows[i], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+        os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+
+    def run():
+        return write_web_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            min_tokens=5, num_buckets=4, max_chain=2,
+            content_neardup=True,
+        )
+
+    stage(0), stage(1)
+    assert run().awaitTermination(600)
+    stage(2)
+    assert run().awaitTermination(600)  # restart-resume
+
+    acc = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store/near")
+    got = sorted((r["batch"], r["doc_id"]) for r in acc.collect())
+    assert got == [(0, 0), (0, 1), (1, 2), (2, 3)]
+    # the URL-tier reject (310) must have died BEFORE the near store: its
+    # article-0 signature appears exactly once (doc 0's) in the chains
+    near = spark.read.parquet(
+        *[p for p in glob.glob(f"{tmp}/store/near/b=*/v=*")]
+    )
+    assert near.select("id").distinct().count() == 4  # docs 0,1,2,3 only
