@@ -54,6 +54,22 @@ def customer_orders_registry() -> SchemaRegistry:
     return reg
 
 
+def documents_registry() -> SchemaRegistry:
+    """TPCH.DOCUMENTS dictionary metadata (cdc39's CDC→corpus bridge):
+    NUMBER(18) key, CLOB text (the reference maps CLOB to STRING,
+    OracleSourceConnectorUtils2.java:238-240), VARCHAR2 source."""
+    reg = SchemaRegistry()
+    mk = lambda name, **kw: ColumnMeta(OWNER, "DOCUMENTS", name, True, **kw)
+    reg.register(
+        [
+            mk("DOC_ID", data_type="NUMBER", data_precision=18),
+            mk("TEXT", data_type="CLOB"),
+            mk("SOURCE", data_type="VARCHAR2", data_length=20),
+        ]
+    )
+    return reg
+
+
 def default_config() -> EngineConfig:
     return EngineConfig(
         name="logminer",

@@ -210,6 +210,63 @@ def redo_deletes_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return starts.unionByName(deletes).unionByName(commits)
 
 
+def redo_documents_dml(
+    docs: DataFrame,
+    op: str,
+    scn_base: int,
+    xid_tag: str,
+) -> DataFrame:
+    """One committed single-statement transaction per DOCUMENTS row — the
+    cdc39 CDC→corpus bridge's input synthesizer. ``docs``: rows with
+    (doc_id, text, source) and, for UPDATE, ``new_text``. SQL shapes
+    mirror the customer builders (LogMiner-canonical: UPDATE repeats the
+    SET column in the WHERE with its before-image; DELETE carries the
+    full before-image in the WHERE). scn = scn_base + doc_id*10
+    (+0 START, +1 DML, +3 COMMIT)."""
+    base = (F.lit(scn_base) + F.col("doc_id") * 10).alias("base")
+    xid = F.concat_ws(".", F.lit(xid_tag), F.col("doc_id").cast("string"), F.lit("1"))
+    row_id = F.format_string("AAD%015d", F.col("doc_id"))
+    d = docs.select("*", base, xid.alias("xid"), row_id.alias("row_id"))
+    if op == "INSERT":
+        sql = F.concat(
+            F.lit('insert into "TPCH"."DOCUMENTS"("DOC_ID","TEXT","SOURCE") values ('),
+            F.col("doc_id").cast("string"),
+            F.lit(",'"), _esc(F.col("text")),
+            F.lit("','"), _esc(F.col("source")),
+            F.lit("')"),
+        )
+    elif op == "UPDATE":
+        sql = F.concat(
+            F.lit('update "TPCH"."DOCUMENTS" set "TEXT" = \''),
+            _esc(F.col("new_text")),
+            F.lit('\' where "DOC_ID" = '),
+            F.col("doc_id").cast("string"),
+            F.lit(' and "TEXT" = \''), _esc(F.col("text")),
+            F.lit('\' and "SOURCE" = \''), _esc(F.col("source")),
+            F.lit("'"),
+        )
+    elif op == "DELETE":
+        sql = F.concat(
+            F.lit('delete from "TPCH"."DOCUMENTS" where "DOC_ID" = '),
+            F.col("doc_id").cast("string"),
+            F.lit(' and "TEXT" = \''), _esc(F.col("text")),
+            F.lit('\' and "SOURCE" = \''), _esc(F.col("source")),
+            F.lit("'"),
+        )
+    else:
+        raise ValueError(f"unsupported op {op!r}")
+    starts = d.select(*_common(F.col("base"), F.col("xid"), "START"))
+    dml = d.select(
+        *_common(F.col("base") + 1, F.col("xid"), op,
+                 table=F.lit("DOCUMENTS"), sql=sql, row_id=F.col("row_id"))
+    )
+    commits = d.select(
+        *_common(F.col("base") + 3, F.col("xid"), "COMMIT",
+                 commit_scn=F.col("base") + 3, commit_ts=True)
+    )
+    return starts.unionByName(dml).unionByName(commits)
+
+
 def redo_cm_inserts_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CM-path (COMMITTED_DATA_ONLY) view of the insert stream: only DML rows
     of transactions that committed and survived rollback resolution — Oracle

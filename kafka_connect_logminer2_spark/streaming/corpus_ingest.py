@@ -547,7 +547,35 @@ def compact_store(
         ).cast("int")
     else:
         bucket_expr = _bucket(F.col("fp"), nb)
-    out = compact_chains(spark, store_dir, bucket_expr, protect=protect)
+    # exact stores with pending fingerprint tombstones (the bridge's
+    # delete path): apply them PHYSICALLY during the fold, version-aware
+    # (an add newer than its fp's newest tombstone survives — module note
+    # at _tomb_dir), then drop the consumed tombstone segments. protect
+    # scopes both: only tombstones strictly below it are applied/consumed.
+    fold = None
+    force_single = False
+    cleanup: tuple[str, ...] = ()
+    last = _last_committed_batch(store_dir)
+    if meta.get("kind") != "neardup" and last is not None:
+        tomb = _committed_tombs(
+            spark, store_dir, below=(last + 1 if protect is None else protect)
+        )
+        if tomb is not None:
+            dvs = tomb.groupBy("fp").agg(F.max("dv").alias("_dv"))
+
+            def fold(df):  # noqa: F811 — the tombstone-applying fold
+                df = _with_seg_version(df)
+                df = df.join(dvs, "fp", "left").filter(
+                    F.col("_dv").isNull() | (F.col("_dv") < F.col("_v"))
+                )
+                return df.drop("_v", "_dv").distinct()
+
+            force_single = True
+            cleanup = ("_tomb",)
+    out = compact_chains(
+        spark, store_dir, bucket_expr, fold=fold,
+        force_single=force_single, cleanup_dirs=cleanup, protect=protect,
+    )
     bd = _bloom_dir(store_dir)
     if meta.get("bloom_bits") and os.path.isdir(bd):
         # the bloom sidecar folds by bit_or — idempotent, so crash
@@ -576,13 +604,136 @@ def store_size(spark: SparkSession, store_dir: str) -> int:
     if not paths:
         return 0
     df = spark.read.parquet(*paths)
-    key = "fp" if "fp" in df.columns else "id"
-    return df.select(key).distinct().count()
+    if "fp" in df.columns:
+        # tombstone-aware (no-op when no _tomb overlay exists)
+        return _live_fps(spark, store_dir, df, tomb_below=last + 1).distinct().count()
+    return df.select("id").distinct().count()
 
 
 # ---------------------------------------------------------------------------
 # exact-dedup ingestion
 # ---------------------------------------------------------------------------
+
+
+# ---- fingerprint tombstones (r10, the CDC→corpus bridge's delete path) ----
+#
+# A corpus fed by a CDC stream must FORGET deleted content: after a doc is
+# deleted (or updated away), a later arrival of the same text is novel
+# again. Tombstones are the search_index._tomb overlay pattern applied to
+# fingerprints, made VERSION-AWARE so re-adds survive compaction: a tomb
+# row is (fp, dv) where dv is the delete batch; an add is live iff its
+# newest segment version exceeds the fp's newest tombstone (strictly — a
+# same-batch add+tomb means the add re-established membership in the batch
+# the old owner left). Segment versions come from the delta-chain layout
+# itself (the v=<batch> path component via _metadata.file_path), so no row
+# format change is needed on the add side; compaction folds survivors to
+# the fold version, which only ever RAISES an add's effective version —
+# monotone against past tombstones, and pending tombstones (>= protect)
+# still compare correctly against it.
+
+
+def _tomb_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "_tomb")
+
+
+def _with_seg_version(df: DataFrame) -> DataFrame:
+    """Attach the delta-chain segment version (the ``v=<batch>`` path
+    component) as ``_v`` — valid only directly on a file-source read."""
+    return df.withColumn(
+        "_v",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"/v=(\d+)/", 1
+        ).cast("long"),
+    )
+
+
+def _committed_tombs(
+    spark: SparkSession, store_dir: str, below: int
+) -> DataFrame | None:
+    """Committed fingerprint tombstones ``(fp, dv)`` with dv < below."""
+    tdir = _tomb_dir(store_dir)
+    if not os.path.isdir(tdir):
+        return None
+    paths = [
+        f"{tdir}/v={v}"
+        for v in sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tdir)
+            if d.startswith("v=") and int(d.split("=", 1)[1]) < below
+        )
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def _live_fps(
+    spark: SparkSession, store_dir: str, seen: DataFrame, tomb_below: int
+) -> DataFrame:
+    """The LIVE fingerprints among ``seen`` (a direct file-source read of
+    committed add segments): tombstones applied version-aware (module
+    note above). One column ``fp``."""
+    tomb = _committed_tombs(spark, store_dir, below=tomb_below)
+    if tomb is None:
+        return seen.select("fp")
+    av = _with_seg_version(seen).groupBy("fp").agg(F.max("_v").alias("_av"))
+    dv = tomb.groupBy("fp").agg(F.max("dv").alias("_dv"))
+    return (
+        av.join(dv, "fp", "left")
+        .filter(F.col("_dv").isNull() | (F.col("_dv") < F.col("_av")))
+        .select("fp")
+    )
+
+
+def remove_batch_exact(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Tombstone the fingerprints OWNED by the given deleted (or
+    updated-away) rows — the exact store's delete path (cdc39).
+
+    OWNER CHECK: dedup-at-ingest means each text has exactly one corpus
+    member — the accepted owner. A duplicate row that was REJECTED at
+    ingest never owned its fingerprint, so deleting it must not free
+    membership while the owner remains; the store carries the owner id
+    per fp (``ingest_batch_exact(store_owner_ids=True)``) precisely for
+    this check. Touched-bucket bounded: only the delete fps' buckets are
+    read. Stores written without owner ids tombstone unconditionally
+    (the caller asserts deletes are owners). O(deleted rows) writes —
+    one tiny ``_tomb/v=<batch>`` segment; the add chains are never
+    rewritten here (compaction applies tombstones physically later)."""
+    meta = _read_meta(store_dir) or {}
+    nb = meta.get("num_buckets", 16)
+    dels = (
+        batch.select(
+            F.col(id_col).cast("long").alias("id"), _fp(text_col).alias("fp")
+        )
+        .distinct()
+        .withColumn("_b", _bucket(F.col("fp"), nb))
+    )
+    touched = sorted(r["_b"] for r in dels.select("_b").distinct().collect())
+    paths = _store_paths(store_dir, touched, below=batch_id)
+    if paths:
+        seen = spark.read.parquet(*paths)
+        if "id" in seen.columns:
+            owned = dels.join(
+                seen.select("fp", "id").distinct(), ["fp", "id"], "left_semi"
+            )
+        else:
+            owned = dels
+        tomb = (
+            owned.select("fp")
+            .distinct()
+            .withColumn("dv", F.lit(batch_id).cast("long"))
+        )
+        dst = os.path.join(_tomb_dir(store_dir), f"v={batch_id}")
+        shutil.rmtree(dst, ignore_errors=True)
+        tomb.coalesce(1).write.mode("overwrite").parquet(dst)
+    _mark_committed(store_dir, batch_id)
 
 
 # the bloom sidecar's bitmap relation is m/32 rows — a handful of buckets
@@ -623,6 +774,7 @@ def ingest_batch_exact(
     num_buckets: int = 16,
     bloom_bits: int | None = None,
     bloom_hashes: int = 5,
+    store_owner_ids: bool = False,
 ) -> None:
     """One exact-dedup ingest step (the foreachBatch body, public so batch
     pipelines and job-count tests can drive it directly): keep the batch's
@@ -630,6 +782,14 @@ def ingest_batch_exact(
     fingerprints as delta segments, then commit. Driver-side job count is
     O(1) in bucket count: probe collect + output write + one partitioned
     delta write.
+
+    ``store_owner_ids=True`` (r10) records the accepted row's ``id_col``
+    next to each fingerprint, enabling :func:`remove_batch_exact`'s
+    owner check (the CDC→corpus bridge's delete path); the probe also
+    becomes TOMBSTONE-AWARE — a fingerprint whose newest tombstone is
+    newer than its newest add no longer rejects (the content left the
+    corpus; a re-send is novel again). Stores without tombstones pay no
+    extra work (the probe short-circuits to the plain anti-join).
 
     ``bloom_bits`` (opt-in, r9) adds the functions/bloom.py PRE-SCREEN as
     a ``_bloom`` sidecar chain: per batch the new fingerprints' bitmap
@@ -687,9 +847,13 @@ def ingest_batch_exact(
         touched = sorted(r["_b"] for r in probe.select("_b").distinct().collect())
         paths = _store_paths(store_dir, touched, below=batch_id)
         if paths:
+            # tombstone-aware: live fps only (tomb read includes the CURRENT
+            # batch's own removals — the bridge tombstones before it adds,
+            # so a same-batch delete+insert of one text nets to membership)
             seen = spark.read.parquet(*paths)
+            live = _live_fps(spark, store_dir, seen, tomb_below=batch_id + 1)
             survivors = probe.join(
-                seen.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
+                live.select(F.col("fp").alias("_fp")), "_fp", "left_anti"
             )
         else:
             survivors = probe
@@ -702,9 +866,10 @@ def ingest_batch_exact(
                 .write.mode("overwrite")
                 .parquet(f"{out_dir}/batch={batch_id}")
             )
-            _write_delta(
-                new.select(F.col("_fp").alias("fp"), "_b"), store_dir, batch_id
-            )
+            delta_cols = [F.col("_fp").alias("fp"), F.col("_b")]
+            if store_owner_ids:
+                delta_cols.insert(1, F.col(id_col).cast("long").alias("id"))
+            _write_delta(new.select(*delta_cols), store_dir, batch_id)
             if bloom_bits is not None:
                 from ..functions.bloom import bloom_build
 

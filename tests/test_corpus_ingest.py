@@ -785,3 +785,109 @@ def test_web_ingest_content_neardup_tier(spark, tmp_path):
         *[p for p in glob.glob(f"{tmp}/store/near/b=*/v=*")]
     )
     assert near.select("id").distinct().count() == 4  # docs 0,1,2,3 only
+
+
+# ---------------------------------------------------------------------------
+# fingerprint tombstones + the CDC→corpus bridge (r10, cdc39)
+# ---------------------------------------------------------------------------
+
+
+def test_tombstone_frees_membership_and_readd_survives_compaction(spark, tmp_path):
+    """Delete semantics of the exact store: after remove_batch_exact, a
+    re-send of the content is ACCEPTED again; the re-add stays live
+    through a compaction that applies the tombstone physically; a second
+    delete kills the re-add too."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch_exact,
+        remove_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    rows = [(0, "alpha text"), (1, "beta text")]
+    b0 = spark.createDataFrame(rows, SCHEMA)
+    ingest_batch_exact(spark, b0, 0, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    # delete doc 0 -> its fp leaves the accept set
+    remove_batch_exact(spark, b0.filter("doc_id = 0"), 1, f"{tmp}/store")
+    assert store_size(spark, f"{tmp}/store") == 1
+    # re-send of the SAME text under a new id: novel again
+    b2 = spark.createDataFrame([(50, "alpha text"), (51, "beta text")], SCHEMA)
+    ingest_batch_exact(spark, b2, 2, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    got = sorted((r["batch"], r["doc_id"]) for r in
+                 read_ingested(spark, f"{tmp}/out", f"{tmp}/store").collect())
+    assert got == [(0, 0), (0, 1), (2, 50)]  # 51 rejected: beta still live
+    assert store_size(spark, f"{tmp}/store") == 2
+    # compaction applies the tombstone physically; the v=2 re-add SURVIVES
+    # (version-aware fold) and the consumed tombstone segment is dropped
+    assert compact_store(spark, f"{tmp}/store") == 2
+    assert not os.path.isdir(f"{tmp}/store/_tomb")
+    assert store_size(spark, f"{tmp}/store") == 2
+    b3 = spark.createDataFrame([(70, "alpha text")], SCHEMA)
+    ingest_batch_exact(spark, b3, 3, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    acc3 = read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter("batch = 3")
+    assert acc3.count() == 0  # alpha re-owned by 50 since batch 2
+    # second delete cycle against the POST-compaction store
+    remove_batch_exact(
+        spark, spark.createDataFrame([(50, "alpha text")], SCHEMA),
+        4, f"{tmp}/store",
+    )
+    b5 = spark.createDataFrame([(90, "alpha text")], SCHEMA)
+    ingest_batch_exact(spark, b5, 5, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    acc5 = read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter("batch = 5")
+    assert [r["doc_id"] for r in acc5.collect()] == [90]
+
+
+def test_tombstone_owner_check(spark, tmp_path):
+    """Deleting a REJECTED duplicate must not free membership: the text is
+    still represented in the corpus by its accepted owner."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+        remove_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame(
+        [(0, "shared text"), (7, "shared text")], SCHEMA  # 7 is a dup: rejected
+    )
+    ingest_batch_exact(spark, b0, 0, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    # doc 7 (non-owner) deleted: fp must stay live (owner 0 remains)
+    remove_batch_exact(
+        spark, spark.createDataFrame([(7, "shared text")], SCHEMA),
+        1, f"{tmp}/store",
+    )
+    assert store_size(spark, f"{tmp}/store") == 1
+    b2 = spark.createDataFrame([(60, "shared text")], SCHEMA)
+    ingest_batch_exact(spark, b2, 2, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    acc2 = read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter("batch = 2")
+    assert acc2.count() == 0  # still a member via owner 0
+
+
+def test_bridge_corpus_members_view(spark, tmp_path):
+    """corpus_members pairs accepted rows with CURRENT fingerprint
+    ownership: a deleted-then-re-accepted text contributes exactly its
+    newest accepted row."""
+    from kafka_connect_logminer2_spark.streaming.corpus_bridge import (
+        corpus_members,
+    )
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+        remove_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(0, "t zero"), (1, "t one")], SCHEMA)
+    ingest_batch_exact(spark, b0, 0, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    remove_batch_exact(spark, b0.filter("doc_id = 0"), 1, f"{tmp}/store")
+    ingest_batch_exact(
+        spark, spark.createDataFrame([(42, "t zero")], SCHEMA),
+        2, f"{tmp}/out", f"{tmp}/store", store_owner_ids=True,
+    )
+    members = corpus_members(spark, f"{tmp}/store", f"{tmp}/out")
+    assert sorted(r["doc_id"] for r in members.collect()) == [1, 42]
