@@ -124,6 +124,34 @@ def test_load_bench_compact_line(tmp_path):
     assert load_bench(str(parsed)) == {"sf": 0.1, "cold": {full_name: 1.3}}
 
 
+def test_rederive_block(tmp_path):
+    """--rederive (r10): band block from N runs — lo = 0.35 x fastest
+    cold, hi = 2.5 x slowest; mixed-sf runs refuse; the emitted block
+    round-trips through load_bands."""
+    from bench_compare import load_bands, rederive
+
+    r1 = tmp_path / "r1.json"
+    r1.write_text(json.dumps(
+        {"metric": "x", "sf": 0.1, "queries_cold": {"q1": 1.0, "q2": 4.0}}))
+    r2 = tmp_path / "r2.json"
+    r2.write_text(json.dumps(
+        {"metric": "x", "sf": 0.1, "queries_cold": {"q1": 2.0}}))
+    text, rc = rederive([str(r1), str(r2)])
+    assert rc == 0
+    out = tmp_path / "bands.md"
+    out.write_text(text + "\n")
+    sf, bands = load_bands(str(out))
+    assert sf == 0.1
+    assert bands["q1"] == (0.35, 5.0)   # 0.35*min(1,2), 2.5*max(1,2)
+    assert bands["q2"] == (1.4, 10.0)   # single-run entry still banded
+
+    r3 = tmp_path / "r3.json"
+    r3.write_text(json.dumps(
+        {"metric": "x", "sf": 0.01, "queries_cold": {"q1": 1.0}}))
+    _, rc2 = rederive([str(r1), str(r3)])
+    assert rc2 == 2
+
+
 def test_compact_line_fits_tail_window():
     """The compact final line must fit the driver's stdout-tail window
     (~1.9 KB observed in BENCH_r09.json) with headroom — that's the whole

@@ -43,3 +43,73 @@ def test_flags_intersect():
     assert got == ["q11_thing"]
     got2 = select_names(NAMES, set(), ["cdc"], 1)
     assert len(got2) == 1 and got2[0].startswith("cdc")
+
+
+# ---------------------------------------------------------------------------
+# --changed-since (r9 verdict #8): diff → touched-entry mapping
+# ---------------------------------------------------------------------------
+
+
+def _map(monkeypatch, changed, spans=None):
+    import check_correctness as cc
+    from kafka_connect_logminer2_spark.plans.queries import QUERY_REGISTRY
+
+    monkeypatch.setattr(cc, "_git_changed", lambda rev: changed)
+    monkeypatch.setattr(cc, "_changed_spans", lambda rev, path: spans or [])
+    return cc.entries_for_diff("FAKE", QUERY_REGISTRY)
+
+
+def test_changed_since_clean_and_unbounded(monkeypatch):
+    assert _map(monkeypatch, []) == []
+    assert _map(monkeypatch, ["kafka_connect_logminer2_spark/session.py"]) is None
+    assert _map(monkeypatch, ["tests/conftest.py"]) is None
+    # non-engine files have no entry impact
+    assert _map(monkeypatch, ["BASELINE.md", "tools/bench_compare.py"]) == []
+
+
+def test_changed_since_module_maps_to_its_entries(monkeypatch):
+    sel = _map(monkeypatch, ["kafka_connect_logminer2_spark/plans/tpch.py"])
+    assert len(sel) == 17 and all(s.startswith("q") for s in sel)
+    sel2 = _map(monkeypatch,
+                ["kafka_connect_logminer2_spark/functions/multimodal.py"])
+    assert "q164_cross_modal_neardup" in sel2
+    assert "cdc27_video_ingest" in sel2  # transitive via video_ingest
+    assert "q01_pricing_summary" not in sel2
+
+
+def test_changed_since_sql_span_maps_aliased_oracles(monkeypatch):
+    """A diff hunk inside CDC28_SQL selects BOTH cdc28 and cdc29 (whose
+    oracle is the alias CDC29_SQL = CDC28_SQL) — string identity in the
+    registry, not name matching."""
+    import ast
+
+    qpath = "kafka_connect_logminer2_spark/plans/queries.py"
+    tree = ast.parse(open(qpath).read())
+    span = None
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", "") == "CDC28_SQL" for t in node.targets
+        ):
+            span = (node.lineno, node.lineno + 1)
+    assert span is not None
+    sel = _map(monkeypatch, [qpath], spans=[span])
+    assert "cdc28_image_ingest" in sel and "cdc29_audio_ingest" in sel
+    # cdc27's oracle is byte-identical TEXT (not an alias), which CPython
+    # folds to the same constant object — the id-based mapping therefore
+    # over-selects it; that's the safe direction, so it's pinned here
+    assert "cdc27_video_ingest" in sel
+    assert "q01_pricing_summary" not in sel
+
+
+def test_changed_since_entry_body_span(monkeypatch):
+    """A hunk inside one entry's function body selects that entry."""
+    import ast
+
+    qpath = "kafka_connect_logminer2_spark/plans/queries.py"
+    tree = ast.parse(open(qpath).read())
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == "q05_global_agg":
+            span = (node.lineno + 1, node.lineno + 2)
+    sel = _map(monkeypatch, [qpath], spans=[span])
+    assert "q05_global_agg" in sel
+    assert "q06_distinct" not in sel

@@ -4,6 +4,15 @@ per-entry verdict, exit non-zero on violations — the diff the judge used
 to do by hand every round.
 
 Usage: python tools/bench_compare.py BENCH.json [BASELINE.md]
+       python tools/bench_compare.py --rederive BENCH1.json [BENCH2.json ...]
+
+``--rederive`` (r9 verdict #7 — band maintenance automation): emit a
+fresh machine-readable band-table block from N recorded runs, applying
+the [0.35x, 2.5x] rule to the observed cold spread — lo = 0.35 × the
+fastest recorded cold, hi = 2.5 × the slowest — so band drift after a
+plan change or a box-speed shift is one paste into BASELINE.md instead
+of a hand-derivation per entry. All runs must share one sf; entries
+missing from some runs band on the runs that have them.
 
 Accepts any of these formats:
  * bench.py's own stdout — the full ``queries_cold`` line and/or the
@@ -165,10 +174,43 @@ def compare(
     return lines, failures
 
 
+def rederive(paths: list[str]) -> tuple[str, int]:
+    """The ``--rederive`` block (module docstring): (markdown text,
+    exit code)."""
+    runs = [load_bench(p) for p in paths]
+    sfs = {r["sf"] for r in runs}
+    if len(sfs) != 1:
+        return f"runs disagree on sf: {sorted(map(str, sfs))} — band tables are per-sf", 2
+    (sf,) = sfs
+    entries: dict[str, list[float]] = {}
+    for r in runs:
+        for name, v in r["cold"].items():
+            entries.setdefault(name, []).append(v)
+    lines = [
+        f"<!-- bench_bands sf={sf} rederived from {len(runs)} run"
+        f"{'s' if len(runs) != 1 else ''} ({', '.join(paths)}) -->",
+        "| entry | lo | hi |",
+        "|---|---|---|",
+    ]
+    for name in sorted(entries):
+        vs = entries[name]
+        lines.append(
+            f"| {name} | {round(0.35 * min(vs), 2)} | {round(2.5 * max(vs), 2)} |"
+        )
+    return "\n".join(lines), 0
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
+    if sys.argv[1] == "--rederive":
+        if len(sys.argv) < 3:
+            print("--rederive needs at least one BENCH json/stdout file")
+            return 2
+        text, rc = rederive(sys.argv[2:])
+        print(text)
+        return rc
     bench_path = sys.argv[1]
     baseline_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
     bench = load_bench(bench_path)

@@ -3,7 +3,7 @@ DuckDB, compare row count + schema-insensitive sorted value hash — a stand-in
 for the round driver's CORRECTNESS gate so mismatches surface before commit.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...] \
-           [--family PREFIX[,PREFIX...]] [--sample N]
+           [--family PREFIX[,PREFIX...]] [--sample N] [--changed-since REV]
 
 The full registry at sf0.1 takes ~25 min — too slow per-commit. Scope it:
   --family q1,cdc     only names starting with a listed prefix (touched
@@ -12,13 +12,33 @@ The full registry at sf0.1 takes ~25 min — too slow per-commit. Scope it:
                       state) size-N spread across the whole registry — a
                       cheap canary whose selection is stable run-to-run
                       but unbiased by registration order
-Explicit positional names compose with both (intersection).
+  --changed-since REV entries touched by `git diff REV` (r9 verdict #8):
+                      changed engine modules expand to their transitive
+                      dependents via the package import graph, then map
+                      to entries through each entry's own imports (local
+                      ImportFrom nodes + top-level import names used in
+                      the entry source); edits inside plans/queries.py
+                      map by line span — entry bodies, helper functions
+                      (by name use), and *_SQL constants (including
+                      aliased oracles like CDC29_SQL = CDC28_SQL, via
+                      string identity in the registry). Changes to
+                      unbounded-blast-radius files (session.py,
+                      config.py's EngineConfig is graph-handled;
+                      __spark_entry__.py, conftest) select the FULL
+                      registry. Over-selection is safe; silent
+                      under-selection is the only failure mode the
+                      mapping guards against.
+Explicit positional names compose with all of these (intersection).
 """
 
 from __future__ import annotations
 
 import argparse
+import ast
 import hashlib
+import os
+import re
+import subprocess
 import sys
 import time
 
@@ -26,6 +46,208 @@ import duckdb
 import pandas as pd
 
 sys.path.insert(0, ".")
+
+PKG = "kafka_connect_logminer2_spark"
+
+
+def _git_changed(rev: str) -> list[str]:
+    out = subprocess.run(
+        ["git", "diff", "--name-only", rev],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return [line.strip() for line in out.splitlines() if line.strip()]
+
+
+def _changed_spans(rev: str, path: str) -> list[tuple[int, int]]:
+    """New-file line ranges [start, end) changed vs REV (git -U0 hunks)."""
+    out = subprocess.run(
+        ["git", "diff", "-U0", rev, "--", path],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    spans = []
+    for m in re.finditer(r"^@@ [^+]*\+(\d+)(?:,(\d+))? @@", out, re.M):
+        start = int(m.group(1))
+        n = int(m.group(2)) if m.group(2) is not None else 1
+        spans.append((start, start + max(n, 1)))
+    return spans
+
+
+def _resolve_relative(file_path: str, module: str | None, level: int) -> str | None:
+    """``from ..functions.text import x`` inside pkg/plans/queries.py →
+    ``pkg/functions/text.py`` (or the package dir's __init__)."""
+    if level == 0:
+        if module and module.startswith(PKG):
+            parts = module.split(".")
+        else:
+            return None
+    else:
+        base = os.path.dirname(file_path).split(os.sep)
+        if level - 1 > 0:
+            base = base[: -(level - 1)] if level - 1 <= len(base) else []
+        parts = base + (module.split(".") if module else [])
+    cand = os.sep.join(parts) + ".py"
+    if os.path.exists(cand):
+        return cand
+    init = os.sep.join(parts) + os.sep + "__init__.py"
+    return init if os.path.exists(init) else None
+
+
+def _module_imports(file_path: str) -> set[str]:
+    """Every engine-module file this file imports (anywhere in it)."""
+    try:
+        tree = ast.parse(open(file_path).read())
+    except (OSError, SyntaxError):
+        return set()
+    deps: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            p = _resolve_relative(file_path, node.module, node.level)
+            if p:
+                deps.add(p)
+            # `from ..functions import multimodal` — the NAMES are modules
+            for alias in node.names:
+                sub = _resolve_relative(
+                    file_path,
+                    (node.module + "." if node.module else "") + alias.name,
+                    node.level,
+                )
+                if sub:
+                    deps.add(sub)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                p = _resolve_relative(file_path, alias.name, 0)
+                if p:
+                    deps.add(p)
+    return deps
+
+
+def _impacted_modules(changed: set[str]) -> set[str]:
+    """Changed engine files + every engine file that (transitively)
+    imports one of them."""
+    graph: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                graph[p] = _module_imports(p)
+    impacted = set(c for c in changed if c in graph)
+    grew = True
+    while grew:
+        grew = False
+        for mod, deps in graph.items():
+            if mod not in impacted and deps & impacted:
+                impacted.add(mod)
+                grew = True
+    return impacted
+
+
+# files whose change cannot be attributed to a bounded entry set
+_FULL_RERUN = ("__spark_entry__.py", "conftest.py", f"{PKG}/session.py")
+
+
+def entries_for_diff(rev: str, registry: dict) -> list[str] | None:
+    """Names of the registry entries a ``git diff REV`` touches; None
+    means "run the full registry" (unbounded blast radius)."""
+    changed = _git_changed(rev)
+    if any(c in _FULL_RERUN or c.endswith("conftest.py") for c in changed):
+        return None
+    engine_changed = {c for c in changed if c.startswith(PKG) and c.endswith(".py")}
+    qpath = f"{PKG}/plans/queries.py"
+    impacted = _impacted_modules(engine_changed - {qpath})
+    impacted_names = {os.path.basename(p)[:-3] for p in impacted}
+
+    src = open(qpath).read()
+    tree = ast.parse(src)
+    # top-level imported names → their source module file
+    top_names: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            level = getattr(node, "level", 0)
+            module = getattr(node, "module", None)
+            for alias in node.names:
+                tgt = _resolve_relative(qpath, module, level) if level else (
+                    _resolve_relative(qpath, alias.name, 0)
+                )
+                sub = _resolve_relative(
+                    qpath, (module + "." if module else "") + alias.name, level
+                ) if level else None
+                top_names[alias.asname or alias.name] = sub or tgt or ""
+
+    spans = _changed_spans(rev, qpath) if qpath in engine_changed else []
+
+    def span_hit(node) -> bool:
+        return any(
+            not (node.end_lineno < s or node.lineno >= e) for s, e in spans
+        )
+
+    funcs = {
+        node.name: node
+        for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+    consts = {
+        t.id: node
+        for node in tree.body
+        if isinstance(node, ast.Assign)
+        for t in node.targets
+        if isinstance(t, ast.Name)
+    }
+    # helper functions (non-entries) whose span changed → entries using them
+    entry_fn_names = {fn.__name__ for fn, _ in registry.values()}
+    changed_helpers = {
+        n for n, node in funcs.items()
+        if n not in entry_fn_names and span_hit(node)
+    }
+    # *_SQL constants whose span changed → entries registered with that
+    # exact string (identity survives aliasing: CDC29_SQL = CDC28_SQL)
+    import importlib
+
+    qmod = importlib.import_module(f"{PKG}.plans.queries")
+    changed_sql_values = {
+        id(getattr(qmod, n))
+        for n, node in consts.items()
+        if span_hit(node) and hasattr(qmod, n)
+    }
+
+    picked = []
+    for name, (fn, sql) in registry.items():
+        node = funcs.get(fn.__name__)
+        if node is None:
+            # defined outside queries.py (e.g. plans/tpch.py): selected
+            # iff its defining module is in the impacted set
+            mod_file = getattr(fn, "__module__", "").replace(".", os.sep) + ".py"
+            if mod_file in impacted:
+                picked.append(name)
+            continue
+        fsrc = ast.get_source_segment(src, node) or ""
+        deps = set()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.ImportFrom):
+                p = _resolve_relative(qpath, sub.module, sub.level)
+                if p:
+                    deps.add(os.path.basename(p)[:-3])
+                for alias in sub.names:
+                    p2 = _resolve_relative(
+                        qpath,
+                        (sub.module + "." if sub.module else "") + alias.name,
+                        sub.level,
+                    )
+                    if p2:
+                        deps.add(os.path.basename(p2)[:-3])
+        for alias_name, mod_path in top_names.items():
+            if mod_path in impacted and re.search(
+                rf"\b{re.escape(alias_name)}\b", fsrc
+            ):
+                deps.add(os.path.basename(mod_path)[:-3])
+        hit = (
+            bool(deps & impacted_names)
+            or span_hit(node)
+            or (sql is not None and id(sql) in changed_sql_values)
+            or any(re.search(rf"\b{h}\b", fsrc) for h in changed_helpers)
+        )
+        if hit:
+            picked.append(name)
+    return picked
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -83,10 +305,26 @@ def main() -> int:
     ap.add_argument(
         "--sample", type=int, default=None, help="deterministic registry-wide sample of N entries"
     )
+    ap.add_argument(
+        "--changed-since", default=None, metavar="REV",
+        help="restrict to entries touched by `git diff REV` (see module doc)",
+    )
     args = ap.parse_args()
     sf = args.sf_dir
     only = set(args.names)
     families = [f for grp in args.family for f in grp.split(",") if f]
+
+    changed_names: list[str] | None = None
+    if args.changed_since is not None:
+        from kafka_connect_logminer2_spark.plans.queries import QUERY_REGISTRY
+
+        changed_names = entries_for_diff(args.changed_since, QUERY_REGISTRY)
+        if changed_names is None:
+            print(f"-- diff vs {args.changed_since} touches an unbounded file: "
+                  "FULL registry selected")
+        else:
+            print(f"-- diff vs {args.changed_since}: {len(changed_names)} "
+                  "entries mapped")
 
     import __spark_entry__ as entrymod
     from kafka_connect_logminer2_spark.session import get_spark
@@ -105,6 +343,9 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     picked = select_names(list(qs), only, families, args.sample)
+    if changed_names is not None:
+        keep = set(changed_names)
+        picked = [n for n in picked if n in keep]
     print(f"-- {len(picked)}/{len(qs)} entries selected")
     failures = 0
     for name in picked:
