@@ -9323,6 +9323,109 @@ ORDER BY batch
 """
 
 
+def cdc40_web_takedown(spark: SparkSession, sf: str) -> DataFrame:
+    """Takedown propagation through BOTH web-ingest tiers (r10): a legal
+    removal / curation kill must free the page's canonical-URL
+    fingerprint AND its content signatures, so a re-crawl of the same
+    URL or a republication of the same content is ingestible again —
+    while everything NOT taken down stays protected. Takedowns ride the
+    SAME stream as control rows (``op_col``), the one sequencing
+    authority that keeps tombstone versions interleaved with batch ids
+    (streaming/web_ingest.py::takedown_batch_web's contract). Planted
+    truth over token-disjoint 80-word articles:
+
+      batch 0: articles 0-5 — all accepted;
+      batch 1: TAKEDOWN of page 2 + (same batch, removals first) a
+        re-crawl of page 2's URL with the same content (id 52 —
+        accepted: both tiers freed in-batch), a utm re-crawl of
+        NOT-taken-down page 1 (id 61 — URL tier still rejects), and a
+        near-variant of article 0 at a new URL (id 60 — near tier still
+        rejects);
+      batch 2: article 2's content republished at a brand-new URL
+        (id 70 — REJECTED: id 52 re-established content membership in
+        batch 1) and a novel article (id 71 — accepted).
+
+    The oracle pins per-batch accepted counts + id-sums exactly."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.corpus_ingest import read_ingested
+    from ..streaming.web_ingest import write_web_ingest
+
+    def article(i: int, n_words: int = 80) -> str:
+        return " ".join(f"t{i}_{j}" for j in range(n_words))
+
+    def page(pid: int, art: str, site) -> dict:
+        return dict(
+            doc_id=pid, url=f"http://s{site}.example.com/a",
+            html=f"<p>{art}</p>", op="page",
+        )
+
+    batches = [
+        [page(i, article(i), i) for i in range(6)],
+        [
+            dict(doc_id=2, url="http://s2.example.com/a", html=None,
+                 op="takedown"),
+            page(52, article(2), 2),
+            dict(doc_id=61, url="http://s1.example.com/a?utm_x=1",
+                 html=f"<p>{article(1)}</p>", op="page"),
+            page(60, " ".join(article(0).split(" ")[:-1]), 60),
+        ],
+        [page(70, article(2), 70), page(71, article(6), 71)],
+    ]
+    tmp = tempfile.mkdtemp(prefix="cdc40_")
+    try:
+        _os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        schema = "doc_id long, url string, html string, op string"
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                f"{tmp}/s{i}"
+            )
+            src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
+            _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+            _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = write_web_ingest(
+            stream, f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            min_tokens=45, content_neardup=True, op_col="op", max_chain=2,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc40 stream did not finish in 600s")
+        out = read_ingested(
+            spark, f"{tmp}/out", store_dir=f"{tmp}/store/near"
+        )
+        return (
+            out.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_accepted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .orderBy("batch")
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC40_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 6::BIGINT, 15::BIGINT),
+  (1::BIGINT, 1::BIGINT, 52::BIGINT),
+  (2::BIGINT, 1::BIGINT, 71::BIGINT)
+) AS t(batch, n_accepted, id_sum)
+ORDER BY batch
+"""
+
+
 # q170 planted ids above every real doc_id (clear of q166/q167/q169)
 _Q170_OFFSET = 23_000_000
 
@@ -10286,6 +10389,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc37_cross_modal_ingest": (cdc37_cross_modal_ingest, CDC37_SQL),
     "cdc38_web_neardup_ingest": (cdc38_web_neardup_ingest, CDC38_SQL),
     "cdc39_cdc_corpus_bridge": (cdc39_cdc_corpus_bridge, CDC39_SQL),
+    "cdc40_web_takedown": (cdc40_web_takedown, CDC40_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }

@@ -547,26 +547,35 @@ def compact_store(
         ).cast("int")
     else:
         bucket_expr = _bucket(F.col("fp"), nb)
-    # exact stores with pending fingerprint tombstones (the bridge's
-    # delete path): apply them PHYSICALLY during the fold, version-aware
-    # (an add newer than its fp's newest tombstone survives — module note
-    # at _tomb_dir), then drop the consumed tombstone segments. protect
-    # scopes both: only tombstones strictly below it are applied/consumed.
+    # stores with pending tombstones apply them PHYSICALLY during the
+    # fold, then drop the consumed segments. Exact stores: version-aware
+    # on fingerprints (an add newer than its fp's newest tombstone
+    # survives — module note at _tomb_dir). Near stores: id-keyed
+    # anti-join (accepted ids are never re-added). protect scopes both:
+    # only tombstones strictly below it are applied/consumed.
     fold = None
     force_single = False
     cleanup: tuple[str, ...] = ()
     last = _last_committed_batch(store_dir)
-    if meta.get("kind") != "neardup" and last is not None:
+    if last is not None:
         tomb = _committed_tombs(
             spark, store_dir, below=(last + 1 if protect is None else protect)
         )
-        if tomb is not None:
+        if tomb is not None and meta.get("kind") == "neardup":
+            dead_ids = tomb.select("id").distinct()
+
+            def fold(df):  # noqa: F811 — id-tombstone-applying fold
+                return df.distinct().join(dead_ids, "id", "left_anti")
+
+            force_single = True
+            cleanup = ("_tomb",)
+        elif tomb is not None:
             dvs = tomb.groupBy("fp").agg(F.max("dv").alias("_dv"))
 
-            def fold(df):  # noqa: F811 — the tombstone-applying fold
+            def fold(df):  # noqa: F811 — version-aware fp-tombstone fold
                 df = _with_seg_version(df)
                 df = df.join(dvs, "fp", "left").filter(
-                    F.col("_dv").isNull() | (F.col("_dv") < F.col("_v"))
+                    F.col("_dv").isNull() | (F.col("_dv") <= F.col("_v"))
                 )
                 return df.drop("_v", "_dv").distinct()
 
@@ -622,9 +631,10 @@ def store_size(spark: SparkSession, store_dir: str) -> int:
 # again. Tombstones are the search_index._tomb overlay pattern applied to
 # fingerprints, made VERSION-AWARE so re-adds survive compaction: a tomb
 # row is (fp, dv) where dv is the delete batch; an add is live iff its
-# newest segment version exceeds the fp's newest tombstone (strictly — a
-# same-batch add+tomb means the add re-established membership in the batch
-# the old owner left). Segment versions come from the delta-chain layout
+# newest segment version is AT OR ABOVE the fp's newest tombstone —
+# within one batch removals run first (the bridge/takedown convention),
+# so a same-batch add re-establishes membership in the batch the old
+# owner left. Segment versions come from the delta-chain layout
 # itself (the v=<batch> path component via _metadata.file_path), so no row
 # format change is needed on the add side; compaction folds survivors to
 # the fold version, which only ever RAISES an add's effective version —
@@ -680,7 +690,7 @@ def _live_fps(
     dv = tomb.groupBy("fp").agg(F.max("dv").alias("_dv"))
     return (
         av.join(dv, "fp", "left")
-        .filter(F.col("_dv").isNull() | (F.col("_dv") < F.col("_av")))
+        .filter(F.col("_dv").isNull() | (F.col("_dv") <= F.col("_av")))
         .select("fp")
     )
 
@@ -733,6 +743,31 @@ def remove_batch_exact(
         dst = os.path.join(_tomb_dir(store_dir), f"v={batch_id}")
         shutil.rmtree(dst, ignore_errors=True)
         tomb.coalesce(1).write.mode("overwrite").parquet(dst)
+    _mark_committed(store_dir, batch_id)
+
+
+def remove_batch_neardup(
+    spark: SparkSession,
+    doc_ids: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone accepted documents in the NEAR-dup signature store
+    (takedown / curation kill, the web-takedown path of cdc40): their
+    banded signatures stop rejecting arrivals immediately (merge-on-read
+    exclusion) and leave the chains physically at the next compaction.
+    Id-keyed and version-free — accepted ids are unique and never
+    re-added, so unlike the exact store's fingerprint tombstones no
+    liveness comparison is needed. O(removed ids) write: one tiny
+    ``_tomb/v=<batch>`` segment; the signature chains are not touched
+    here."""
+    tomb = doc_ids.select(
+        F.col(id_col).cast("long").alias("id")
+    ).distinct().withColumn("dv", F.lit(batch_id).cast("long"))
+    dst = os.path.join(_tomb_dir(store_dir), f"v={batch_id}")
+    shutil.rmtree(dst, ignore_errors=True)
+    tomb.coalesce(1).write.mode("overwrite").parquet(dst)
     _mark_committed(store_dir, batch_id)
 
 
@@ -1070,6 +1105,14 @@ def ingest_batch_neardup(
         paths = _store_paths(store_dir, touched, below=batch_id)
         if paths:
             hist = spark.read.parquet(*paths)
+            # id tombstones (takedowns, r10): a removed doc's signatures no
+            # longer reject arrivals — id-keyed (ids are never re-added, so
+            # no version logic is needed, unlike the exact store's fps)
+            tomb = _committed_tombs(spark, store_dir, below=batch_id + 1)
+            if tomb is not None:
+                hist = hist.join(
+                    tomb.select("id").distinct(), "id", "left_anti"
+                )
             cand = (
                 bands_maybe.join(
                     hist.select("band", "key", F.col("sig").alias("_hsig")),

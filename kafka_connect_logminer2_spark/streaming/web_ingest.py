@@ -65,13 +65,33 @@ def ingest_batch_web(
     near_num_bands: int = 4,
     near_threshold: float = 0.5,
     near_seed: int = 42,
+    op_col: str | None = None,
 ) -> None:
     """One web-ingest step (public foreachBatch body): canonicalize,
     extract, floor, then the exact-ingest step keyed on ``canon``; with
     ``content_neardup``, URL-gate survivors additionally run the banded
     MinHash near-dup ingest on their EXTRACTED text (module docstring) —
-    a same-article-different-URL republication is rejected there."""
+    a same-article-different-URL republication is rejected there.
+
+    ``op_col`` (cdc40): rows whose ``op_col`` equals ``'takedown'`` are
+    REMOVAL control rows riding the same stream (doc_id + url suffice);
+    they tombstone first, then the batch's page rows ingest — one
+    sequencing authority, so tombstone versions always interleave
+    correctly with the stream's own batch ids (a taken-down page and its
+    re-crawl can even share a batch: removals run first)."""
     from ..functions.text import html_to_text, token_count, url_canonicalize
+
+    if op_col is not None and op_col in batch.columns:
+        takedowns = batch.filter(F.col(op_col) == "takedown")
+        if takedowns.take(1):  # skip the tombstone write for pure-page batches
+            takedown_batch_web(
+                spark, takedowns, batch_id, store_dir,
+                id_col=id_col, url_col=url_col,
+                content_neardup=content_neardup,
+            )
+        batch = batch.filter(
+            F.col(op_col).isNull() | (F.col(op_col) != "takedown")
+        ).drop(op_col)
 
     b = batch.withColumn("canon", url_canonicalize(F.col(url_col)))
     b = b.withColumn("text", html_to_text(F.col(html_col))).drop(html_col)
@@ -98,6 +118,50 @@ def ingest_batch_web(
     )
 
 
+def takedown_batch_web(
+    spark: SparkSession,
+    pages: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    content_neardup: bool = False,
+) -> None:
+    """Take down accepted pages (legal removal, curation kill — cdc40):
+    the page's canonical-URL fingerprint leaves the URL store's accept
+    set AND (with the tier) its content signatures leave the near store,
+    so a future re-crawl of the same URL or a republication of the same
+    content is ingestible again. ``pages``: (doc_id, url) of rows from
+    the ACCEPTED output — doc_id drives the near-store id tombstone, the
+    canonicalized url drives the URL-fingerprint tombstone (the URL
+    store is keyed on ``canon``; owner is implicit — the first-crawl
+    rule stores one fp per canon).
+
+    SEQUENCING: a tombstone's version must interleave correctly with the
+    add versions it kills (live iff newest add >= newest tombstone), so
+    for a LIVE stream ride the stream itself — ``write_web_ingest(
+    op_col=...)`` routes 'takedown' control rows here with the batch's
+    own id. Call this directly only from batch pipelines that control
+    batch ids explicitly; an out-of-band id far above the stream's
+    counter would out-version every future re-crawl."""
+    from ..functions.text import url_canonicalize
+
+    from .corpus_ingest import remove_batch_exact, remove_batch_neardup
+
+    canon = pages.select(
+        F.col(id_col).alias("doc_id"),
+        url_canonicalize(F.col(url_col)).alias("text"),
+    )
+    if not content_neardup:
+        remove_batch_exact(spark, canon, batch_id, store_dir)
+        return
+    remove_batch_exact(spark, canon, batch_id, os.path.join(store_dir, "url"))
+    remove_batch_neardup(
+        spark, pages.select(id_col), batch_id,
+        os.path.join(store_dir, "near"), id_col=id_col,
+    )
+
+
 def write_web_ingest(
     page_stream: DataFrame,
     out_dir: str,
@@ -117,6 +181,7 @@ def write_web_ingest(
     near_num_bands: int = 4,
     near_threshold: float = 0.5,
     near_seed: int = 42,
+    op_col: str | None = None,
 ):
     """Stream of raw pages → ``out_dir/batch=<id>`` holding only the
     quality-passing FIRST crawl of each canonical URL, with the seen-set
@@ -124,8 +189,11 @@ def write_web_ingest(
     write_dedup_ingest contract on a canon fingerprint). With
     ``content_neardup``, the output further excludes republished
     near-duplicate CONTENT (cdc38; read accepted batches with
-    ``store_dir=<store>/near`` — its marker commits last). ``max_chain``
-    self-schedules PROTECTED in-line compaction of every tier's store."""
+    ``store_dir=<store>/near`` — its marker commits last). With
+    ``op_col``, 'takedown' control rows in the stream free their page's
+    URL fingerprint and content signatures for future re-ingest (cdc40).
+    ``max_chain`` self-schedules PROTECTED in-line compaction of every
+    tier's store."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_web(
@@ -135,7 +203,7 @@ def write_web_ingest(
             bloom_bits=bloom_bits, content_neardup=content_neardup,
             near_k=near_k, near_num_hashes=near_num_hashes,
             near_num_bands=near_num_bands, near_threshold=near_threshold,
-            near_seed=near_seed,
+            near_seed=near_seed, op_col=op_col,
         )
         if max_chain is not None:
             from .maintenance import maintain_store

@@ -891,3 +891,68 @@ def test_bridge_corpus_members_view(spark, tmp_path):
     )
     members = corpus_members(spark, f"{tmp}/store", f"{tmp}/out")
     assert sorted(r["doc_id"] for r in members.collect()) == [1, 42]
+
+
+def test_web_takedown_frees_both_tiers(spark, tmp_path):
+    """cdc40 at unit scope, with a RESTART between the takedown batch and
+    the republication batch: a takedown control row frees the page's URL
+    fingerprint and content signatures (same-batch re-crawl accepted,
+    removals first); untouched pages stay protected; the re-ingested
+    content re-establishes protection against later republication; both
+    tier stores compact in-line with tombstones pending."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        read_ingested,
+    )
+    from kafka_connect_logminer2_spark.streaming.web_ingest import (
+        write_web_ingest,
+    )
+
+    schema = "doc_id long, url string, html string, op string"
+
+    def art(i, n=80):
+        return " ".join(f"k{i}_{j}" for j in range(n))
+
+    rows = {
+        0: [(i, f"http://w{i}.com/p", f"<p>{art(i)}</p>", "page")
+            for i in range(4)],
+        1: [
+            (2, "http://w2.com/p", None, "takedown"),
+            (52, "http://w2.com/p", f"<p>{art(2)}</p>", "page"),  # re-crawl
+            (61, "http://w1.com/p?utm_a=1", f"<p>{art(1)}</p>", "page"),
+            (60, "http://w60.com/p",
+             "<p>" + " ".join(art(0).split(" ")[:-1]) + "</p>", "page"),
+        ],
+        2: [
+            (70, "http://w70.com/p", f"<p>{art(2)}</p>", "page"),  # vs 52
+            (71, "http://w71.com/p", f"<p>{art(9)}</p>", "page"),
+        ],
+    }
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in")
+    now = time.time()
+
+    def stage(i):
+        df = spark.createDataFrame(rows[i], schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/s{i}")
+        src = sorted(glob.glob(f"{tmp}/s{i}/part*"))[0]
+        shutil.copy(src, f"{tmp}/in/f{i}.parquet")
+        os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
+
+    def run():
+        return write_web_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in"),
+            f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            min_tokens=5, num_buckets=4, max_chain=2,
+            content_neardup=True, op_col="op",
+        )
+
+    stage(0), stage(1)
+    assert run().awaitTermination(600)
+    stage(2)
+    assert run().awaitTermination(600)  # restart across the takedown
+
+    acc = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store/near")
+    got = sorted((r["batch"], r["doc_id"]) for r in acc.collect())
+    assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 52), (2, 71)]
