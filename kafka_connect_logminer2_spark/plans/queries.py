@@ -9323,6 +9323,118 @@ ORDER BY batch
 """
 
 
+def cdc41_bridge_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC→corpus bridge with the CONTENT near-dup tier (r10 — cdc39's
+    front door widened to cdc18's banded store): update/delete semantics
+    must propagate into NEAR-dup membership too. The crux is UPDATE: the
+    doc keeps its id, so the near store's id tombstone must NOT kill the
+    signatures the update re-adds under that same id — tombstones are
+    version-aware on both tiers (live iff segment version ≥ the key's
+    newest tombstone; removals run first). Planted truth over
+    token-disjoint 60-word articles streamed as a DOCUMENTS CDC feed:
+
+      batch 0: INSERT articles 0-11 plus id 50 = a near-copy of article
+        0 (last word dropped; exact tier passes it, the near tier's
+        in-batch min-id rule rejects it);
+      batch 1: DELETE doc 1, UPDATE doc 2 to brand-new content — both
+        tombstone doc-old state on both tiers; doc 2's new text lands;
+      batch 2: INSERT near-copies — of deleted doc 1's text (id 80,
+        ACCEPTED: the delete freed its signatures), of doc 2's ORIGINAL
+        text (id 81, ACCEPTED: the update freed it), of live doc 3's
+        text (id 82, rejected), and of doc 2's NEW text (id 83,
+        rejected — the update's re-added same-id signatures are LIVE,
+        the version-aware survival this entry pins)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from ..plans.cdc import default_config, documents_registry
+    from ..sources.redo import redo_documents_dml
+    from ..streaming.corpus_bridge import write_cdc_corpus_bridge
+    from ..streaming.corpus_ingest import read_ingested
+    from ..streaming.pipeline import cdc_stream, read_redo_stream_files
+
+    def article(i: int, n_words: int = 60) -> str:
+        return " ".join(f"w{i}_{j}" for j in range(n_words))
+
+    def near(i: int) -> str:
+        return " ".join(article(i).split(" ")[:-1])
+
+    def docs_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    base = docs_df(
+        [(i, article(i), "s") for i in range(12)] + [(50, near(0), "s")]
+    )
+    band0 = redo_documents_dml(base, "INSERT", 100_000_000, "30")
+    band1 = redo_documents_dml(
+        docs_df([(1, article(1), "s")]), "DELETE", 200_000_000, "31"
+    ).unionByName(
+        redo_documents_dml(
+            docs_df([(2, article(2), "s")]).withColumn(
+                "new_text", F.lit(article(20))
+            ),
+            "UPDATE", 220_000_000, "32",
+        )
+    )
+    band2 = redo_documents_dml(
+        docs_df(
+            [(80, near(1), "s"), (81, near(2), "s"),
+             (82, near(3), "s"), (83, near(20), "s")]
+        ),
+        "INSERT", 300_000_000, "33",
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc41_")
+    try:
+        _os.makedirs(f"{tmp}/redo")
+        now = _time.time()
+        for i, band in enumerate((band0, band1, band2)):
+            band.coalesce(1).write.parquet(f"{tmp}/stage{i}")
+            (part,) = _glob.glob(f"{tmp}/stage{i}/part*")
+            dst = f"{tmp}/redo/f{i}.parquet"
+            _shutil.copy(part, dst)
+            _os.utime(dst, (now + i * 10, now + i * 10))
+        stream = read_redo_stream_files(spark, f"{tmp}/redo", max_files_per_trigger=1)
+        q = write_cdc_corpus_bridge(
+            cdc_stream(stream, default_config()),
+            documents_registry(), "TPCH", "DOCUMENTS", "DOC_ID",
+            f"{tmp}/snap", f"{tmp}/out", f"{tmp}/store", f"{tmp}/ckpt",
+            text_col="TEXT", content_neardup=True, max_chain=2,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("cdc41 stream did not finish in 600s")
+        acc = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store/near")
+        out = (
+            acc.groupBy(F.col("batch").cast("long").alias("batch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_accepted"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .orderBy("batch")
+        )
+        return spark.createDataFrame(
+            out.collect(), "batch long, n_accepted bigint, id_sum long"
+        ).orderBy("batch")
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC41_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, 12::BIGINT, 66::BIGINT),
+  (1::BIGINT,  1::BIGINT,  2::BIGINT),
+  (2::BIGINT,  2::BIGINT, 161::BIGINT)
+) AS t(batch, n_accepted, id_sum)
+ORDER BY batch
+"""
+
+
 def cdc40_web_takedown(spark: SparkSession, sf: str) -> DataFrame:
     """Takedown propagation through BOTH web-ingest tiers (r10): a legal
     removal / curation kill must free the page's canonical-URL
@@ -10390,6 +10502,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc38_web_neardup_ingest": (cdc38_web_neardup_ingest, CDC38_SQL),
     "cdc39_cdc_corpus_bridge": (cdc39_cdc_corpus_bridge, CDC39_SQL),
     "cdc40_web_takedown": (cdc40_web_takedown, CDC40_SQL),
+    "cdc41_bridge_neardup": (cdc41_bridge_neardup, CDC41_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }

@@ -68,10 +68,24 @@ def bridge_batch(
     normalize: bool = False,
     num_buckets: int = 16,
     config: EngineConfig | None = None,
+    content_neardup: bool = False,
+    near_threshold: float = 0.5,
+    near_k: int = 3,
 ) -> None:
     """One bridge step (public foreachBatch body): envelope batch →
     snapshot merge → change feed → remove-then-ingest. See module
-    docstring for the stage contract."""
+    docstring for the stage contract.
+
+    ``content_neardup`` (cdc41) chains the banded MinHash near store
+    behind the exact gate (the web_ingest tier layout: ``<store>/exact``
+    + ``<store>/near``, exact survivors staged then near-ingested into
+    the final ``out_dir``; the near marker commits last and gates
+    visibility). Removals then tombstone BOTH tiers: the old text's
+    fingerprint (owner-checked) and the doc id's banded signatures —
+    version-aware on both, so an UPDATE's re-added signatures under the
+    same id stay live."""
+    import os
+
     from ..functions.text import normalize_text, token_count
 
     parent, keys = _merge_one_table(
@@ -82,6 +96,9 @@ def bridge_batch(
         # nothing for this table in the batch (or schema unavailable):
         # snapshot version unchanged, corpus membership unchanged
         return
+    exact_store = (
+        os.path.join(store_dir, "exact") if content_neardup else store_dir
+    )
     new = spark.read.parquet(f"{snap_dir}/v={batch_id}").join(
         F.broadcast(keys), [pk_col], "left_semi"
     )
@@ -100,7 +117,14 @@ def bridge_batch(
             F.col(pk_col).cast("long").alias("doc_id"),
             F.col(f"{text_col}_before").alias("text"),
         )
-        remove_batch_exact(spark, removals, batch_id, store_dir)
+        remove_batch_exact(spark, removals, batch_id, exact_store)
+        if content_neardup:
+            from .corpus_ingest import remove_batch_neardup
+
+            remove_batch_neardup(
+                spark, removals.select("doc_id"), batch_id,
+                os.path.join(store_dir, "near"),
+            )
         adds = cdf.filter(
             F.col("change_type").isin("INSERT", "UPDATE")
         ).select(
@@ -110,10 +134,26 @@ def bridge_batch(
         if normalize:
             adds = adds.withColumn("text", normalize_text(F.col("text")))
         adds = adds.filter(token_count(F.col("text")) >= min_tokens)
-        ingest_batch_exact(
-            spark, adds, batch_id, out_dir, store_dir,
-            num_buckets=num_buckets, store_owner_ids=True,
-        )
+        if not content_neardup:
+            ingest_batch_exact(
+                spark, adds, batch_id, out_dir, store_dir,
+                num_buckets=num_buckets, store_owner_ids=True,
+            )
+        else:
+            from .corpus_ingest import ingest_batch_neardup
+
+            stage_dir = out_dir.rstrip("/") + "_exactgate"
+            ingest_batch_exact(
+                spark, adds, batch_id, stage_dir, exact_store,
+                num_buckets=num_buckets, store_owner_ids=True,
+            )
+            survivors = spark.read.parquet(f"{stage_dir}/batch={batch_id}")
+            ingest_batch_neardup(
+                spark, survivors, batch_id, out_dir,
+                os.path.join(store_dir, "near"),
+                k=near_k, threshold=near_threshold,
+                num_buckets=num_buckets,
+            )
     finally:
         cdf.unpersist()
 
@@ -135,12 +175,19 @@ def write_cdc_corpus_bridge(
     max_chain: int | None = 64,
     config: EngineConfig | None = None,
     trigger_available_now: bool = True,
+    content_neardup: bool = False,
+    near_threshold: float = 0.5,
+    near_k: int = 3,
 ):
     """Maintain BOTH the table snapshot and the corpus accept-set implied
     by a CDC envelope stream (module docstring). Returns the
     StreamingQuery. ``out_dir/batch=<id>`` holds each batch's newly
     accepted (doc_id, text) rows — read them with
-    :func:`~.corpus_ingest.read_ingested` gated on the store's marker."""
+    :func:`~.corpus_ingest.read_ingested` gated on the store's marker
+    (``<store>/near`` when ``content_neardup``, its marker commits
+    last)."""
+    import os
+
     spark = envelope_stream.sparkSession
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -149,12 +196,21 @@ def write_cdc_corpus_bridge(
             snap_dir, out_dir, store_dir,
             text_col=text_col, min_tokens=min_tokens, normalize=normalize,
             num_buckets=num_buckets, config=config,
+            content_neardup=content_neardup,
+            near_threshold=near_threshold, near_k=near_k,
         )
         if max_chain is not None:
             from .maintenance import maintain_store
 
-            maintain_store(spark, store_dir, max_chain=max_chain,
-                           max_overlays=max_chain, protect=batch_id)
+            dirs = (
+                [os.path.join(store_dir, "exact"),
+                 os.path.join(store_dir, "near")]
+                if content_neardup
+                else [store_dir]
+            )
+            for d in dirs:
+                maintain_store(spark, d, max_chain=max_chain,
+                               max_overlays=max_chain, protect=batch_id)
 
     writer = envelope_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

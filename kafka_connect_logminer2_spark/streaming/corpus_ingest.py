@@ -562,10 +562,14 @@ def compact_store(
             spark, store_dir, below=(last + 1 if protect is None else protect)
         )
         if tomb is not None and meta.get("kind") == "neardup":
-            dead_ids = tomb.select("id").distinct()
+            id_dvs = tomb.groupBy("id").agg(F.max("dv").alias("_dv"))
 
-            def fold(df):  # noqa: F811 — id-tombstone-applying fold
-                return df.distinct().join(dead_ids, "id", "left_anti")
+            def fold(df):  # noqa: F811 — version-aware id-tombstone fold
+                df = _with_seg_version(df)
+                df = df.join(id_dvs, "id", "left").filter(
+                    F.col("_dv").isNull() | (F.col("_dv") <= F.col("_v"))
+                )
+                return df.drop("_v", "_dv").distinct()
 
             force_single = True
             cleanup = ("_tomb",)
@@ -754,14 +758,15 @@ def remove_batch_neardup(
     id_col: str = "doc_id",
 ) -> None:
     """Tombstone accepted documents in the NEAR-dup signature store
-    (takedown / curation kill, the web-takedown path of cdc40): their
-    banded signatures stop rejecting arrivals immediately (merge-on-read
-    exclusion) and leave the chains physically at the next compaction.
-    Id-keyed and version-free — accepted ids are unique and never
-    re-added, so unlike the exact store's fingerprint tombstones no
-    liveness comparison is needed. O(removed ids) write: one tiny
-    ``_tomb/v=<batch>`` segment; the signature chains are not touched
-    here."""
+    (takedown / curation kill cdc40; bridge deletes and updates cdc41):
+    their banded signatures stop rejecting arrivals immediately
+    (merge-on-read exclusion) and leave the chains physically at the
+    next compaction. Id-keyed and VERSION-AWARE like the exact store's
+    fingerprints — an UPDATE re-adds signatures under the same id in
+    the same or a later batch, and those survive (live iff segment
+    version >= the id's newest tombstone; removals run first within a
+    batch). O(removed ids) write: one tiny ``_tomb/v=<batch>`` segment;
+    the signature chains are not touched here."""
     tomb = doc_ids.select(
         F.col(id_col).cast("long").alias("id")
     ).distinct().withColumn("dv", F.lit(batch_id).cast("long"))
@@ -1105,13 +1110,22 @@ def ingest_batch_neardup(
         paths = _store_paths(store_dir, touched, below=batch_id)
         if paths:
             hist = spark.read.parquet(*paths)
-            # id tombstones (takedowns, r10): a removed doc's signatures no
-            # longer reject arrivals — id-keyed (ids are never re-added, so
-            # no version logic is needed, unlike the exact store's fps)
+            # id tombstones (takedowns cdc40, bridge deletes/updates
+            # cdc41): a removed doc's signatures no longer reject
+            # arrivals. VERSION-AWARE like the exact store's fps — an
+            # UPDATE re-adds signatures under the SAME id, so a row is
+            # live iff its segment version is at/above the id's newest
+            # tombstone (removals run first within a batch)
             tomb = _committed_tombs(spark, store_dir, below=batch_id + 1)
             if tomb is not None:
-                hist = hist.join(
-                    tomb.select("id").distinct(), "id", "left_anti"
+                dvs = tomb.groupBy("id").agg(F.max("dv").alias("_dv"))
+                hist = (
+                    _with_seg_version(hist)
+                    .join(dvs, "id", "left")
+                    .filter(
+                        F.col("_dv").isNull() | (F.col("_dv") <= F.col("_v"))
+                    )
+                    .drop("_v", "_dv")
                 )
             cand = (
                 bands_maybe.join(

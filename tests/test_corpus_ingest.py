@@ -956,3 +956,39 @@ def test_web_takedown_frees_both_tiers(spark, tmp_path):
     acc = read_ingested(spark, f"{tmp}/out", store_dir=f"{tmp}/store/near")
     got = sorted((r["batch"], r["doc_id"]) for r in acc.collect())
     assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 52), (2, 71)]
+
+
+def test_neardup_tombstone_same_id_readd_survives(spark, tmp_path):
+    """cdc41's crux at unit scope: tombstone an id, then re-add signatures
+    under the SAME id (an update) — the re-added signatures must reject
+    near-copies, before AND after compaction applies the tombstone."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch_neardup,
+        remove_batch_neardup,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    ingest_batch_neardup(spark, b0, 0, f"{tmp}/out", f"{tmp}/store")
+    remove_batch_neardup(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), 1, f"{tmp}/store"
+    )
+    # update: same id 1 re-enters with NEW content at a later batch
+    b2 = spark.createDataFrame([(1, BASE + " v2 edition")], SCHEMA)
+    # BASE was freed by the tombstone, so id 1's near-copy re-enters
+    ingest_batch_neardup(spark, b2, 2, f"{tmp}/out", f"{tmp}/store")
+    acc2 = read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter("batch = 2")
+    assert [r["doc_id"] for r in acc2.collect()] == [1]
+    # the re-added same-id signatures are LIVE: a near-copy is rejected...
+    b3 = spark.createDataFrame([(9, BASE + " v2 edition extra")], SCHEMA)
+    ingest_batch_neardup(spark, b3, 3, f"{tmp}/out", f"{tmp}/store")
+    assert read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter(
+        "batch = 3").count() == 0
+    # ...and still after compaction physically applies the tombstone
+    assert compact_store(spark, f"{tmp}/store") == 3
+    assert not os.path.isdir(f"{tmp}/store/_tomb")
+    b4 = spark.createDataFrame([(10, BASE + " v2 edition more")], SCHEMA)
+    ingest_batch_neardup(spark, b4, 4, f"{tmp}/out", f"{tmp}/store")
+    assert read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter(
+        "batch = 4").count() == 0
