@@ -852,6 +852,10 @@ def ingest_batch_exact(
             "num_buckets": num_buckets,
             "bloom_bits": bloom_bits,
             "bloom_hashes": bloom_hashes if bloom_bits else None,
+            # meta-guarded like num_buckets: chains mixing rows with and
+            # without the owner-id column would make the union read's
+            # schema (and the owner check) depend on file order
+            "owner_ids": store_owner_ids,
         },
     )
     fps = batch.withColumn("_fp", _fp(text_col)).withColumn(

@@ -992,3 +992,24 @@ def test_neardup_tombstone_same_id_readd_survives(spark, tmp_path):
     ingest_batch_neardup(spark, b4, 4, f"{tmp}/out", f"{tmp}/store")
     assert read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter(
         "batch = 4").count() == 0
+
+
+def test_owner_ids_is_meta_guarded(spark, tmp_path):
+    """Resuming a store with a different store_owner_ids setting must
+    raise — chains mixing rows with and without the id column would make
+    the union read's schema depend on file order."""
+    import pytest
+
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_exact,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(0, "some text")], SCHEMA)
+    ingest_batch_exact(spark, b0, 0, f"{tmp}/out", f"{tmp}/store",
+                       store_owner_ids=True)
+    with pytest.raises(ValueError, match="owner_ids"):
+        ingest_batch_exact(
+            spark, spark.createDataFrame([(1, "other")], SCHEMA),
+            1, f"{tmp}/out", f"{tmp}/store",
+        )
