@@ -9323,6 +9323,81 @@ ORDER BY batch
 """
 
 
+def cdc42_media_takedown(spark: SparkSession, sf: str) -> DataFrame:
+    """Media takedown (r10 — deletion support completed across every
+    store family): a removed clip's band keys and scene signatures leave
+    the video store's accept set going forward
+    (streaming/video_ingest.py::remove_batch_media — the corpus stores'
+    version-aware tombstone pattern, one ``_tomb`` segment per
+    sub-store), while everything not taken down stays protected.
+
+      batch 0: clips 0-7 ingested;
+      batch 1 (takedown): clip 2 removed;
+      batch 2: a re-encode of clip 2 (id 102 — ACCEPTED, the store
+        forgot it) and a re-encode of clip 3 (id 103 — rejected, still
+        protected);
+      batch 3: another re-encode of clip 2 (id 202 — rejected: id 102
+        re-established perceptual membership in batch 2).
+
+    The oracle pins the accepted (batch, media_id) set exactly."""
+    import shutil as _shutil
+    import tempfile
+
+    from ..functions import multimodal as M
+    from ..streaming.video_ingest import (
+        ingest_batch_video,
+        read_video_ingested,
+        remove_batch_media,
+    )
+
+    allc = M.video_scene_fixture(spark, n_clips=8)
+    rows = {r["media_id"]: r for r in allc.collect()}
+
+    def re_enc(i, new_id, seed):
+        return {
+            "media_id": new_id, "kind": "video", "mime": "video/avi",
+            "payload": M.reencode_avi(bytes(rows[i]["payload"]), noise=2,
+                                      seed=seed, fps=10),
+            "meta_json": rows[i]["meta_json"],
+        }
+
+    tmp = tempfile.mkdtemp(prefix="cdc42_")
+    try:
+        out_dir, store = f"{tmp}/out", f"{tmp}/store"
+        ingest_batch_video(spark, allc, 0, out_dir, store)
+        remove_batch_media(
+            spark, spark.createDataFrame([(2,)], "media_id long"), 1, store
+        )
+        b2 = spark.createDataFrame(
+            [re_enc(2, 102, seed=7), re_enc(3, 103, seed=8)],
+            schema=M.MEDIA_SCHEMA,
+        )
+        ingest_batch_video(spark, b2, 2, out_dir, store)
+        b3 = spark.createDataFrame(
+            [re_enc(2, 202, seed=9)], schema=M.MEDIA_SCHEMA
+        )
+        ingest_batch_video(spark, b3, 3, out_dir, store)
+        return (
+            read_video_ingested(spark, out_dir, store)
+            .select(F.col("batch").cast("int").alias("batch"), "media_id")
+            .orderBy("batch", "media_id")
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC42_SQL = """
+SELECT * FROM (VALUES
+  (0::INTEGER, 0::BIGINT), (0::INTEGER, 1::BIGINT), (0::INTEGER, 2::BIGINT),
+  (0::INTEGER, 3::BIGINT), (0::INTEGER, 4::BIGINT), (0::INTEGER, 5::BIGINT),
+  (0::INTEGER, 6::BIGINT), (0::INTEGER, 7::BIGINT),
+  (2::INTEGER, 102::BIGINT)
+) AS t(batch, media_id)
+ORDER BY batch, media_id
+"""
+
+
 def cdc41_bridge_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """CDC→corpus bridge with the CONTENT near-dup tier (r10 — cdc39's
     front door widened to cdc18's banded store): update/delete semantics
@@ -10503,6 +10578,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc39_cdc_corpus_bridge": (cdc39_cdc_corpus_bridge, CDC39_SQL),
     "cdc40_web_takedown": (cdc40_web_takedown, CDC40_SQL),
     "cdc41_bridge_neardup": (cdc41_bridge_neardup, CDC41_SQL),
+    "cdc42_media_takedown": (cdc42_media_takedown, CDC42_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
 }

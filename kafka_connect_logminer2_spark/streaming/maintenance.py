@@ -150,11 +150,24 @@ def maintain_store(
         return compact_ann_index(spark, store_dir)
     if kind in _MEDIA_KINDS:
         from .corpus_ingest import compact_chains
-        from .video_ingest import _key_bucket, _sig_bucket
+        from .video_ingest import _key_bucket, _sig_bucket, _tomb_fold
 
         nb = (_read_meta(store_dir) or {}).get("num_buckets", 16)
         expr = _key_bucket(nb) if kind.endswith("_keys") else _sig_bucket(nb)
-        return compact_chains(spark, store_dir, expr, protect=protect)
+        # media takedowns (remove_batch_media): apply pending media-id
+        # tombstones physically during the fold, version-aware like the
+        # corpus stores, then drop the consumed segments
+        fold, force_single, cleanup = None, False, ()
+        last = _last_committed_batch(store_dir)
+        if last is not None:
+            fold, force_single, cleanup = _tomb_fold(
+                spark, store_dir,
+                below=(last + 1 if protect is None else protect),
+            )
+        return compact_chains(
+            spark, store_dir, expr, fold=fold,
+            force_single=force_single, cleanup_dirs=cleanup, protect=protect,
+        )
     return None
 
 

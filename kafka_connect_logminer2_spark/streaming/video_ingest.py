@@ -71,10 +71,12 @@ from ..functions.multimodal import (
     scene_signatures,
 )
 from .corpus_ingest import (
+    _committed_tombs,
     _ensure_meta,
     _note_row_schema,
     _row_ddl,
     _store_paths,
+    _with_seg_version,
     _write_delta,
     compact_chains,
 )
@@ -261,6 +263,80 @@ def ingest_batch_audio(
     )
 
 
+def _media_live(
+    spark: SparkSession, sub_dir: str, rows: DataFrame, below: int
+) -> DataFrame:
+    """Apply media-id tombstones (takedowns — :func:`remove_batch_media`)
+    to a direct file-source read of a media sub-store: a row is live iff
+    its segment version is at/above its media_id's newest tombstone (the
+    corpus stores' version-aware rule — removals run first within a
+    batch). No tombstones → the read passes through untouched."""
+    tomb = _committed_tombs(spark, sub_dir, below=below)
+    if tomb is None:
+        return rows
+    dvs = tomb.groupBy("media_id").agg(F.max("dv").alias("_dv"))
+    return (
+        _with_seg_version(rows)
+        .join(dvs, "media_id", "left")
+        .filter(F.col("_dv").isNull() | (F.col("_dv") <= F.col("_v")))
+        .drop("_v", "_dv")
+    )
+
+
+def _tomb_fold(spark: SparkSession, sub_dir: str, below: int):
+    """(fold, force_single, cleanup_dirs) applying a media sub-store's
+    pending media-id tombstones during compaction — shared by the
+    kind-dispatched maintenance path and the offline compactor so the
+    two cannot drift."""
+    tomb = _committed_tombs(spark, sub_dir, below=below)
+    if tomb is None:
+        return None, False, ()
+    dvs = tomb.groupBy("media_id").agg(F.max("dv").alias("_dv"))
+
+    def fold(df):
+        df = _with_seg_version(df)
+        df = df.join(dvs, "media_id", "left").filter(
+            F.col("_dv").isNull() | (F.col("_dv") <= F.col("_v"))
+        )
+        return df.drop("_v", "_dv").distinct()
+
+    return fold, True, ("_tomb",)
+
+
+def remove_batch_media(
+    spark: SparkSession,
+    media_ids: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "media_id",
+    audio_track: bool = False,
+) -> None:
+    """Take down media (legal removal, curation kill — the media twin of
+    the corpus stores' delete path, completing deletion support across
+    every store family): the clips'/images'/audios' band keys and
+    signatures stop rejecting arrivals immediately (merge-on-read
+    exclusion in every probe, cross-modal ones included) and leave the
+    chains physically at the next compaction. One tiny ``_tomb``
+    segment lands in EACH sub-store (keys + sigs, plus akeys/asigs with
+    ``audio_track``) so every sub-store stays self-contained for its own
+    kind-dispatched compaction. SEQUENCING: like every tombstone here,
+    ``batch_id`` must interleave with the ingest batch ids (call between
+    batches from the pipeline that controls them)."""
+    tomb = media_ids.select(
+        F.col(id_col).cast("long").alias("media_id")
+    ).distinct().withColumn("dv", F.lit(batch_id).cast("long"))
+    dirs = [_keys_dir(store_dir), _sigs_dir(store_dir)]
+    if audio_track:
+        dirs += [_audio_keys_dir(store_dir), _audio_sigs_dir(store_dir)]
+    import shutil as _shutil
+
+    for d in dirs:
+        dst = os.path.join(d, "_tomb", f"v={batch_id}")
+        _shutil.rmtree(dst, ignore_errors=True)
+        tomb.coalesce(1).write.mode("overwrite").parquet(dst)
+        _mark_committed(d, batch_id)
+
+
 def _probe_reject(
     spark: SparkSession,
     probe_sigs: DataFrame,
@@ -296,7 +372,8 @@ def _probe_reject(
     if not key_paths:
         return None
     hist_keys = _capped(
-        spark.read.parquet(*key_paths).select(*_KEY_COLS, "media_id"),
+        _media_live(spark, kd, spark.read.parquet(*key_paths), below)
+        .select(*_KEY_COLS, "media_id"),
         max_band_freq,
         join_keys,
     )
@@ -319,7 +396,9 @@ def _probe_reject(
     sig_paths = _store_paths(sd, sig_buckets, below=below)
     if not sig_paths:
         return None
-    hist_sigs = spark.read.parquet(*sig_paths).join(
+    hist_sigs = _media_live(
+        spark, sd, spark.read.parquet(*sig_paths), below
+    ).join(
         cand.select(F.col("id2").alias("media_id")).distinct(),
         "media_id",
         "left_semi",
@@ -632,20 +711,33 @@ read_audio_ingested = read_video_ingested
 
 def compact_video_store(spark: SparkSession, store_dir: str) -> dict[str, int | None]:
     """Fold both sub-stores' chains (distinct folds — rows are unique by
-    construction); the compact_chains skeleton supplies the fold-marker
-    crash story."""
+    construction), applying any pending media-id tombstones physically
+    (:func:`_tomb_fold`); the compact_chains skeleton supplies the
+    fold-marker crash story."""
     meta = _read_meta(_keys_dir(store_dir)) or {}
     nb = meta.get("num_buckets", 16)
-    out = {
-        "keys": compact_chains(spark, _keys_dir(store_dir), _key_bucket(nb)),
-        "sigs": compact_chains(spark, _sigs_dir(store_dir), _sig_bucket(nb)),
-    }
+    out = {}
+    for name, d, expr in (
+        ("keys", _keys_dir(store_dir), _key_bucket(nb)),
+        ("sigs", _sigs_dir(store_dir), _sig_bucket(nb)),
+    ):
+        last = _last_committed_batch(d)
+        fold, force_single, cleanup = (
+            _tomb_fold(spark, d, below=last + 1)
+            if last is not None
+            else (None, False, ())
+        )
+        out[name] = compact_chains(
+            spark, d, expr, fold=fold, force_single=force_single,
+            cleanup_dirs=cleanup,
+        )
     return out
 
 
 def video_store_size(spark: SparkSession, store_dir: str) -> int:
-    """Committed accepted-clip count (distinct media ids in the signature
-    store) — one multi-path read over the committed chain."""
+    """Committed LIVE accepted-clip count (distinct media ids in the
+    signature store, takedown tombstones applied) — one multi-path read
+    over the committed chain."""
     sd = _sigs_dir(store_dir)
     last = _last_committed_batch(sd)
     if last is None:
@@ -657,4 +749,5 @@ def video_store_size(spark: SparkSession, store_dir: str) -> int:
     ]
     if not paths:
         return 0
-    return spark.read.parquet(*paths).select("media_id").distinct().count()
+    rows = _media_live(spark, sd, spark.read.parquet(*paths), below=last + 1)
+    return rows.select("media_id").distinct().count()

@@ -169,6 +169,52 @@ def test_cross_modal_probe_reads_committed_only(spark, tmp_path):
                          + [(0, 400 + i) for i in range(8)])
 
 
+def test_media_takedown_frees_store_and_cross_modal(spark, tmp_path):
+    """remove_batch_media (cdc42): a taken-down clip stops rejecting —
+    within-modality re-encodes AND cross-modal image probes — while
+    untouched clips stay protected; compaction applies the tombstones
+    physically and the post-takedown re-ingest stays protected after."""
+    from kafka_connect_logminer2_spark.streaming.video_ingest import (
+        compact_video_store,
+        remove_batch_media,
+        video_store_size,
+    )
+
+    videos, images, _ = M.cross_modal_ingest_fixture(spark)
+    root = str(tmp_path)
+    vstore = f"{root}/vstore"
+    ingest_batch_video(spark, videos, 0, f"{root}/vout", vstore)
+    assert video_store_size(spark, vstore) == 10
+    # take down clip 0 — the clip image 200 duplicates
+    remove_batch_media(
+        spark, spark.createDataFrame([(0,)], "media_id long"), 1, vstore
+    )
+    assert video_store_size(spark, vstore) == 9
+    # cross-modal: image 200 (re-encode of clip 0 scene 1) now ACCEPTED;
+    # images 201/202 (clips 1/2, still protected) rejected
+    ingest_batch_image(spark, images, 2, f"{root}/iout", f"{root}/istore",
+                       video_store_dir=vstore)
+    got = _accepted(spark, read_image_ingested, f"{root}/iout",
+                    f"{root}/istore")
+    assert got == sorted([(2, 200)] + [(2, 400 + i) for i in range(8)])
+    # compaction applies the tombstone physically; protection unchanged
+    res = compact_video_store(spark, vstore)
+    assert res["keys"] is not None and res["sigs"] is not None
+    assert not os.path.isdir(f"{vstore}/keys/_tomb")
+    assert video_store_size(spark, vstore) == 9
+    rows = {r["media_id"]: r for r in videos.collect()}
+    rng_payload = M.reencode_avi(bytes(rows[1]["payload"]), noise=2, seed=3,
+                                 fps=10)
+    again = spark.createDataFrame(
+        [{"media_id": 300, "kind": "video", "mime": "video/avi",
+          "payload": rng_payload, "meta_json": "{}"}],
+        schema=M.MEDIA_SCHEMA,
+    )
+    ingest_batch_video(spark, again, 3, f"{root}/vout", vstore)
+    assert (3, 300) not in _accepted(spark, read_video_ingested,
+                                     f"{root}/vout", vstore)
+
+
 @pytest.mark.slow
 def test_depth_50_batches_chains_bounded_values_exact(spark, tmp_path):
     """r7 verdict #8: the in-line maintenance loop (the writers' exact
