@@ -154,6 +154,13 @@ def bridge_batch(
                 k=near_k, threshold=near_threshold,
                 num_buckets=num_buckets,
             )
+            # staging copy consumed once the near tier commits; drop it so
+            # a long-running stream doesn't accumulate an uncommitted
+            # shadow of accepted output (r10 advice). Replay-safe: a
+            # retried batch rewrites batch=<id> before re-reading.
+            import shutil
+
+            shutil.rmtree(f"{stage_dir}/batch={batch_id}", ignore_errors=True)
     finally:
         cdf.unpersist()
 

@@ -620,7 +620,19 @@ def store_size(spark: SparkSession, store_dir: str) -> int:
     if "fp" in df.columns:
         # tombstone-aware (no-op when no _tomb overlay exists)
         return _live_fps(spark, store_dir, df, tomb_below=last + 1).distinct().count()
-    return df.select("id").distinct().count()
+    # id-keyed (near-dup) stores: same tombstone semantics — taken-down /
+    # deleted docs are not members (r10 advice: the two store families
+    # must report consistent post-deletion sizes)
+    tomb = _committed_tombs(spark, store_dir, below=last + 1)
+    if tomb is None:
+        return df.select("id").distinct().count()
+    av = _with_seg_version(df).groupBy("id").agg(F.max("_v").alias("_av"))
+    dv = tomb.groupBy("id").agg(F.max("dv").alias("_dv"))
+    return (
+        av.join(dv, "id", "left")
+        .filter(F.col("_dv").isNull() | (F.col("_dv") <= F.col("_av")))
+        .count()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -734,9 +746,22 @@ def remove_batch_exact(
     if paths:
         seen = spark.read.parquet(*paths)
         if "id" in seen.columns:
-            owned = dels.join(
-                seen.select("fp", "id").distinct(), ["fp", "id"], "left_semi"
+            # owner = the CURRENT LIVE owner (the corpus_members rule):
+            # among a live fp's add rows, the newest segment version's id.
+            # Matching ANY historical (fp, id) pair would let a STALE pair
+            # — a previous owner whose fp was tombstoned and re-owned
+            # since — free the new owner's membership (r10 advice), and
+            # make the outcome depend on compaction timing (compaction
+            # physically drops stale pairs). live fps only: deleting
+            # already-dead content is a no-op, not a newer tombstone.
+            live = _live_fps(spark, store_dir, seen, tomb_below=batch_id)
+            owners = (
+                _with_seg_version(seen)
+                .groupBy("fp")
+                .agg(F.max_by("id", "_v").alias("id"))
+                .join(live, "fp", "left_semi")
             )
+            owned = dels.join(owners, ["fp", "id"], "left_semi")
         else:
             owned = dels
         tomb = (

@@ -101,6 +101,15 @@ def _audio_sigs_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "asigs")
 
 
+# version of the _key_bucket placement formula, persisted in the keys-store
+# meta (layout 1 hashed (band, val, scene_idx); layout 2 dropped the scene
+# ordinal for cross-modal probes). Meta-guarded like num_buckets: resuming a
+# store written under a different layout must RAISE — touched buckets
+# computed with the wrong formula silently miss old rows, under-rejecting
+# duplicates with no error signal (r10 advice).
+_KEY_BUCKET_LAYOUT = 2
+
+
 def _key_bucket(num_buckets: int) -> F.Column:
     # (band, val) only — NOT the scene ordinal: an unaligned cross-modal
     # probe (an image vs any stored scene, q164) derives exactly the same
@@ -458,7 +467,8 @@ def _ingest_batch_media(
     whose clips are (or deterministically will be, on replay) in the
     store."""
     kd, sd = _keys_dir(store_dir), _sigs_dir(store_dir)
-    _ensure_meta(kd, {"kind": key_kind, "num_buckets": num_buckets, **key_meta})
+    _ensure_meta(kd, {"kind": key_kind, "num_buckets": num_buckets,
+                      "bucket_layout": _KEY_BUCKET_LAYOUT, **key_meta})
     _ensure_meta(sd, {"kind": sig_kind, "num_buckets": num_buckets})
 
     batch = batch.persist()
@@ -540,6 +550,7 @@ def _ingest_batch_media(
             skd, ssd = sh["keys_dir"], sh["sigs_dir"]
             _ensure_meta(skd, {"kind": sh["key_kind"],
                                "num_buckets": num_buckets,
+                               "bucket_layout": _KEY_BUCKET_LAYOUT,
                                **sh.get("key_meta", {})})
             _ensure_meta(ssd, {"kind": sh["sig_kind"],
                                "num_buckets": num_buckets})

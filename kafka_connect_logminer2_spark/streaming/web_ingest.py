@@ -116,6 +116,13 @@ def ingest_batch_web(
         num_hashes=near_num_hashes, num_bands=near_num_bands,
         seed=near_seed, threshold=near_threshold, num_buckets=num_buckets,
     )
+    # the staging copy is consumed the moment the near tier commits —
+    # dropping it here keeps a long-running stream from accumulating an
+    # unbounded, uncommitted shadow of accepted output (r10 advice).
+    # Replay-safe: a retried batch rewrites batch=<id> before re-reading.
+    import shutil
+
+    shutil.rmtree(f"{stage_dir}/batch={batch_id}", ignore_errors=True)
 
 
 def takedown_batch_web(

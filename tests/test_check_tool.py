@@ -101,6 +101,30 @@ def test_changed_since_sql_span_maps_aliased_oracles(monkeypatch):
     assert "q01_pricing_summary" not in sel
 
 
+def test_top_level_imports_resolve_absolute_forms():
+    """r10-advice regression: absolute `from pkg.x import y` bindings must
+    map to engine files exactly like their relative twins — the level==0
+    branch used to return ''/None for them, under-selecting entries."""
+    import ast
+
+    import check_correctness as cc
+
+    src = (
+        "from kafka_connect_logminer2_spark.functions import text\n"
+        "from kafka_connect_logminer2_spark.functions.text import token_count\n"
+        "import kafka_connect_logminer2_spark.functions.dedup as dd\n"
+        "from ..functions import similarity\n"
+        "import os\n"
+    )
+    qpath = "kafka_connect_logminer2_spark/plans/queries.py"
+    names = cc._top_level_imports(qpath, ast.parse(src))
+    assert names["text"].endswith("functions/text.py")
+    assert names["token_count"].endswith("functions/text.py")
+    assert names["dd"].endswith("functions/dedup.py")
+    assert names["similarity"].endswith("functions/similarity.py")
+    assert names["os"] == ""
+
+
 def test_changed_since_entry_body_span(monkeypatch):
     """A hunk inside one entry's function body selects that entry."""
     import ast

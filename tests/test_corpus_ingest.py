@@ -785,6 +785,9 @@ def test_web_ingest_content_neardup_tier(spark, tmp_path):
         *[p for p in glob.glob(f"{tmp}/store/near/b=*/v=*")]
     )
     assert near.select("id").distinct().count() == 4  # docs 0,1,2,3 only
+    # staging is transient (r10 advice): every consumed batch=<id> copy
+    # was dropped once its near tier committed — no unbounded shadow
+    assert glob.glob(f"{tmp}/out_urlgate/batch=*") == []
 
 
 # ---------------------------------------------------------------------------
@@ -866,6 +869,51 @@ def test_tombstone_owner_check(spark, tmp_path):
                        store_owner_ids=True)
     acc2 = read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter("batch = 2")
     assert acc2.count() == 0  # still a member via owner 0
+
+
+def test_tombstone_stale_owner_pair_is_not_owner(spark, tmp_path):
+    """r10-advice regression: a STALE (fp, id) pair — a previous owner
+    whose fp was tombstoned and re-owned by another doc since — must not
+    pass the owner check. Sequence: A owns T, A leaves, B re-adds T; A's
+    row passes through T again and leaves — the current owner is B, so
+    the second delete is a no-op and B's membership stays live (and a
+    later re-send of T is still rejected). Must hold with and without an
+    intervening compaction (compaction drops the stale pair physically —
+    the outcome must not depend on its timing)."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch_exact,
+        remove_batch_exact,
+    )
+
+    for compact_between in (False, True):
+        tmp = str(tmp_path / f"c{int(compact_between)}")
+        a = spark.createDataFrame([(1, "text T")], SCHEMA)
+        ingest_batch_exact(spark, a, 0, f"{tmp}/out", f"{tmp}/store",
+                           store_owner_ids=True)
+        # A updates away: fp tombstoned at dv=1
+        remove_batch_exact(spark, a, 1, f"{tmp}/store")
+        # B re-adds the same text: new live owner at v=2
+        ingest_batch_exact(
+            spark, spark.createDataFrame([(2, "text T")], SCHEMA),
+            2, f"{tmp}/out", f"{tmp}/store", store_owner_ids=True,
+        )
+        if compact_between:
+            compact_store(spark, f"{tmp}/store")
+        # A's row passes through T again and updates away: the stale
+        # (fp, 1) v=0 pair must NOT be treated as ownership
+        remove_batch_exact(spark, a, 3, f"{tmp}/store")
+        assert store_size(spark, f"{tmp}/store") == 1  # B still a member
+        ingest_batch_exact(
+            spark, spark.createDataFrame([(9, "text T")], SCHEMA),
+            4, f"{tmp}/out", f"{tmp}/store", store_owner_ids=True,
+        )
+        acc4 = read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter(
+            "batch = 4"
+        )
+        assert acc4.count() == 0, (
+            f"membership silently freed (compact_between={compact_between})"
+        )
 
 
 def test_bridge_corpus_members_view(spark, tmp_path):
@@ -992,6 +1040,32 @@ def test_neardup_tombstone_same_id_readd_survives(spark, tmp_path):
     ingest_batch_neardup(spark, b4, 4, f"{tmp}/out", f"{tmp}/store")
     assert read_ingested(spark, f"{tmp}/out", f"{tmp}/store").filter(
         "batch = 4").count() == 0
+
+
+def test_neardup_store_size_is_tombstone_aware(spark, tmp_path):
+    """r10-advice regression: store_size on an id-keyed (near-dup) store
+    must exclude taken-down/deleted ids — consistent with the fp-keyed
+    branch — and count a same-id version-aware re-add exactly once."""
+    from kafka_connect_logminer2_spark.streaming.corpus_ingest import (
+        ingest_batch_neardup,
+        remove_batch_neardup,
+    )
+
+    tmp = str(tmp_path)
+    b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    ingest_batch_neardup(spark, b0, 0, f"{tmp}/out", f"{tmp}/store")
+    assert store_size(spark, f"{tmp}/store") == 2
+    remove_batch_neardup(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), 1, f"{tmp}/store"
+    )
+    assert store_size(spark, f"{tmp}/store") == 1  # id 1 deleted
+    # update: same id re-enters at a later batch → live again, counted once
+    ingest_batch_neardup(
+        spark,
+        spark.createDataFrame([(1, BASE + " v2 edition")], SCHEMA),
+        2, f"{tmp}/out", f"{tmp}/store",
+    )
+    assert store_size(spark, f"{tmp}/store") == 2
 
 
 def test_owner_ids_is_meta_guarded(spark, tmp_path):

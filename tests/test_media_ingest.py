@@ -73,6 +73,29 @@ def test_image_history_rejects_reencodes(spark, tmp_path):
     assert (2, 203) not in _accepted(spark, read_image_ingested, out, store)
 
 
+def test_key_bucket_layout_is_meta_guarded(spark, tmp_path):
+    """r10-advice regression: a keys store written under a different
+    _key_bucket placement formula (e.g. pre-r10 layout hashing
+    (band, val, scene_idx)) must RAISE on resume — probing it with the
+    current formula would silently miss old rows and re-accept
+    duplicates."""
+    import json
+
+    allm = M.image_neardup_fixture(spark, n=4, planted=0)
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest_batch_image(spark, allm.filter("media_id < 2"), 0, out, store)
+    mp = os.path.join(store, "keys", "_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    assert meta["bucket_layout"] == 2
+    # simulate a store written before the layout-version key existed
+    del meta["bucket_layout"]
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="bucket_layout"):
+        ingest_batch_image(spark, allm.filter("media_id >= 2"), 1, out, store)
+
+
 def test_audio_history_rejects_remasters(spark, tmp_path):
     allm = M.audio_neardup_fixture(spark, n=8, planted=3)
     b0 = allm.filter("media_id < 6 or media_id = 100")

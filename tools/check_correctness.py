@@ -145,6 +145,33 @@ def _impacted_modules(changed: set[str]) -> set[str]:
 _FULL_RERUN = ("__spark_entry__.py", "conftest.py", f"{PKG}/session.py")
 
 
+def _top_level_imports(file_path: str, tree: ast.Module) -> dict[str, str]:
+    """Top-level imported names → their source engine-module file ('' when
+    not an engine module). Relative AND absolute forms resolve the same
+    way: a `from M import y` binding may be a symbol in M (tgt) or the
+    submodule M.y (sub). r10 advice: the level==0 branch used to skip the
+    sub resolution, silently under-selecting entries reached via
+    `from kafka_connect_logminer2_spark.x import y`."""
+    top_names: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.Import):
+            # `import pkg.x` — alias.name IS the module path
+            for alias in node.names:
+                top_names[alias.asname or alias.name] = (
+                    _resolve_relative(file_path, alias.name, 0) or ""
+                )
+        elif isinstance(node, ast.ImportFrom):
+            for alias in node.names:
+                tgt = _resolve_relative(file_path, node.module, node.level)
+                sub = _resolve_relative(
+                    file_path,
+                    (node.module + "." if node.module else "") + alias.name,
+                    node.level,
+                )
+                top_names[alias.asname or alias.name] = sub or tgt or ""
+    return top_names
+
+
 def entries_for_diff(rev: str, registry: dict) -> list[str] | None:
     """Names of the registry entries a ``git diff REV`` touches; None
     means "run the full registry" (unbounded blast radius)."""
@@ -158,20 +185,7 @@ def entries_for_diff(rev: str, registry: dict) -> list[str] | None:
 
     src = open(qpath).read()
     tree = ast.parse(src)
-    # top-level imported names → their source module file
-    top_names: dict[str, str] = {}
-    for node in tree.body:
-        if isinstance(node, (ast.Import, ast.ImportFrom)):
-            level = getattr(node, "level", 0)
-            module = getattr(node, "module", None)
-            for alias in node.names:
-                tgt = _resolve_relative(qpath, module, level) if level else (
-                    _resolve_relative(qpath, alias.name, 0)
-                )
-                sub = _resolve_relative(
-                    qpath, (module + "." if module else "") + alias.name, level
-                ) if level else None
-                top_names[alias.asname or alias.name] = sub or tgt or ""
+    top_names = _top_level_imports(qpath, tree)
 
     spans = _changed_spans(rev, qpath) if qpath in engine_changed else []
 
