@@ -185,9 +185,17 @@ def dup_clusters(
     for both.
     """
     e = pairs.select(F.col(id1_col).alias("src"), F.col(id2_col).alias("dst"))
-    e = e.localCheckpoint(eager=False)  # count + (collect|iterate) reuse it
-    if driver_max_edges is not None and e.count() <= driver_max_edges:
-        pdf = e.toPandas()  # Arrow path: columnar, no per-row boxing
+    pdf = None
+    if driver_max_edges is not None:
+        # size probe and edge fetch FUSED into one action (limit + Arrow
+        # collect): bound+1 rows decide the path, and in the common small
+        # case they already ARE the edge list — one Spark job instead of
+        # count + collect, and no RDD checkpoint to materialize. Only an
+        # actually-giant graph pays a second (distributed) pass.
+        pdf = e.limit(driver_max_edges + 1).toPandas()
+        if len(pdf) > driver_max_edges:
+            pdf = None
+    if pdf is not None:
         src = pdf["src"].to_numpy(dtype=np.int64, copy=False)
         dst = pdf["dst"].to_numpy(dtype=np.int64, copy=False)
         ids = np.unique(np.concatenate([src, dst])) if len(src) else np.empty(
@@ -437,6 +445,24 @@ def minhash_banded_pairs(
     sigs = minhash_signatures(
         docs, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
     ).localCheckpoint(eager=False)  # barrier: feeds band keys AND the re-join
+    return _banded_pairs_from_sigs(
+        sigs, num_hashes=num_hashes, num_bands=num_bands,
+        star_bucket_size=star_bucket_size,
+    )
+
+
+def _banded_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    star_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_banded_pairs` from a PRECOMPUTED ``(id, sig)``
+    relation — callers that already materialize signatures (the near-dup
+    ingest persists them for the history probe) reuse them here instead
+    of paying the shingle+minhash pass twice. ``sigs`` must be barriered
+    (persist/localCheckpoint): it feeds both the band keys and the
+    verify re-join."""
     bands = minhash_band_keys(sigs, num_hashes=num_hashes, num_bands=num_bands)
     postings = bands.groupBy("band", "key").agg(
         F.sort_array(F.collect_list("id")).alias("ids")

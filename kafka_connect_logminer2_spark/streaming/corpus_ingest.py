@@ -1061,10 +1061,10 @@ def ingest_batch_neardup(
     positives only cost a bucket read). Same crash-ordering and _meta
     guard as :func:`ingest_batch_exact`."""
     from ..functions.dedup import (
+        _banded_pairs_from_sigs,
         dup_clusters,
         minhash_agree_frac,
         minhash_band_keys,
-        minhash_banded_pairs,
         minhash_signatures,
     )
 
@@ -1087,26 +1087,30 @@ def ingest_batch_neardup(
     ).cast("int")
     batch = batch.persist()
     try:
+        # signatures computed ONCE for the whole batch (persisted: they
+        # feed the in-batch pair stage, the history probe, and the delta
+        # write — the shingle+minhash pass is the batch's priciest kernel
+        # and used to run twice, once inside minhash_banded_pairs and
+        # once on the representatives)
+        sigs_all = minhash_signatures(
+            batch, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
+        ).persist()
         # 1. in-batch: one representative per near-dup cluster.
         # star_bucket_size forwards the giant-bucket guard: a batch
         # containing one page duplicated 10^6 times must not build a
         # 5*10^11-pair array inside a single posting row
-        pairs = minhash_banded_pairs(
-            batch, text_col, id_col, k=k, num_hashes=num_hashes,
-            num_bands=num_bands, seed=seed,
+        pairs = _banded_pairs_from_sigs(
+            sigs_all, num_hashes=num_hashes, num_bands=num_bands,
             star_bucket_size=star_bucket_size,
         ).filter(F.col("jaccard_est") >= threshold)
         clusters = dup_clusters(pairs)
-        reps = batch.join(
-            clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-                F.col("doc_id").alias(id_col)
-            ),
-            id_col,
-            "left_anti",
+        dup_ids = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("id")
         )
-        sigs = minhash_signatures(
-            reps, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
-        ).persist()
+        reps = batch.join(
+            dup_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+        sigs = sigs_all.join(dup_ids, "id", "left_anti")
         bands = minhash_band_keys(
             sigs, num_hashes=num_hashes, num_bands=num_bands
         ).withColumn("_b", bucket_of)
@@ -1227,7 +1231,7 @@ def ingest_batch_neardup(
             _mark_committed(store_dir, batch_id)
         finally:
             accepted_ids.unpersist()
-            sigs.unpersist()
+            sigs_all.unpersist()
     finally:
         batch.unpersist()
 
