@@ -139,8 +139,17 @@ def _merge_csf(rows: list[dict]) -> list[dict]:
     return out
 
 
-def make_assembler(timeout_ms: int | None = None):
-    """Build the applyInPandasWithState function (closure over the timeout).
+# commit-emission slice size: bounds each yielded pandas frame / Arrow batch
+# regardless of transaction size (131,072 rows ≈ tens of MB at redo-row width)
+_EMIT_CHUNK_ROWS = 1 << 17
+
+
+def make_assembler(
+    timeout_ms: int | None = None, emit_chunk_rows: int = _EMIT_CHUNK_ROWS
+):
+    """Build the applyInPandasWithState function (closure over the timeout
+    and the commit-emission chunk size — closure captures pickle BY VALUE
+    to the python workers, module globals do not).
 
     ``timeout_ms=None`` → no state timeout. Use a timeout only for
     continuous (non-availableNow) streams: with ProcessingTimeTimeout the
@@ -222,11 +231,24 @@ def make_assembler(timeout_ms: int | None = None):
             state.remove()
 
         if emitted:
-            out = pd.DataFrame(emitted)
-            out["xid"] = xid
-            out["timestamp"] = pd.to_datetime(out["timestamp"])
-            out["commit_timestamp"] = pd.to_datetime(out["commit_timestamp"])
-            yield out[[f.name for f in OUTPUT_SCHEMA.fields]]
+            # CHUNKED commit emission (giant-txn guard): a single-xid
+            # million-row transaction commits all at once — materializing
+            # ONE pandas frame (and one Arrow batch) for it doubles the
+            # buffer's footprint at the worst moment. Slicing the emit
+            # bounds each frame/Arrow batch at _EMIT_CHUNK_ROWS with
+            # identical rows and order (append mode concatenates yields).
+            # The per-xid STATE is still one JSON string (GroupState is
+            # single-row by API) — the measured ceiling and the fb
+            # assembler's role at that scale are recorded in BASELINE.md.
+            cols = [f.name for f in OUTPUT_SCHEMA.fields]
+            for lo in range(0, len(emitted), emit_chunk_rows):
+                out = pd.DataFrame(emitted[lo:lo + emit_chunk_rows])
+                out["xid"] = xid
+                out["timestamp"] = pd.to_datetime(out["timestamp"])
+                out["commit_timestamp"] = pd.to_datetime(
+                    out["commit_timestamp"]
+                )
+                yield out[cols]
 
     return assemble
 

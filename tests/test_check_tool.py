@@ -38,6 +38,23 @@ def test_sample_is_deterministic_and_order_preserving():
     assert select_names(NAMES, set(), [], 999) == NAMES
 
 
+def test_sample_rotation_partitions_registry():
+    """r11 (r10 verdict #7): consecutive rotations of a fixed-size sample
+    tile the registry with no repeats until it wraps — a 50-entry hard
+    signal rotated per round touches every entry within ceil(total/N)
+    rounds."""
+    n = 7
+    windows = [select_names(NAMES, set(), [], n, rotation=r) for r in range(3)]
+    assert all(len(w) == n for w in windows)
+    assert len(set(windows[0]) & set(windows[1])) == 0
+    assert len(set(windows[1]) & set(windows[2])) == 0
+    covered = set().union(*windows)
+    assert len(covered) == 21  # 3 rotations x 7 = the whole 21-name registry
+    # rotation=0 is byte-identical to the pre-r11 sample (driver continuity)
+    assert select_names(NAMES, set(), [], n, rotation=0) == \
+        select_names(NAMES, set(), [], n)
+
+
 def test_flags_intersect():
     got = select_names(NAMES, {"q11_thing", "cdc01_x", "q03_thing"}, ["q11"], None)
     assert got == ["q11_thing"]

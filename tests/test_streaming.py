@@ -103,6 +103,54 @@ def test_rollback_across_batches_and_resume(spark, tmp_path):
     assert rows[0]["COMMIT_SCN"] == 5
 
 
+def test_giant_commit_chunked_emission(spark):
+    """r11 (r10 verdict #6): a commit larger than the emit chunk yields
+    MULTIPLE bounded frames whose concatenation is exactly the unchunked
+    emission (same rows, same order) — no giant pandas frame / Arrow
+    batch at the worst moment. The assembler closure is driven directly
+    (chunk size is a closure arg precisely because it must pickle by
+    value to the workers); plumbing through the real stream is covered by
+    the other tests in this module."""
+    import pandas as pd
+
+    from kafka_connect_logminer2_spark.streaming.transactions import (
+        make_assembler,
+    )
+
+    class StubState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+        def remove(self):
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    rows = [dict(scn=1, operation="START", xid="G")]
+    rows += [
+        dict(scn=2 + i, operation="INSERT", xid="G", table_name="CUSTOMER",
+             sql_redo=INS.format(k=i), row_id=f"r{i}")
+        for i in range(25)
+    ]
+    rows.append(dict(scn=100, operation="COMMIT", xid="G", commit_scn=100))
+    events = redo_events_from_rows(spark, rows).toPandas()
+
+    def run(chunk):
+        fn = make_assembler(None, emit_chunk_rows=chunk)
+        return list(fn(("G",), iter([events.copy()]), StubState()))
+
+    chunked, whole = run(7), run(1 << 17)
+    assert len(whole) == 1 and len(whole[0]) == 25
+    assert [len(c) for c in chunked] == [7, 7, 7, 4]  # bounded frames
+    got = pd.concat(chunked, ignore_index=True)
+    pd.testing.assert_frame_equal(got, whole[0].reset_index(drop=True))
+    assert (got["commit_scn"] == 100).all()
+
+
 def test_ddl_schema_evolution_mid_stream(spark, tmp_path):
     """SURVEY §7 hard part 4: a DDL event invalidates the cached schema and
     the table's NEXT DML lazily reloads fresh columns from the dictionary

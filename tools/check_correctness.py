@@ -280,11 +280,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def select_names(names: list[str], only: set[str], families: list[str], sample: int | None) -> list[str]:
+def select_names(
+    names: list[str],
+    only: set[str],
+    families: list[str],
+    sample: int | None,
+    rotation: int = 0,
+) -> list[str]:
     """Apply the scoping flags (intersection semantics), preserving
     registry order. Sampling sorts by md5(name) — deterministic without
     touching RNG state, stable run-to-run, uncorrelated with registration
-    order — then restores registry order for readable output."""
+    order — then restores registry order for readable output.
+
+    ``rotation`` (r11, the round-robin proposal for a fixed-size hard
+    signal): slides the sample window ``rotation * sample`` positions
+    around the md5 order, wrapping — consecutive rotations partition the
+    registry, so a 50-entry sample rotated per round touches EVERY entry
+    within ceil(214/50) rounds instead of pinning the same 50 forever."""
     picked = [n for n in names if not only or n in only]
 
     def fam_match(n: str, f: str) -> bool:
@@ -299,9 +311,10 @@ def select_names(names: list[str], only: set[str], families: list[str], sample: 
     if families:
         picked = [n for n in picked if any(fam_match(n, f) for f in families)]
     if sample is not None and sample < len(picked):
-        keep = set(
-            sorted(picked, key=lambda n: hashlib.md5(n.encode()).hexdigest())[:sample]
-        )
+        order = sorted(picked, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+        lo = (rotation * sample) % len(order)
+        window = (order + order)[lo:lo + sample]
+        keep = set(window)
         picked = [n for n in picked if n in keep]
     return picked
 
@@ -318,6 +331,13 @@ def main() -> int:
     )
     ap.add_argument(
         "--sample", type=int, default=None, help="deterministic registry-wide sample of N entries"
+    )
+    ap.add_argument(
+        "--rotation", type=int, default=0, metavar="R",
+        help="slide the --sample window R*N positions around the md5 order "
+             "(wrapping) — consecutive rotations partition the registry, so "
+             "a fixed-size sample touches every entry within ceil(total/N) "
+             "rounds (pass the round number)",
     )
     ap.add_argument(
         "--changed-since", default=None, metavar="REV",
@@ -356,7 +376,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    picked = select_names(list(qs), only, families, args.sample)
+    picked = select_names(list(qs), only, families, args.sample, args.rotation)
     if changed_names is not None:
         keep = set(changed_names)
         picked = [n for n in picked if n in keep]
