@@ -120,7 +120,12 @@ def _probe_kind(spark, kind, batch, ingest, key_meta, sig_kind, scenes, base):
         try:
             store = os.path.join(tmp, "state")
             kd, sd = _keys_dir(store), _sigs_dir(store)
-            _ensure_meta(kd, {**key_meta, "num_buckets": NUM_BUCKETS})
+            from kafka_connect_logminer2_spark.streaming.video_ingest import (
+                _KEY_BUCKET_LAYOUT,
+            )
+
+            _ensure_meta(kd, {**key_meta, "num_buckets": NUM_BUCKETS,
+                              "bucket_layout": _KEY_BUCKET_LAYOUT})
             _ensure_meta(sd, {"kind": sig_kind, "num_buckets": NUM_BUCKETS})
             n_clips = m * base
             # synthetic history: deterministic pseudo-random 64-bit scene
