@@ -114,6 +114,8 @@ HEADLINE = [
     "cdc36_cdb_dictionary",
     "cdc37_cross_modal_ingest",
     "cdc38_web_neardup_ingest",
+    # r11 additions
+    "q173_pq_ann",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

@@ -9862,6 +9862,36 @@ FROM k WHERE rn <= 3 GROUP BY domain ORDER BY domain
 """
 
 
+def q173_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with an asymmetric-distance (ADC) scan
+    (r11) — the MEMORY-side 100 TB vector-search path that completes the
+    ANN family: LSH (q31) and IVF (q35) prune which rows a query reads;
+    PQ shrinks what each row costs — 64-dim float32 → 16-byte codes (16×)
+    scored by m table lookups without reconstructing the vector, and the
+    scan itself is pure transform/aggregate JVM codegen over a broadcast
+    lookup table (zero Python where the corpus is touched). Same measured
+    gate-row emission as q31/q35: recall@5 vs exact cosine (floor 0.30;
+    measured 0.575 at sf0.01 / 0.50 at sf0.1 at m=32, K=16 — the sweep
+    lives on functions/similarity.py::pq_topk) + structural top-k
+    invariants, oracle-pinned all-TRUE. Codebooks are a fixed-size model
+    trained on a corpus-size-independent hash sample (the ivf_centroids
+    discipline); at scale PQ composes with IVF (scan only probed cells'
+    codes). Reference: no equivalent — §2C similarity-search extension."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    return _ann_gate_rows(
+        spark, S.pq_topk(emb, queries_df, k=5), exact, "ann_pq", 5
+    )
+
+
+Q173_SQL = _ann_gate_sql("ann_pq", 5)
+
+
 def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The composed summary-suite pipeline (streaming/sketches.py::
     write_summary_suite): ONE document stream maintains heavy-hitter
@@ -10599,6 +10629,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc42_media_takedown": (cdc42_media_takedown, CDC42_SQL),
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
+    "q173_pq_ann": (q173_pq_ann, Q173_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -36,3 +36,51 @@ def test_ivf_auto_params_scale_rule():
 
 
 import pytest  # noqa: E402
+
+
+def test_pq_adc_equals_reconstruction_distance(spark, sf_dir):
+    """PQ invariants (r11, q173): codebooks are a fixed-size deterministic
+    model; every corpus code indexes real centroids; and the JVM-side ADC
+    score of (query, code) equals the NumPy squared-L2 distance between
+    the normalized query and the code's reconstruction — the lookup-table
+    scan computes exactly the textbook quantity."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+
+    m, K = 32, 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=m, n_codes=K)
+    assert books.shape == (m, K, 64 // m)
+    # determinism: retraining from the same corpus is bit-identical
+    assert np.array_equal(books, pq_codebooks(emb, m=m, n_codes=K))
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_topk(emb, q, k=5, m=m, n_codes=K).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in got)
+
+    # recompute one scored pair by hand: encode neighbor, table the query
+    r0 = [r for r in got if r["query_id"] == 0][0]
+    fetch = lambda vid: np.asarray(
+        emb.filter(F.col("vec_id") == vid).first()["embedding"],
+        dtype=np.float64,
+    )
+    qv, nv = fetch(0), fetch(r0["neighbor_id"])
+    qv /= np.linalg.norm(qv)
+    nv /= np.linalg.norm(nv)
+    dsub = 64 // m
+    recon = np.empty(64)
+    for j in range(m):
+        sub = nv[j * dsub:(j + 1) * dsub]
+        code = ((books[j] - sub) ** 2).sum(axis=1).argmin()
+        recon[j * dsub:(j + 1) * dsub] = books[j][code]
+    want = float(((qv - recon) ** 2).sum())
+    assert abs(r0["pq_dist"] - want) < 1e-4
