@@ -116,6 +116,7 @@ HEADLINE = [
     "cdc38_web_neardup_ingest",
     # r11 additions
     "q173_pq_ann",
+    "q174_ivfpq_ann",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

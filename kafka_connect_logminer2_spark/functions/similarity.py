@@ -854,6 +854,14 @@ def pq_codebooks(
     )
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
     x /= _safe_norms(x)[:, None]
+    return _kmeans_subspaces(x, m, n_codes, train_iters)
+
+
+def _kmeans_subspaces(
+    x: np.ndarray, m: int, n_codes: int, train_iters: int
+) -> np.ndarray:
+    """Per-subspace NumPy k-means over a bounded sample → (m, K, d/m)
+    codebook tensor. Deterministic (first-K init, stable argmin)."""
     d = x.shape[1]
     assert d % m == 0, f"dim {d} must split into m={m} subspaces"
     dsub = d // m
@@ -960,6 +968,154 @@ def pq_topk(
     )
     scored = corpus.join(
         F.broadcast(q), F.col(id_col) != F.col("_qid")
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(dist, 6).alias("pq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "pq_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 16,
+    n_centroids: int = 64,
+    m: int = 32,
+    n_codes: int = 16,
+    train_iters: int = 2,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale composition the two paths
+    were built for: the IVF coarse quantizer prunes WHICH rows a query
+    reads (``nprobe`` of ``n_centroids`` cells), and product quantization
+    of the RESIDUAL (vector − its cell centroid) shrinks what each row
+    costs (16-byte codes at the defaults). Residual PQ beats raw PQ at
+    the same bit budget because residuals concentrate near zero once the
+    coarse structure is peeled off — the Jégou et al. construction.
+
+    Spark shape: the stored relation is (id, cell, code) — written once,
+    cell-partitioned at scale so a probe is a partition-pruned scan of
+    ~nprobe/n_centroids of the corpus (the q114 layout) reading 16-byte
+    codes instead of vectors. Query side: (query × probed cell) pairs —
+    tiny — each build their ADC table over (q − centroid) in one Arrow
+    batch and BROADCAST; the scan is the same pure transform/aggregate
+    JVM codegen as :func:`pq_topk`, joined on the cell. Distances are
+    squared L2 over L2-normalized vectors (= cosine ranking). Codebooks:
+    ONE fixed-size model trained on the hash sample's residuals across
+    all cells (per-cell codebooks would be k× the model for marginal
+    gain at this K).
+
+    Measured recall@5 vs exact cosine (m=32/K=16/64 cells): nprobe=16 →
+    0.475 sf0.001 / 0.425 sf0.01 / 0.375 sf0.1 (nprobe=8 → 0.425/0.425/
+    0.30). Honest note: on THIS near-uniform synthetic fixture the
+    residual-PQ gain doesn't materialize (centroids carry little
+    structure, so residual ≈ raw quantization error) and cell pruning
+    costs ~0.1–0.15 recall vs whole-corpus PQ (0.575/0.50) — the
+    composition's value is the nprobe/n_centroids SCAN FRACTION, which is
+    what survives to a billion rows; on clustered real embeddings the
+    residual step recovers the gap (Jégou et al. 2011, table III)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = ivf_centroids(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x /= _safe_norms(x)[:, None]
+    cells = np.argsort(-(x @ cmat_n.T), axis=1, kind="stable")[:, 0]
+    books = _kmeans_subspaces(x - cmat_n[cells], m, n_codes, 8)
+    dsub = books.shape[2]
+
+    @pandas_udf("struct<cell: int, code: array<int>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= _safe_norms(v)[:, None]
+        cell = np.argsort(-(v @ cmat_n.T), axis=1, kind="stable")[:, 0]
+        r = v - cmat_n[cell]
+        codes = np.empty((v.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = r[:, j * dsub:(j + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ books[j].T)
+                + (books[j] * books[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "code": list(codes)}
+        )
+
+    n_probe = nprobe
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= _safe_norms(v)[:, None]
+        order = np.argsort(-(v @ cmat_n.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    @pandas_udf("array<double>")
+    def adc_table(vecs: pd.Series, cell: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= _safe_norms(v)[:, None]
+        r = v - cmat_n[cell.to_numpy()]
+        out = np.empty((v.shape[0], m * n_codes))
+        for j in range(m):
+            sub = r[:, j * dsub:(j + 1) * dsub]
+            out[:, j * n_codes:(j + 1) * n_codes] = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ books[j].T)
+                + (books[j] * books[j]).sum(axis=1)[None, :]
+            )
+        return pd.Series(list(out))
+
+    corpus = embeddings.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("_e")
+    ).select(id_col, F.col("_e.cell").alias("_cell"), F.col("_e.code").alias("_code"))
+    qp = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(probes(F.col(vec_col))).alias("_pcell"),
+        )
+        .withColumn("_tbl", adc_table(F.col("_qvec"), F.col("_pcell")))
+        .drop("_qvec")
+    )
+    tbl = F.col("_tbl")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_code"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(tbl, j * n_codes + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.join(
+        F.broadcast(qp),
+        (F.col("_cell") == F.col("_pcell")) & (F.col(id_col) != F.col("_qid")),
     ).select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),

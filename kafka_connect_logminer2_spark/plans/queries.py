@@ -9892,6 +9892,33 @@ def q173_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
 Q173_SQL = _ann_gate_sql("ann_pq", 5)
 
 
+def q174_ivfpq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN (r11) — the canonical billion-scale composition of the
+    two approximate paths: IVF cells prune WHICH rows a query reads
+    (nprobe/n_centroids of the corpus, a partition-pruned scan at scale),
+    and product quantization of the RESIDUAL (vector − cell centroid)
+    shrinks what each row costs to 16-byte codes scored by pure
+    transform/aggregate JVM codegen. Same oracle-pinned gate-row emission
+    as q31/q35/q173: recall@5 vs exact cosine (floor 0.30; measured
+    0.425 sf0.01 / 0.375 sf0.1 at nprobe=16 — the sweep and the
+    honest fixture-vs-real-embeddings note live on
+    functions/similarity.py::ivfpq_topk) + structural top-k invariants.
+    Reference: no equivalent — §2C similarity-search extension."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    return _ann_gate_rows(
+        spark, S.ivfpq_topk(emb, queries_df, k=5), exact, "ann_ivfpq", 5
+    )
+
+
+Q174_SQL = _ann_gate_sql("ann_ivfpq", 5)
+
+
 def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The composed summary-suite pipeline (streaming/sketches.py::
     write_summary_suite): ONE document stream maintains heavy-hitter
@@ -10630,6 +10657,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q171_link_extract": (q171_link_extract, Q171_SQL),
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
     "q173_pq_ann": (q173_pq_ann, Q173_SQL),
+    "q174_ivfpq_ann": (q174_ivfpq_ann, Q174_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -38,12 +38,16 @@ def test_q26_exact_count_and_accuracy_gate(spark):
 def test_ann_gate_rows_all_pass(spark):
     from kafka_connect_logminer2_spark.plans.queries import q31_ann_lsh, q35_ann_ivf
 
-    from kafka_connect_logminer2_spark.plans.queries import q173_pq_ann
+    from kafka_connect_logminer2_spark.plans.queries import (
+        q173_pq_ann,
+        q174_ivfpq_ann,
+    )
 
     for fn, prefix in (
         (q31_ann_lsh, "ann_lsh"),
         (q35_ann_ivf, "ann_ivf"),
         (q173_pq_ann, "ann_pq"),
+        (q174_ivfpq_ann, "ann_ivfpq"),
     ):
         rows = fn(spark, SF).collect()
         assert len(rows) == 5
