@@ -862,8 +862,21 @@ def _kmeans_subspaces(
 ) -> np.ndarray:
     """Per-subspace NumPy k-means over a bounded sample → (m, K, d/m)
     codebook tensor. Deterministic (first-K init, stable argmin)."""
+    if x.ndim != 2 or len(x) == 0:
+        raise ValueError(
+            "PQ codebook training needs a non-empty 2-D sample; got shape "
+            f"{x.shape} — is the embeddings table empty?"
+        )
     d = x.shape[1]
     assert d % m == 0, f"dim {d} must split into m={m} subspaces"
+    if len(x) < n_codes:
+        # first-K init needs K rows; a tiny corpus would otherwise die in
+        # an opaque broadcast error inside the per-subspace loop (r11
+        # advice). Repeating sample rows keeps determinism — duplicate
+        # centroids collapse to the same cell, which is correct (just
+        # fewer effective codes than requested).
+        reps = -(-n_codes // len(x))
+        x = np.tile(x, (reps, 1))[:n_codes]
     dsub = d // m
     books = np.empty((m, n_codes, dsub))
     for j in range(m):

@@ -3611,7 +3611,12 @@ def q98_bm25(spark: SparkSession, sf: str) -> DataFrame:
     avgdl) ride along as broadcast scalars. Only candidate docs — those
     containing a query term — are ever scored. ln() parity with DuckDB is
     proven by q55; scores round to 6dp with doc_id tiebreak so the top-10
-    is deterministic across engines."""
+    is deterministic across engines. The final top-10 is orderBy().limit(10)
+    — planned as TakeOrderedAndProject (per-partition heap of 10 + driver
+    merge), NOT an unpartitioned window over all scored candidates: with
+    common query terms the candidate set is corpus-sized, and a global
+    row_number() would funnel it through one partition. rank is stamped on
+    the 10 survivors only (a 10-row window is free)."""
     Q = ["join", "spark", "window"]
     k1, b = 1.2, 0.75
     docs = load_table(spark, sf, "documents")
@@ -3655,11 +3660,9 @@ def q98_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
     )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 Q98_SQL = """
@@ -8892,7 +8895,19 @@ def _stage_fixture_stream(tmp: str, batches, ddl: str, subdir: str = "in"):
 
     cols = []
     for field in ddl.split(","):
-        name, typ = field.strip().split()
+        parts = field.strip().split()
+        if len(parts) != 2 or parts[1].lower() not in _PA_TYPES:
+            # the naive comma/space split cannot see nested or
+            # parameterized types — refuse loudly rather than mis-stage
+            # (r11 advice: decimal(10,2) / array<...> / struct<...> would
+            # otherwise break in a confusing way mid-helper)
+            raise ValueError(
+                f"_stage_fixture_stream supports only flat 'name type' "
+                f"fields with scalar types {sorted(_PA_TYPES)}; got "
+                f"{field.strip()!r} — stage parameterized/nested types "
+                "through a real Spark write instead"
+            )
+        name, typ = parts
         cols.append((name, getattr(pa, _PA_TYPES[typ.lower()])()))
     _os.makedirs(f"{tmp}/{subdir}", exist_ok=True)
     now = _time.time()

@@ -110,10 +110,30 @@ def _ensure_meta(store_dir: str, expect: dict) -> None:
         detail = ", ".join(
             f"{k}: store={s!r} caller={c!r}" for k, (s, c) in sorted(bad.items())
         )
+        # a key ABSENT from the store's meta is a pre-versioning store
+        # (written before that parameter was guarded), not evidence the
+        # data disagrees — tell the operator the one-time backfill path
+        # instead of only the generic mismatch (r11 advice: the
+        # bucket_layout guard otherwise fails every old-but-compatible
+        # store with no migration story)
+        missing = sorted(k for k, (s, _) in bad.items() if s is None)
+        hint = (
+            (
+                f" Keys {missing} are absent from the store's _meta.json "
+                "(written before they were version-guarded). If the store's "
+                "on-disk layout already matches the caller's value — e.g. a "
+                "media keys store whose placement formula was always the "
+                "current one — backfill once by adding the key(s) to "
+                f"{store_dir}/_meta.json; if you are not certain, rebuild "
+                "into a new store_dir."
+            )
+            if missing
+            else ""
+        )
         raise ValueError(
             f"ingest store at {store_dir} was created with different "
             f"parameters ({detail}); resuming would silently corrupt dedup "
-            "state — use a new store_dir or the original parameters"
+            f"state — use a new store_dir or the original parameters.{hint}"
         )
 
 

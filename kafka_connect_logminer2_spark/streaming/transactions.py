@@ -143,9 +143,24 @@ def _merge_csf(rows: list[dict]) -> list[dict]:
 # regardless of transaction size (131,072 rows ≈ tens of MB at redo-row width)
 _EMIT_CHUNK_ROWS = 1 << 17
 
+# per-xid buffered-rows ceiling for the apply path. GroupState is a single
+# JSON value by API, and the measured failure point of that representation
+# on this engine is 4M rows in one xid (JVM StackOverflow mid-stream —
+# tools/giant_txn_probe.py, BASELINE.md r11). The fb assembler
+# (transactions_fb.write_cdc_foreachbatch) completes the same workload, so
+# above ~1M rows/xid it is the mandated route; this ceiling converts the
+# opaque mid-stream JVM death into an immediate, named diagnostic.
+_MAX_BUFFERED_ROWS = 1_000_000
+
+
+class TransactionBufferCeiling(RuntimeError):
+    """A single transaction exceeded the apply-path per-xid buffer ceiling."""
+
 
 def make_assembler(
-    timeout_ms: int | None = None, emit_chunk_rows: int = _EMIT_CHUNK_ROWS
+    timeout_ms: int | None = None,
+    emit_chunk_rows: int = _EMIT_CHUNK_ROWS,
+    max_buffered_rows: int = _MAX_BUFFERED_ROWS,
 ):
     """Build the applyInPandasWithState function (closure over the timeout
     and the commit-emission chunk size — closure captures pickle BY VALUE
@@ -155,6 +170,13 @@ def make_assembler(
     continuous (non-availableNow) streams: with ProcessingTimeTimeout the
     engine keeps scheduling micro-batches to evaluate timeouts, so an
     availableNow run never terminates.
+
+    ``max_buffered_rows`` fails fast (TransactionBufferCeiling) when one
+    xid buffers more rows than the apply path's measured operating
+    envelope, naming the foreachBatch assembler as the mandated route —
+    instead of dying later as an opaque JVM StackOverflow at ~4M rows
+    (BASELINE.md, tools/giant_txn_probe.py). Pass a larger value (or 0 to
+    disable) only with a measured envelope to back it.
     """
 
     def assemble(
@@ -223,6 +245,17 @@ def make_assembler(
             seg_start = c + 1
         _absorb(seg_start, len(events))
 
+        if max_buffered_rows and len(buf) > max_buffered_rows:
+            raise TransactionBufferCeiling(
+                f"transaction xid={xid!r} buffered {len(buf):,} rows, over "
+                f"the apply-path ceiling of {max_buffered_rows:,} "
+                "(applyInPandasWithState keeps each xid's buffer as ONE "
+                "state value; the measured failure point is ~4M rows/xid — "
+                "BASELINE.md). Route this workload through the foreachBatch "
+                "assembler: kafka_connect_logminer2_spark.streaming."
+                "transactions_fb.write_cdc_foreachbatch, or raise "
+                "max_buffered_rows explicitly with a measured envelope."
+            )
         if buf or (started and not dropped):
             state.update((json.dumps(buf, default=str), bool(contains_rb)))
             if timeout_ms is not None:
@@ -254,7 +287,9 @@ def make_assembler(
 
 
 def assemble_transactions_stream(
-    redo_stream: DataFrame, timeout_ms: int | None = None
+    redo_stream: DataFrame,
+    timeout_ms: int | None = None,
+    max_buffered_rows: int = _MAX_BUFFERED_ROWS,
 ) -> DataFrame:
     """Streaming equivalent of operators.transactions.assemble_transactions.
 
@@ -262,6 +297,8 @@ def assemble_transactions_stream(
     Output: committed DMLRow-shaped rows, emitted in the micro-batch where
     their COMMIT arrives. Pass ``timeout_ms`` for continuous streams only
     (abandoned-txn eviction); leave None for availableNow/replay runs.
+    ``max_buffered_rows`` is the apply-path per-xid ceiling (see
+    make_assembler) — above it, use transactions_fb.write_cdc_foreachbatch.
     """
     timeout_conf = (
         GroupStateTimeout.NoTimeout
@@ -269,7 +306,7 @@ def assemble_transactions_stream(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return redo_stream.groupBy("xid").applyInPandasWithState(
-        make_assembler(timeout_ms),
+        make_assembler(timeout_ms, max_buffered_rows=max_buffered_rows),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -151,6 +151,66 @@ def test_giant_commit_chunked_emission(spark):
     assert (got["commit_scn"] == 100).all()
 
 
+def test_apply_path_buffer_ceiling_fails_fast(spark):
+    """r12 (r11 verdict #7): a transaction whose UNCOMMITTED buffer exceeds
+    max_buffered_rows raises TransactionBufferCeiling immediately, with a
+    diagnostic naming the foreachBatch assembler — instead of dying later
+    as an opaque JVM StackOverflow at the measured ~4M rows/xid ceiling
+    (BASELINE.md, tools/giant_txn_probe.py). A same-size transaction that
+    COMMITS within the batch never persists the giant buffer, so it does
+    not trip the ceiling; ceiling=0 disables the check."""
+    import pytest as _pytest
+
+    from kafka_connect_logminer2_spark.streaming.transactions import (
+        TransactionBufferCeiling,
+        make_assembler,
+    )
+
+    class StubState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+        def remove(self):
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def mk_events(n, commit):
+        rows = [dict(scn=1, operation="START", xid="G")]
+        rows += [
+            dict(scn=2 + i, operation="INSERT", xid="G",
+                 table_name="CUSTOMER", sql_redo=INS.format(k=i),
+                 row_id=f"r{i}")
+            for i in range(n)
+        ]
+        if commit:
+            rows.append(
+                dict(scn=100, operation="COMMIT", xid="G", commit_scn=100)
+            )
+        return redo_events_from_rows(spark, rows).toPandas()
+
+    open_txn = mk_events(12, commit=False)
+    fn = make_assembler(None, max_buffered_rows=10)
+    with _pytest.raises(TransactionBufferCeiling) as exc:
+        list(fn(("G",), iter([open_txn.copy()]), StubState()))
+    msg = str(exc.value)
+    assert "write_cdc_foreachbatch" in msg and "10" in msg
+
+    # same size but committed in-batch: buffer is cleared at COMMIT, the
+    # giant state value is never persisted — no ceiling trip
+    committed = mk_events(12, commit=True)
+    out = list(fn(("G",), iter([committed.copy()]), StubState()))
+    assert sum(len(c) for c in out) == 12
+
+    # ceiling disabled
+    fn0 = make_assembler(None, max_buffered_rows=0)
+    assert list(fn0(("G",), iter([open_txn.copy()]), StubState())) == []
+
+
 def test_ddl_schema_evolution_mid_stream(spark, tmp_path):
     """SURVEY §7 hard part 4: a DDL event invalidates the cached schema and
     the table's NEXT DML lazily reloads fresh columns from the dictionary
