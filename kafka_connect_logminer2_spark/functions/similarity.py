@@ -893,6 +893,66 @@ def _kmeans_subspaces(
     return books
 
 
+def _pq_bit_layout(m: int, n_codes: int) -> tuple[int, int]:
+    """(bits-per-code, codes-per-long) for the packed two-long code
+    representation. ``b = ceil(log2(K))`` bits hold any code 0..K-1; a
+    64-bit long holds ``64 // b`` of them, and two longs give the 128-bit
+    budget that covers every swept configuration (m=32/K=16 → exactly
+    128 bits = 16 bytes, the FAISS-default footprint)."""
+    b = max(1, (n_codes - 1).bit_length())
+    per = 64 // b
+    if m > 2 * per:
+        raise ValueError(
+            f"m={m} codes of {b} bits exceed the two-long 128-bit budget "
+            f"({2 * per} codes max) — lower m or K, or widen the layout"
+        )
+    return b, per
+
+
+def _pack_codes_np(codes: "np.ndarray", b: int, per: int):
+    """(n, m) int sub-codes → two int64 columns, code j at bits
+    [(j%per)·b, (j%per)·b+b) of long j//per. Lossless; unpacked JVM-side
+    with shiftrightunsigned + mask (logical shift — codes packed into the
+    sign bit survive)."""
+    n, m = codes.shape
+    acc = np.zeros((n, 2), dtype=np.uint64)
+    for j in range(m):
+        acc[:, j // per] |= codes[:, j].astype(np.uint64) << np.uint64(
+            (j % per) * b
+        )
+    return acc[:, 0].view(np.int64), acc[:, 1].view(np.int64)
+
+
+def _packed_code_at(j: Column, b: int, per: int, n_codes: int) -> Column:
+    """JVM-codegen extraction of sub-code ``j`` from the packed (_c0, _c1)
+    longs: pick the long, logical-shift, mask. All engine built-ins —
+    the ADC scan stays zero-Python where the corpus is touched."""
+    src = F.when(j < F.lit(per), F.col("_c0")).otherwise(F.col("_c1"))
+    shift = ((j % F.lit(per)) * F.lit(b)).cast("int")
+    return F.call_function("shiftrightunsigned", src, shift).bitwiseAND(
+        F.lit(n_codes - 1)
+    )
+
+
+def _packed_adc_dist(m: int, n_codes: int, b: int, per: int) -> Column:
+    """The ADC scan over packed codes: dist = Σ_j tbl[j·K + code_j] as one
+    ``aggregate`` over ``sequence(0, m-1)`` — pure JVM, no Python, no
+    intermediate array materialization (the packed longs replace the old
+    array<int> zip_with input)."""
+    tbl = F.col("_tbl")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            tbl,
+            (
+                j * n_codes + _packed_code_at(j, b, per, n_codes) + 1
+            ).cast("int"),
+        ),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -915,23 +975,29 @@ def pq_topk(
     hold recall, exactly the FAISS-style operating curve.
 
     Spark shape: codes are one Arrow-batched NumPy pass (written once and
-    persisted at scale, like the IVF cell column); each query's ADC
-    lookup table (m·K distances, query-side only) is built in the same
-    pandas UDF family and BROADCAST; the scan itself — the part that
-    touches every corpus row — is pure ``transform``/``aggregate`` over
-    the code array against the broadcast table, whole-stage codegen, no
-    Python. Distances are squared L2 over L2-normalized vectors, so the
-    ranking is cosine's; at scale PQ composes with IVF (scan only the
-    probed cells' codes)."""
+    persisted at scale, like the IVF cell column), stored BIT-PACKED as
+    two fixed-width longs — m·ceil(log2(K)) bits, so the defaults' 128
+    bits really are 16 bytes/vector (16× vs 64-dim float32; the r11
+    array<int> representation burned ~8× that in element width + array
+    headers, and at 100 TB the stored relation IS the cost —
+    tools/pq_footprint_probe.py records the measured bytes/row). Each
+    query's ADC lookup table (m·K distances, query-side only) is built in
+    the same pandas UDF family and BROADCAST; the scan itself — the part
+    that touches every corpus row — extracts each sub-code with
+    shiftrightunsigned+mask and sums m table lookups in one
+    ``aggregate``, whole-stage codegen, no Python. Distances are squared
+    L2 over L2-normalized vectors, so the ranking is cosine's; at scale
+    PQ composes with IVF (scan only the probed cells' codes)."""
     from pyspark.sql.functions import pandas_udf
 
     books = pq_codebooks(
         embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     )
     dsub = books.shape[2]
+    b, per = _pq_bit_layout(m, n_codes)
 
-    @pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("struct<c0: bigint, c1: bigint>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
         v /= _safe_norms(v)[:, None]
         n = v.shape[0]
@@ -945,7 +1011,8 @@ def pq_topk(
                 + (books[j] * books[j]).sum(axis=1)[None, :]
             )
             codes[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+        c0, c1 = _pack_codes_np(codes, b, per)
+        return pd.DataFrame({"c0": c0, "c1": c1})
 
     @pandas_udf("array<double>")
     def adc_table(vecs: pd.Series) -> pd.Series:
@@ -962,23 +1029,17 @@ def pq_topk(
         return pd.Series(list(out))
 
     corpus = embeddings.select(
-        F.col(id_col), encode(F.col(vec_col)).alias("_code")
+        F.col(id_col), encode(F.col(vec_col)).alias("_e")
+    ).select(
+        id_col, F.col("_e.c0").alias("_c0"), F.col("_e.c1").alias("_c1")
     )
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         adc_table(F.col(vec_col)).alias("_tbl"),
     )
-    tbl = F.col("_tbl")
-    # the ADC scan: dist = sum_j tbl[j*K + code_j] — JVM codegen only
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("_code"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(tbl, j * n_codes + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # the ADC scan: dist = sum_j tbl[j*K + code_j], code_j unpacked from
+    # the two longs by shiftrightunsigned+mask — JVM codegen only
+    dist = _packed_adc_dist(m, n_codes, b, per)
     scored = corpus.join(
         F.broadcast(q), F.col(id_col) != F.col("_qid")
     ).select(
@@ -1021,10 +1082,12 @@ def ivfpq_topk(
     the same bit budget because residuals concentrate near zero once the
     coarse structure is peeled off — the Jégou et al. construction.
 
-    Spark shape: the stored relation is (id, cell, code) — written once,
-    cell-partitioned at scale so a probe is a partition-pruned scan of
-    ~nprobe/n_centroids of the corpus (the q114 layout) reading 16-byte
-    codes instead of vectors. Query side: (query × probed cell) pairs —
+    Spark shape: the stored relation is (id, cell, c0, c1) — the residual
+    code BIT-PACKED into two fixed-width longs (m·ceil(log2(K)) bits; 16
+    bytes at the defaults, see pq_topk) — written once, cell-partitioned
+    at scale so a probe is a partition-pruned scan of ~nprobe/n_centroids
+    of the corpus (the q114 layout) reading 16-byte codes instead of
+    vectors. Query side: (query × probed cell) pairs —
     tiny — each build their ADC table over (q − centroid) in one Arrow
     batch and BROADCAST; the scan is the same pure transform/aggregate
     JVM codegen as :func:`pq_topk`, joined on the cell. Distances are
@@ -1060,8 +1123,9 @@ def ivfpq_topk(
     cells = np.argsort(-(x @ cmat_n.T), axis=1, kind="stable")[:, 0]
     books = _kmeans_subspaces(x - cmat_n[cells], m, n_codes, 8)
     dsub = books.shape[2]
+    b, per = _pq_bit_layout(m, n_codes)
 
-    @pandas_udf("struct<cell: int, code: array<int>>")
+    @pandas_udf("struct<cell: int, c0: bigint, c1: bigint>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
         v /= _safe_norms(v)[:, None]
@@ -1076,8 +1140,9 @@ def ivfpq_topk(
                 + (books[j] * books[j]).sum(axis=1)[None, :]
             )
             codes[:, j] = d2.argmin(axis=1)
+        c0, c1 = _pack_codes_np(codes, b, per)
         return pd.DataFrame(
-            {"cell": cell.astype("int32"), "code": list(codes)}
+            {"cell": cell.astype("int32"), "c0": c0, "c1": c1}
         )
 
     n_probe = nprobe
@@ -1106,7 +1171,12 @@ def ivfpq_topk(
 
     corpus = embeddings.select(
         F.col(id_col), encode(F.col(vec_col)).alias("_e")
-    ).select(id_col, F.col("_e.cell").alias("_cell"), F.col("_e.code").alias("_code"))
+    ).select(
+        id_col,
+        F.col("_e.cell").alias("_cell"),
+        F.col("_e.c0").alias("_c0"),
+        F.col("_e.c1").alias("_c1"),
+    )
     qp = (
         queries.select(
             F.col(query_id_col).alias("_qid"),
@@ -1116,16 +1186,7 @@ def ivfpq_topk(
         .withColumn("_tbl", adc_table(F.col("_qvec"), F.col("_pcell")))
         .drop("_qvec")
     )
-    tbl = F.col("_tbl")
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("_code"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(tbl, j * n_codes + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist = _packed_adc_dist(m, n_codes, b, per)
     scored = corpus.join(
         F.broadcast(qp),
         (F.col("_cell") == F.col("_pcell")) & (F.col(id_col) != F.col("_qid")),

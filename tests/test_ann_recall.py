@@ -84,3 +84,50 @@ def test_pq_adc_equals_reconstruction_distance(spark, sf_dir):
         recon[j * dsub:(j + 1) * dsub] = books[j][code]
     want = float(((qv - recon) ** 2).sum())
     assert abs(r0["pq_dist"] - want) < 1e-4
+
+
+def test_pq_code_packing_roundtrip(spark):
+    """r12 (r11 verdict #2): codes are stored BIT-PACKED in two longs
+    (m·ceil(log2 K) bits — 16 bytes at the m=32/K=16 defaults, the
+    claimed 16×), and the JVM-side shiftrightunsigned+mask extraction
+    recovers every sub-code exactly — including codes packed into the
+    sign bit of the long (logical, not arithmetic, shift). Checked over
+    every swept (m, K) configuration and adversarial all-max codes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        _packed_code_at,
+        _pack_codes_np,
+        _pq_bit_layout,
+    )
+
+    rng = np.random.default_rng(7)
+    for m, K in [(32, 16), (16, 16), (16, 64), (8, 16)]:
+        b, per = _pq_bit_layout(m, K)
+        assert m * b <= 128
+        codes = rng.integers(0, K, size=(64, m)).astype(np.int32)
+        codes[0, :] = K - 1  # all-max: fills the top long's sign bit
+        codes[1, :] = 0
+        c0, c1 = _pack_codes_np(codes, b, per)
+        if per * b == 64 and m >= per:
+            # the long is fully used, so all-max codes reach the sign bit
+            # (b=6/K=64 leaves 4 top bits unused — no sign-bit case there)
+            assert (c0 < 0).any(), "sign-bit case not exercised"
+        df = spark.createDataFrame(
+            [(int(i), int(c0[i]), int(c1[i])) for i in range(len(codes))],
+            "i long, _c0 long, _c1 long",
+        )
+        got = df.select(
+            "i",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: _packed_code_at(j, b, per, K).cast("int"),
+            ).alias("codes"),
+        ).collect()
+        for r in got:
+            assert r["codes"] == list(codes[r["i"]]), (m, K, r["i"])
+
+    # the guard: a configuration over the 128-bit budget refuses loudly
+    with pytest.raises(ValueError, match="128-bit"):
+        _pq_bit_layout(64, 16)
