@@ -117,6 +117,8 @@ HEADLINE = [
     # r11 additions
     "q173_pq_ann",
     "q174_ivfpq_ann",
+    # r12 additions
+    "q175_ivfpq_clustered",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as _np
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import dedup as D
@@ -9934,6 +9936,86 @@ def q174_ivfpq_ann(spark: SparkSession, sf: str) -> DataFrame:
 Q174_SQL = _ann_gate_sql("ann_ivfpq", 5)
 
 
+def q175_ivfpq_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual-PQ's value demonstrated on data that HAS coarse structure
+    (r12, r11 verdict #5): the synthetic `embeddings` fixture is
+    near-uniform, so q174's docstring honestly notes the residual step
+    adds nothing there. This entry plants a deterministic seeded
+    mixture-of-Gaussians corpus (32 unit-norm centers, 4,000 vectors,
+    σ=0.05 — cluster spread far below the inter-center distance, the
+    shape of real embedding spaces) and measures BOTH paths at the same
+    128-bit code budget (m=32, K=16): raw PQ's codebook resolution is set
+    by the GLOBAL spread, so intra-cluster neighbors fall below its
+    quantization floor (measured recall@5 0.350), while IVF-PQ peels the
+    coarse structure into the cell assignment and spends all 128 bits on
+    the σ-scale residual (measured 0.700). The gap is gated AS DATA (the
+    q155 discipline): ivfpq_beats_pq margin ≥ 0.15 (measured +0.35) and
+    the IVF-PQ recall floor 0.50 are oracle-pinned TRUE rows, plus a
+    pinned fixture checksum so silent drift of the planted corpus breaks
+    the value hash rather than quietly re-tuning the experiment.
+    Fixture is sf-independent (the experiment is about the estimator, not
+    the corpus size; Jégou et al. 2011 table III is the public-literature
+    analogue). Reference: no equivalent — §2C similarity-search
+    extension."""
+    C, N, D, SIG = 32, 4000, 64, 0.05
+    rng = _np.random.default_rng(175)
+    centers = rng.standard_normal((C, D))
+    centers /= _np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[_np.arange(N) % C] + SIG * rng.standard_normal((N, D))
+    vecs = vecs.astype(_np.float32)
+    checksum = round(float(vecs.sum()), 3)
+    emb = spark.createDataFrame(
+        _pd.DataFrame(
+            {"vec_id": _np.arange(N, dtype=_np.int64),
+             "embedding": list(vecs)}
+        )
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = S.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    total = exact.count()
+
+    def recall(df: DataFrame) -> float:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "inner")
+            .count()
+            / total
+        )
+
+    r_pq = recall(S.pq_topk(emb, queries_df, k=5))
+    r_ivfpq = recall(S.ivfpq_topk(emb, queries_df, k=5))
+    rows = [
+        ("ivfpq_clustered_recall_at_5", 0.50, bool(r_ivfpq >= 0.50)),
+        ("ivfpq_beats_pq_on_clustered", 0.15,
+         bool(r_ivfpq - r_pq >= 0.15)),
+        ("ivfpq_clustered_fixture_checksum", _CLUSTERED_CHECKSUM,
+         bool(checksum == _CLUSTERED_CHECKSUM)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, bound double, pass boolean"
+    ).orderBy("metric")
+
+
+# pinned sum of the planted float32 corpus (3dp): any drift of the seeded
+# generation — numpy default_rng stream, parameters, dtype — flips the
+# checksum gate row and breaks the value hash driver-visibly
+_CLUSTERED_CHECKSUM = 822.904
+
+Q175_SQL = f"""
+SELECT * FROM (VALUES
+  ('ivfpq_beats_pq_on_clustered', CAST(0.15 AS DOUBLE), TRUE),
+  ('ivfpq_clustered_fixture_checksum',
+   CAST({_CLUSTERED_CHECKSUM} AS DOUBLE), TRUE),
+  ('ivfpq_clustered_recall_at_5', CAST(0.50 AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
+
+
 def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The composed summary-suite pipeline (streaming/sketches.py::
     write_summary_suite): ONE document stream maintains heavy-hitter
@@ -10673,6 +10755,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q172_domain_cap": (q172_domain_cap, Q172_SQL),
     "q173_pq_ann": (q173_pq_ann, Q173_SQL),
     "q174_ivfpq_ann": (q174_ivfpq_ann, Q174_SQL),
+    "q175_ivfpq_clustered": (q175_ivfpq_clustered, Q175_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

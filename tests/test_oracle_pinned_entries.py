@@ -57,6 +57,24 @@ def test_ann_gate_rows_all_pass(spark):
         ]
 
 
+def test_q175_clustered_gap_gates(spark):
+    """r12 (r11 verdict #5): on the planted mixture-of-Gaussians corpus,
+    residual-PQ must beat raw PQ by the gated margin at the same 128-bit
+    budget, the IVF-PQ recall floor must hold with real margin, and the
+    seeded fixture's checksum must be bit-stable — same facts the DuckDB
+    oracle pins TRUE."""
+    from kafka_connect_logminer2_spark.plans.queries import (
+        q175_ivfpq_clustered,
+    )
+
+    rows = q175_ivfpq_clustered(spark, SF).collect()
+    assert len(rows) == 3
+    by = {r["metric"]: r for r in rows}
+    assert by["ivfpq_beats_pq_on_clustered"]["pass"]
+    assert by["ivfpq_clustered_recall_at_5"]["pass"]
+    assert by["ivfpq_clustered_fixture_checksum"]["pass"]
+
+
 def test_r8_gate_converted_entries_all_pass(spark):
     """The r8 batch of rows-only → gate-row conversions (q59, q114, q120,
     q123, q126, q132, q136): every emitted gate must pass — the same
