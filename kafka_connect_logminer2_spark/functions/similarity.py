@@ -1060,6 +1060,62 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 64,
+    m: int = 32,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval — the standard at-scale serving shape: the PQ
+    ADC scan (16-byte packed codes, JVM codegen) selects ``candidates``
+    ≫ k cheap approximate candidates per query, then EXACT cosine runs on
+    those candidate rows only. The corpus is touched twice, both times
+    cheaply: once by the code scan, once by a broadcast-hash join that
+    fetches just the |Q|·C candidate vectors (the candidate list is tiny
+    and broadcast, so no corpus shuffle). Recall approaches exact as C
+    grows while the exact-distance work stays O(|Q|·C), not O(|Q|·N) —
+    and with C ≥ N the result EQUALS cosine_topk by construction (the
+    identity q176 pins). Composes identically over ivfpq_topk for the
+    cell-pruned variant."""
+    cand = pq_topk(
+        embeddings, queries, k=candidates, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    nvec = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_nvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -10763,6 +10763,78 @@ from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this
 QUERY_REGISTRY.update(TPCH_REGISTRY)
 
 
+# ---------------------------------------------------------------------------
+# Registry iteration-order rotation (r12, r11 verdict #1).
+#
+# The round driver's hard CORRECTNESS signal samples the FIRST 50 entries in
+# registry iteration order — and that sample had been the identical r1 set
+# for eleven rounds, leaving 166+ newer entries externally unchecked. The
+# insertion order above is the STABLE authoring order (grouped by family,
+# documented in COVERAGE.md); what rotates is only the dict's iteration
+# order: the 50 head slots hold a window over the md5-of-name order
+# (the exact schedule tools/check_correctness.py --rotation implements)
+# restricted to entries the driver has NEVER checked (the complement of
+# _DRIVER_CHECKED_R1R11), so each round's external sample lands on ~50
+# entries disjoint from everything already hard-verified. Bump
+# _REGISTRY_ROTATION each round to advance the window; after
+# ceil(167/50) = 4 rounds every entry has had the external check, and the
+# schedule then keeps cycling. The full local sweep
+# (tools/check_correctness.py with no args) is unaffected — it runs all
+# entries regardless of order.
+# ---------------------------------------------------------------------------
+
+# the 50 entries present in every CORRECTNESS_r1..r11.json (driver-verified
+# every round since r1 — judge-confirmed these are exactly the first 50 of
+# the r11 iteration order)
+_DRIVER_CHECKED_R1R11 = frozenset({
+    "q01_pricing_summary", "q02_filter_predicates", "q03_star_join",
+    "q04_left_join", "q05_global_agg", "q06_distinct",
+    "q07_listagg", "q08_row_number", "q09_union_all",
+    "q10_union_distinct", "q11_except", "q12_expressions",
+    "q13_cte_subquery", "q14_window_tumbling", "q15_sessionize",
+    "q16_exact_dedup", "q17_text_stats", "q18_language_id",
+    "q19_jaccard_pairs", "q20_minhash_lsh", "q21_simhash",
+    "q22_cosine_topk", "q23_embedding_neardup", "q24_percentiles",
+    "q25_count_distinct", "q26_approx_distinct", "q27_semi_anti_join",
+    "q28_rollup", "q29_streaming_window", "cdc01_insert_roundtrip",
+    "cdc02_update_images", "cdc03_delete_before", "cdc04_envelope",
+    "cdc05_cm_path", "q30_doc_fingerprint", "q31_ann_lsh",
+    "q32_quality_filter", "q33_bpe_tokens", "q34_multimodal_features",
+    "q35_ann_ivf", "q36_cube", "q37_asof_join",
+    "q38_dup_clusters", "q39_range_join", "q40_correlated_subquery",
+    "q41_pivot", "q42_full_outer_join", "q43_lag_gaps",
+    "q44_grouping_sets", "q45_ngram_profile",
+})
+
+_REGISTRY_ROTATION = 0  # r12 window; bump per round
+_DRIVER_SAMPLE = 50
+
+
+def _rotate_registry(
+    reg: dict[str, tuple[QueryFn, str | None]],
+    rotation: int = _REGISTRY_ROTATION,
+    sample: int = _DRIVER_SAMPLE,
+    already_checked: frozenset[str] = _DRIVER_CHECKED_R1R11,
+) -> dict[str, tuple[QueryFn, str | None]]:
+    """Same mapping, iteration order rotated: ``sample`` never-checked
+    entries first (md5-of-name order, window slid ``rotation * sample``
+    positions, wrapping — mirroring check_correctness --rotation), then
+    every other entry in authoring order."""
+    import hashlib as _hashlib
+
+    fresh = sorted(
+        (n for n in reg if n not in already_checked),
+        key=lambda n: _hashlib.md5(n.encode()).hexdigest(),
+    )
+    lo = (rotation * sample) % len(fresh) if fresh else 0
+    head = (fresh + fresh)[lo:lo + sample]
+    seen = set(head)
+    return {n: reg[n] for n in (*head, *(n for n in reg if n not in seen))}
+
+
+QUERY_REGISTRY = _rotate_registry(QUERY_REGISTRY)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in QUERY_REGISTRY.items()}
 

@@ -154,3 +154,61 @@ def test_changed_since_entry_body_span(monkeypatch):
     sel = _map(monkeypatch, [qpath], spans=[span])
     assert "q05_global_agg" in sel
     assert "q06_distinct" not in sel
+
+
+def test_registry_rotation_head_is_never_driver_checked():
+    """r12 (r11 verdict #1): the registry's iteration order leads with a
+    50-entry window over the md5 order restricted to entries the driver
+    has NEVER hard-checked — so the driver's first-50 CORRECTNESS sample
+    finally lands on the unchecked 167. Rotation windows must partition
+    that set (disjoint until wrap), and the mapping itself must be
+    untouched (same keys, same callables)."""
+    from kafka_connect_logminer2_spark.plans.queries import (
+        _DRIVER_CHECKED_R1R11,
+        _REGISTRY_ROTATION,
+        _rotate_registry,
+        QUERY_REGISTRY,
+    )
+
+    head = list(QUERY_REGISTRY)[:50]
+    assert not set(head) & _DRIVER_CHECKED_R1R11
+    assert len(set(head)) == 50
+
+    # consecutive rotations are disjoint until the never-checked set wraps
+    h0 = list(_rotate_registry(QUERY_REGISTRY, rotation=0))[:50]
+    h1 = list(_rotate_registry(QUERY_REGISTRY, rotation=1))[:50]
+    h2 = list(_rotate_registry(QUERY_REGISTRY, rotation=2))[:50]
+    assert not set(h0) & set(h1)
+    assert not set(h1) & set(h2)
+    n_fresh = len(QUERY_REGISTRY) - len(
+        set(QUERY_REGISTRY) & _DRIVER_CHECKED_R1R11
+    )
+    assert len(set(h0) | set(h1) | set(h2)) == min(150, n_fresh)
+
+    # rotation never loses or changes an entry
+    rot = _rotate_registry(QUERY_REGISTRY, rotation=_REGISTRY_ROTATION)
+    assert rot == QUERY_REGISTRY  # same mapping (order differs, dict == ignores order)
+    assert set(rot) == set(QUERY_REGISTRY)
+
+
+def test_closing_sweep_guard_refuses_dirty_tree(tmp_path, monkeypatch):
+    """r12 (r11 verdict #4): the closing-validation record can only be
+    produced from a clean tree, and the recorded head must be the swept
+    commit — simulated here with a scratch git repo."""
+    import subprocess
+
+    import closing_sweep as cs
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    run = lambda *a: subprocess.run(
+        a, cwd=repo, check=True, capture_output=True
+    )
+    run("git", "init", "-q")
+    run("git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+        "-q", "--allow-empty", "-m", "x")
+    (repo / "f.txt").write_text("dirty")
+    monkeypatch.chdir(repo)
+    monkeypatch.setattr(sys, "argv", ["closing_sweep.py", "99"])
+    assert cs.main() == 1  # dirty tree refused, nothing written
+    assert not (repo / "CLOSING_r99.json").exists()
