@@ -119,6 +119,7 @@ HEADLINE = [
     "q174_ivfpq_ann",
     # r12 additions
     "q175_ivfpq_clustered",
+    "q176_pq_rerank",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

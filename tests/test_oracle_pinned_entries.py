@@ -75,6 +75,18 @@ def test_q175_clustered_gap_gates(spark):
     assert by["ivfpq_clustered_fixture_checksum"]["pass"]
 
 
+def test_q176_rerank_gates_and_identity(spark):
+    """r12: the two-stage (PQ prefilter → exact re-rank) gates must hold —
+    recall floor 0.80 with the beats-raw-PQ margin, and the C ≥ N identity
+    with cosine_topk that pins the re-rank stage to the exact operator."""
+    from kafka_connect_logminer2_spark.plans.queries import q176_pq_rerank
+
+    rows = q176_pq_rerank(spark, SF).collect()
+    assert len(rows) == 7
+    bad = [r["metric"] for r in rows if not r["pass"]]
+    assert not bad, bad
+
+
 def test_r8_gate_converted_entries_all_pass(spark):
     """The r8 batch of rows-only → gate-row conversions (q59, q114, q120,
     q123, q126, q132, q136): every emitted gate must pass — the same
