@@ -1178,6 +1178,31 @@ def ivfpq_topk(
     x /= _safe_norms(x)[:, None]
     cells = np.argsort(-(x @ cmat_n.T), axis=1, kind="stable")[:, 0]
     books = _kmeans_subspaces(x - cmat_n[cells], m, n_codes, 8)
+
+    corpus = ivfpq_encode(
+        embeddings, cmat_n, books, m, n_codes, id_col=id_col, vec_col=vec_col
+    )
+    return ivfpq_scan(
+        corpus, queries, cmat_n, books, m, n_codes, nprobe=nprobe, k=k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    cmat_n: np.ndarray,
+    books: np.ndarray,
+    m: int,
+    n_codes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ stored relation: (id, _cell, _c0, _c1) — nearest-cell
+    assignment + residual sub-codes bit-packed into two longs, one Arrow
+    pass. Shared by the one-shot ivfpq_topk and the MAINTAINED index
+    (streaming/pq_ann_ingest.py), so the two cannot drift."""
+    from pyspark.sql.functions import pandas_udf
+
     dsub = books.shape[2]
     b, per = _pq_bit_layout(m, n_codes)
 
@@ -1201,6 +1226,39 @@ def ivfpq_topk(
             {"cell": cell.astype("int32"), "c0": c0, "c1": c1}
         )
 
+    return embeddings.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("_e")
+    ).select(
+        id_col,
+        F.col("_e.cell").alias("_cell"),
+        F.col("_e.c0").alias("_c0"),
+        F.col("_e.c1").alias("_c1"),
+    )
+
+
+def ivfpq_scan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cmat_n: np.ndarray,
+    books: np.ndarray,
+    m: int,
+    n_codes: int,
+    nprobe: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The cell-pruned ADC scan over an (id, _cell, _c0, _c1) relation:
+    per-query probe cells + per-(query, probed-cell) residual ADC tables
+    built in one Arrow batch and BROADCAST; the corpus-touching join +
+    distance is pure JVM codegen (shiftrightunsigned unpack, aggregate
+    sum of table lookups). Shared by ivfpq_topk and the maintained-index
+    serve path."""
+    from pyspark.sql.functions import pandas_udf
+
+    dsub = books.shape[2]
+    b, per = _pq_bit_layout(m, n_codes)
     n_probe = nprobe
 
     @pandas_udf("array<int>")
@@ -1225,14 +1283,6 @@ def ivfpq_topk(
             )
         return pd.Series(list(out))
 
-    corpus = embeddings.select(
-        F.col(id_col), encode(F.col(vec_col)).alias("_e")
-    ).select(
-        id_col,
-        F.col("_e.cell").alias("_cell"),
-        F.col("_e.c0").alias("_c0"),
-        F.col("_e.c1").alias("_c1"),
-    )
     qp = (
         queries.select(
             F.col(query_id_col).alias("_qid"),

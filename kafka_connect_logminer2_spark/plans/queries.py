@@ -10016,6 +10016,132 @@ ORDER BY metric
 """
 
 
+def cdc43_pqann_index_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintained IVF-PQ index (r12, streaming/pq_ann_ingest.py): the
+    cdc19 changelog — inserts [0,400), deletes [0,50), updates [50,100)
+    to the vector at vec_id+400 — maintained as a versioned merge-on-read
+    relation of (id, cell, 16-byte packed residual code) under models
+    FROZEN at the first batch, then served via the shared ivfpq_scan.
+    At 100 TB the maintained serving relation holds codes, not vectors
+    (16 B vs ~256 B per row — BASELINE.md r12 footprint probe); raw
+    vectors stay in the corpus for re-rank fetches (q176).
+
+    Gates (oracle-pinned all-TRUE, the q155 discipline):
+    - state identity — the strong MOR pin: the maintained live frame,
+      served, must equal ROW-FOR-ROW the from-scratch ivfpq_encode of
+      the final live vector set under the same frozen models. Any
+      exactly-once violation (double-applied batch, missed tombstone,
+      resurrected delete) changes the served relation and flips this.
+    - no deleted id is ever served; every live id appears exactly once.
+    - measured recall@5 vs exact cosine over the live set (floor 0.30,
+      measured 0.525 at sf0.01, m=32/K=16, full probe — isolates
+      residual-PQ quality from IVF pruning).
+    Reference: no equivalent — §2C similarity extension."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ann_ingest import read_ann_index
+    from ..streaming.pq_ann_ingest import (
+        ingest_batch_pqann,
+        load_pq_books,
+        pqann_index_query,
+    )
+    from ..functions.similarity import ivfpq_encode, ivfpq_scan, load_ivf_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    b0 = emb.filter(F.col("vec_id") < 200).selectExpr("'I' as op", "vec_id", "embedding")
+    b1 = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+        .selectExpr("'I' as op", "vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 50).selectExpr(
+                "'D' as op", "vec_id", "cast(null as array<float>) as embedding"
+            )
+        )
+    )
+    b2 = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 400 as j", "embedding as e2").alias("b"),
+            F.col("a.vec_id") == F.col("b.j"),
+        )
+        .selectExpr("'U' as op", "a.vec_id as vec_id", "e2 as embedding")
+    )
+    live_vecs = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400))
+        .select("vec_id", "embedding")
+        .unionByName(b2.select("vec_id", "embedding"))
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc43_")
+    try:
+        idx = f"{tmp}/index"
+        for i, b in enumerate((b0, b1, b2)):
+            ingest_batch_pqann(
+                spark, b, i, idx, n_centroids=8, m=32, n_codes=16
+            )
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        served = pqann_index_query(
+            spark, idx, queries_df, k=5, nprobe=8
+        ).orderBy("query_id", "rank")
+        got = [tuple(r) for r in served.collect()]
+
+        # state identity: fresh encode of the live set under the FROZEN
+        # models, served through the same scan, must match row-for-row
+        cmat_n = load_ivf_centroids(spark, idx)
+        books = load_pq_books(spark, idx)
+        want = [
+            tuple(r)
+            for r in ivfpq_scan(
+                ivfpq_encode(live_vecs, cmat_n, books, 32, 16),
+                queries_df, cmat_n, books, 32, 16, nprobe=8, k=5,
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+        live = read_ann_index(spark, idx)
+        per_id = live.groupBy("vec_id").count()
+        n_live = per_id.count()
+        max_rows = per_id.agg(F.max("count")).first()[0]
+        deleted_served = sum(1 for r in got if r[1] < 50)
+
+        exact = S.cosine_topk(live_vecs, queries_df, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        total = exact.count()
+        hits = (
+            served.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "inner")
+            .count()
+        )
+        recall = hits / total if total else 0.0
+
+        rows = [
+            ("pqann_state_equals_fresh_encode", 1.0, bool(got == want)),
+            ("pqann_no_deleted_served", 0.0, bool(deleted_served == 0)),
+            ("pqann_one_live_row_per_id", 1.0,
+             bool(n_live == 350 and max_rows == 1)),
+            ("pqann_recall_at_5", 0.30, bool(recall >= 0.30)),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, bound double, pass boolean"
+        ).orderBy("metric")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC43_SQL = """
+SELECT * FROM (VALUES
+  ('pqann_no_deleted_served', CAST(0.0 AS DOUBLE), TRUE),
+  ('pqann_one_live_row_per_id', CAST(1.0 AS DOUBLE), TRUE),
+  ('pqann_recall_at_5', CAST(0.30 AS DOUBLE), TRUE),
+  ('pqann_state_equals_fresh_encode', CAST(1.0 AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
+
+
 def q176_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage retrieval (r12): the PQ ADC scan over 16-byte packed
     codes selects C=64 cheap candidates per query, then EXACT cosine
@@ -10828,6 +10954,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q174_ivfpq_ann": (q174_ivfpq_ann, Q174_SQL),
     "q175_ivfpq_clustered": (q175_ivfpq_clustered, Q175_SQL),
     "q176_pq_rerank": (q176_pq_rerank, Q176_SQL),
+    "cdc43_pqann_index_mv": (cdc43_pqann_index_mv, CDC43_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -142,7 +142,10 @@ def maintain_store(
         from .sketches import compact_hist
 
         return compact_hist(spark, store_dir, protect=protect)
-    if kind == "ann_mor":
+    if kind in ("ann_mor", "pqann_mor"):
+        # pqann_mor (r12) shares ann_mor's version/tombstone layout with a
+        # packed-code payload instead of vectors — compact_ann_index is
+        # payload-agnostic, so one fold serves both
         if protect is not None:
             return None  # offline-only rewrite (no replayable batches)
         from .ann_ingest import compact_ann_index
@@ -224,7 +227,7 @@ def discover_stores(root: str, max_depth: int = 3) -> list[str]:
     ``maintain_stores(spark, discover_stores(root))``."""
     kinds = {
         "exact", "neardup", "postings", "scd2", "decayed", "ann_mor",
-        "hh_counts", "bottomk", "hll_sketch", "hist",
+        "pqann_mor", "hh_counts", "bottomk", "hll_sketch", "hist",
         *_MEDIA_KINDS,
     }
     found: list[str] = []

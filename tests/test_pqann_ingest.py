@@ -1,0 +1,201 @@
+"""Maintained IVF-PQ index (streaming/pq_ann_ingest.py, r12): the
+changelog-maintained packed-code relation. The correctness bar is the
+cdc43 identity — maintained state must equal the from-scratch
+ivfpq_encode of the final live set under the SAME frozen models — plus
+the exactly-once / delete-wins / model-freeze invariants the ann_mor
+family pins."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_logminer2_spark.functions.similarity import (
+    ivfpq_encode,
+    load_ivf_centroids,
+)
+from kafka_connect_logminer2_spark.streaming.ann_ingest import read_ann_index
+from kafka_connect_logminer2_spark.streaming.pq_ann_ingest import (
+    ingest_batch_pqann,
+    load_pq_books,
+    pqann_index_query,
+    write_pqann_ingest,
+)
+
+SCHEMA = "op string, vec_id long, embedding array<float>"
+M, K = 16, 16
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _changelog_batches(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b0 = emb.filter(F.col("vec_id") < 200).selectExpr(
+        "'I' as op", "vec_id", "embedding"
+    )
+    b1 = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+        .selectExpr("'I' as op", "vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 50).selectExpr(
+                "'D' as op", "vec_id", "cast(null as array<float>) as embedding"
+            )
+        )
+    )
+    b2 = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 400 as j", "embedding as e2").alias("b"),
+            F.col("a.vec_id") == F.col("b.j"),
+        )
+        .selectExpr("'U' as op", "a.vec_id as vec_id", "e2 as embedding")
+    )
+    return [b0, b1, b2]
+
+
+def _live_set(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    untouched = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 400)
+    ).select("vec_id", "embedding")
+    updated = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 400 as j", "embedding as e2").alias("b"),
+            F.col("a.vec_id") == F.col("b.j"),
+        )
+        .selectExpr("a.vec_id as vec_id", "e2 as embedding")
+    )
+    return untouched.unionByName(updated)
+
+
+def _codes(df):
+    return sorted(
+        map(tuple, df.select("vec_id", "_cell", "_c0", "_c1").collect())
+    )
+
+
+def test_pqann_state_equals_fresh_encode_and_retry(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    batches = _changelog_batches(spark, sf_dir)
+    for i, b in enumerate(batches):
+        ingest_batch_pqann(spark, b, i, idx, n_centroids=8, m=M, n_codes=K)
+
+    cmat_n = load_ivf_centroids(spark, idx)
+    books = load_pq_books(spark, idx)
+    live = read_ann_index(spark, idx)
+    want = _codes(ivfpq_encode(_live_set(spark, sf_dir), cmat_n, books, M, K))
+    assert _codes(live) == want  # the maintained relation IS the encode
+
+    # replay the last batch (retry past the store commit): byte-identical
+    ingest_batch_pqann(spark, batches[2], 2, idx, n_centroids=8, m=M, n_codes=K)
+    assert _codes(read_ann_index(spark, idx)) == want
+
+    # models are frozen: a later batch must not retrain
+    import numpy as np
+
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 450)
+    ingest_batch_pqann(
+        spark, row.selectExpr("'I' as op", "vec_id", "embedding"), 3, idx,
+        n_centroids=8, m=M, n_codes=K,
+    )
+    assert np.array_equal(load_ivf_centroids(spark, idx), cmat_n)
+    assert np.array_equal(load_pq_books(spark, idx), books)
+
+    # resume with different PQ params: meta guard raises, store untouched
+    with pytest.raises(ValueError, match="different parameters"):
+        ingest_batch_pqann(
+            spark, row.selectExpr("'I' as op", "vec_id", "embedding"), 4,
+            idx, n_centroids=8, m=M, n_codes=64,
+        )
+
+
+def test_pqann_delete_wins_readd_and_dup_raise(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "idx")
+    for i, b in enumerate(_changelog_batches(spark, sf_dir)):
+        ingest_batch_pqann(spark, b, i, idx, n_centroids=8, m=M, n_codes=K)
+
+    emb = _emb(spark, sf_dir)
+    row = emb.filter(F.col("vec_id") == 100)
+    both = row.selectExpr("'I' as op", "vec_id", "embedding").unionByName(
+        row.selectExpr(
+            "'D' as op", "vec_id", "cast(null as array<float>) as embedding"
+        )
+    )
+    ingest_batch_pqann(spark, both, 3, idx, n_centroids=8, m=M, n_codes=K)
+    assert read_ann_index(spark, idx).filter("vec_id = 100").count() == 0
+    ingest_batch_pqann(
+        spark, row.selectExpr("'I' as op", "vec_id", "embedding"), 4, idx,
+        n_centroids=8, m=M, n_codes=K,
+    )
+    assert read_ann_index(spark, idx).filter("vec_id = 100").count() == 1
+
+    dup = row.selectExpr("'I' as op", "vec_id", "embedding").unionByName(
+        row.selectExpr("'U' as op", "vec_id", "embedding")
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        ingest_batch_pqann(spark, dup, 5, idx, n_centroids=8, m=M, n_codes=K)
+
+
+def test_pqann_streaming_twin_serve_and_compaction(spark, sf_dir, tmp_path):
+    """The foreachBatch stream produces the identical maintained relation;
+    serving via pqann_index_query survives offline compaction unchanged
+    (maintain_store dispatches pqann_mor to the shared payload-agnostic
+    fold, skipping it when protect is set)."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    for i, b in enumerate(_changelog_batches(spark, sf_dir)):
+        d = str(tmp_path / f"s{i}")
+        b.coalesce(1).write.parquet(d)
+        f = sorted(glob.glob(f"{d}/part*"))[0]
+        shutil.copy(f, f"{src}/f{i}.parquet")
+        os.utime(f"{src}/f{i}.parquet", (now + 10 * i,) * 2)
+
+    idx = str(tmp_path / "idx")
+    q = write_pqann_ingest(
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx,
+        str(tmp_path / "ckpt"),
+        n_centroids=8, m=M, n_codes=K,
+    )
+    assert q.awaitTermination(300)
+
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    before = [
+        tuple(r)
+        for r in pqann_index_query(spark, idx, queries, k=5, nprobe=8)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert len(before) == 20 and all(r[3] <= 5 for r in before)
+    assert not any(r[1] < 50 for r in before)  # deletes never served
+
+    from kafka_connect_logminer2_spark.streaming.maintenance import (
+        discover_stores,
+        maintain_store,
+    )
+
+    assert idx in discover_stores(str(tmp_path))
+    assert maintain_store(spark, idx, max_chain=1, protect=99) is None  # inline: skipped
+    fold = maintain_store(spark, idx, max_chain=1)
+    assert fold is not None
+    after = [
+        tuple(r)
+        for r in pqann_index_query(spark, idx, queries, k=5, nprobe=8)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert after == before
