@@ -10142,6 +10142,147 @@ ORDER BY metric
 """
 
 
+def cdc44_pqann_reindex(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintained-index model refresh (r12, streaming/pq_ann_ingest.py::
+    reindex_pqann) — the lifecycle step frozen models need: build the
+    cdc43 store at a SMALL bit budget (m=16, 64-bit codes), then reindex
+    offline from the source-of-truth vectors at m=32 (128-bit), the
+    grow-bits-with-corpus move of the standard PQ operating curve.
+
+    Gates (oracle-pinned TRUE):
+    - membership preserved (350 live ids before and after — a reindex is
+      a re-encode, never a shrink);
+    - post-reindex state identity: the store equals the fresh
+      ivfpq_encode of the live set under the NEW models, served
+      row-for-row through the shared scan;
+    - recall improves with the bit budget: recall@5 vs exact over the
+      live set, m=32 after ≥ m=16 before + 0.10 margin (measured
+      0.25 → 0.525 at sf0.01);
+    - the resume guard: a changelog batch carrying the OLD parameters
+      raises after the reindex (stale writers fail loudly).
+    Reference: no equivalent — §2C similarity extension."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ann_ingest import read_ann_index
+    from ..streaming.pq_ann_ingest import (
+        ingest_batch_pqann,
+        load_pq_books,
+        pqann_index_query,
+        reindex_pqann,
+    )
+    from ..functions.similarity import ivfpq_encode, ivfpq_scan, load_ivf_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    b0 = emb.filter(F.col("vec_id") < 200).selectExpr("'I' as op", "vec_id", "embedding")
+    b1 = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+        .selectExpr("'I' as op", "vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 50).selectExpr(
+                "'D' as op", "vec_id", "cast(null as array<float>) as embedding"
+            )
+        )
+    )
+    b2 = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 400 as j", "embedding as e2").alias("b"),
+            F.col("a.vec_id") == F.col("b.j"),
+        )
+        .selectExpr("'U' as op", "a.vec_id as vec_id", "e2 as embedding")
+    )
+    # source-of-truth vectors AFTER the changelog: live ids carry their
+    # CURRENT embedding (the documented reindex consistency contract)
+    live_vecs = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400))
+        .select("vec_id", "embedding")
+        .unionByName(b2.select("vec_id", "embedding"))
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(live_vecs, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    total = exact.count()
+
+    def recall(df: DataFrame) -> float:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "inner")
+            .count()
+            / total
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cdc44_")
+    try:
+        idx = f"{tmp}/index"
+        for i, b in enumerate((b0, b1, b2)):
+            ingest_batch_pqann(
+                spark, b, i, idx, n_centroids=8, m=16, n_codes=16
+            )
+        n_before = read_ann_index(spark, idx).count()
+        r_before = recall(pqann_index_query(spark, idx, queries_df, k=5, nprobe=8))
+
+        reindex_pqann(spark, idx, live_vecs, m=32)
+
+        n_after = read_ann_index(spark, idx).count()
+        served = pqann_index_query(
+            spark, idx, queries_df, k=5, nprobe=8
+        ).orderBy("query_id", "rank")
+        got = [tuple(r) for r in served.collect()]
+        r_after = recall(served)
+
+        cmat_n = load_ivf_centroids(spark, idx)
+        books = load_pq_books(spark, idx)
+        want = [
+            tuple(r)
+            for r in ivfpq_scan(
+                ivfpq_encode(live_vecs, cmat_n, books, 32, 16),
+                queries_df, cmat_n, books, 32, 16, nprobe=8, k=5,
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+        stale_raises = False
+        try:
+            ingest_batch_pqann(
+                spark,
+                emb.filter(F.col("vec_id") == 450).selectExpr(
+                    "'I' as op", "vec_id", "embedding"
+                ),
+                3, idx, n_centroids=8, m=16, n_codes=16,
+            )
+        except ValueError:
+            stale_raises = True
+
+        rows = [
+            ("reindex_membership_preserved", 350.0,
+             bool(n_before == 350 and n_after == 350)),
+            ("reindex_state_equals_fresh_encode", 1.0, bool(got == want)),
+            ("reindex_recall_improves", 0.10,
+             bool(r_after >= r_before + 0.10)),
+            ("reindex_stale_params_raise", 1.0, bool(stale_raises)),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, bound double, pass boolean"
+        ).orderBy("metric")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC44_SQL = """
+SELECT * FROM (VALUES
+  ('reindex_membership_preserved', CAST(350.0 AS DOUBLE), TRUE),
+  ('reindex_recall_improves', CAST(0.10 AS DOUBLE), TRUE),
+  ('reindex_stale_params_raise', CAST(1.0 AS DOUBLE), TRUE),
+  ('reindex_state_equals_fresh_encode', CAST(1.0 AS DOUBLE), TRUE)
+) AS t(metric, bound, pass)
+ORDER BY metric
+"""
+
+
 def q176_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage retrieval (r12): the PQ ADC scan over 16-byte packed
     codes selects C=64 cheap candidates per query, then EXACT cosine
@@ -10955,6 +11096,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q175_ivfpq_clustered": (q175_ivfpq_clustered, Q175_SQL),
     "q176_pq_rerank": (q176_pq_rerank, Q176_SQL),
     "cdc43_pqann_index_mv": (cdc43_pqann_index_mv, CDC43_SQL),
+    "cdc44_pqann_reindex": (cdc44_pqann_reindex, CDC44_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

@@ -236,6 +236,144 @@ def write_pqann_ingest(
     return writer.start()
 
 
+_REINDEX_INTENT = "_reindex_intent.json"
+
+
+def reindex_pqann(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    train_iters: int = 2,
+    train_sample: int = 2048,
+) -> int:
+    """OFFLINE model refresh — the lifecycle step frozen models need:
+    retrain the coarse quantizer + residual codebooks on the CURRENT live
+    membership and rewrite the store under the new models (optionally
+    with new n_centroids/m/K — e.g. growing the bit budget as the corpus
+    grows, the standard PQ operating curve). PQ codes are lossy, so a
+    reindex cannot bootstrap from the stored codes: ``vectors`` must be
+    the source-of-truth (id, vector) relation — at scale the code store
+    is DERIVED data and the corpus lake is where vectors live. The
+    CONSISTENCY CONTRACT is the caller's: ``vectors`` must carry each
+    live id's CURRENT vector (the state the applied changelog produced);
+    codes cannot be compared back to vectors, so a stale corpus relation
+    would be re-encoded verbatim and silently serve old embeddings —
+    exactly like rebuilding any derived index from a stale snapshot.
+    Extra rows (deleted/never-ingested ids) are ignored via semi-join;
+    every live id MISSING from ``vectors`` raises (a silent shrink would
+    be data loss, not a refresh).
+
+    Stop the stream first (no concurrent readers/writers — the
+    compact_ann_index bar). Crash-recoverable: the staged segment +
+    models + meta land under ``_reindex_tmp`` before an intent file is
+    written; re-running after a crash at any step finishes the swap.
+    The resume position is PRESERVED (commit markers untouched, the
+    folded segment lands at v=<last committed>), so the changelog stream
+    continues exactly where it left off — its next batch validates
+    against the NEW meta, making stale-parameter callers fail loudly.
+    Returns the fold version."""
+    import json as _json
+    import shutil
+
+    from .corpus_ingest import _read_meta
+    from .snapshot import _last_committed_batch
+
+    staging = os.path.join(index_dir, "_reindex_tmp")
+    intent_path = os.path.join(index_dir, _REINDEX_INTENT)
+    if os.path.exists(intent_path):
+        with open(intent_path) as f:
+            intent = _json.load(f)
+        if not os.path.exists(os.path.join(staging, "seg", "_SUCCESS")):
+            shutil.rmtree(staging, ignore_errors=True)
+            os.remove(intent_path)
+        else:
+            return _finish_reindex(index_dir, intent, staging, intent_path)
+
+    meta = _read_meta(index_dir)
+    if not meta or meta.get("kind") != "pqann_mor":
+        raise ValueError(f"{index_dir} is not a pqann_mor store")
+    last = _last_committed_batch(index_dir)
+    if last is None:
+        raise ValueError(f"{index_dir} has no committed batches to reindex")
+    n_centroids = n_centroids or int(meta["n_centroids"])
+    m = m or int(meta["m"])
+    n_codes = n_codes or int(meta["n_codes"])
+
+    live_ids = read_ann_index(spark, index_dir, id_col=id_col).select(id_col)
+    live_vecs = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        live_ids, id_col, "left_semi"
+    ).persist()
+    try:
+        n_live = live_ids.count()
+        n_have = live_vecs.count()
+        if n_have != n_live:
+            raise ValueError(
+                f"reindex of {index_dir}: {n_live - n_have} live id(s) have "
+                "no vector in the supplied corpus relation — refusing to "
+                "silently shrink the index; supply the full source-of-truth "
+                "vectors"
+            )
+        cmat_n, books = _train_models(
+            live_vecs, n_centroids, m, n_codes, train_iters, train_sample,
+            id_col, vec_col,
+        )
+        b, _per = _pq_bit_layout(m, n_codes)
+        shutil.rmtree(staging, ignore_errors=True)
+        ivfpq_encode(
+            live_vecs, cmat_n, books, m, n_codes,
+            id_col=id_col, vec_col=vec_col,
+        ).write.partitionBy("_cell").parquet(os.path.join(staging, "seg"))
+        _save_centroids(spark, staging, cmat_n)  # writes staging/_model/...
+        _save_books(spark, staging, books)
+        new_meta = dict(meta)
+        new_meta.update(
+            {"n_centroids": int(len(cmat_n)), "dim": int(cmat_n.shape[1]),
+             "m": int(m), "n_codes": int(n_codes), "code_bits": int(m * b)}
+        )
+        with open(os.path.join(staging, "_meta.json"), "w") as f:
+            _json.dump(new_meta, f)
+        intent = {"fold": int(last)}
+        with open(intent_path, "w") as f:
+            _json.dump(intent, f)
+        return _finish_reindex(index_dir, intent, staging, intent_path)
+    finally:
+        live_vecs.unpersist()
+
+
+def _finish_reindex(
+    index_dir: str, intent: dict, staging: str, intent_path: str
+) -> int:
+    """Apply a staged reindex: drop every old version dir, tombstones and
+    model, move the new segment/model/meta into place, clear the intent.
+    Each step is re-runnable (already-moved pieces are skipped)."""
+    import glob as _glob
+    import shutil
+
+    fold = int(intent["fold"])
+    for vdir in _glob.glob(os.path.join(index_dir, "v=*")):
+        shutil.rmtree(vdir, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "_tombstones"), ignore_errors=True)
+    seg = os.path.join(staging, "seg")
+    if os.path.isdir(seg):
+        # seg carries _cell=... partition dirs + _SUCCESS; land as v=<fold>
+        os.replace(seg, os.path.join(index_dir, f"v={fold}"))
+    model = os.path.join(staging, "_model")
+    if os.path.isdir(model):
+        shutil.rmtree(os.path.join(index_dir, "_model"), ignore_errors=True)
+        os.replace(model, os.path.join(index_dir, "_model"))
+    meta = os.path.join(staging, "_meta.json")
+    if os.path.exists(meta):
+        os.replace(meta, os.path.join(index_dir, "_meta.json"))
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(intent_path)
+    return fold
+
+
 def pqann_index_query(
     spark: SparkSession,
     index_dir: str,

@@ -199,3 +199,91 @@ def test_pqann_streaming_twin_serve_and_compaction(spark, sf_dir, tmp_path):
         .orderBy("query_id", "rank").collect()
     ]
     assert after == before
+
+
+def test_pqann_reindex_lifecycle(spark, sf_dir, tmp_path):
+    """r12: the offline model refresh — retrain on the live membership
+    (from source-of-truth vectors; codes are lossy), optionally grow the
+    bit budget, preserve membership and the resume position, fail loudly
+    on missing vectors and stale-parameter resumes, recover from a crash
+    mid-swap."""
+    import json
+
+    from kafka_connect_logminer2_spark.streaming.pq_ann_ingest import (
+        _REINDEX_INTENT,
+        reindex_pqann,
+    )
+
+    idx = str(tmp_path / "idx")
+    for i, b in enumerate(_changelog_batches(spark, sf_dir)):
+        ingest_batch_pqann(spark, b, i, idx, n_centroids=8, m=M, n_codes=K)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # the source-of-truth corpus AFTER the changelog applied: live ids
+    # carry their CURRENT vectors (ids 50-99 were updated to the +400
+    # embedding — handing reindex the raw pre-update table would
+    # re-encode stale vectors, the documented consistency contract);
+    # extra rows (the deleted ids 0-49) prove the semi-join prunes them
+    corpus = _live_set(spark, sf_dir).unionByName(
+        emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    )
+
+    # missing-vector guard: a corpus missing live ids refuses
+    with pytest.raises(ValueError, match="no vector"):
+        reindex_pqann(spark, idx, corpus.filter(F.col("vec_id") >= 200))
+
+    fold = reindex_pqann(spark, idx, corpus, m=32)  # grow 64 -> 128 bits
+    assert fold == 2
+
+    # membership preserved; state equals fresh encode under NEW models
+    live = read_ann_index(spark, idx)
+    assert live.count() == 350
+    cmat_n = load_ivf_centroids(spark, idx)
+    books = load_pq_books(spark, idx)
+    assert books.shape[0] == 32
+    want = sorted(
+        map(tuple, ivfpq_encode(_live_set(spark, sf_dir), cmat_n, books, 32, K)
+            .select("vec_id", "_cell", "_c0", "_c1").collect())
+    )
+    assert _codes(live) == want
+
+    # serving reflects the new models; a later ingest under the NEW
+    # params resumes (fold version preserved the batch counter), while
+    # the OLD params now fail the meta guard
+    got = pqann_index_query(spark, idx, queries, k=5, nprobe=8).collect()
+    assert len(got) == 20
+    row = emb.filter(F.col("vec_id") == 450)
+    with pytest.raises(ValueError, match="different parameters"):
+        ingest_batch_pqann(
+            spark, row.selectExpr("'I' as op", "vec_id", "embedding"), 3,
+            idx, n_centroids=8, m=M, n_codes=K,
+        )
+    ingest_batch_pqann(
+        spark, row.selectExpr("'I' as op", "vec_id", "embedding"), 3, idx,
+        n_centroids=8, m=32, n_codes=K,
+    )
+    assert read_ann_index(spark, idx).count() == 351
+
+    # crash recovery: simulate a crash AFTER staging completed but BEFORE
+    # the swap — re-running reindex_pqann must finish it
+    corpus2 = corpus.unionByName(row.select("vec_id", "embedding"))
+    fold2 = reindex_pqann(spark, idx, corpus2, m=32)
+    assert fold2 == 3
+    # rebuild a staged-but-unswapped state by hand: stage another reindex
+    # by copying the committed layout, then write only the intent
+    import shutil as _sh
+
+    staging = f"{idx}/_reindex_tmp"
+    _sh.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    _sh.copytree(f"{idx}/v=3", f"{staging}/seg")
+    _sh.copytree(f"{idx}/_model", f"{staging}/_model")
+    _sh.copy(f"{idx}/_meta.json", f"{staging}/_meta.json")
+    with open(f"{idx}/{_REINDEX_INTENT}", "w") as f:
+        json.dump({"fold": 3}, f)
+    before = _codes(read_ann_index(spark, idx))
+    assert reindex_pqann(spark, idx, corpus2) == 3  # finishes the swap
+    assert not os.path.exists(f"{idx}/{_REINDEX_INTENT}")
+    assert _codes(read_ann_index(spark, idx)) == before
