@@ -10283,6 +10283,81 @@ ORDER BY metric
 """
 
 
+def cdc45_pqann_rerank_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The full maintained-store serving stack under a HARD value-hash
+    oracle (r12): the cdc19 changelog (inserts, deletes, cross-cell
+    updates) maintained as the packed-code relation (cdc43), then served
+    through the production two-stage path — cell-pruned ADC candidates
+    from the MAINTAINED codes, exact cosine re-rank against the
+    source-of-truth vectors (streaming/pq_ann_ingest.py::
+    pqann_rerank_query). At nprobe = n_centroids and candidates ≥ the
+    live-set size the two-stage answer reduces to EXACT cosine top-k
+    over the final live membership, so the oracle is cdc19's DuckDB
+    brute force — a full row/schema/value-hash check of the ENTIRE
+    stack (batch application, tombstone suppression, update-moves-cell,
+    code encode/decode, candidate fetch, re-rank) rather than gate
+    rows. The cost-trading production settings (nprobe < cells,
+    C ≪ N) carry their measured recall gates in q174/q176/cdc43.
+    Reference: no equivalent — §2C similarity extension."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pq_ann_ingest import (
+        ingest_batch_pqann,
+        pqann_rerank_query,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    b0 = emb.filter(F.col("vec_id") < 200).selectExpr("'I' as op", "vec_id", "embedding")
+    b1 = (
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+        .selectExpr("'I' as op", "vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 50).selectExpr(
+                "'D' as op", "vec_id", "cast(null as array<float>) as embedding"
+            )
+        )
+    )
+    b2 = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 400 as j", "embedding as e2").alias("b"),
+            F.col("a.vec_id") == F.col("b.j"),
+        )
+        .selectExpr("'U' as op", "a.vec_id as vec_id", "e2 as embedding")
+    )
+    live_vecs = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400))
+        .select("vec_id", "embedding")
+        .unionByName(b2.select("vec_id", "embedding"))
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc45_")
+    try:
+        idx = f"{tmp}/index"
+        for i, b in enumerate((b0, b1, b2)):
+            ingest_batch_pqann(
+                spark, b, i, idx, n_centroids=8, m=32, n_codes=16
+            )
+        queries_df = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        n_live = live_vecs.count()
+        out = pqann_rerank_query(
+            spark, idx, live_vecs, queries_df, k=5,
+            candidates=n_live, nprobe=8,
+        )
+        rows = out.collect()  # materialize before the index dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# same final live set, same rounding/tie-breaks: the cdc19 brute-force
+# oracle checks this serving stack end-to-end
+CDC45_SQL = CDC19_SQL
+
+
 def q176_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage retrieval (r12): the PQ ADC scan over 16-byte packed
     codes selects C=64 cheap candidates per query, then EXACT cosine
@@ -11097,6 +11172,7 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q176_pq_rerank": (q176_pq_rerank, Q176_SQL),
     "cdc43_pqann_index_mv": (cdc43_pqann_index_mv, CDC43_SQL),
     "cdc44_pqann_reindex": (cdc44_pqann_reindex, CDC44_SQL),
+    "cdc45_pqann_rerank_serve": (cdc45_pqann_rerank_serve, CDC45_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

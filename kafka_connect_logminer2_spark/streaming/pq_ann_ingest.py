@@ -236,6 +236,67 @@ def write_pqann_ingest(
     return writer.start()
 
 
+def pqann_rerank_query(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 64,
+    nprobe: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full production serving path over the MAINTAINED store:
+    changelog-maintained packed codes select ``candidates`` ≫ k cheap
+    approximate candidates (cell-pruned ADC scan), then EXACT cosine
+    re-ranks only those against the source-of-truth ``vectors`` relation
+    (candidate list broadcast → |Q|·C vector fetch, no corpus shuffle) —
+    q176's two-stage shape with the first stage served from the
+    incrementally-maintained relation instead of a one-shot encode.
+    With nprobe = n_centroids and candidates ≥ live-set size this
+    REDUCES TO EXACT cosine top-k over the live membership (the cdc45
+    oracle pin); production settings trade candidates/nprobe for cost
+    exactly as in q176/q174."""
+    from ..functions.similarity import cosine
+
+    from pyspark.sql import Window
+
+    cand = pqann_index_query(
+        spark, index_dir, queries, k=candidates, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select("query_id", "neighbor_id")
+    nvec = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_nvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 _REINDEX_INTENT = "_reindex_intent.json"
 
 

@@ -287,3 +287,45 @@ def test_pqann_reindex_lifecycle(spark, sf_dir, tmp_path):
     assert reindex_pqann(spark, idx, corpus2) == 3  # finishes the swap
     assert not os.path.exists(f"{idx}/{_REINDEX_INTENT}")
     assert _codes(read_ann_index(spark, idx)) == before
+
+
+def test_pqann_rerank_serve_reduces_to_exact(spark, sf_dir, tmp_path):
+    """cdc45's pin as a pytest twin: at full probe and candidates >= the
+    live-set size, the maintained-store two-stage serve equals exact
+    cosine top-k over the live membership row-for-row; at production
+    settings (C=16, nprobe=4) it still returns well-formed top-k with no
+    deleted ids."""
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        cosine_topk,
+    )
+    from kafka_connect_logminer2_spark.streaming.pq_ann_ingest import (
+        pqann_rerank_query,
+    )
+
+    idx = str(tmp_path / "idx")
+    for i, b in enumerate(_changelog_batches(spark, sf_dir)):
+        ingest_batch_pqann(spark, b, i, idx, n_centroids=8, m=32, n_codes=K)
+    live = _live_set(spark, sf_dir)
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_live = live.count()
+    got = [
+        tuple(r)
+        for r in pqann_rerank_query(
+            spark, idx, live, queries, k=5, candidates=n_live, nprobe=8
+        ).orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in cosine_topk(live, queries, k=5)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert got == want
+
+    pruned = pqann_rerank_query(
+        spark, idx, live, queries, k=5, candidates=16, nprobe=4
+    ).collect()
+    assert len(pruned) == 20
+    assert all(1 <= r["rank"] <= 5 for r in pruned)
+    assert not any(r["neighbor_id"] < 50 for r in pruned)
