@@ -120,6 +120,8 @@ HEADLINE = [
     # r12 additions
     "q175_ivfpq_clustered",
     "q176_pq_rerank",
+    "q177_filtered_ann",
+    "q178_rrf_fusion",
 ]
 
 # "q105" -> "q105_minhash_banded": the numeric prefix is unique across the

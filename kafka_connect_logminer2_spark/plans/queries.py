@@ -10429,6 +10429,139 @@ ORDER BY metric
 """
 
 
+def q177_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search (r12) — predicate + top-k, the operation
+    every production vector store serves ("nearest documents WHERE
+    license='permissive'"). The engine composes it for free BECAUSE the
+    operators take DataFrames: the metadata predicate is an ordinary
+    Catalyst filter applied to the corpus relation BEFORE the search
+    operator, so it pushes down to the parquet scan (PushedFilters) and
+    the top-k never sees excluded rows — PRE-filtering, which is the
+    correct-by-construction semantics. (POST-filtering an approximate
+    candidate list — the other industry strategy — can return < k rows
+    under selective predicates; with these operators that composition is
+    pq_rerank_topk over the filtered relation, where the candidate
+    stage already scans only matching codes.) Here the predicate is
+    vec_id % 7 == 3 (selectivity ~14%) and the answer is EXACT cosine
+    top-5 among matching rows — a full value-hash oracle, not gates:
+    DuckDB expresses the same filtered brute force directly.
+    Reference: no equivalent — §2C similarity extension."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    matching = emb.filter(F.col("vec_id") % 7 == 3)
+    return S.cosine_topk(matching, queries_df, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+Q177_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 3),
+dots AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum') /
+         (sqrt(list_aggregate(list_transform(generate_series(1, len(q.qe)),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)), 'sum')) *
+          sqrt(list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')))
+         AS cos
+  FROM q JOIN c ON c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS INT) AS rank
+FROM dots QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q178_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (r12) — the standard
+    score-free way to combine lexical and dense rankings (Cormack et al.
+    2009; what production "hybrid search" does): for each retrieval
+    list, a document scores Σ 1/(60 + rank), summed over the lists it
+    appears in; missing-from-a-list contributes nothing. Lexical side:
+    the q98 BM25 top-10 for the fixed 3-term query. Dense side: cosine
+    top-10 for a fixed query embedding (vec_id 0's vector, joined to
+    documents by doc_id = vec_id). RRF is pure relational algebra over
+    the two rank lists — full outer join on doc_id, coalesce, one
+    arithmetic projection, top-10 by fused score — so the oracle is the
+    complete computation in SQL, value-hashed. At scale both inputs are
+    already top-k-bounded (TakeOrderedAndProject / window), so the
+    fusion itself touches 2·k rows per query — free.
+    Reference: no equivalent — §2C text+vector extension."""
+    k_rrf = 60
+    bm25 = q98_bm25(spark, sf).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    dense = (
+        S.cosine_topk(emb, queries_df, k=10)
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("r_den"))
+    )
+    fused = (
+        bm25.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(k_rrf) + F.col("r_den")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+Q178_SQL = (
+    "WITH bm AS ("
+    + Q98_SQL.replace("SELECT doc_id, bm25, rank FROM (",
+                      "SELECT doc_id, rank AS r_lex FROM (")
+    + "), "
+    + """
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dots AS (
+  SELECT c.vec_id AS doc_id,
+         list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(qv.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum') /
+         (sqrt(list_aggregate(list_transform(generate_series(1, len(qv.qe)),
+            i -> CAST(qv.qe[i] AS DOUBLE) * CAST(qv.qe[i] AS DOUBLE)), 'sum')) *
+          sqrt(list_aggregate(list_transform(generate_series(1, len(c.embedding)),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')))
+         AS cos
+  FROM embeddings c, qv WHERE c.vec_id != 0
+),
+den AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS r_den FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(cos, 6) DESC, doc_id ASC) AS rnk
+    FROM dots) WHERE rnk <= 10
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, den.doc_id) AS doc_id,
+         round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.r_lex), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + den.r_den), 0.0), 6) AS rrf
+  FROM bm FULL OUTER JOIN den ON bm.doc_id = den.doc_id
+)
+SELECT doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+)
+
+
 def cdc34_summary_suite(spark: SparkSession, sf: str) -> DataFrame:
     """The composed summary-suite pipeline (streaming/sketches.py::
     write_summary_suite): ONE document stream maintains heavy-hitter
@@ -11173,6 +11306,8 @@ QUERY_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc43_pqann_index_mv": (cdc43_pqann_index_mv, CDC43_SQL),
     "cdc44_pqann_reindex": (cdc44_pqann_reindex, CDC44_SQL),
     "cdc45_pqann_rerank_serve": (cdc45_pqann_rerank_serve, CDC45_SQL),
+    "q177_filtered_ann": (q177_filtered_ann, Q177_SQL),
+    "q178_rrf_fusion": (q178_rrf_fusion, Q178_SQL),
 }
 
 from .tpch import TPCH_REGISTRY  # noqa: E402  (late import: tpch.py reuses this module's loaders)

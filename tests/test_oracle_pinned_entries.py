@@ -182,3 +182,62 @@ def test_q163_tail_contract_no_contained_duplicates(spark):
     assert [r["chunk_idx"] for r in sorted(by_doc[97], key=lambda r: r["chunk_idx"])] == [0, 1]
     assert [r["chunk_idx"] for r in by_doc[49]] == [0]
     assert by_doc[49][0]["n_tokens"] == 49
+
+
+def test_q177_filtered_ann_prefilter_semantics(spark):
+    """r12: every neighbor satisfies the predicate, every query gets
+    exactly k rows (pre-filter semantics — post-filtering approximate
+    candidates can return fewer), and the result is the exact top-k of
+    the filtered corpus."""
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        cosine_topk,
+    )
+    from kafka_connect_logminer2_spark.plans.queries import q177_filtered_ann
+    from pyspark.sql import functions as F
+
+    rows = q177_filtered_ann(spark, SF).collect()
+    assert len(rows) == 40  # 8 queries x 5
+    assert all(r["neighbor_id"] % 7 == 3 for r in rows)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = cosine_topk(emb.filter(F.col("vec_id") % 7 == 3), q, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
+def test_q178_rrf_membership_and_scores(spark):
+    """r12: RRF output is drawn from the union of the two top-10 lists,
+    scores equal the hand-computed 1/(60+rank) sums, and a doc in BOTH
+    lists outranks equal-single-list docs."""
+    from kafka_connect_logminer2_spark.plans.queries import (
+        q178_rrf_fusion,
+        q98_bm25,
+    )
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        cosine_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lex = {r["doc_id"]: r["rank"] for r in q98_bm25(spark, SF).collect()}
+    den = {
+        r["neighbor_id"]: r["rank"]
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    got = q178_rrf_fusion(spark, SF).collect()
+    assert 1 <= len(got) <= 10
+    union = set(lex) | set(den)
+    for r in got:
+        assert r["doc_id"] in union
+        want = round(
+            (1.0 / (60 + lex[r["doc_id"]]) if r["doc_id"] in lex else 0.0)
+            + (1.0 / (60 + den[r["doc_id"]]) if r["doc_id"] in den else 0.0),
+            6,
+        )
+        assert abs(r["rrf"] - want) < 1e-9, (r, want)
