@@ -926,11 +926,14 @@ def _pack_codes_np(codes: "np.ndarray", b: int, per: int):
 def _packed_code_at(j: Column, b: int, per: int, n_codes: int) -> Column:
     """JVM-codegen extraction of sub-code ``j`` from the packed (_c0, _c1)
     longs: pick the long, logical-shift, mask. All engine built-ins —
-    the ADC scan stays zero-Python where the corpus is touched."""
+    the ADC scan stays zero-Python where the corpus is touched. The mask
+    is the full b-bit field (1<<b)-1, NOT n_codes-1: for non-power-of-two
+    K the two differ and K-1 would zero bits out of live codes (caught by
+    the r12 hypothesis property over random (m, K))."""
     src = F.when(j < F.lit(per), F.col("_c0")).otherwise(F.col("_c1"))
     shift = ((j % F.lit(per)) * F.lit(b)).cast("int")
     return F.call_function("shiftrightunsigned", src, shift).bitwiseAND(
-        F.lit(n_codes - 1)
+        F.lit((1 << b) - 1)
     )
 
 

@@ -131,3 +131,48 @@ def test_pq_code_packing_roundtrip(spark):
     # the guard: a configuration over the 128-bit budget refuses loudly
     with pytest.raises(ValueError, match="128-bit"):
         _pq_bit_layout(64, 16)
+
+
+def test_pq_packing_property_numpy_roundtrip():
+    """Hypothesis property: for ANY (m, K) within the two-long budget and
+    ANY code matrix, the NumPy pack followed by the same shift/mask
+    arithmetic the JVM extraction performs recovers every sub-code (the
+    JVM path itself is pinned by test_pq_code_packing_roundtrip; this
+    drives the bit arithmetic through thousands of random shapes)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        _pack_codes_np,
+        _pq_bit_layout,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=256).filter(
+            lambda K: True
+        ),
+        st.integers(min_value=1, max_value=64),
+        st.integers(min_value=0, max_value=2**31),
+    )
+    def run(K, m, seed):
+        b = max(1, (K - 1).bit_length())
+        per = 64 // b
+        if m > 2 * per:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                _pq_bit_layout(m, K)
+            return
+        assert _pq_bit_layout(m, K) == (b, per)
+        rng = np.random.default_rng(seed)
+        codes = rng.integers(0, K, size=(8, m)).astype(np.int32)
+        c0, c1 = _pack_codes_np(codes, b, per)
+        # the JVM extraction as numpy: logical shift + mask
+        u = np.stack([c0.view(np.uint64), c1.view(np.uint64)], axis=1)
+        mask = np.uint64((1 << b) - 1)  # full b-bit field, not K-1
+        for j in range(m):
+            got = (u[:, j // per] >> np.uint64((j % per) * b)) & mask
+            assert (got.astype(np.int32) == codes[:, j]).all(), (K, m, j)
+
+    run()
