@@ -444,7 +444,10 @@ def minhash_banded_pairs(
     expansion."""
     sigs = minhash_signatures(
         docs, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
-    ).localCheckpoint(eager=False)  # barrier: feeds band keys AND the re-join
+    ).localCheckpoint()  # EAGER barrier: feeds band keys AND both re-join
+    # sides; materialized lazily, AQE runs those exchanges as concurrent
+    # jobs that all recompute/lock on the signature UDF subtree (profiled
+    # on q105: two simultaneous 2.7 s jobs for one signature pass)
     return _banded_pairs_from_sigs(
         sigs, num_hashes=num_hashes, num_bands=num_bands,
         star_bucket_size=star_bucket_size,

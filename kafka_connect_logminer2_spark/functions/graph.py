@@ -152,7 +152,16 @@ def triangle_listing(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     Input: undirected edges, one row per edge, ``src`` < ``dst``
     (deduped). Output: (a, b, c) triangle rows in orientation order.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Barrier the (possibly expensive) edge-derivation lineage: e feeds the
+    # degree aggregate AND the oriented relation, and `oriented` below feeds
+    # THREE consumers (two wedge sides + the closer). Without the barriers
+    # the full upstream plan is inlined once per reference — q152's compiled
+    # plan held 60 copies of the lineitem scan (1,999 plan lines, 154
+    # Exchanges) and the optimizer alone paid for the blow-up (guide §3.3:
+    # very wide plans, materialize intermediates).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
@@ -170,7 +179,7 @@ def triangle_listing(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=False)  # three consumers below
     o1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("d1"))
     o2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("d2"))
     wedges = o1.join(o2, "a").filter(

@@ -1067,9 +1067,10 @@ def video_neardup_pairs(
     Returns (id1, id2, n_match, scene_sim), id1 < id2. At 100 TB of
     video: signatures are ~9 bytes/scene — the pair stage runs on
     per-mille of the input bytes, partitioned by band key."""
-    s = scene_signatures(media, min_change_bits=min_change_bits).localCheckpoint(
-        eager=False
-    )
+    # eager: the decode subtree feeds several independent exchanges that
+    # AQE materializes concurrently — computed lazily they serialize on
+    # block locks / spawn python workers in a storm (profiled on cdc37)
+    s = scene_signatures(media, min_change_bits=min_change_bits).localCheckpoint()
     return scene_neardup_pairs(
         s, tau=tau, min_scene_sim=min_scene_sim, max_band_freq=max_band_freq
     )
@@ -1187,7 +1188,7 @@ def image_neardup_pairs(
     so the deterministic regime is the operating one; callers needing a
     guarantee at larger radii should hash at higher resolution, not
     widen tau."""
-    sigs = extract_image_sigs(media).localCheckpoint(eager=False)
+    sigs = extract_image_sigs(media).localCheckpoint()  # eager: decode once
     bands = scene_band_rows(sigs)
     keys = ["band", "val", "scene_idx"]
     cool = bands.join(
@@ -1246,10 +1247,10 @@ def cross_modal_neardup_pairs(
     per scene; the shuffles are one band-key equi-join plus two signature
     re-joins — pixels are touched exactly once per side, in the decode
     kernels."""
-    img_sigs = extract_image_sigs(images).localCheckpoint(eager=False)
+    img_sigs = extract_image_sigs(images).localCheckpoint()  # eager: decode once
     vid_sigs = scene_signatures(
         videos, min_change_bits=min_change_bits
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
     def _cool(bands: DataFrame) -> DataFrame:
         return bands.join(
@@ -1472,9 +1473,7 @@ def audio_neardup_pairs(
     flips cannot touch all four bands), so a matching chunk always
     surfaces as a candidate — no probabilistic miss mode at the
     default."""
-    sigs = extract_audio_chunk_sigs(media, n_chunks=n_chunks).localCheckpoint(
-        eager=False
-    )
+    sigs = extract_audio_chunk_sigs(media, n_chunks=n_chunks).localCheckpoint()
     bands = scene_band_rows(sigs)
     keys = ["band", "val", "scene_idx"]
     cool = bands.join(
@@ -1641,10 +1640,10 @@ def media_pipeline(
     # gate and the dedup stage
     ss = _decode_stats_sigs(
         media.filter(F.col("kind").isin("image", "audio"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()  # eager: one decode pass, many consumers
     stats = ss.select("media_id", "kind", "ok", "n_pixels", "seconds").distinct()
     vid = media.filter(F.col("kind") == "video")
-    vid_sigs = scene_signatures(vid).localCheckpoint(eager=False)
+    vid_sigs = scene_signatures(vid).localCheckpoint()  # eager: decode once
     n_scenes = vid_sigs.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_scenes")
     ).localCheckpoint(eager=False)
@@ -1796,12 +1795,8 @@ def cross_modal_av_pairs(
     Recall at tau ≤ 3 is DETERMINISTIC per chunk (pigeonhole over the
     4×16-bit bands), the q158 contract. Scale: ~9 signature bytes per
     chunk per side; audio samples are touched exactly once per side."""
-    a_sigs = extract_audio_chunk_sigs(audios, n_chunks=n_chunks).localCheckpoint(
-        eager=False
-    )
-    v_sigs = extract_video_audio_sigs(videos, n_chunks=n_chunks).localCheckpoint(
-        eager=False
-    )
+    a_sigs = extract_audio_chunk_sigs(audios, n_chunks=n_chunks).localCheckpoint()
+    v_sigs = extract_video_audio_sigs(videos, n_chunks=n_chunks).localCheckpoint()
     keys = ["band", "val", "scene_idx"]
 
     def _cool(bands: DataFrame) -> DataFrame:

@@ -1463,7 +1463,11 @@ def semantic_neardup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         assign(F.col(vec_col)).alias("cluster"),
-    )
+    ).localCheckpoint(eager=False)
+    # barrier: `assigned` feeds the size aggregate AND both tile sides —
+    # unbarriered, the scan + assign UDF subtree was compiled (and run)
+    # 4× per q112 plan audit (plans/r12/q112_semantic_dedup_before.txt:
+    # 4 ArrowEvalPython chains over 4 parquet scans)
     # cluster sizes: k rows, broadcast back — the only cross-cluster state
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
     blocked = (

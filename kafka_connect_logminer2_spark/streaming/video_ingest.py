@@ -475,7 +475,12 @@ def _ingest_batch_media(
     try:
         # one decode pass; signatures reused by every stage below
         sigs = sig_fn(batch)
-        sigs = sigs.localCheckpoint(eager=False)
+        # EAGER: the signature relation feeds ~5 independent exchanges that
+        # AQE materializes CONCURRENTLY; computed lazily, all of them race
+        # into the decode subtree at once (python-worker spawn storm + block
+        # locks — profiled at 4.1s/task with ~30ms CPU). One eager pass pays
+        # the decode once, then every consumer reads checkpoint blocks.
+        sigs = sigs.localCheckpoint(eager=True)
         bands = _capped(scene_band_rows(sigs), max_band_freq)
 
         # 1. in-batch: min-id representative per near-dup cluster
