@@ -62,9 +62,11 @@ def jaccard_pairs(
             "arr"
         ),
     )
-    # barrier: arr feeds two consumers (sizes + posting lists); without it
-    # the expensive tokenize-and-shingle subtree is recomputed per consumer
-    arr = arr.localCheckpoint(eager=False)
+    # EAGER barrier: arr feeds two consumers (sizes + posting lists) whose
+    # exchanges AQE materializes concurrently — lazy, both race into the
+    # tokenize-and-shingle subtree (block-lock serialization; the q105
+    # profile); eager pays it exactly once
+    arr = arr.localCheckpoint()
     # |doc's shingle set| is just the array length — shingles() emits
     # distinct shingles per doc, so no groupBy over the exploded relation
     sizes = arr.select("id", F.size("arr").cast("long").alias("sz"))
@@ -657,7 +659,7 @@ def winnow_pairs(
     drops boilerplate fingerprints) — but over the winnowed ~2/(w+1)
     density instead of every shingle."""
     fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w)
-    fps = fps.localCheckpoint(eager=False)  # two consumers: sizes + postings
+    fps = fps.localCheckpoint()  # eager: two concurrent consumers (sizes+postings)
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     postings = fps.groupBy("fp").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_fp_freq is not None:
@@ -727,7 +729,7 @@ def containment_pairs(
         F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
             "arr"
         ),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()  # eager: two concurrent consumers (sizes + explode)
     qsz = q.select("q_id", F.size("arr").cast("long").alias("q_sz"))
     qsh = q.select("q_id", F.explode("arr").alias("h"))
     csh = corpus_docs.select(

@@ -956,6 +956,48 @@ def _packed_adc_dist(m: int, n_codes: int, b: int, per: int) -> Column:
     )
 
 
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    m: int = 32,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → packed-code relation ``(id, _c0, _c1)`` under the given
+    codebooks — the write-once encode pass of :func:`pq_topk`, exposed so
+    one encoded relation can serve several scans (q176 runs three PQ
+    stages over the same corpus; re-encoding per stage tripled the
+    Arrow-batched pass and the codebook training collect for identical
+    codes). One Arrow-batched NumPy pass, deterministic in ``books``."""
+    from pyspark.sql.functions import pandas_udf
+
+    dsub = books.shape[2]
+    b, per = _pq_bit_layout(m, n_codes)
+
+    @pandas_udf("struct<c0: bigint, c1: bigint>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= _safe_norms(v)[:, None]
+        n = v.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = v[:, j * dsub:(j + 1) * dsub]
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c (stable)
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ books[j].T)
+                + (books[j] * books[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        c0, c1 = _pack_codes_np(codes, b, per)
+        return pd.DataFrame({"c0": c0, "c1": c1})
+
+    return embeddings.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("_e")
+    ).select(id_col, F.col("_e.c0").alias("_c0"), F.col("_e.c1").alias("_c1"))
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -965,6 +1007,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    books: "np.ndarray | None" = None,
+    codes: "DataFrame | None" = None,
 ) -> DataFrame:
     """Approximate top-k via PRODUCT QUANTIZATION with an asymmetric
     distance (ADC) scan — the memory-side 100 TB ANN path next to the
@@ -993,29 +1037,12 @@ def pq_topk(
     PQ composes with IVF (scan only the probed cells' codes)."""
     from pyspark.sql.functions import pandas_udf
 
-    books = pq_codebooks(
-        embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
-    )
+    if books is None:
+        books = pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
     dsub = books.shape[2]
     b, per = _pq_bit_layout(m, n_codes)
-
-    @pandas_udf("struct<c0: bigint, c1: bigint>")
-    def encode(vecs: pd.Series) -> pd.DataFrame:
-        v = np.stack(vecs.to_numpy()).astype(np.float64)
-        v /= _safe_norms(v)[:, None]
-        n = v.shape[0]
-        codes = np.empty((n, m), dtype=np.int32)
-        for j in range(m):
-            sub = v[:, j * dsub:(j + 1) * dsub]
-            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c (stable)
-            d2 = (
-                (sub * sub).sum(axis=1, keepdims=True)
-                - 2.0 * (sub @ books[j].T)
-                + (books[j] * books[j]).sum(axis=1)[None, :]
-            )
-            codes[:, j] = d2.argmin(axis=1)
-        c0, c1 = _pack_codes_np(codes, b, per)
-        return pd.DataFrame({"c0": c0, "c1": c1})
 
     @pandas_udf("array<double>")
     def adc_table(vecs: pd.Series) -> pd.Series:
@@ -1031,10 +1058,13 @@ def pq_topk(
             )
         return pd.Series(list(out))
 
-    corpus = embeddings.select(
-        F.col(id_col), encode(F.col(vec_col)).alias("_e")
-    ).select(
-        id_col, F.col("_e.c0").alias("_c0"), F.col("_e.c1").alias("_c1")
+    corpus = (
+        codes
+        if codes is not None
+        else pq_encode(
+            embeddings, books, m=m, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
@@ -1073,6 +1103,8 @@ def pq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    books: "np.ndarray | None" = None,
+    codes: "DataFrame | None" = None,
 ) -> DataFrame:
     """Two-stage retrieval — the standard at-scale serving shape: the PQ
     ADC scan (16-byte packed codes, JVM codegen) selects ``candidates``
@@ -1088,6 +1120,7 @@ def pq_rerank_topk(
     cand = pq_topk(
         embeddings, queries, k=candidates, m=m, n_codes=n_codes,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        books=books, codes=codes,
     ).select("query_id", "neighbor_id")
     nvec = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")

@@ -10391,12 +10391,22 @@ def q176_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
             / total
         )
 
-    r_pq = recall(S.pq_topk(emb, queries_df, k=5))
-    rerank = S.pq_rerank_topk(emb, queries_df, k=5, candidates=64)
+    # ONE codebook training and ONE corpus encode, shared by all three PQ
+    # stages below (they are deterministic in (books, corpus), so the
+    # shared relation computes identical codes — re-deriving them per
+    # stage tripled the training collect and the Arrow encode pass)
+    books = S.pq_codebooks(emb)
+    codes = S.pq_encode(emb, books).localCheckpoint()
+    r_pq = recall(S.pq_topk(emb, queries_df, k=5, books=books, codes=codes))
+    rerank = S.pq_rerank_topk(
+        emb, queries_df, k=5, candidates=64, books=books, codes=codes
+    )
     r_rr = recall(rerank)
     full = [
         tuple(r)
-        for r in S.pq_rerank_topk(emb, queries_df, k=5, candidates=n)
+        for r in S.pq_rerank_topk(
+            emb, queries_df, k=5, candidates=n, books=books, codes=codes
+        )
         .orderBy("query_id", "rank")
         .collect()
     ]

@@ -1114,7 +1114,13 @@ def ingest_batch_neardup(
         # once on the representatives)
         sigs_all = minhash_signatures(
             batch, text_col, id_col, k=k, num_hashes=num_hashes, seed=seed
-        ).persist()
+        ).localCheckpoint()
+        # EAGER (was a lazy persist): the signature relation feeds the band
+        # keys and BOTH verify sides — AQE materializes those exchanges as
+        # concurrent jobs that would otherwise race into the shingle+minhash
+        # UDF subtree (block-lock serialization, duplicated python work —
+        # the q105 profile). localCheckpoint also cuts the lineage so each
+        # consumer's plan stays flat.
         # 1. in-batch: one representative per near-dup cluster.
         # star_bucket_size forwards the giant-bucket guard: a batch
         # containing one page duplicated 10^6 times must not build a

@@ -376,7 +376,17 @@ def _probe_reject(
     pb = _capped(scene_band_rows(probe_sigs), max_band_freq, join_keys).withColumn(
         "_b", _key_bucket(num_buckets)
     )
-    touched = sorted(r["_b"] for r in pb.select("_b").distinct().collect())
+    # touched-bucket set from the UNCAPPED band keys: bucket selection only
+    # prunes which store paths are READ, so a superset is harmless (the
+    # join below still sees only capped keys) — and skipping the cap here
+    # drops a hash-agg + semi-join exchange from every probe's first job
+    touched = sorted(
+        r["_b"]
+        for r in scene_band_rows(probe_sigs)
+        .select(_key_bucket(num_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    )
     key_paths = _store_paths(kd, touched, below=below)
     if not key_paths:
         return None
