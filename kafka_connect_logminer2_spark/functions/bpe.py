@@ -95,21 +95,92 @@ def _merge_pair_udf(left: str, right: str):
     return apply
 
 
+def _merge_loop_driver(
+    words: dict[tuple, int], num_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
+    """The merge loop over an in-memory ``{symbols_tuple: count}`` vocab —
+    semantics identical to the distributed loop (same pair counting incl.
+    overlapping runs, same (count desc, left, right) tie-break, same
+    non-overlapping left-to-right rewrite, same ``min_count`` early stop).
+    Incremental: a round only touches words indexed under the merged pair,
+    so cost per round is O(affected words), not O(vocab)."""
+    from collections import Counter, defaultdict
+
+    word_list = [list(s) for s in words]
+    counts = list(words.values())
+    pc: Counter = Counter()
+    where: dict = defaultdict(set)  # pair -> word indices (may go stale)
+    for i, syms in enumerate(word_list):
+        n = counts[i]
+        for p in zip(syms, syms[1:]):
+            pc[p] += n
+            where[p].add(i)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((left, right, int(cnt)))
+        merged = left + right
+        for i in where.pop((left, right), ()):  # stale ids no-op below
+            syms, n = word_list[i], counts[i]
+            for p in zip(syms, syms[1:]):
+                pc[p] -= n
+                if not pc[p]:
+                    del pc[p]
+            res: list[str] = []
+            j, m = 0, len(syms)
+            while j < m:
+                if j + 1 < m and syms[j] == left and syms[j + 1] == right:
+                    res.append(merged)
+                    j += 2
+                else:
+                    res.append(syms[j])
+                    j += 1
+            word_list[i] = res
+            for p in zip(res, res[1:]):
+                pc[p] += n
+                where[p].add(i)
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int = 32,
     text_col: str = "text",
     min_count: int = 2,
+    max_driver_vocab: int = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns
     [(left, right, count_at_merge_time)] in merge order. Stops early when
     the best pair's count falls below ``min_count`` (merging hapax pairs
     memorizes the corpus instead of compressing it).
 
-    Driver state is O(num_merges): one 3-tuple per round. The word table
-    never collects — the top pair comes back via orderBy(...).limit(1)
-    (a tree-reduced top-1, not a sort of the pair table)."""
-    wt = word_symbol_table(docs, text_col).localCheckpoint()
+    Two regimes, split by VOCAB size (never corpus size — the corpus is
+    always folded to the distinct-word count table in one distributed
+    pass first):
+
+    * vocab ≤ ``max_driver_vocab``: the merge loop runs IN MEMORY on the
+      collected word-count table — the architecture real trainers
+      (HuggingFace tokenizers, SentencePiece) use, because merge
+      decisions depend only on word types × frequency. This removes the
+      2-jobs-per-round scheduler latency of the distributed loop (a real
+      8k-merge vocabulary would otherwise pay 16k sequential Spark jobs
+      of pure latency). The collect is bounded by ``limit(cap + 1)``.
+    * vocab > ``max_driver_vocab`` (or cap = 0/None): the distributed
+      loop — driver state stays O(num_merges); the top pair comes back
+      via orderBy(...).limit(1) (a tree-reduced top-1, not a sort of the
+      pair table). Differential-tested equal to the driver loop
+      (tests/test_bpe.py)."""
+    wt_df = word_symbol_table(docs, text_col)
+    if max_driver_vocab:
+        rows = wt_df.limit(max_driver_vocab + 1).collect()
+        if len(rows) <= max_driver_vocab:
+            words = {tuple(r["symbols"]): int(r["n"]) for r in rows}
+            return _merge_loop_driver(words, num_merges, min_count)
+    wt = wt_df.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (

@@ -42,6 +42,13 @@ def lloyd_refine(
     (similarity.py::ivf_topk), so both train the same way."""
     from pyspark.sql.functions import pandas_udf
 
+    from .similarity import _spread
+
+    # parallelism floor once, outside the loop: a single-split corpus would
+    # run every iteration's assignment matmul in ONE task (no-op at scale,
+    # where the scan already has >= cores partitions)
+    vecs = _spread(vecs.select(vec_col))
+
     it = 0
     for it in range(1, n_iter + 1):
         cur = cmat  # bind the iteration's matrix into the UDF closure

@@ -23,6 +23,31 @@ def _safe_norms(m: np.ndarray) -> np.ndarray:
     return np.where(n == 0, 1.0, n)
 
 
+def _spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for a compute-dense corpus pass.
+
+    The ANN kernels' cost is O(rows × queries × m) arithmetic, far denser
+    than the bytes under them: a small corpus arrives as ONE parquet split
+    (128 MB splits ≫ the file), so the Arrow encode pass and the JVM ADC
+    scan would run in a single task while every other core idles. When the
+    input already carries >= the requested floor of partitions — any
+    real-scale scan — this returns the frame UNCHANGED (no exchange), so
+    the fix never costs a shuffle where the layout is already right.
+    Round-robin repartition is deterministic under retries
+    (sortBeforeRepartition) and every consumer here is row-wise
+    deterministic with pinned tie-breaks, so results are identical.
+
+    Only call this on scan/projection frames (no upstream exchange):
+    ``df.rdd`` under AQE materializes upstream query stages to finalize
+    the plan, which is free for a scan but would eagerly execute joins.
+    """
+    sc = df.sparkSession.sparkContext
+    target = minimum or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float arrays (element-wise cast →
     the oracle's unnest-and-sum in double matches bit-for-bit up to fp
@@ -56,7 +81,8 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
-    scored = embeddings.join(F.broadcast(q), F.col(id_col) != F.col("_qid")).select(
+    emb = _spread(embeddings.select(id_col, vec_col))
+    scored = emb.join(F.broadcast(q), F.col(id_col) != F.col("_qid")).select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
@@ -120,7 +146,7 @@ def lsh_bucketed_topk(
         return buckets_udf(vec)
 
     # corpus → (id, vec, table, bucket) postings; queries likewise (broadcast)
-    corpus = embeddings.select(
+    corpus = _spread(embeddings.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(buckets(F.col(vec_col))).alias("_t", "_bucket"),
@@ -255,7 +281,7 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype("int32")))
 
-    corpus = embeddings.select(
+    corpus = _spread(embeddings.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         F.element_at(probe_cells(F.col(vec_col)), 1).alias("_cell"),
@@ -993,7 +1019,7 @@ def pq_encode(
         c0, c1 = _pack_codes_np(codes, b, per)
         return pd.DataFrame({"c0": c0, "c1": c1})
 
-    return embeddings.select(
+    return _spread(embeddings.select(id_col, vec_col)).select(
         F.col(id_col), encode(F.col(vec_col)).alias("_e")
     ).select(id_col, F.col("_e.c0").alias("_c0"), F.col("_e.c1").alias("_c1"))
 
@@ -1262,7 +1288,7 @@ def ivfpq_encode(
             {"cell": cell.astype("int32"), "c0": c0, "c1": c1}
         )
 
-    return embeddings.select(
+    return _spread(embeddings.select(id_col, vec_col)).select(
         F.col(id_col), encode(F.col(vec_col)).alias("_e")
     ).select(
         id_col,

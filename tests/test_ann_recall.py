@@ -176,3 +176,27 @@ def test_pq_packing_property_numpy_roundtrip():
             assert (got.astype(np.int32) == codes[:, j]).all(), (K, m, j)
 
     run()
+
+
+def test_spread_floors_parallelism_of_compute_dense_passes(spark, sf_dir):
+    """_spread: a single-split corpus is round-robin spread to the
+    session's parallelism floor before the encode/ADC work; an input that
+    already meets the floor is returned unchanged (no added exchange)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_logminer2_spark.functions.similarity import (
+        _spread,
+        pq_codebooks,
+        pq_encode,
+    )
+    from kafka_connect_logminer2_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    floor = spark.sparkContext.defaultParallelism
+    assert emb.rdd.getNumPartitions() < floor  # fixture is one split
+    books = pq_codebooks(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, books, m=8, n_codes=16)
+    assert codes.rdd.getNumPartitions() >= min(floor, 2)
+    # already-spread input: no-op (same plan object back)
+    wide = emb.select("vec_id", "embedding").repartition(floor)
+    assert _spread(wide) is wide

@@ -157,3 +157,16 @@ def test_bpe_word_table_is_vocab_sized(spark, sf_dir):
     ).filter(F.col("w") != "").count()
     assert n_types < n_tokens / 10  # the fixture reuses a small vocabulary
     assert wt.agg(F.sum("n")).first()[0] == n_tokens
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark, sf_dir):
+    """train_bpe's in-memory fast path (vocab fits max_driver_vocab) and
+    the distributed merge loop (forced via max_driver_vocab=0) must learn
+    the IDENTICAL merge sequence — counts, order, early stop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    fast = train_bpe(docs, num_merges=15)
+    dist = train_bpe(docs, num_merges=15, max_driver_vocab=0)
+    assert fast == dist and len(fast) > 0
+    # a vocab larger than the cap falls back to the distributed loop
+    tiny_cap = train_bpe(docs, num_merges=5, max_driver_vocab=1)
+    assert tiny_cap == train_bpe(docs, num_merges=5)[:5][: len(tiny_cap)]
