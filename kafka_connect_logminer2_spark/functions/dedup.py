@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .similarity import _spread
 from .text import fingerprint, shingles, word_ngrams
 
 
@@ -53,7 +54,10 @@ def jaccard_pairs(
     more than N docs (stop-shingle skew guard for big corpora) — here a free
     size filter on the posting list instead of a df-count semi-join.
     """
-    arr = docs.select(
+    # parallelism floor BEFORE the shingle build: the tokenize+shingle+hash
+    # transform is the kernel's priciest map work and a small corpus is one
+    # parquet split = one task (no-op at scale — see similarity._spread)
+    arr = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         # hash each shingle to 64 bits up front: an 8-byte fixed shuffle key
         # instead of ~25-byte varchars (collision odds at even 10^9 distinct
@@ -136,6 +140,7 @@ def dup_span_stats(
     """
     from pyspark.sql import Window
 
+    docs = _spread(docs.select(id_col, text_col))  # window build ∥ floor
     spans = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -353,7 +358,7 @@ def minhash_signatures(
             out[nz] = mins.T
         return pd.Series(list(out))
 
-    base = docs.select(
+    base = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("sh"),
     ).filter(F.size("sh") > 0)
@@ -518,7 +523,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     The bit loop is a fold over 64 positions expressed as array ops — no UDF;
     one explode + one groupBy (single shuffle keyed by doc id).
     """
-    tok = docs.select(
+    tok = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -619,7 +624,7 @@ def winnow_fingerprints(
     from .sharding import md5_bucket
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    hashed = docs.select(
+    hashed = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_ngrams(toks, k), lambda g: md5_bucket(g, 1 << 32)
@@ -732,7 +737,7 @@ def containment_pairs(
     ).localCheckpoint()  # eager: two concurrent consumers (sizes + explode)
     qsz = q.select("q_id", F.size("arr").cast("long").alias("q_sz"))
     qsh = q.select("q_id", F.explode("arr").alias("h"))
-    csh = corpus_docs.select(
+    csh = _spread(corpus_docs.select(id_col, text_col)).select(
         F.col(id_col).alias("c_id"),
         F.explode(
             F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
@@ -799,6 +804,7 @@ def remove_dup_spans(
     Output: (doc_id, n_tokens_before, n_tokens_after, sig) where sig =
     md5 of the rebuilt text — engine-portable, so the DuckDB oracle
     reproduces the REWRITE itself, not just counts (q159)."""
+    docs = _spread(docs.select(id_col, text_col))  # 3 consumers, ∥ floor
     toklist = F.split(F.lower(F.col(text_col)), " ")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -889,6 +895,7 @@ def remove_repeated_spans(
     aggregate (hash agg over 20-byte rows) joined back to mark the
     non-first occurrences. Same output contract; DuckDB oracle
     reproduces the rewrite (q160)."""
+    docs = _spread(docs.select(id_col, text_col))  # 3 consumers, ∥ floor
     toklist = F.split(F.lower(F.col(text_col)), " ")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

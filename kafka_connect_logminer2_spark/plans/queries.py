@@ -8929,7 +8929,15 @@ def _staged_doc_stream(
 ):
     """The shared ingest staging convention (cdc21/cdc30): rows split by
     ``id_col`` mod ``n`` into one parquet file per micro-batch,
-    mtime-ordered so maxFilesPerTrigger=1 delivers them as ``n`` batches."""
+    mtime-ordered so maxFilesPerTrigger=1 delivers them as ``n`` batches.
+
+    Staged in ONE partitioned write (was ``n`` filtered full scans +
+    single-file writes — n× the scan for fixture synthesis, guide §2.4):
+    hash-repartition on the bucket puts each micro-batch in exactly one
+    task, so every ``_sb=i`` dir holds exactly one part file.
+    ``sortWithinPartitions(id_col)`` pins row order inside each staged
+    file regardless of shuffle arrival (the old per-bucket coalesce(1)
+    write inherited scan order, which on these fixtures is id order)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -8937,12 +8945,21 @@ def _staged_doc_stream(
 
     _os.makedirs(f"{tmp}/in")
     now = _time.time()
+    (
+        docs.withColumn("_sb", F.pmod(id_col, F.lit(n)).cast("int"))
+        .repartition(n, "_sb")
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("_sb")
+        .parquet(f"{tmp}/s")
+    )
     for i in range(n):
-        docs.filter(F.pmod(id_col, F.lit(n)) == i).coalesce(1).write.parquet(
-            f"{tmp}/s{i}"
-        )
-        src_f = sorted(_glob.glob(f"{tmp}/s{i}/part*"))[0]
-        _shutil.copy(src_f, f"{tmp}/in/f{i}.parquet")
+        parts = sorted(_glob.glob(f"{tmp}/s/_sb={i}/part*"))
+        if not parts:  # empty bucket: partitionBy skips it; stage 0 rows
+            spark.createDataFrame([], docs.schema).coalesce(1).write.parquet(
+                f"{tmp}/s/_sb={i}"
+            )
+            parts = sorted(_glob.glob(f"{tmp}/s/_sb={i}/part*"))
+        _shutil.copy(parts[0], f"{tmp}/in/f{i}.parquet")
         _os.utime(f"{tmp}/in/f{i}.parquet", (now + i * 10,) * 2)
     return (
         spark.readStream.schema(docs.schema)

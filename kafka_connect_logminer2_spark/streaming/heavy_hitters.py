@@ -111,15 +111,18 @@ def _batch_summary(grams: DataFrame, cap: int) -> DataFrame:
         .agg(F.sum("w").alias("w"))
     )
     summed = summed.localCheckpoint()  # ≤ cap × partitions rows
-    n = summed.count()
-    if n > cap:
-        # the (cap+1)-th largest weight — one scalar to the driver
-        m = (
-            summed.orderBy(F.desc("w"), "gram")
-            .limit(cap + 1)
-            .agg(F.min("w"))
-            .first()[0]
-        )
+    # ONE TakeOrdered job answers both questions the truncation needs:
+    # are there more than cap rows (count of the top cap+1), and what is
+    # the (cap+1)-th largest weight (their min) — the separate count()
+    # job the old shape paid per batch is gone
+    top = (
+        summed.orderBy(F.desc("w"), "gram")
+        .limit(cap + 1)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("w").alias("m"))
+        .first()
+    )
+    if top["n"] > cap:
+        m = top["m"]
         summed = summed.filter(F.col("w") > m).select(
             "gram", (F.col("w") - F.lit(m)).alias("w")
         )
@@ -298,13 +301,16 @@ def compact_heavy_hitters(
     def fold(df: DataFrame) -> DataFrame:
         merged = df.groupBy("gram").agg(F.sum("w").alias("w"))
         merged = merged.localCheckpoint()
-        if merged.count() > cap:
-            m = (
-                merged.orderBy(F.desc("w"), "gram")
-                .limit(cap + 1)
-                .agg(F.min("w"))
-                .first()[0]
-            )
+        # fused size-probe + threshold (same one-job shape as
+        # _batch_summary): count>cap ⇔ the top cap+1 slice holds cap+1 rows
+        top = (
+            merged.orderBy(F.desc("w"), "gram")
+            .limit(cap + 1)
+            .agg(F.count(F.lit(1)).alias("n"), F.min("w").alias("m"))
+            .first()
+        )
+        if top["n"] > cap:
+            m = top["m"]
             merged = merged.filter(F.col("w") > m).select(
                 "gram", (F.col("w") - F.lit(m)).alias("w")
             )
