@@ -37,15 +37,38 @@ def _spread(df: DataFrame, minimum: int | None = None) -> DataFrame:
     (sortBeforeRepartition) and every consumer here is row-wise
     deterministic with pinned tie-breaks, so results are identical.
 
-    Only call this on scan/projection frames (no upstream exchange):
-    ``df.rdd`` under AQE materializes upstream query stages to finalize
-    the plan, which is free for a scan but would eagerly execute joins.
+    Meant for scan/projection frames (no upstream exchange): ``df.rdd``
+    under AQE materializes upstream query stages to finalize the plan,
+    which is free for a scan but would eagerly execute joins. Guarded —
+    a plan containing any exchange-inducing operator is returned
+    unchanged rather than probed (false positives merely skip the
+    spread, never change results).
     """
     sc = df.sparkSession.sparkContext
     target = minimum or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    n = _probe_partitions(df)
+    if n is None or n >= target:
         return df
     return df.repartition(target)
+
+
+def _probe_partitions(df: DataFrame) -> int | None:
+    """Partition count of a scan/projection/local frame, or None when the
+    plan holds an exchange-inducing operator — probing ``.rdd`` on those
+    would materialize AQE query stages (run real jobs) just to answer the
+    question. False positives (an operator token appearing in an
+    expression string) merely skip the spread, never change results."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        tok in plan
+        for tok in (
+            "Join", "Aggregate", "Window", "Sort", "Repartition",
+            "Deduplicate", "Except", "Intersect", "CoGroup",
+            "FlatMapGroups", "Limit",
+        )
+    ):
+        return None
+    return df.rdd.getNumPartitions()
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -98,10 +98,48 @@ def cdc_envelope(redo: DataFrame, config: EngineConfig | None = None) -> DataFra
     filtered = redo.filter(
         source_predicate(config.table_whitelist, config.table_blacklist)
     )
+    if _input_is_narrow(redo):
+        # pre-partition on the assembly key with an EXPLICIT count: the
+        # per-xid windows reuse this exchange (same key), and a
+        # user-specified partition count is exempt from AQE coalescing —
+        # otherwise the tiny-byte exchange collapses to ~1 partition and
+        # the assembly sorts/windows serialize behind it
+        sc = redo.sparkSession.sparkContext
+        filtered = filtered.repartition(sc.defaultParallelism, "xid")
     committed = assemble_transactions(
         filtered, skew_salts=config.skew_salts_arg()
     ).filter(dml_types_predicate(config.dml_type_set()))
-    return to_envelope(committed, config)
+    return to_envelope(_floor_parse_parallelism(redo, committed), config)
+
+
+def _floor_parse_parallelism(redo: DataFrame, committed: DataFrame) -> DataFrame:
+    """Parallelism floor for the parse boundary, decided from the INPUT.
+
+    On a narrow redo relation (fewer partitions than cores — any local
+    fixture) the assembly exchange is AQE-coalesced to ~1 partition by
+    byte size, and the Arrow parse UDF — the pipeline's compute-dense
+    stage — serializes behind it into a single task. The input probe is
+    the safe one (the committed frame has upstream exchanges, so probing
+    it would materialize stages); at scale the redo scan already carries
+    >= cores partitions and nothing is added."""
+    if _input_is_narrow(redo):
+        return committed.repartition(
+            redo.sparkSession.sparkContext.defaultParallelism
+        )
+    return committed
+
+
+def _input_is_narrow(redo: DataFrame) -> bool:
+    """True when the redo relation carries fewer partitions than cores —
+    the local-fixture regime where AQE byte-sized coalescing serializes
+    the pipeline's compute-dense stages. Probed on the INPUT only (safe:
+    scan/local frames; exchange-bearing inputs return None and count as
+    not-narrow, so nothing is ever materialized early)."""
+    from ..functions.similarity import _probe_partitions
+
+    sc = redo.sparkSession.sparkContext
+    n = _probe_partitions(redo)
+    return n is not None and n < sc.defaultParallelism
 
 
 def cdc_envelope_cm(redo: DataFrame, config: EngineConfig | None = None) -> DataFrame:
@@ -129,4 +167,4 @@ def cdc_envelope_cm(redo: DataFrame, config: EngineConfig | None = None) -> Data
     )
     if "csf" in dml.columns:  # CSF reassembly happens in the CM poll loop too (:277-281)
         dml = reassemble_csf(dml)
-    return to_envelope(dml, config)
+    return to_envelope(_floor_parse_parallelism(redo, dml), config)

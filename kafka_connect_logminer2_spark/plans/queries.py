@@ -2149,16 +2149,22 @@ def q57_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     genuinely small (the plan audit pins the absence of a forced hint)."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(F.split(F.lower(F.trim("text")), r"\s+").alias("w"))
+    # barriers on the two VOCABULARY-sized aggregates (the checkpointable
+    # size at scale): uni feeds three consumers (ux, uy, n_uni) and bi two
+    # (n_bi, main) — unbarriered, each consumer re-inlined the whole
+    # scan+tokenize subtree (plan audit: 5 parquet scans for one query)
     uni = (
         toks.select(F.explode("w").alias("x"))
         .filter(F.col("x") != "")
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("cx"))
+        .localCheckpoint()
     )
     bi = (
         toks.select(F.explode(T.word_ngrams(F.col("w"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint()
     )
     n_uni = uni.agg(F.sum("cx").alias("n_uni"))
     n_bi = bi.agg(F.sum("cxy").alias("n_bi"))
@@ -3638,6 +3644,10 @@ def q98_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("term").isin(Q))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        # barrier: tf is the REDUCED (candidate-doc × |Q|) relation and
+        # feeds two consumers (dfreq + the scoring join) — unbarriered,
+        # each re-inlined the corpus scan+tokenize subtree
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
