@@ -15,8 +15,9 @@ of a hand-derivation per entry. All runs must share one sf; entries
 missing from some runs band on the runs that have them.
 
 Accepts any of these formats:
- * bench.py's own stdout — the full ``queries_cold`` line and/or the
-   compact final line (``qc`` short keys, expanded via bench.SHORT_TO_FULL);
+ * bench.py's own stdout — the full ``queries_cold`` line (the final
+   driver-contract line carries warm values only; legacy ``qc`` cold
+   short keys still expand via bench.SHORT_TO_FULL);
  * the driver's ``BENCH_r{N}.json`` wrapper (``parsed`` when present, else
    the compact line or a ``queries_cold`` dict salvaged from the ``tail``).
 
@@ -59,17 +60,22 @@ def _cold_from(d: dict) -> dict[str, float] | None:
     return None
 
 
-def _last_metric_obj(text: str) -> dict | None:
-    """Last parseable {"metric"...} JSON object, scanning lines bottom-up
-    (bench.py prints the compact dict as its final line)."""
+def _last_metric_obj(text: str, need_cold: bool = False) -> dict | None:
+    """Last parseable {"metric"...} JSON object, scanning lines bottom-up.
+    With ``need_cold`` only objects carrying a per-entry cold map count
+    (bench.py's FINAL line is the driver-contract line with warm short
+    keys; the cold series lives in line 1's ``queries_cold``)."""
     for line in reversed(text.splitlines()):
         idx = line.find('{"metric')
         if idx < 0:
             continue
         try:
-            return json.loads(line[idx:])
+            obj = json.loads(line[idx:])
         except json.JSONDecodeError:
             continue
+        if need_cold and _cold_from(obj) is None:
+            continue
+        return obj
     return None
 
 
@@ -84,8 +90,10 @@ def load_bench(path: str) -> dict:
         d = json.loads(raw)
     except json.JSONDecodeError:
         # bench.py stdout with log noise / multiple JSON lines: take the
-        # LAST parseable {"metric"...} object (the compact final line)
-        d = _last_metric_obj(raw)
+        # LAST parseable {"metric"...} object that carries a cold series
+        # (line 1; the final driver-contract line has warm values only),
+        # else the last metric object of any shape
+        d = _last_metric_obj(raw, need_cold=True) or _last_metric_obj(raw)
         if d is None:
             raise
     cold = _cold_from(d)
